@@ -1,0 +1,94 @@
+"""Per-operator unit tests for the tokenizer (SURVEY.md §2b L1-L12)."""
+
+import pytest
+
+from kgruntime.ttl.lexer import (
+    BEGIN, BLANK, COMPACT, END, IRIREF, KEYWORD, LANGTAG, NUMERIC, PUNCT,
+    STRING, LexError, tokenize,
+)
+
+
+def kinds(s):
+    return [(t.kind, t.value) for t in tokenize(s)]
+
+
+def test_whitespace_and_comments():  # L1
+    assert kinds("# comment\n  \t <http://a/> # trailing\n") == \
+        [(IRIREF, "http://a/")]
+
+
+def test_langtag_and_at_keywords():  # L2
+    assert kinds('"x"@en-US') == [(STRING, "x"), (LANGTAG, "en-US")]
+    assert kinds("@prefix")[0] == (KEYWORD, "@prefix")
+    assert kinds("@base")[0] == (KEYWORD, "@base")
+
+
+def test_iriref_escapes():  # L3, L4
+    assert kinds("<http://a/\\u0041>") == [(IRIREF, "http://a/A")]
+    assert kinds("<http://a/\\U0001F600>") == [(IRIREF, "http://a/\U0001F600")]
+    with pytest.raises(LexError):
+        tokenize("<http://a/ b>")
+    with pytest.raises(LexError):
+        tokenize("<http://a/{}>")
+
+
+def test_string_short_and_long():  # L5
+    assert kinds(r'"a\nb"') == [(STRING, "a\nb")]
+    assert kinds("'''a''b\"c'''") == [(STRING, "a''b\"c")]
+    assert kinds('"""x"" y"""') == [(STRING, 'x"" y')]
+    assert kinds(r'"A\t"') == [(STRING, "A\t")]
+    # the reference accepts raw newlines even in short strings
+    # (lexing.rs:533-535 commented-out check)
+    assert kinds('"a\nb"') == [(STRING, "a\nb")]
+
+
+def test_numeric_fsm():  # L6
+    assert kinds("42") == [(NUMERIC, ("42", "integer"))]
+    assert kinds("-4.002602") == [(NUMERIC, ("-4.002602", "decimal"))]
+    assert kinds("1.663E-4") == [(NUMERIC, ("1.663E-4", "double"))]
+    assert kinds("3E1") == [(NUMERIC, ("3E1", "double"))]
+    assert kinds(".5") == [(NUMERIC, (".5", "decimal"))]
+    assert kinds("+7") == [(NUMERIC, ("+7", "integer"))]
+    assert kinds(".") == [(PUNCT, ".")]
+    # `1.` (dot not followed by digit/exponent) errors, like the reference FSM
+    with pytest.raises(LexError):
+        tokenize("1. ")
+
+
+def test_blank_node_label():  # L7
+    assert kinds("_:a") == [(BLANK, "_:a")]
+    assert kinds("_:0b.c") == [(BLANK, "_:0b.c")]
+    with pytest.raises(LexError):
+        tokenize("_ :a")
+
+
+def test_pn_local_escapes():  # L8, L9
+    assert kinds(r"p:a\~b") == [(COMPACT, ("p", "a~b"))]
+    assert kinds("p:a%2Fb") == [(COMPACT, ("p", "a/b"))]  # %XX decoded (reference quirk)
+    assert kinds("p:") == [(COMPACT, ("p", ""))]
+    assert kinds(":x") == [(COMPACT, ("", "x"))]
+    assert kinds("p:x:y") == [(COMPACT, ("p", "x:y"))]
+
+
+def test_keywords_need_boundary():  # L9
+    assert kinds("a ")[0] == (KEYWORD, "a")
+    assert kinds("true ") == [(KEYWORD, "true")]
+    assert kinds("PREFIX ") == [(KEYWORD, "PREFIX")]
+    assert kinds("PrEfIx ") == [(KEYWORD, "PREFIX")]  # ASCII-case-insensitive
+    assert kinds("BASE ") == [(KEYWORD, "BASE")]
+    # `a:x` is a compact IRI, not the keyword
+    assert kinds("a:x") == [(COMPACT, ("a", "x"))]
+
+
+def test_punct_and_delimiters():  # L10
+    assert kinds(", ; ^^ ( ) [ ]") == [
+        (PUNCT, ","), (PUNCT, ";"), (PUNCT, "^^"),
+        (BEGIN, "("), (END, ")"), (BEGIN, "["), (END, "]")]
+    with pytest.raises(LexError):
+        tokenize("^x")
+
+
+def test_spans_are_char_offsets():
+    toks = tokenize('<http://a/> <http://b/> "x" .')
+    assert (toks[0].start, toks[0].end) == (0, 11)
+    assert (toks[3].start, toks[3].end) == (28, 29)
