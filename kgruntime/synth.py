@@ -78,48 +78,74 @@ def _split_text(src: str, rng: random.Random) -> list[str]:
     return [c for c in chunks if c]
 
 
+def _doc_row(i: int, seed: int, malformed_every: int,
+             g: list) -> tuple[str, list[dict]]:
+    """One document, seeded per-index — identical output no matter how
+    docs are batched across generator tasks (retry/parallelism safe)."""
+    doc_id = f"doc-{i:06d}"
+    _, src, _ = g[i % len(g)]
+    if malformed_every and i % malformed_every == malformed_every - 1:
+        src = src + "\n<http://bad.example/a b> <http://x/> <http://y/> ."
+    rng = random.Random((seed << 32) ^ i)
+    chunks = _split_text(src, rng)
+    spans = []
+    offset = 0
+    n_media = rng.randint(0, 2)
+    media_positions = set(rng.sample(range(len(chunks) + 1), n_media)) \
+        if n_media else set()
+    mi = 0
+    for j, chunk in enumerate(chunks):
+        if j in media_positions:
+            spans.append({"kind": "media", "text": "",
+                          "media_ref": f"media://{doc_id}/{mi}",
+                          "offset": offset})
+            mi += 1
+        spans.append({"kind": "text", "text": chunk,
+                      "media_ref": "", "offset": offset})
+        offset += len(chunk)
+    if len(chunks) in media_positions:
+        spans.append({"kind": "media", "text": "",
+                      "media_ref": f"media://{doc_id}/{mi}",
+                      "offset": offset})
+    return doc_id, spans
+
+
 def make_documents_table(n_docs: int, seed: int = 42,
-                         malformed_every: int = 0) -> pa.Table:
-    """Build the documents table as one Arrow table.
+                         malformed_every: int = 0,
+                         start: int = 0) -> pa.Table:
+    """Build (a slice of) the documents table as one Arrow table.
 
     ``malformed_every`` > 0 injects a lex-broken text span in every k-th
     doc (for quarantine-path testing).
     """
-    rows_doc_id: list[str] = []
-    rows_spans: list[list[dict]] = []
     g = goldens()
-    rng = random.Random(seed)
-    for i in range(n_docs):
-        doc_id = f"doc-{i:06d}"
-        name, src, _ = g[i % len(g)]
-        if malformed_every and i % malformed_every == malformed_every - 1:
-            src = src + "\n<http://bad.example/a b> <http://x/> <http://y/> ."
-        chunks = _split_text(src, rng)
-        spans = []
-        offset = 0
-        n_media = rng.randint(0, 2)
-        media_positions = set(rng.sample(range(len(chunks) + 1), n_media)) \
-            if n_media else set()
-        mi = 0
-        for j, chunk in enumerate(chunks):
-            if j in media_positions:
-                spans.append({"kind": "media", "text": "",
-                              "media_ref": f"media://{doc_id}/{mi}",
-                              "offset": offset})
-                mi += 1
-            spans.append({"kind": "text", "text": chunk,
-                          "media_ref": "", "offset": offset})
-            offset += len(chunk)
-        if len(chunks) in media_positions:
-            spans.append({"kind": "media", "text": "",
-                          "media_ref": f"media://{doc_id}/{mi}",
-                          "offset": offset})
-        rows_doc_id.append(doc_id)
-        rows_spans.append(spans)
+    rows = [_doc_row(i, seed, malformed_every, g)
+            for i in range(start, start + n_docs)]
     return pa.Table.from_arrays(
-        [pa.array(rows_doc_id, pa.string()),
-         pa.array(rows_spans, pa.list_(SPAN_STRUCT))],
+        [pa.array([r[0] for r in rows], pa.string()),
+         pa.array([r[1] for r in rows], pa.list_(SPAN_STRUCT))],
         schema=DOCUMENTS_SCHEMA)
+
+
+def synth_documents_dataset(n_docs: int, seed: int = 42,
+                            malformed_every: int = 0,
+                            docs_per_block: int = 4000):
+    """Generate the corpus *in parallel* as a Ray Dataset: ``range`` →
+    ``map_batches`` over index batches, each task synthesizing its slice
+    independently (per-doc seeding ⇒ batching-invariant output)."""
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        g = goldens()
+        rows = [_doc_row(int(i), seed, malformed_every, g) for i in ids]
+        return pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.string()),
+             pa.array([r[1] for r in rows], pa.list_(SPAN_STRUCT))],
+            schema=DOCUMENTS_SCHEMA)
+
+    return rd.range(n_docs).map_batches(gen, batch_format="pyarrow",
+                                        batch_size=docs_per_block)
 
 
 def expected_triples_for(doc_id: str, golden_index: int) -> list[tuple]:

@@ -1,0 +1,180 @@
+"""Tests for N2/N3 (mention detection, LinkScorer pool), N4 (distributed
+union-find), N5 (dedup + salted partitioned write), N6/N7 (manifest,
+resume)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from kgruntime.stages.canon import (
+    assignment_to_mapping, canonicalize_triples, connected_components,
+)
+from kgruntime.stages.extract import triples_dataset
+from kgruntime.stages.linking import (
+    LinkScorer, build_alias_table, detect_mentions, link_edges_dataset,
+    mentions_dataset, normalize_name,
+)
+from kgruntime.stages.materialize import (
+    commit_fragment, committed_fragments, dedup_triples, local_dedup,
+    pending_fragments,
+)
+from kgruntime.synth import make_documents_table
+
+
+def _docs(ray, n=29):
+    import ray.data as rd
+    return rd.from_arrow(make_documents_table(n, seed=7))
+
+
+def test_normalize_name():
+    assert normalize_name("  Green   Goblin! ") == "green goblin"
+    assert normalize_name("Человек-паук") == ""  # non-latin strips (heuristic)
+    assert normalize_name("Dave Beckett") == "dave beckett"
+
+
+def test_link_scorer_unit():
+    aliases = build_alias_table(["Green Goblin", "Dave Beckett", "Bob"])
+    s = LinkScorer(alias_table=aliases, threshold=0.5)
+    assert s.score("green goblin") == ("http://kb.example/entity/green-goblin", 1.0)
+    ent, sim = s.score("green goblin jr")
+    assert ent == "http://kb.example/entity/green-goblin" and 0.5 <= sim < 1.0
+    assert s.score("zzz unknown") is None
+
+
+def test_mention_detection_vectorized(ray_session):
+    tri = triples_dataset(_docs(ray_session, n=2))  # p01, p02 clones
+    m = mentions_dataset(tri).take_all()
+    texts = {r["mention_text"] for r in m}
+    assert "Green Goblin" in texts and "Spiderman" in texts
+    # lang-tagged literal is a mention too
+    assert "Человек-паук" in texts
+    # typed non-string literals are not mentions
+    assert all(r["mention_text"] != "2" for r in m)
+
+
+def test_union_find_merges_star(ray_session):
+    import ray.data as rd
+
+    edges = rd.from_items([
+        {"src": "_:d1/0", "dst": "http://kb.example/entity/bob", "score": 1.0,
+         "doc_id": "d1", "mention_text": "Bob"},
+        {"src": "_:d2/0", "dst": "http://kb.example/entity/bob", "score": 1.0,
+         "doc_id": "d2", "mention_text": "Bob"},
+        # a chain: c1 - c2 - c3 (tests multi-round propagation)
+        {"src": "http://x/c1", "dst": "http://x/c2", "score": 1.0,
+         "doc_id": "d3", "mention_text": "c"},
+        {"src": "http://x/c2", "dst": "http://x/c3", "score": 1.0,
+         "doc_id": "d3", "mention_text": "c"},
+    ])
+    labels = connected_components(edges, num_partitions=2)
+    mapping = {r["node"]: r["label"] for r in labels.take_all()}
+    # IRI-ranked canonical: blanks map to the KB IRI, not vice versa
+    assert mapping["_:d1/0"] == "http://kb.example/entity/bob"
+    assert mapping["_:d2/0"] == "http://kb.example/entity/bob"
+    assert mapping["http://kb.example/entity/bob"] == "http://kb.example/entity/bob"
+    assert mapping["http://x/c1"] == "http://x/c1"
+    assert mapping["http://x/c2"] == "http://x/c1"
+    assert mapping["http://x/c3"] == "http://x/c1"
+
+
+def test_canonicalize_broadcast_and_join(ray_session):
+    import ray.data as rd
+
+    tri = rd.from_items([
+        {"subj": "_:d1/0", "subj_kind": 1, "pred": "http://p/",
+         "obj": "_:d2/0", "obj_kind": 1, "obj_datatype": "", "obj_lang": "",
+         "span_start": 0, "span_end": 1, "stmt_index": 0},
+        {"subj": "http://s/", "subj_kind": 0, "pred": "http://p/",
+         "obj": "x", "obj_kind": 2,
+         "obj_datatype": "http://www.w3.org/2001/XMLSchema#string",
+         "obj_lang": "", "span_start": 0, "span_end": 1, "stmt_index": 1},
+    ])
+    mapping = {"_:d1/0": "http://kb/a", "_:d2/0": "http://kb/b"}
+    out = canonicalize_triples(tri, mapping=mapping).take_all()
+    remapped = {(r["subj"], r["obj"]) for r in out}
+    assert ("http://kb/a", "http://kb/b") in remapped
+    assert ("http://s/", "x") in remapped
+
+    labels = rd.from_items([
+        {"node": "_:d1/0", "label": "http://kb/a"},
+        {"node": "_:d2/0", "label": "http://kb/b"},
+    ])
+    out2 = canonicalize_triples(tri, labels_ds=labels, via="join",
+                                num_partitions=2).take_all()
+    assert {(r["subj"], r["obj"]) for r in out2} == remapped
+
+
+def test_local_dedup_combiner():
+    t = pa.table({
+        "subj": ["a", "a", "b"], "pred": ["p", "p", "p"],
+        "obj": ["o", "o", "o"], "obj_datatype": ["", "", ""],
+        "obj_lang": ["", "", ""], "subj_kind": pa.array([0, 0, 0], pa.uint8()),
+        "obj_kind": pa.array([0, 0, 0], pa.uint8()),
+        "doc_id": ["d", "d", "d"],
+        "span_start": pa.array([1, 2, 3], pa.int32()),
+        "span_end": pa.array([2, 3, 4], pa.int32()),
+        "stmt_index": pa.array([0, 1, 2], pa.int32()),
+    })
+    out = local_dedup(t)
+    assert out.num_rows == 2
+    assert set(out.schema.names) == set(t.schema.names)
+
+
+def test_global_dedup(ray_session):
+    # p22: "\n" short-string escape ≡ real newline in long string → 1 triple
+    tri = triples_dataset(_docs(ray_session, n=29))
+    import pyarrow.compute as pc
+
+    doc22 = f"doc-{21:06d}"  # p22 is golden index 21
+    d = dedup_triples(tri.filter(expr=f'doc_id == "{doc22}"')
+                      if hasattr(tri, "filter") else tri)
+    rows = [r for r in d.take_all()]
+    assert len(rows) == 1
+    assert rows[0]["obj"] == "The first line\nThe second line\n  more"
+
+
+def test_end_to_end_pipeline_and_checkpoint(ray_session, tmp_path):
+    from kgruntime.pipelines.kg import build_kg, run_checkpointed
+    from kgruntime.synth import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, 40, seed=11, rows_per_file=10)  # 4 fragments
+    out_dir = str(tmp_path / "store")
+
+    res = run_checkpointed(corpus, out_dir, epoch=0, fragments_per_round=2)
+    assert len(res["processed"]) == 4 and not res["skipped"]
+    assert committed_fragments(out_dir) == {f"part-{i:05d}" for i in range(4)}
+
+    # resume: nothing left to do
+    res2 = run_checkpointed(corpus, out_dir, epoch=0, fragments_per_round=2)
+    assert res2["processed"] == [] and len(res2["skipped"]) == 4
+
+    # partial-commit resume: drop one manifest → only that fragment reruns
+    os.remove(os.path.join(out_dir, "_manifest", "fragment-part-00002.json"))
+    res3 = run_checkpointed(corpus, out_dir, epoch=0, fragments_per_round=2)
+    assert res3["processed"] == ["part-00002"]
+
+    # manifests carry lineage + counters
+    from kgruntime.stages.materialize import read_manifests
+    m = read_manifests(out_dir)
+    assert all(x["parser_version"] for x in m)
+    assert all("docs" in x["counters"] and "triples" in x["counters"]
+               and "malformed_span_rejects" in x["counters"] for x in m)
+
+
+def test_linking_to_canonical_flow(ray_session):
+    """Same name in several docs → blanks canonicalize to one KB entity."""
+    from kgruntime.pipelines.kg import build_kg
+
+    docs = _docs(ray_session, n=58)  # two clones of every golden
+    res = build_kg(docs)
+    assert "edges" in res
+    canon = res["canonical"].take_all()
+    # p15 clones: [] foaf:knows [ foaf:name "Bob" ] — every clone's Bob-blank
+    # must collapse onto the same KB IRI
+    bob = "http://kb.example/entity/bob"
+    name_rows = [r for r in canon
+                 if r["pred"] == "http://xmlns.com/foaf/0.1/name"
+                 and r["obj"] == "Bob"]
+    assert len(name_rows) == 1 and name_rows[0]["subj"] == bob
