@@ -311,7 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,
-                   sum(n_chars) AS total_chars
+                   sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY source ORDER BY source
         """,
         "token_stats": r"""

@@ -1,0 +1,177 @@
+"""Benchmark harness (driver contract).
+
+Headline: the full KG-construction pipeline (synthesize → parse →
+link → union-find canonicalize → dedup → partitioned write) over a
+corpus sized from $GRAFT_SF_DIR's documents table, plus per-query
+timings for representative operators at the same scale factor.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "triples_per_sec": ...}
+
+--scaling: runs the headline twice in fresh processes at 8 and 32 CPUs
+(sandbox proxy for N vs 4N nodes) and prints throughput + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+# docs multiplier: synthetic corpus is ~280 B of Turtle per doc; ×24 the
+# documents-table row count gives a parse-bound headline in the tens of
+# seconds at 32 CPUs on sf0.1 (120k docs ≈ 34 MB ≈ 600k triples).
+DOCS_MULTIPLIER = int(os.environ.get("KG_BENCH_DOCS_MULT", "24"))
+
+
+def corpus_path(n_docs: int, seed: int = 42) -> str:
+    return f"/tmp/kgbench/corpus-{n_docs}-{seed}"
+
+
+def ensure_corpus(n_docs: int, seed: int = 42) -> str:
+    """Materialize the deterministic corpus once (parallel synthesis via
+    Ray), then reuse it across runs — the bench reads from parquet like
+    the real pipeline reads from Lance fragments."""
+    path = corpus_path(n_docs, seed)
+    marker = os.path.join(path, "_complete")
+    if os.path.exists(marker):
+        return path
+    from kgruntime.synth import synth_documents_dataset
+
+    ds = synth_documents_dataset(n_docs, seed=seed)
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path, min_rows_per_file=10_000)
+    with open(marker, "w") as f:
+        f.write(str(n_docs))
+    return path
+
+
+def run_headline(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kgruntime.pipelines.kg import build_kg
+    from kgruntime.stages.linking import build_alias_table
+    from kgruntime.synth import goldens
+    from kgruntime.ttl import parse_turtle
+    from kgruntime.ttl.builder import LITERAL, XSD_STRING
+
+    n_docs = DOCS_MULTIPLIER * pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    corpus = ensure_corpus(n_docs)
+
+    # static alias table from the golden payloads' name-like literals
+    # (driver-side, untimed — in production the KB is a fixed input)
+    names = set()
+    for _, src, _ in goldens():
+        for r in parse_turtle(src):
+            if r[4] == LITERAL and (r[5] == XSD_STRING or r[6]):
+                names.add(r[3])
+    aliases = build_alias_table(names)
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(corpus)
+    res = build_kg(docs, alias_table=aliases)
+    out_dir = f"/tmp/kgbench/out-{os.getpid()}"
+    from kgruntime.stages.materialize import write_triple_store
+    write_triple_store(res["canonical"], out_dir, num_buckets=32)
+    dt = time.perf_counter() - t0
+
+    n_triples = sum(
+        pq.read_metadata(os.path.join(root, f)).num_rows
+        for root, _, files in os.walk(out_dir)
+        for f in files if f.endswith(".parquet"))
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": dt, "docs": n_docs, "triples": n_triples,
+            "docs_per_sec": n_docs / dt, "triples_per_sec": n_triples / dt}
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    picked = ["pricing_summary", "user_activity", "revenue_by_part_type",
+              "token_stats", "exact_dup_docs", "ann_topk",
+              "minhash_near_dups", "kg_triples"]
+    out = {}
+    for name in picked:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()  # consume lazy Datasets
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        run_scaling(sf_dir)
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    head = run_headline(sf_dir)
+    queries = {} if "--headline-only" in sys.argv else run_queries(sf_dir)
+
+    print(json.dumps({
+        "metric": "kg_pipeline_e2e",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "docs": head["docs"],
+        "triples": head["triples"],
+        "docs_per_sec": round(head["docs_per_sec"], 1),
+        "triples_per_sec": round(head["triples_per_sec"], 1),
+    }))
+    ray.shutdown()
+
+
+def run_scaling(sf_dir: str) -> None:
+    """Same headline at 8 and 32 CPUs in fresh processes; efficiency =
+    (thr_32/thr_8) / (32/8)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    _ = run(8)          # warm OS page cache + corpus synth, untimed
+    lo = run(8)
+    hi = run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "metric": "kg_pipeline_scaling",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "triples_per_sec_8": lo["triples_per_sec"],
+        "triples_per_sec_32": hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

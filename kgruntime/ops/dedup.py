@@ -148,10 +148,9 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
     pairs = exploded.groupby(["band", "band_hash"]) \
         .map_groups(_bucket_pairs, batch_format="pyarrow")
-    uniq = pairs.groupby(["doc_a", "doc_b"]).max("jaccard_est")
-    col = "max(jaccard_est)"
-    return uniq.filter(expr=f"`{col}` >= {threshold}") \
-        .rename_columns({col: "jaccard_est"})
+    uniq = pairs.groupby(["doc_a", "doc_b"]).max("jaccard_est") \
+        .rename_columns({"max(jaccard_est)": "jaccard_est"})
+    return uniq.filter(expr=f"jaccard_est >= {threshold}")
 
 
 def dedup_components(pairs_ds):
@@ -221,11 +220,14 @@ class SimHasher:
     def signature(self, text: str) -> int:
         import zlib
 
+        import zlib
+
         acc = np.zeros(64, np.int64)
         for tok in set(text.split()):
-            h = np.uint64(zlib.crc32(tok.encode()) |
-                          (np.uint64(zlib.crc32(tok[::-1].encode())) << np.uint64(32)))
-            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            h = np.uint64((zlib.crc32(tok.encode()) |
+                           (zlib.crc32(tok[::-1].encode()) << 32)) &
+                          0xFFFFFFFFFFFFFFFF)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             acc += np.where(bits == 1, 1, -1)
         sig = np.uint64(0)
         for i in np.nonzero(acc > 0)[0]:

@@ -26,6 +26,15 @@ STOPWORDS = frozenset(
     "it this that from".split())
 
 
+def _round6(x: float) -> float:
+    """Round-half-away-from-zero at 6 decimals for non-negative ratios —
+    matches DuckDB's ROUND so oracle value-hashes agree (Python's builtin
+    round is banker's and differs on exact dyadic halves like 125/128)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def token_stats(batch: pa.Table) -> pa.Table:
     """(doc_id, n_tokens, n_bpe_tokens, avg_token_len) — fully vectorized
     whitespace counting via Arrow regex kernels; BPE-ish count via a
@@ -44,7 +53,7 @@ def token_stats(batch: pa.Table) -> pa.Table:
                      pa.int64())
     return pa.Table.from_arrays(
         [batch["doc_id"], n_tokens, n_bpe,
-         pc.round(avg_len, ndigits=6)],
+         pc.round(avg_len, ndigits=6, round_mode="half_towards_infinity")],
         names=["doc_id", "n_tokens", "n_bpe_tokens", "avg_token_len"])
 
 
@@ -63,9 +72,9 @@ def quality_scores(batch: pa.Table) -> pa.Table:
         sw = sum(1 for w in toks if w.lower() in STOPWORDS) / n
         al = sum(1 for w in toks if w.isalpha()) / n
         q = min(1.0, n / 50.0) * (0.5 + 0.5 * al) * (1.0 - 0.5 * sw)
-        sw_ratio.append(round(sw, 6))
-        alpha_ratio.append(round(al, 6))
-        quality.append(round(q, 6))
+        sw_ratio.append(_round6(sw))
+        alpha_ratio.append(_round6(al))
+        quality.append(_round6(q))
     return pa.Table.from_arrays(
         [batch["doc_id"], pa.array(n_tok, pa.int64()),
          pa.array(sw_ratio, pa.float64()), pa.array(alpha_ratio, pa.float64()),
