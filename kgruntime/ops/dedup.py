@@ -181,20 +181,21 @@ def exact_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float,
                          num_partitions: int = 8):
-    """Exact n-gram Jaccard verification of candidate pairs: two hash
-    joins ship only (pair, text) rows — never a full cross product."""
-    texts = docs_ds.select_columns(["doc_id", "text"])
-    j1 = pairs_ds.join(texts, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=("doc_a",), right_on=("doc_id",),
-                       left_suffix="", right_suffix="_a")
-    j2 = j1.join(texts, join_type="inner", num_partitions=num_partitions,
-                 on=("doc_b",), right_on=("doc_id",),
-                 left_suffix="", right_suffix="_b")
+    """Exact n-gram Jaccard verification of candidate pairs: two bucketed
+    hash joins ship only (pair, text) rows — never a full cross product."""
+    from .join import bucketed_hash_join
+
+    texts_a = docs_ds.select_columns(["doc_id", "text"]) \
+        .rename_columns({"text": "text_a"})
+    texts_b = docs_ds.select_columns(["doc_id", "text"]) \
+        .rename_columns({"text": "text_b", "doc_id": "doc_id_b"})
+    j1 = bucketed_hash_join(pairs_ds, texts_a, "doc_a", "doc_id",
+                            num_buckets=num_partitions)
+    j2 = bucketed_hash_join(j1, texts_b, "doc_b", "doc_id_b",
+                            num_buckets=num_partitions)
 
     def score(t: pa.Table) -> pa.Table:
-        names = t.schema.names
-        ta = t["text" if "text" in names else "text_a"].to_pylist()
+        ta = t["text_a"].to_pylist()
         tb = t["text_b"].to_pylist()
         jac = [round(exact_jaccard(x, y), 6) for x, y in zip(ta, tb)]
         out = pa.Table.from_arrays(

@@ -234,23 +234,24 @@ def canonicalize_triples(triples_ds, labels_ds=None, mapping: dict | None = None
             _Remap, fn_constructor_kwargs={"mapping_ref": ref},
             batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
 
-    # join path: left joins keep unmapped nodes as-is
+    # join path: left-outer bucketed joins keep unmapped nodes as-is
+    from ..ops.join import bucketed_hash_join
+
     assert labels_ds is not None
     out = triples_ds
     for col in ("subj", "obj"):
-        out = out.join(labels_ds, join_type="left_outer",
-                       num_partitions=num_partitions,
-                       on=(col,), right_on=("node",),
-                       left_suffix="", right_suffix="_m")
+        side = labels_ds.rename_columns({"node": f"__n_{col}",
+                                         "label": f"__l_{col}"})
+        out = bucketed_hash_join(out, side, col, f"__n_{col}",
+                                 how="left outer",
+                                 num_buckets=num_partitions)
 
         def fold(batch: pa.Table, col=col) -> pa.Table:
-            lab = batch["label"]
+            lab = batch[f"__l_{col}"]
             i = batch.schema.get_field_index(col)
             batch = batch.set_column(
                 i, col, pc.if_else(pc.is_valid(lab), lab, batch[col]))
-            drop = [c for c in ("node", "label", "node_m", "label_m")
-                    if c in batch.schema.names]
-            return batch.drop_columns(drop)
+            return batch.drop_columns([f"__l_{col}"])
 
         out = out.map_batches(fold, batch_format="pyarrow")
     return out
