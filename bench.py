@@ -76,7 +76,10 @@ def run_headline(sf_dir: str) -> dict:
 
     t0 = time.perf_counter()
     docs = rd.read_parquet(corpus)
-    res = build_kg(docs, alias_table=aliases)
+    # materialize_intermediate: same round-bounded semantics as the
+    # checkpointed runner — one parse execution shared by the linking
+    # and canonical-store consumers
+    res = build_kg(docs, alias_table=aliases, materialize_intermediate=True)
     out_dir = f"/tmp/kgbench/out-{os.getpid()}"
     from kgruntime.stages.materialize import write_triple_store
     write_triple_store(res["canonical"], out_dir, num_buckets=32)

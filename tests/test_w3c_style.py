@@ -1,0 +1,141 @@
+"""W3C RDF 1.1 Turtle test-suite-style cases (turtle-syntax-good /
+turtle-syntax-bad / turtle-eval shape).
+
+The real W3C suite isn't fetchable in this sandbox (no network); these
+are hand-authored cases in its structure, constrained to the *reference*
+parser's behavior (/root/reference) since the reference is the P/R
+oracle — where the reference deliberately diverges from W3C (PN_LOCAL
+dots, %XX decoding, keyword boundaries) we encode the reference's
+semantics and mark the divergence.
+"""
+
+import pytest
+
+from kgruntime.ttl import (
+    BuildError, LexError, ParseError, parse_turtle,
+)
+from kgruntime.ttl.nquads import canonical_lines, parse_nquads
+
+# --- turtle-syntax-good: must parse without error ---
+
+GOOD = {
+    "empty_doc": "",
+    "comment_only": "# just a comment\n",
+    "iri_spo": "<http://a/s> <http://a/p> <http://a/o> .",
+    "sparql_prefix_case": "pReFiX p: <http://a/> .\np:s p:p p:o ."
+        .replace("pReFiX p: <http://a/> .", "pReFiX p: <http://a/>"),
+    "empty_prefix": "@prefix : <http://a/> .\n:s :p :o .",
+    "numeric_zoo": "@prefix : <http://a/> .\n"
+                   ":s :p 0, -1, +1, 0.5, -.5, 1E0, 1.5e-3, .5E+2, 1.E5 .",
+    "string_zoo": '@prefix : <http://a/> .\n'
+                  ':s :p "", \'\', """l1\nl2""", \'\'\'x\'y\'\'\' .',
+    "unicode_escape": '@prefix : <http://a/> .\n:s :p "\\u0041\\U0001F600" .',
+    "nested_anon": "@prefix : <http://a/> .\n:s :p [ :q [ :r :o ] ] .",
+    "collection_subject": "@prefix : <http://a/> .\n( :a ) :p :o .",
+    "trailing_semicolon": "@prefix : <http://a/> .\n:s :p :o ; .",
+    "blank_interior_dot": "@prefix : <http://a/> .\n_:a.b :p :o .",
+    "long_string_quotes": '@prefix : <http://a/> .\n:s :p """a"b""c""" .',
+    "crlf_short_string": '@prefix : <http://a/> .\n:s :p "a\nb" .',  # reference-permissive
+    "pn_local_colon": "@prefix : <http://a/> .\n:s :p :o:o2 .",
+    "bare_anon_subject": "@prefix : <http://a/> .\n[ :p :o ] .",
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOOD))
+def test_syntax_good(name):
+    parse_turtle(GOOD[name])  # must not raise
+
+
+# --- turtle-syntax-bad: must raise, with layer + span ---
+
+BAD = {
+    "space_in_iri": ("<http://a/s p> <http://a/p> <http://a/o> .", LexError),
+    "unclosed_iri": ("<http://a/s <http://a/p> <http://a/o> .", LexError),
+    "unclosed_string": ('@prefix : <http://a/> .\n:s :p "abc .', LexError),
+    "bad_escape": ('@prefix : <http://a/> .\n:s :p "a\\qb" .', LexError),
+    "bad_hex": ('@prefix : <http://a/> .\n:s :p "\\u00ZZ" .', LexError),
+    "lone_caret": ("@prefix : <http://a/> .\n:s :p ^ :o .", LexError),
+    "digit_dot_space": ("@prefix : <http://a/> .\n:s :p 1. .", LexError),
+    "missing_dot": ("@prefix : <http://a/> .\n:s :p :o", ParseError),
+    "empty_anon_statement": ("[] .", ParseError),
+    "prefix_with_suffix": ("@prefix p:x <http://a/> .", ParseError),
+    "sparql_prefix_with_dot_verb": ("PREFIX p: <http://a/> <http://a/s>",
+                                    ParseError),
+    "object_missing": ("@prefix : <http://a/> .\n:s :p .", ParseError),
+    "double_semicolon_verb": ("@prefix : <http://a/> .\n:s ; :p :o .",
+                              ParseError),
+    "unknown_prefix": ("q:s <http://a/p> <http://a/o> .", BuildError),
+    "relative_no_base": ("<s> <http://a/p> <http://a/o> .", BuildError),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BAD))
+def test_syntax_bad(name):
+    src, exc = BAD[name]
+    with pytest.raises(exc) as ei:
+        parse_turtle(src)
+    assert ei.value.start >= 0 and ei.value.end >= ei.value.start
+    assert ei.value.layer in ("lex", "parse", "build")
+
+
+# --- turtle-eval: triples must equal expected N-Quads exactly ---
+
+EVAL = [
+    (
+        "base_chain",
+        "@base <http://a/b/> .\n@base <c/> .\n<d> <p> <e> .",
+        "<http://a/b/c/d> <http://a/b/c/p> <http://a/b/c/e> .",
+    ),
+    (
+        "datatyped_numeric_forms",
+        "@prefix : <http://a/> .\n:s :p 042, 4.50, 1.0E0 .",
+        '<http://a/s> <http://a/p> "042"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://a/s> <http://a/p> "4.50"^^<http://www.w3.org/2001/XMLSchema#decimal> .\n'
+        '<http://a/s> <http://a/p> "1.0E0"^^<http://www.w3.org/2001/XMLSchema#double> .',
+    ),
+    (
+        "lang_and_typed",
+        '@prefix : <http://a/> .\n'
+        ':s :p "x"@en-GB-oed, "y"^^:t .',
+        '<http://a/s> <http://a/p> "x"@en-GB-oed .\n'
+        '<http://a/s> <http://a/p> "y"^^<http://a/t> .',
+    ),
+    (
+        "escape_equivalence_dedup",
+        '@prefix : <http://a/> .\n:s :p "A\\u0042C" .\n:s :p "ABC" .',
+        '<http://a/s> <http://a/p> "ABC" .',
+    ),
+    (
+        "percent_decoded_local",  # reference quirk: %2F → '/'
+        "@prefix p: <http://a/> .\np:x%2Fy <http://a/q> p:z .",
+        "<http://a/x/y> <http://a/q> <http://a/z> .",
+    ),
+    (
+        "collection_nested_alloc",
+        "PREFIX : <http://a/>\n:s :p ( ( ) :x ) .",
+        "_:0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/1999/02/22-rdf-syntax-ns#List> .\n"
+        "_:0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://a/x> .\n"
+        "_:0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .\n"
+        "_:1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/1999/02/22-rdf-syntax-ns#List> .\n"
+        "_:1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .\n"
+        "_:1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:0 .\n"
+        "<http://a/s> <http://a/p> _:1 .",
+    ),
+    (
+        "a_is_rdf_type",
+        "@prefix : <http://a/> .\n:s a :T .",
+        "<http://a/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://a/T> .",
+    ),
+    (
+        "dot_segments_resolved",
+        "@base <http://a/b/c/> .\n<../d> <./p> <//h/i> .",
+        "<http://a/b/d> <http://a/b/c/p> <http://h/i> .",
+    ),
+]
+
+
+@pytest.mark.parametrize("name,src,expected", EVAL,
+                         ids=[e[0] for e in EVAL])
+def test_eval(name, src, expected):
+    got = canonical_lines(parse_turtle(src))
+    assert got == canonical_lines(parse_nquads(expected))
