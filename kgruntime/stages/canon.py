@@ -63,10 +63,36 @@ def _bidir(batch: pa.Table) -> pa.Table:
         names=["edge_node", "nbr"])
 
 
+def _hash_col(col, mod: int | None = None) -> pa.Array:
+    """Vectorized deterministic-within-job string hash (polars/ahash);
+    Python crc32 fallback.  Used for shuffle buckets and convergence
+    checksums — never persisted, so cross-version stability isn't
+    required."""
+    try:
+        import polars as pl
+
+        col = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        h = pl.from_arrow(col).hash(seed=7).to_arrow()
+        # mask to 32 bits: checksum SUMS of ~10^6 values must stay exactly
+        # representable (wider hashes overflow into float and the sum
+        # becomes order-dependent → convergence never detects)
+        h = pc.cast(pc.bit_wise_and(h, pa.scalar((1 << 32) - 1, pa.uint64())),
+                    pa.int64())
+    except Exception:
+        h = pa.array([zlib.crc32(str(v).encode())
+                      for v in col.to_pylist()], pa.int64())
+    if mod is not None:
+        import numpy as np
+
+        return pa.array((h.to_numpy(zero_copy_only=False) % mod)
+                        .astype("int32"), pa.int32())
+    return h
+
+
 def _crc_sum(batch: pa.Table) -> pa.Table:
-    crcs = [zlib.crc32(f"{n}\x00{l}".encode()) for n, l in
-            zip(batch["node"].to_pylist(), batch["label"].to_pylist())]
-    return pa.Table.from_arrays([pa.array(crcs, pa.int64())], names=["crc"])
+    joined = pc.binary_join_element_wise(batch["node"], batch["label"], "\x00")
+    return pa.Table.from_arrays([_hash_col(joined)], names=["crc"])
 
 
 def _tag(key, other, label, is_edge: int, num_buckets: int) -> pa.Table:
@@ -81,8 +107,7 @@ def _tag(key, other, label, is_edge: int, num_buckets: int) -> pa.Table:
     else:
         label_arr = (label.combine_chunks()
                      if isinstance(label, pa.ChunkedArray) else label)
-    bucket = pa.array([zlib.crc32(k.encode()) % num_buckets
-                       for k in key.to_pylist()], pa.int32())
+    bucket = _hash_col(key, mod=num_buckets)
     return pa.Table.from_arrays(
         [bucket, key, other, label_arr,
          pa.array([is_edge] * n, pa.int8())],
@@ -141,11 +166,23 @@ def connected_components(edges_ds, num_partitions: int = 16,
         batch_format="pyarrow")
     labels = labels.materialize()
 
-    prev_crc = None
+    def _checksum(ds):
+        return ds.map_batches(_crc_sum, batch_format="pyarrow") \
+            .aggregate(Sum("crc", alias_name="s"))["s"]
+
+    # seed the early-stop with the INITIAL assignment's checksum: a star
+    # graph (the common mention→KB-entity shape) is already converged
+    # after init, so the loop exits after one confirming round.
+    prev_crc = _checksum(labels)
+    # the edge side of the per-round union never changes — tag and pin it
+    # once instead of re-hashing 2|E| keys every round
+    bidir_tagged = bidir.map_batches(
+        lambda t: _tag(t["nbr"], t["edge_node"], None, 1, num_partitions),
+        batch_format="pyarrow").materialize()
     for _ in range(max_rounds):
         # propagate: every edge endpoint receives its neighbor's label via
         # an explicit bucketed hash join — labels and edges co-partition
-        # on crc(key) % num_partitions with one groupby shuffle, and the
+        # on hash(key) % num_partitions with one groupby shuffle, and the
         # per-bucket lookup is vectorized (index_in/take).  This is the
         # portable partitioned-join pattern; Ray's native Dataset.join is
         # avoided here because empty hash partitions drop their schema
@@ -153,19 +190,15 @@ def connected_components(edges_ds, num_partitions: int = 16,
         tagged = labels.map_batches(
             lambda t: _tag(t["node"], t["node"], t["label"], 0,
                            num_partitions),
-            batch_format="pyarrow").union(bidir.map_batches(
-                lambda t: _tag(t["nbr"], t["edge_node"], None, 1,
-                               num_partitions),
-                batch_format="pyarrow"))
+            batch_format="pyarrow").union(bidir_tagged)
         msgs = tagged.groupby("bucket").map_groups(
             _bucket_propagate, batch_format="pyarrow")
         new_labels = msgs \
             .groupby("node").aggregate(Min("label", alias_name="label")) \
             .materialize()
-        crc = new_labels.map_batches(_crc_sum, batch_format="pyarrow") \
-            .aggregate(Sum("crc", alias_name="s"))["s"]
+        crc = _checksum(new_labels)
         labels = new_labels
-        if prev_crc is not None and crc == prev_crc:
+        if crc == prev_crc:
             break
         prev_crc = crc
     return labels.map_batches(_unrank_table, batch_format="pyarrow")
