@@ -1,0 +1,83 @@
+"""Document-corpus sources and triple-store sinks (SURVEY.md §2a).
+
+S1: the input is a Lance table of interleaved text+media documents
+(north_rule).  ``lance`` isn't installed in this sandbox, so the reader
+prefers ``ray.data.read_lance`` when available and falls back to the
+parquet fragment layout ``write_corpus`` produces — the downstream
+pipeline is format-agnostic (it only sees the (doc_id, spans) schema).
+
+S3/S4: N-Quads text source/sink for interop with the reference's golden
+format — line-oriented, so it maps cleanly onto ``read_text`` /
+per-batch serialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+
+def read_documents(path: str, **kwargs):
+    """Read a documents corpus: Lance dataset dir if lance is available
+    and the path is one, else a directory of parquet fragments."""
+    import ray.data as rd
+
+    if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "_versions")):
+        try:
+            return rd.read_lance(path, **kwargs)
+        except (ImportError, AttributeError):
+            pass
+    return rd.read_parquet(path, **kwargs)
+
+
+def read_nquads(path: str):
+    """N-Quads file(s) → triples Dataset (S3; line-per-triple)."""
+    import ray.data as rd
+
+    from ..ttl.nquads import parse_nquads
+
+    def parse_lines(batch: pa.Table) -> pa.Table:
+        rows = []
+        for line in batch["text"].to_pylist():
+            rows.extend(parse_nquads(line))
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        return pa.Table.from_arrays(
+            [pa.array(cols[0], pa.string()),
+             pa.array(cols[1], pa.uint8()),
+             pa.array(cols[2], pa.string()),
+             pa.array(cols[3], pa.string()),
+             pa.array(cols[4], pa.uint8()),
+             pa.array(cols[5], pa.string()),
+             pa.array(cols[6], pa.string())],
+            names=["subj", "subj_kind", "pred", "obj", "obj_kind",
+                   "obj_datatype", "obj_lang"])
+
+    return rd.read_text(path).map_batches(parse_lines,
+                                          batch_format="pyarrow")
+
+
+def to_nquad_lines(batch: pa.Table) -> pa.Table:
+    """Triples batch → canonical N-Quads text lines (S4 text sink;
+    use with ``write_csv``-style single-column output or iter_batches)."""
+    from ..ttl.nquads import triple_to_nquad
+
+    lines = [
+        triple_to_nquad(s, sk, p, o, ok, dt, lang)
+        for s, sk, p, o, ok, dt, lang in zip(
+            batch["subj"].to_pylist(), batch["subj_kind"].to_pylist(),
+            batch["pred"].to_pylist(), batch["obj"].to_pylist(),
+            batch["obj_kind"].to_pylist(),
+            batch["obj_datatype"].to_pylist(),
+            batch["obj_lang"].to_pylist())
+    ]
+    return pa.Table.from_arrays([pa.array(lines, pa.string())],
+                                names=["text"])
+
+
+def write_nquads(triples_ds, path: str):
+    """Triples Dataset → directory of .txt N-Quads shards."""
+    triples_ds.map_batches(to_nquad_lines, batch_format="pyarrow") \
+        .write_csv(path, include_header=False)
+    return path
