@@ -23,10 +23,11 @@ import sys
 import time
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
-# docs multiplier: synthetic corpus is ~280 B of Turtle per doc; ×24 the
-# documents-table row count gives a parse-bound headline in the tens of
-# seconds at 32 CPUs on sf0.1 (120k docs ≈ 34 MB ≈ 600k triples).
-DOCS_MULTIPLIER = int(os.environ.get("KG_BENCH_DOCS_MULT", "24"))
+# docs multiplier: synthetic corpus is ~280 B of Turtle per doc; ×96 the
+# documents-table row count gives a compute-dominated headline on sf0.1
+# (480k docs ≈ 137 MB ≈ 2.4M raw triples) so the scaling measurement
+# reflects throughput, not per-stage scheduling constants.
+DOCS_MULTIPLIER = int(os.environ.get("KG_BENCH_DOCS_MULT", "96"))
 
 
 def corpus_path(n_docs: int, seed: int = 42) -> str:

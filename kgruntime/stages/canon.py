@@ -258,14 +258,24 @@ def canonicalize_triples(triples_ds, labels_ds=None, mapping: dict | None = None
     if via == "broadcast":
         import ray
 
+        from .broadcast import cached_get
+
         if mapping is None:
             mapping = assignment_to_mapping(labels_ds)
         if not mapping:
             return triples_ds
         ref = ray.put(mapping)
-        return triples_ds.map_batches(
-            _Remap, fn_constructor_kwargs={"mapping_ref": ref},
-            batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+        # plain-task stage (no actor-pool spin-up): the mapping is light
+        # lookup state; the built _Remap (key/value Arrow arrays) is
+        # memoized once per worker process
+        def remap(batch: pa.Table) -> pa.Table:
+            inst = cached_get(ref, build=lambda m: _Remap(mapping=m),
+                              tag="remap")
+            return inst(batch)
+
+        return triples_ds.map_batches(remap, batch_format="pyarrow",
+                                      zero_copy_batch=True)
 
     # join path: left-outer bucketed joins keep unmapped nodes as-is
     from ..ops.join import bucketed_hash_join

@@ -137,18 +137,30 @@ def find_hot_subjects(triples_ds, threshold: int = 100_000) -> set[str]:
 
 
 def write_triple_store(triples_ds, out_dir: str, num_buckets: int = 64,
-                       hot_subjects: set | None = None, salt_factor: int = 8,
-                       concurrency=(2, 8)):
-    """Deduped triples → parquet partitioned by subject-hash (+ salt)."""
+                       hot_subjects: set | None = None, salt_factor: int = 8):
+    """Deduped triples → parquet partitioned by subject-hash (+ salt).
+
+    Plain-task stage: the hot-subject set is light broadcast state
+    (memoized per worker process), so no actor pool spin-up is paid.
+    """
     import ray
 
+    from .broadcast import cached_get
+
     hot_ref = ray.put(hot_subjects or set())
-    with_buckets = triples_ds.map_batches(
-        AddBuckets,
-        fn_constructor_kwargs={"num_buckets": num_buckets,
-                               "hot_ref": hot_ref,
-                               "salt_factor": salt_factor},
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        inst = cached_get(
+            hot_ref,
+            build=lambda hs: AddBuckets(num_buckets=num_buckets,
+                                        hot_subjects=hs,
+                                        salt_factor=salt_factor),
+            tag=f"buckets-{num_buckets}-{salt_factor}")
+        return inst(batch)
+
+    with_buckets = triples_ds.map_batches(add_buckets,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
     with_buckets.write_parquet(out_dir, partition_cols=["subj_bucket"])
     return out_dir
 
