@@ -253,7 +253,10 @@ def _q_emb_near_dups(sf_dir):
     t = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet"))
     dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["embedding"])["embedding"][0])
-    return embedding_near_dups(emb, dim=dim, threshold=0.8)
+    # random-ish synthetic embeddings: cosine ≥ 0.35 is already the
+    # ~99.9th percentile; 6-plane × 8-table LSH gives ~0.7 recall there
+    return embedding_near_dups(emb, dim=dim, threshold=0.35,
+                               n_planes=6, n_tables=8)
 
 
 def _q_langid(sf_dir):

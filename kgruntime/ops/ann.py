@@ -96,9 +96,9 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
 
     from .dedup import HyperplaneLSH
 
-    rng_planes = HyperplaneLSH(dim, n_planes)  # same seed → same buckets
+    rng_planes = HyperplaneLSH(dim, n_planes).planes[0]  # same seed → same buckets
     q = np.asarray(queries, dtype=np.float64)
-    q_keys = ((q @ rng_planes.planes.T) > 0).dot(
+    q_keys = ((q @ rng_planes.T) > 0).dot(
         1 << np.arange(n_planes)).astype(np.int64)
     by_bucket: dict[int, list[int]] = {}
     for i, key in enumerate(q_keys):
@@ -117,7 +117,7 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
             emb = np.array(batch["embedding"].to_pylist(), np.float64)
             emb = emb / np.maximum(
                 np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-            keys = ((emb @ self.lsh.planes.T) > 0).dot(
+            keys = ((emb @ self.lsh.planes[0].T) > 0).dot(
                 1 << np.arange(n_planes)).astype(np.int64)
             out_q, out_n, out_s = [], [], []
             for bucket, q_idx in self.by_bucket.items():

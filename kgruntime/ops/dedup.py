@@ -283,21 +283,41 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, concurrency=(2, 8)):
 # ---------------------------------------------------------------------------
 
 class HyperplaneLSH:
-    """Signed-projection buckets; planes drawn once per actor, seeded."""
+    """Signed-projection buckets; planes drawn once per actor, seeded.
 
-    def __init__(self, dim: int, n_planes: int = 12, seed: int = 23):
+    ``n_tables`` independent tables of ``n_planes`` planes each: a pair
+    with hyperplane-collision probability p per plane is recalled with
+    1-(1-p^k)^L — k small keeps buckets selective, L recovers recall.
+    Each input row explodes to L (table, bucket) rows.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 23,
+                 n_tables: int = 1):
         rng = np.random.RandomState(seed)
-        self.planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+        self.planes = rng.normal(size=(n_tables, n_planes, dim))
+        self.n_tables = n_tables
+        self.n_planes = n_planes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_pylist()
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        signs = (emb @ self.planes.T) > 0
-        keys = signs.dot(1 << np.arange(signs.shape[1])).astype(np.int64)
-        return pa.Table.from_arrays(
-            [pa.array(ids, pa.int64()), pa.array(keys, pa.int64()),
-             batch["embedding"]],
-            names=["vec_id", "bucket", "embedding"])
+        out_id, out_bucket, out_emb = [], [], []
+        emb_list = batch["embedding"]
+        pow2 = (1 << np.arange(self.n_planes)).astype(np.int64)
+        for t in range(self.n_tables):
+            signs = (emb @ self.planes[t].T) > 0
+            keys = signs.dot(pow2) + (t << 40)  # disjoint key space per table
+            out_id.append(ids)
+            out_bucket.append(keys)
+        n = len(ids)
+        id_arr = pa.array(np.concatenate(out_id), pa.int64())
+        bucket_arr = pa.array(np.concatenate(out_bucket), pa.int64())
+        emb_rep = pa.concat_arrays(
+            [emb_list.combine_chunks()] * self.n_tables) \
+            if isinstance(emb_list, pa.ChunkedArray) else pa.concat_arrays(
+            [emb_list] * self.n_tables)
+        return pa.Table.from_arrays([id_arr, bucket_arr, emb_rep],
+                                    names=["vec_id", "bucket", "embedding"])
 
 
 def _cos_pairs(group: pa.Table, threshold: float) -> pa.Table:
@@ -326,10 +346,12 @@ def _cos_pairs(group: pa.Table, threshold: float) -> pa.Table:
 
 
 def embedding_near_dups(emb_ds, dim: int, threshold: float = 0.95,
-                        n_planes: int = 10, concurrency=(2, 8)):
+                        n_planes: int = 10, n_tables: int = 1,
+                        concurrency=(2, 8)):
     bucketed = emb_ds.map_batches(
         HyperplaneLSH, fn_constructor_kwargs={"dim": dim,
-                                              "n_planes": n_planes},
+                                              "n_planes": n_planes,
+                                              "n_tables": n_tables},
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
     pairs = bucketed.groupby("bucket").map_groups(
         lambda g: _cos_pairs(g, threshold), batch_format="pyarrow")
