@@ -75,12 +75,17 @@ def run_headline(sf_dir: str) -> dict:
                 names.add(r[3])
     aliases = build_alias_table(names)
 
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     t0 = time.perf_counter()
     docs = rd.read_parquet(corpus)
     # materialize_intermediate: same round-bounded semantics as the
     # checkpointed runner — one parse execution shared by the linking
-    # and canonical-store consumers
-    res = build_kg(docs, alias_table=aliases, materialize_intermediate=True)
+    # and canonical-store consumers; dedup shuffle partitioned to the
+    # CPU count (measured faster than the 200-partition default)
+    res = build_kg(docs, alias_table=aliases, materialize_intermediate=True,
+                   dedup_partitions=ncpu)
     out_dir = f"/tmp/kgbench/out-{os.getpid()}"
     from kgruntime.stages.materialize import write_triple_store
     write_triple_store(res["canonical"], out_dir, num_buckets=32)

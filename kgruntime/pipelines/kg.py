@@ -56,7 +56,8 @@ def _add_norm(batch):
 
 def build_kg(docs_ds, alias_table: dict | None = None,
              link_threshold: float = 0.85, dedup: bool = True,
-             canonicalize: bool = True, materialize_intermediate: bool = False):
+             canonicalize: bool = True, materialize_intermediate: bool = False,
+             dedup_partitions: int | None = None):
     """documents Dataset → dict of result Datasets.
 
     Returns {"triples", "errors", "mentions", "edges", "assignment",
@@ -81,7 +82,8 @@ def build_kg(docs_ds, alias_table: dict | None = None,
     out = {"triples": triples, "errors": errors, "mentions": mentions}
 
     if not canonicalize:
-        out["canonical"] = dedup_triples(triples) if dedup else triples
+        out["canonical"] = (dedup_triples(triples, num_partitions=dedup_partitions)
+                            if dedup else triples)
         return out
 
     if alias_table is None:
@@ -89,12 +91,16 @@ def build_kg(docs_ds, alias_table: dict | None = None,
     edges = link_edges_dataset(mentions, alias_table,
                                threshold=link_threshold)
     out["edges"] = edges
-    assignment = connected_components(edges)
+    from ..stages.canon import union_find
+
+    assignment, mapping = union_find(edges)
     out["assignment"] = assignment
-    mapping = assignment_to_mapping(assignment)
+    if mapping is None:
+        mapping = assignment_to_mapping(assignment)
     canonical = canonicalize_triples(triples, mapping=mapping)
     if dedup:
-        canonical = dedup_triples(canonical)
+        canonical = dedup_triples(canonical,
+                                   num_partitions=dedup_partitions)
     out["canonical"] = canonical
     return out
 

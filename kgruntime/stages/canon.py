@@ -135,13 +135,113 @@ def _bucket_propagate(group: pa.Table) -> pa.Table:
         names=["node", "label"])
 
 
+def _driver_union_find_core(edges_ds) -> tuple[list[str], list[str]]:
+    """Classic union-find with path halving over the collected edge
+    list.  Streams (src, dst) batches to the driver — NOT the triples —
+    and is chosen only when the equivalence graph is below the broadcast
+    threshold (the same size contract the broadcast remap already
+    relies on).  Canonical label = rank-minimum member (IRIs beat
+    blanks), identical to the distributed rounds' fixpoint.
+    Returns parallel (nodes, labels) lists."""
+    intern: dict[str, int] = {}
+    names: list[str] = []
+    parent: list[int] = []
+
+    def nid(s: str) -> int:
+        i = intern.get(s)
+        if i is None:
+            i = len(names)
+            intern[s] = i
+            names.append(s)
+            parent.append(i)
+        return i
+
+    def find(x: int) -> int:
+        # path halving
+        p = parent
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    for batch in edges_ds.select_columns(["src", "dst"]) \
+            .iter_batches(batch_format="pyarrow"):
+        srcs = batch["src"].to_pylist()
+        dsts = batch["dst"].to_pylist()
+        for a, b in zip(srcs, dsts):
+            ra, rb = find(nid(a)), find(nid(b))
+            if ra != rb:
+                parent[rb] = ra
+
+    # canonical per root = rank-minimum member (IRIs beat blanks)
+    best: dict[int, str] = {}
+    roots = [find(i) for i in range(len(names))]
+    for i, r in enumerate(roots):
+        m = names[i]
+        ranked = ("1" + m) if m.startswith("_:") else ("0" + m)
+        cur = best.get(r)
+        if cur is None or ranked < cur:
+            best[r] = ranked
+    labels = [best[r][1:] for r in roots]
+    return names, labels
+
+
+def _driver_union_find(edges_ds):
+    names, labels = _driver_union_find_core(edges_ds)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(names, pa.string()), pa.array(labels, pa.string())],
+        names=["node", "label"]))
+
+
+def union_find(edges_ds, num_partitions: int = 16, max_rounds: int = 12,
+               mode: str = "auto"):
+    """Like :func:`connected_components` but returns
+    ``(assignment_dataset, mapping_dict_or_None)`` — when the driver path
+    ran, the non-identity mapping comes back directly without a Dataset
+    round-trip (build_kg feeds it straight to the broadcast remap)."""
+    if mode != "distributed":
+        edges_ds = edges_ds.materialize()
+        if mode == "driver" or edges_ds.count() <= DRIVER_CC_MAX_EDGES:
+            names, labels = _driver_union_find_core(edges_ds)
+            import ray.data as rd
+
+            assignment = rd.from_arrow(pa.Table.from_arrays(
+                [pa.array(names, pa.string()), pa.array(labels, pa.string())],
+                names=["node", "label"]))
+            mapping = {n: l for n, l in zip(names, labels) if n != l}
+            return assignment, mapping
+    assignment = connected_components(edges_ds, num_partitions, max_rounds,
+                                      mode="distributed")
+    return assignment, None
+
+
+# Above this many edges the equivalence graph stops being broadcast-scale
+# and CC must run as distributed groupby rounds.
+DRIVER_CC_MAX_EDGES = 20_000_000
+
+
 def connected_components(edges_ds, num_partitions: int = 16,
-                         max_rounds: int = 12):
+                         max_rounds: int = 12, mode: str = "auto"):
     """sameAs edges (src, dst, ...) → assignment Dataset (node, label).
 
-    ``label`` is the lexicographic minimum node id of the component —
-    deterministic, so retries/reruns produce identical canonical ids.
+    ``label`` is the rank-minimum node id of the component (IRIs
+    preferred over blanks) — deterministic, so retries/reruns produce
+    identical canonical ids.
+
+    mode="auto" picks the driver union-find (one streamed pass, path
+    compression) while |edges| ≤ DRIVER_CC_MAX_EDGES — the same
+    broadcast-size contract as the default remap — and the distributed
+    min-label-propagation rounds beyond that.  "driver"/"distributed"
+    force a path.
     """
+    if mode == "driver":
+        return _driver_union_find(edges_ds)
+    if mode == "auto":
+        edges_ds = edges_ds.materialize()
+        if edges_ds.count() <= DRIVER_CC_MAX_EDGES:
+            return _driver_union_find(edges_ds)
     # Pin the (small) edge set: it is re-joined every round, and leaving
     # it lazy would re-execute the whole upstream (mention detection +
     # scorer pool) once per round.  |edges| ≪ |triples| by construction.

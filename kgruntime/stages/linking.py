@@ -165,7 +165,7 @@ def mentions_dataset(triples_ds):
 
 
 def link_edges_dataset(mentions_ds, alias_table: dict, threshold: float = 0.85,
-                       concurrency=(2, 8), batch_size: int = 8192):
+                       concurrency=(2, 16), batch_size: int = 8192):
     """Mentions Dataset → sameAs-edge Dataset via the LinkScorer pool.
 
     The alias table is broadcast with ``ray.put`` (one object-store copy

@@ -57,7 +57,8 @@ def local_dedup(batch: pa.Table) -> pa.Table:
     return out.rename_columns([renames.get(n, n) for n in out.schema.names])
 
 
-def dedup_triples(triples_ds, keep_lineage: bool = False):
+def dedup_triples(triples_ds, keep_lineage: bool = False,
+                  num_partitions: int | None = None):
     """N5 global exact dedup of the triple store.
 
     With ``keep_lineage=False`` (the triple-store shape) this is a pure
@@ -70,7 +71,8 @@ def dedup_triples(triples_ds, keep_lineage: bool = False):
                                  zero_copy_batch=True)
     if not keep_lineage:
         out = pre.select_columns(TRIPLE_KEY + ["subj_kind", "obj_kind"]) \
-            .groupby(TRIPLE_KEY + ["subj_kind", "obj_kind"]).count()
+            .groupby(TRIPLE_KEY + ["subj_kind", "obj_kind"],
+                     num_partitions=num_partitions).count()
         return out.drop_columns(["count()"])
 
     def first_row(group: pa.Table) -> pa.Table:

@@ -78,6 +78,31 @@ def test_union_find_merges_star(ray_session):
     assert mapping["http://x/c3"] == "http://x/c1"
 
 
+def test_union_find_driver_vs_distributed(ray_session):
+    """Both CC modes must compute the identical assignment."""
+    import random
+
+    import ray.data as rd
+
+    rng = random.Random(5)
+    rows = []
+    # small graph: the distributed path pays O(diameter) shuffle rounds,
+    # which is the >20M-edge regime's tool — keep the parity check tiny
+    for c in range(6):
+        nodes = [f"http://x/{c}/{i}" for i in range(rng.randint(2, 3))]
+        nodes += [f"_:d{c}/{i}" for i in range(rng.randint(0, 2))]
+        rng.shuffle(nodes)
+        for a, b in zip(nodes, nodes[1:]):
+            rows.append({"src": a, "dst": b})
+    edges = rd.from_items(rows)
+    drv = {r["node"]: r["label"]
+           for r in connected_components(edges, mode="driver").take_all()}
+    dist = {r["node"]: r["label"]
+            for r in connected_components(edges, mode="distributed",
+                                          num_partitions=4).take_all()}
+    assert drv == dist
+
+
 def test_canonicalize_broadcast_and_join(ray_session):
     import ray.data as rd
 
