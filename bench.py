@@ -27,7 +27,7 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 # documents-table row count gives a compute-dominated headline on sf0.1
 # (480k docs ≈ 137 MB ≈ 2.4M raw triples) so the scaling measurement
 # reflects throughput, not per-stage scheduling constants.
-DOCS_MULTIPLIER = int(os.environ.get("KG_BENCH_DOCS_MULT", "96"))
+DOCS_MULTIPLIER = int(os.environ.get("KG_BENCH_DOCS_MULT", "192"))
 
 
 def corpus_path(n_docs: int, seed: int = 42) -> str:

@@ -143,47 +143,55 @@ def _driver_union_find_core(edges_ds) -> tuple[list[str], list[str]]:
     relies on).  Canonical label = rank-minimum member (IRIs beat
     blanks), identical to the distributed rounds' fixpoint.
     Returns parallel (nodes, labels) lists."""
-    intern: dict[str, int] = {}
-    names: list[str] = []
-    parent: list[int] = []
+    import numpy as np
 
-    def nid(s: str) -> int:
-        i = intern.get(s)
-        if i is None:
-            i = len(names)
-            intern[s] = i
-            names.append(s)
-            parent.append(i)
-        return i
-
-    def find(x: int) -> int:
-        # path halving
-        p = parent
-        while p[x] != x:
-            p[x] = p[p[x]]
-            x = p[x]
-        return x
-
+    # Collect edge endpoints and dictionary-encode to int codes (C speed)
+    chunks_src, chunks_dst = [], []
     for batch in edges_ds.select_columns(["src", "dst"]) \
             .iter_batches(batch_format="pyarrow"):
-        srcs = batch["src"].to_pylist()
-        dsts = batch["dst"].to_pylist()
-        for a, b in zip(srcs, dsts):
-            ra, rb = find(nid(a)), find(nid(b))
-            if ra != rb:
-                parent[rb] = ra
+        chunks_src.append(batch["src"].combine_chunks()
+                          if isinstance(batch["src"], pa.ChunkedArray)
+                          else batch["src"])
+        chunks_dst.append(batch["dst"].combine_chunks()
+                          if isinstance(batch["dst"], pa.ChunkedArray)
+                          else batch["dst"])
+    if not chunks_src:
+        return [], []
+    both = pa.chunked_array(chunks_src + chunks_dst).combine_chunks()
+    enc = both.dictionary_encode()
+    nodes = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_edges = len(codes) // 2
+    ia, ib = codes[:n_edges], codes[n_edges:]
+    n = len(nodes)
 
-    # canonical per root = rank-minimum member (IRIs beat blanks)
-    best: dict[int, str] = {}
-    roots = [find(i) for i in range(len(names))]
-    for i, r in enumerate(roots):
-        m = names[i]
-        ranked = ("1" + m) if m.startswith("_:") else ("0" + m)
-        cur = best.get(r)
-        if cur is None or ranked < cur:
-            best[r] = ranked
-    labels = [best[r][1:] for r in roots]
-    return names, labels
+    # priority ordinal per node: rank-prefixed string order (IRIs < blanks)
+    ranked = pc.binary_join_element_wise(
+        pc.if_else(pc.starts_with(enc.dictionary, "_:"), "1", "0"),
+        enc.dictionary, "")
+    order = pc.array_sort_indices(ranked).to_numpy(zero_copy_only=False)
+    prio = np.empty(n, np.int64)
+    prio[order] = np.arange(n)
+
+    # vectorized min-label propagation + pointer jumping (numpy CC)
+    inv = np.empty(n, np.int64)
+    inv[prio] = np.arange(n)              # ordinal -> node index
+    lab = prio.copy()
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[ia], lab[ib])  # relax every edge
+        np.minimum.at(lab, ia, m)
+        np.minimum.at(lab, ib, m)
+        for _ in range(64):               # pointer jumping to fixpoint
+            nxt = lab[inv[lab]]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, before):
+            break
+    canon_idx = inv[lab]
+    labels_arr = pc.take(enc.dictionary, pa.array(canon_idx, pa.int64()))
+    return nodes, labels_arr.to_pylist()
 
 
 def _driver_union_find(edges_ds):

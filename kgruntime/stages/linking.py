@@ -165,14 +165,19 @@ def mentions_dataset(triples_ds):
 
 
 def link_edges_dataset(mentions_ds, alias_table: dict, threshold: float = 0.85,
-                       concurrency=(2, 16), batch_size: int = 8192):
+                       concurrency=None, batch_size: int = 8192):
     """Mentions Dataset → sameAs-edge Dataset via the LinkScorer pool.
 
     The alias table is broadcast with ``ray.put`` (one object-store copy
     per node at cluster scale, fetched in each actor's ``__init__``).
+    Pool autoscales to ~3/4 of cluster CPUs by default, leaving headroom
+    for the upstream parse and downstream shuffle stages.
     """
     import ray
 
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (2, max(4, (cpus * 3) // 4))
     ref = ray.put(alias_table)
     return mentions_ds.map_batches(
         LinkScorer,
