@@ -156,7 +156,8 @@ def _driver_union_find_core(edges_ds) -> tuple[list[str], list[str]]:
                           if isinstance(batch["dst"], pa.ChunkedArray)
                           else batch["dst"])
     if not chunks_src:
-        return [], []
+        e = pa.array([], pa.string())
+        return e, e
     both = pa.chunked_array(chunks_src + chunks_dst).combine_chunks()
     enc = both.dictionary_encode()
     nodes = enc.dictionary.to_pylist()
@@ -191,7 +192,7 @@ def _driver_union_find_core(edges_ds) -> tuple[list[str], list[str]]:
             break
     canon_idx = inv[lab]
     labels_arr = pc.take(enc.dictionary, pa.array(canon_idx, pa.int64()))
-    return nodes, labels_arr.to_pylist()
+    return enc.dictionary, labels_arr
 
 
 def _driver_union_find(edges_ds):
@@ -199,7 +200,7 @@ def _driver_union_find(edges_ds):
     import ray.data as rd
 
     return rd.from_arrow(pa.Table.from_arrays(
-        [pa.array(names, pa.string()), pa.array(labels, pa.string())],
+        [names.cast(pa.string()), labels.cast(pa.string())],
         names=["node", "label"]))
 
 
@@ -213,12 +214,16 @@ def union_find(edges_ds, num_partitions: int = 16, max_rounds: int = 12,
         edges_ds = edges_ds.materialize()
         if mode == "driver" or edges_ds.count() <= DRIVER_CC_MAX_EDGES:
             names, labels = _driver_union_find_core(edges_ds)
+            names = names.cast(pa.string())
+            labels = labels.cast(pa.string())
             import ray.data as rd
 
             assignment = rd.from_arrow(pa.Table.from_arrays(
-                [pa.array(names, pa.string()), pa.array(labels, pa.string())],
-                names=["node", "label"]))
-            mapping = {n: l for n, l in zip(names, labels) if n != l}
+                [names, labels], names=["node", "label"]))
+            # non-identity mapping as Arrow arrays — stays vectorized all
+            # the way into the broadcast remap (no Python dict)
+            changed = pc.not_equal(names, labels)
+            mapping = (names.filter(changed), labels.filter(changed))
             return assignment, mapping
     assignment = connected_components(edges_ds, num_partitions, max_rounds,
                                       mode="distributed")
@@ -331,13 +336,16 @@ def assignment_to_mapping(labels_ds) -> dict[str, str]:
 class _Remap:
     """Vectorized canonical-id rewrite; mapping fetched once per actor."""
 
-    def __init__(self, mapping_ref=None, mapping: dict | None = None):
+    def __init__(self, mapping_ref=None, mapping=None):
         import ray
 
         if mapping is None:
             mapping = ray.get(mapping_ref) if mapping_ref is not None else {}
-        self.keys = pa.array(list(mapping.keys()), pa.string())
-        self.vals = pa.array(list(mapping.values()), pa.string())
+        if isinstance(mapping, tuple):      # (keys_array, vals_array)
+            self.keys, self.vals = mapping
+        else:
+            self.keys = pa.array(list(mapping.keys()), pa.string())
+            self.vals = pa.array(list(mapping.values()), pa.string())
 
     def _remap_col(self, col):
         if len(self.keys) == 0:
@@ -353,13 +361,14 @@ class _Remap:
         return batch
 
 
-def canonicalize_triples(triples_ds, labels_ds=None, mapping: dict | None = None,
+def canonicalize_triples(triples_ds, labels_ds=None, mapping=None,
                          via: str = "broadcast", num_partitions: int = 16,
                          concurrency=(2, 8)):
     """Rewrite subj/obj to canonical component labels.
 
-    via="broadcast": ``ray.put`` the mapping once; actor pool does a
-    vectorized ``index_in`` per batch (no shuffle of the triples).
+    via="broadcast": ``ray.put`` the mapping once (a dict or a
+    ``(keys_array, vals_array)`` Arrow pair); tasks do a vectorized
+    ``index_in`` per batch (no shuffle of the triples).
     via="join": two hash joins (subj, then obj) against the assignment —
     the all-shuffle path for mappings too large to broadcast.
     """
@@ -370,7 +379,9 @@ def canonicalize_triples(triples_ds, labels_ds=None, mapping: dict | None = None
 
         if mapping is None:
             mapping = assignment_to_mapping(labels_ds)
-        if not mapping:
+        empty = (len(mapping[0]) == 0 if isinstance(mapping, tuple)
+                 else not mapping)
+        if empty:
             return triples_ds
         ref = ray.put(mapping)
 

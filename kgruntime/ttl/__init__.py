@@ -15,6 +15,7 @@ def parse_turtle(
     base_iri: str | None = None,
     labeler=default_labeler,
     relabel=None,
+    literal_normalizer=None,
 ) -> list[tuple]:
     """Tokenize + parse + build one Turtle document into triple rows.
 
@@ -23,7 +24,7 @@ def parse_turtle(
     build.rs:59-73).  Raises LexError / ParseError / BuildError.
     """
     return build_document(parse_document(tokenize(text)), base_iri,
-                          labeler, relabel)
+                          labeler, relabel, literal_normalizer)
 
 
 __all__ = [

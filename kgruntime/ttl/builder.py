@@ -82,13 +82,15 @@ def default_labeler(n: int) -> str:
 class Context:
     """Per-document build state (build.rs:94-99).  Never crosses rows."""
 
-    __slots__ = ("base_iri", "prefixes", "counter", "labeler", "relabel")
+    __slots__ = ("base_iri", "prefixes", "counter", "labeler", "relabel",
+                 "literal_normalizer")
 
     def __init__(
         self,
         base_iri: str | None = None,
         labeler: Callable[[int], str] = default_labeler,
         relabel: Callable[[str], str] | None = None,
+        literal_normalizer=None,
     ):
         self.base_iri = base_iri
         self.prefixes: dict[str, str] = {}
@@ -98,6 +100,10 @@ class Context:
         # (build.rs:364-366); the Ray pipeline rewrites them to
         # `_:{doc_id}/L/x` for global uniqueness (SURVEY.md §1.4)
         self.relabel = relabel
+        # optional (value, datatype, lang) -> (value, datatype, lang)
+        # hook — Ray-side counterpart of the reference's pluggable
+        # vocabularies (build.rs:75-92); None = verbatim literals
+        self.literal_normalizer = literal_normalizer
 
     def fresh_blank(self) -> str:
         label = self.labeler(self.counter)
@@ -131,9 +137,10 @@ def build_document(
     base_iri: str | None = None,
     labeler: Callable[[int], str] = default_labeler,
     relabel: Callable[[str], str] | None = None,
+    literal_normalizer=None,
 ) -> list[tuple]:
     """B1: fold statements into a flat triple list (build.rs:59-92)."""
-    ctx = Context(base_iri, labeler, relabel)
+    ctx = Context(base_iri, labeler, relabel, literal_normalizer)
     triples: list[tuple] = []
     for stmt_index, stmt in enumerate(statements):
         tag = stmt[0]
@@ -214,19 +221,25 @@ def _build_collection(ctx, objects, triples, meta) -> tuple:
     return head[:2]
 
 
+def _literal(ctx, value: str, datatype: str, lang: str) -> tuple:
+    if ctx.literal_normalizer is not None:
+        value, datatype, lang = ctx.literal_normalizer(value, datatype, lang)
+    return (value, LITERAL, datatype, lang)
+
+
 def _build_object(ctx, node, triples, meta) -> tuple:
     """Returns the 4-tuple ``(obj, obj_kind, obj_datatype, obj_lang)``."""
     tag = node[0]
     if tag == "lit_rdf":
         _, string, lang, dt_node = node
         if lang is not None:
-            return (string, LITERAL, "", lang)
+            return _literal(ctx, string, "", lang)
         dt = _build_iri(ctx, dt_node, meta)  # B13 (build.rs:582-607)
-        return (string, LITERAL, dt, "")
+        return _literal(ctx, string, dt, "")
     if tag == "lit_num":
-        return (node[1], LITERAL, _NUM_DT[node[2]], "")  # B12 verbatim
+        return _literal(ctx, node[1], _NUM_DT[node[2]], "")  # B12 verbatim
     if tag == "lit_bool":
-        return ("true" if node[1] else "false", LITERAL, XSD_BOOLEAN, "")  # B11
+        return _literal(ctx, "true" if node[1] else "false", XSD_BOOLEAN, "")  # B11
     if tag == "iri" or tag == "compact":
         return (_build_iri(ctx, node, meta), IRI, "", "")
     if tag == "blank_label":
