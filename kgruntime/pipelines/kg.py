@@ -124,36 +124,58 @@ def run_checkpointed(corpus_dir: str, out_dir: str, epoch: int = 0,
     Parsing is deterministic, so a crash between write and commit only
     re-does (byte-identical) work, never duplicates committed output.
     """
+    import shutil
+
     import ray.data as rd
+
+    from ..stages.materialize import committed_fragments
 
     frags = sorted(
         os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
         if f.endswith(".parquet"))
-    todo = pending_fragments(frags, out_dir)
-    done_ids = []
-    for i in range(0, len(todo), fragments_per_round):
-        group = todo[i:i + fragments_per_round]
+    # Rounds are DETERMINISTIC index chunks of the full fragment list, so
+    # a rerun re-forms the identical rounds regardless of what already
+    # committed — the commit unit is the whole round (all its fragment
+    # manifests), and an incomplete round is re-done from scratch with
+    # its output directory replaced. This is what makes the store
+    # exactly-once: no fragment's triples can land in two round dirs.
+    done = committed_fragments(out_dir)
+    done_ids, skipped = [], []
+    for i in range(0, len(frags), fragments_per_round):
+        group = frags[i:i + fragments_per_round]
+        gids = [fragment_id(p) for p in group]
+        gid = gids[0]
+        dest = os.path.join(out_dir, "data", f"epoch={epoch}",
+                            f"round-{gid}")
+        if all(g in done for g in gids):
+            skipped.extend(gids)
+            continue
+        # partially-committed round: drop stale manifests + output, redo
+        for g in gids:
+            m = os.path.join(out_dir, "_manifest", f"fragment-{g}.json")
+            if os.path.exists(m):
+                os.remove(m)
+        tmp = dest + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(dest, ignore_errors=True)
+
         docs = rd.read_parquet(group)
         res = build_kg(docs, alias_table=alias_table,
                        materialize_intermediate=True)
-        gid = fragment_id(group[0])
-        dest = os.path.join(out_dir, "data", f"epoch={epoch}",
-                            f"round-{gid}")
         canonical = res["canonical"].materialize()  # bounded by round size
-        write_triple_store(canonical, dest, num_buckets=num_buckets)
-        n_docs = sum(pq_meta_rows(p) for p in group)
+        write_triple_store(canonical, tmp, num_buckets=num_buckets)
+        os.replace(tmp, dest)                       # atomic publish
         n_triples = canonical.count()
         n_errors = res["errors"].count()      # reads the pinned parse output
         n_edges = res["edges"].count() if "edges" in res else 0
         for p in group:
             fid = fragment_id(p)
             commit_fragment(out_dir, fid, epoch, {
-                "docs": n_docs, "triples": n_triples,
+                "docs": pq_meta_rows(p),
+                "round_triples": n_triples,
                 "link_scores": n_edges,
                 "malformed_span_rejects": n_errors,
                 "round": gid,
             })
             done_ids.append(fid)
-    return {"processed": done_ids,
-            "skipped": [fragment_id(p) for p in frags
-                        if p not in todo]}
+    return {"processed": done_ids, "skipped": skipped}

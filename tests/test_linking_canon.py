@@ -175,16 +175,32 @@ def test_end_to_end_pipeline_and_checkpoint(ray_session, tmp_path):
     res2 = run_checkpointed(corpus, out_dir, epoch=0, fragments_per_round=2)
     assert res2["processed"] == [] and len(res2["skipped"]) == 4
 
-    # partial-commit resume: drop one manifest → only that fragment reruns
+    # partial-commit resume: drop one manifest → the WHOLE round (its
+    # commit unit) reruns, so no fragment's triples can end up in two
+    # round directories (exactly-once store)
     os.remove(os.path.join(out_dir, "_manifest", "fragment-part-00002.json"))
     res3 = run_checkpointed(corpus, out_dir, epoch=0, fragments_per_round=2)
-    assert res3["processed"] == ["part-00002"]
+    assert res3["processed"] == ["part-00002", "part-00003"]
+    assert sorted(res3["skipped"]) == ["part-00000", "part-00001"]
+
+    # exactly-once: the resumed store is identical to a fresh one-shot run
+    # (zero duplicate and zero missing rows from the partial rerun)
+    import ray.data as rd
+    fresh_dir = str(tmp_path / "store_fresh")
+    run_checkpointed(corpus, fresh_dir, epoch=0, fragments_per_round=2)
+    key_cols = ["subj", "pred", "obj", "obj_datatype", "obj_lang"]
+
+    def rows(d):
+        df = rd.read_parquet(os.path.join(d, "data")).to_pandas()
+        return sorted(map(tuple, df[key_cols].itertuples(index=False)))
+
+    assert rows(out_dir) == rows(fresh_dir)
 
     # manifests carry lineage + counters
     from kgruntime.stages.materialize import read_manifests
     m = read_manifests(out_dir)
     assert all(x["parser_version"] for x in m)
-    assert all("docs" in x["counters"] and "triples" in x["counters"]
+    assert all("docs" in x["counters"] and "round_triples" in x["counters"]
                and "malformed_span_rejects" in x["counters"] for x in m)
 
 
