@@ -121,6 +121,7 @@ class LinkScorer:
         for k in alias_table:
             first = k.split(" ", 1)[0]
             self.by_first_token.setdefault(first, []).append(k)
+        self._memo: dict[str, tuple | None] = {}
 
     def score(self, norm: str) -> tuple[str, float] | None:
         hit = self.aliases.get(norm)
@@ -139,22 +140,34 @@ class LinkScorer:
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["mention_text"].to_pylist()
-        entities = batch["entity"].to_pylist()
-        doc_ids = batch["doc_id"].to_pylist()
-        src, dst, score, docs, mtxt = [], [], [], [], []
-        for ent, txt, doc in zip(entities, texts, doc_ids):
-            res = self.score(normalize_name(txt))
-            if res is not None and res[1] >= self.threshold:
-                src.append(ent)
-                dst.append(res[0])
-                score.append(res[1])
-                docs.append(doc)
-                mtxt.append(txt)
+        """Score one batch.  Mention texts are Zipf-distributed, so the
+        column is dictionary-encoded and only DISTINCT texts get the
+        Python scorer (memoized across batches in ``self._memo``); the
+        per-row expansion is vectorized take/filter."""
+        col = batch["mention_text"].combine_chunks()
+        enc = col.dictionary_encode()
+        memo = self._memo
+        hit_dst, hit_score = [], []
+        for u in enc.dictionary.to_pylist():
+            if u in memo:
+                res = memo[u]
+            else:
+                res = self.score(normalize_name(u))
+                if res is not None and res[1] < self.threshold:
+                    res = None
+                memo[u] = res
+            hit_dst.append(res[0] if res else None)
+            hit_score.append(res[1] if res else 0.0)
+        idx = pc.cast(enc.indices, pa.int64())
+        dst_per_row = pc.take(pa.array(hit_dst, pa.string()), idx)
+        keep = pc.is_valid(dst_per_row)
+        score_per_row = pc.take(pa.array(hit_score, pa.float64()), idx)
         return pa.Table.from_arrays(
-            [pa.array(src, pa.string()), pa.array(dst, pa.string()),
-             pa.array(score, pa.float64()), pa.array(docs, pa.string()),
-             pa.array(mtxt, pa.string())],
+            [batch["entity"].combine_chunks().filter(keep),
+             dst_per_row.filter(keep),
+             score_per_row.filter(keep),
+             batch["doc_id"].combine_chunks().filter(keep),
+             col.filter(keep)],
             schema=EDGES_SCHEMA)
 
 
