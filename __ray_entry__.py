@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "lang_distribution": _q_lang_distribution,
         "exact_dup_docs": _q_exact_dup_docs,
+        # streaming-shaped windows (SQL-backed via window functions)
+        "sessionize": _q_sessionize,
+        "tumbling_hourly": _q_tumbling,
         # similarity search (SQL-backed baseline)
         "ann_topk": _q_ann_topk,
         # KG pipeline (non-SQL-expressible → rows-only; exactness is
@@ -150,6 +153,26 @@ def _q_exact_dup_docs(sf_dir):
         .to_pandas()
     return df[["text", "keep_id", "n_dups"]] \
         .sort_values("keep_id").reset_index(drop=True)
+
+
+def _events_ds(sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_sessionize(sf_dir):
+    from kgruntime.ops.sessions import sessionize
+
+    return sessionize(_events_ds(sf_dir)).to_pandas() \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+def _q_tumbling(sf_dir):
+    from kgruntime.ops.sessions import tumbling_hourly
+
+    return tumbling_hourly(_events_ds(sf_dir)).to_pandas() \
+        .sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
 _ANN_N_QUERIES = 10
@@ -299,6 +322,18 @@ _STOPWORDS_SQL = ("['the','a','an','and','or','of','to','in','is','are',"
                   "'by','it','this','that','from']")
 
 
+def _sessions_sql():
+    from kgruntime.ops.sessions import SESSIONIZE_SQL
+
+    return SESSIONIZE_SQL
+
+
+def _tumbling_sql():
+    from kgruntime.ops.sessions import TUMBLING_HOURLY_SQL
+
+    return TUMBLING_HOURLY_SQL
+
+
 def oracle_sql() -> dict[str, str]:
     from kgruntime import relational as R
 
@@ -358,6 +393,8 @@ def oracle_sql() -> dict[str, str]:
                             / len(t))), 6) END AS quality
             FROM toks ORDER BY doc_id
         """,
+        "sessionize": _sessions_sql(),
+        "tumbling_hourly": _tumbling_sql(),
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang

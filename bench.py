@@ -85,10 +85,10 @@ def run_headline(sf_dir: str) -> dict:
     # and canonical-store consumers; dedup shuffle partitioned to the
     # CPU count (measured faster than the 200-partition default)
     res = build_kg(docs, alias_table=aliases, materialize_intermediate=True,
-                   dedup_partitions=ncpu)
+                   keep_buckets=True)
     out_dir = f"/tmp/kgbench/out-{os.getpid()}"
     from kgruntime.stages.materialize import write_triple_store
-    write_triple_store(res["canonical"], out_dir, num_buckets=32)
+    write_triple_store(res["canonical"], out_dir, pre_bucketed=True)
     dt = time.perf_counter() - t0
 
     n_triples = sum(

@@ -57,7 +57,9 @@ def _add_norm(batch):
 def build_kg(docs_ds, alias_table: dict | None = None,
              link_threshold: float = 0.85, dedup: bool = True,
              canonicalize: bool = True, materialize_intermediate: bool = False,
-             dedup_partitions: int | None = None):
+             dedup_partitions: int | None = None,
+             dedup_buckets: int = 64, keep_buckets: bool = False,
+             hot_subjects: set | None = None):
     """documents Dataset → dict of result Datasets.
 
     Returns {"triples", "errors", "mentions", "edges", "assignment",
@@ -82,7 +84,10 @@ def build_kg(docs_ds, alias_table: dict | None = None,
     out = {"triples": triples, "errors": errors, "mentions": mentions}
 
     if not canonicalize:
-        out["canonical"] = (dedup_triples(triples, num_partitions=dedup_partitions)
+        out["canonical"] = (dedup_triples(triples,
+                                          num_buckets=dedup_buckets,
+                                          keep_buckets=keep_buckets,
+                                          hot_subjects=hot_subjects)
                             if dedup else triples)
         return out
 
@@ -99,8 +104,9 @@ def build_kg(docs_ds, alias_table: dict | None = None,
         mapping = assignment_to_mapping(assignment)
     canonical = canonicalize_triples(triples, mapping=mapping)
     if dedup:
-        canonical = dedup_triples(canonical,
-                                   num_partitions=dedup_partitions)
+        canonical = dedup_triples(canonical, num_buckets=dedup_buckets,
+                                  keep_buckets=keep_buckets,
+                                  hot_subjects=hot_subjects)
     out["canonical"] = canonical
     return out
 
@@ -161,9 +167,10 @@ def run_checkpointed(corpus_dir: str, out_dir: str, epoch: int = 0,
 
         docs = rd.read_parquet(group)
         res = build_kg(docs, alias_table=alias_table,
-                       materialize_intermediate=True)
+                       materialize_intermediate=True, keep_buckets=True,
+                       dedup_buckets=num_buckets)
         canonical = res["canonical"].materialize()  # bounded by round size
-        write_triple_store(canonical, tmp, num_buckets=num_buckets)
+        write_triple_store(canonical, tmp, pre_bucketed=True)
         os.replace(tmp, dest)                       # atomic publish
         n_triples = canonical.count()
         n_errors = res["errors"].count()      # reads the pinned parse output
