@@ -342,17 +342,25 @@ class _Remap:
         if mapping is None:
             mapping = ray.get(mapping_ref) if mapping_ref is not None else {}
         if isinstance(mapping, tuple):      # (keys_array, vals_array)
-            self.keys, self.vals = mapping
+            keys, vals = mapping
+            self.lookup = dict(zip(keys.to_pylist(), vals.to_pylist()))
         else:
-            self.keys = pa.array(list(mapping.keys()), pa.string())
-            self.vals = pa.array(list(mapping.values()), pa.string())
+            self.lookup = dict(mapping)
 
     def _remap_col(self, col):
-        if len(self.keys) == 0:
+        # Probe per-batch DISTINCT values against the worker-cached dict:
+        # pc.index_in would rebuild a hash of the full (possibly
+        # multi-million-key) mapping on EVERY batch, which dominated the
+        # remap stage at scale; the dictionary trick pays |uniques| dict
+        # lookups instead.
+        if not self.lookup:
             return col
-        idx = pc.index_in(col, value_set=self.keys)
-        replaced = pc.take(self.vals, idx)
-        return pc.if_else(pc.is_valid(idx), replaced, col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        enc = col.dictionary_encode()
+        get = self.lookup.get
+        uniq = enc.dictionary.to_pylist()
+        mapped = pa.array([get(u, u) for u in uniq], pa.string())
+        return pc.take(mapped, pc.cast(enc.indices, pa.int64()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         for name in ("subj", "obj"):

@@ -192,8 +192,21 @@ def link_edges_dataset(mentions_ds, alias_table: dict, threshold: float = 0.85,
         cpus = int(ray.cluster_resources().get("CPU", 8))
         concurrency = (2, max(4, (cpus * 3) // 4))
     ref = ray.put(alias_table)
-    return mentions_ds.map_batches(
+    edges = mentions_ds.map_batches(
         LinkScorer,
         fn_constructor_kwargs={"alias_ref": ref, "threshold": threshold},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+    # combiner: IRI-subject mentions repeat across documents, producing
+    # massively duplicated (src, dst) edges — distinct within each batch
+    # before anything downstream (union-find collection) sees them
+    def local_edge_dedup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src", "dst"], use_threads=False).aggregate(
+            [("score", "max"), ("doc_id", "first"),
+             ("mention_text", "first")])
+        return g.rename_columns(["src", "dst", "score", "doc_id",
+                                 "mention_text"])
+
+    return edges.map_batches(local_edge_dedup, batch_format="pyarrow",
+                             zero_copy_batch=True)
