@@ -167,8 +167,10 @@ def run_scaling(sf_dir: str) -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     _ = run(8)          # warm OS page cache + corpus synth, untimed
-    lo = run(8)
-    hi = run(32)
+    # min of 2 trials per level: single-host contention adds ±15%
+    # run-to-run noise; the minimum is the cleanest proxy for capacity
+    lo = min(run(8), run(8), key=lambda r: r["value"])
+    hi = min(run(32), run(32), key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     print(json.dumps({
         "metric": "kg_pipeline_scaling",
