@@ -75,15 +75,12 @@ def run_headline(sf_dir: str) -> dict:
                 names.add(r[3])
     aliases = build_alias_table(names)
 
-    import ray
-
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
     t0 = time.perf_counter()
     docs = rd.read_parquet(corpus)
     # materialize_intermediate: same round-bounded semantics as the
     # checkpointed runner — one parse execution shared by the linking
-    # and canonical-store consumers; dedup shuffle partitioned to the
-    # CPU count (measured faster than the 200-partition default)
+    # and canonical-store consumers; keep_buckets fuses the dedup
+    # shuffle with the store's subject-hash partitioning
     res = build_kg(docs, alias_table=aliases, materialize_intermediate=True,
                    keep_buckets=True)
     out_dir = f"/tmp/kgbench/out-{os.getpid()}"

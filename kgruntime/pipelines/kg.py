@@ -57,7 +57,6 @@ def _add_norm(batch):
 def build_kg(docs_ds, alias_table: dict | None = None,
              link_threshold: float = 0.85, dedup: bool = True,
              canonicalize: bool = True, materialize_intermediate: bool = False,
-             dedup_partitions: int | None = None,
              dedup_buckets: int = 64, keep_buckets: bool = False,
              hot_subjects: set | None = None):
     """documents Dataset → dict of result Datasets.

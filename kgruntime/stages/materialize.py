@@ -61,7 +61,6 @@ FULL_KEY = TRIPLE_KEY + ["subj_kind", "obj_kind"]
 
 
 def dedup_triples(triples_ds, keep_lineage: bool = False,
-                  num_partitions: int | None = None,
                   num_buckets: int = 64,
                   hot_subjects: set | None = None, salt_factor: int = 8,
                   keep_buckets: bool = False):

@@ -172,3 +172,35 @@ def test_media_real_decode_is_gated():
     d = MediaDecoder(fake=False)
     with pytest.raises(NotImplementedError):
         d._decode(b"payload", "image")
+
+
+def test_sessionize_and_tumbling(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import sessionize, tumbling_hourly
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        {"event_id": 1, "user_id": 7, "ts": base, "event_type": "a",
+         "value": 1.0, "props": ""},
+        {"event_id": 2, "user_id": 7, "ts": base + dt.timedelta(minutes=10),
+         "event_type": "a", "value": 2.0, "props": ""},
+        # 45-minute gap → new session
+        {"event_id": 3, "user_id": 7, "ts": base + dt.timedelta(minutes=55),
+         "event_type": "b", "value": 4.0, "props": ""},
+        {"event_id": 4, "user_id": 9, "ts": base, "event_type": "a",
+         "value": 8.0, "props": ""},
+    ]
+    events = rd.from_items(rows)
+    sess = sessionize(events).to_pandas().sort_values(
+        ["user_id", "session_start"]).reset_index(drop=True)
+    assert len(sess) == 3
+    assert list(sess["n_events"]) == [2, 1, 1]
+    assert sess.loc[0, "total_value"] == 3.0
+
+    tw = tumbling_hourly(events).to_pandas()
+    assert set(tw["event_type"]) == {"a", "b"}
+    a_row = tw[tw["event_type"] == "a"]
+    assert a_row["n_events"].sum() == 3
