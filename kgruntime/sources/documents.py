@@ -77,7 +77,16 @@ def to_nquad_lines(batch: pa.Table) -> pa.Table:
 
 
 def write_nquads(triples_ds, path: str):
-    """Triples Dataset → directory of .txt N-Quads shards."""
+    """Triples Dataset → directory of N-Quads shards (one line per
+    triple; CSV writer with no header/quoting acts as a plain text
+    sink)."""
+    def _opts():
+        from pyarrow import csv as pacsv
+
+        # WriteOptions isn't picklable → build it on the writer task
+        return {"write_options": pacsv.WriteOptions(
+            include_header=False, quoting_style="none")}
+
     triples_ds.map_batches(to_nquad_lines, batch_format="pyarrow") \
-        .write_csv(path, include_header=False)
+        .write_csv(path, arrow_csv_args_fn=_opts)
     return path

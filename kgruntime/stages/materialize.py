@@ -11,15 +11,18 @@ Dedup strategy (scale-first):
 1. *combiner*: per-batch local distinct inside the streaming map stage —
    duplicate-heavy inputs shrink before the exchange (the classic
    partial-aggregate trick, ray_guide "Aggregation at scale");
-2. *global*: hash-shuffle ``groupby`` over the 5 key columns using Ray's
-   native vectorized aggregation (no per-group Python).
+2. *global*: ONE shuffle keyed by the small-int pair
+   ``(subj_bucket, sub_salt)`` — i.e. the store's own partitioning key —
+   with a vectorized Arrow distinct per bucket.  Identical triples share
+   subj and obj, hence the same bucket and salt, so bucket-local
+   distinct IS global distinct; and the deduped output is already laid
+   out for the partitioned write (one shuffle serves both).
 
-Skew: the write partitions by ``crc32(subj) % num_buckets``.  Hot
-subjects (celebrity entities after canonicalization) are salted into
-``sub_salt`` sub-buckets so one giant subject cannot pin a single
-writer task; the salt uses the *object* hash so rows of one (s,p,o) stay
-together and dedup correctness is unaffected (dedup happens before the
-bucket column is added).
+Skew: the partition key is ``hash(subj) % num_buckets``.  Hot subjects
+(celebrity entities after canonicalization) are salted into
+``sub_salt`` sub-buckets derived from the *object* hash, so one giant
+subject cannot pin a single bucket/writer task while dedup correctness
+is preserved (equal rows get equal salt).
 
 Checkpoint/resume (N7): the unit of commit is the *input fragment* (one
 source file).  Each fragment's output is written to its own directory
