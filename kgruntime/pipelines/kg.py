@@ -58,7 +58,8 @@ def build_kg(docs_ds, alias_table: dict | None = None,
              link_threshold: float = 0.85, dedup: bool = True,
              canonicalize: bool = True, materialize_intermediate: bool = False,
              dedup_buckets: int = 64, keep_buckets: bool = False,
-             hot_subjects: set | None = None):
+             hot_subjects: set | None = None,
+             hot_subject_threshold: int | None = None):
     """documents Dataset → dict of result Datasets.
 
     Returns {"triples", "errors", "mentions", "edges", "assignment",
@@ -103,6 +104,15 @@ def build_kg(docs_ds, alias_table: dict | None = None,
         mapping = assignment_to_mapping(assignment)
     canonical = canonicalize_triples(triples, mapping=mapping)
     if dedup:
+        if hot_subject_threshold is not None and hot_subjects is None:
+            # skew survey on the canonical ids (merging concentrates
+            # heat onto KB entities, so survey AFTER remap); bounded by
+            # the round when materialize_intermediate is on
+            from ..stages.materialize import find_hot_subjects
+
+            canonical = canonical.materialize()
+            hot_subjects = find_hot_subjects(canonical,
+                                             threshold=hot_subject_threshold)
         canonical = dedup_triples(canonical, num_buckets=dedup_buckets,
                                   keep_buckets=keep_buckets,
                                   hot_subjects=hot_subjects)

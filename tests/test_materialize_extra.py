@@ -93,3 +93,29 @@ def test_nquads_roundtrip_sink(ray_session, tmp_path):
     orig = {(r["subj"], r["pred"], r["obj"]) for r in t.to_pylist()}
     got = {(r["subj"], r["pred"], r["obj"]) for r in back}
     assert got == orig
+
+
+def test_bad_span_sequence_quarantined():
+    spans = [[{"kind": "text", "text": "<http://a/s> <http://a/p> <http://a/o> .",
+               "media_ref": "", "offset": 100},
+              {"kind": "media", "text": "", "media_ref": "media://d/0",
+               "offset": 5}]]  # offset goes backwards → invariant violation
+    t = pa.Table.from_arrays(
+        [pa.array(["doc-bad"], pa.string()),
+         pa.array(spans, pa.list_(SPAN_STRUCT))],
+        schema=DOCUMENTS_SCHEMA)
+    out = parse_batch(t).to_pylist()
+    assert len(out) == 1
+    assert out[0]["record_kind"] == 1
+    assert out[0]["error_layer"] == "span"
+    assert out[0]["error_kind"] == "InvalidSpanSequence"
+
+
+def test_unknown_span_kind_quarantined():
+    spans = [[{"kind": "video?", "text": "", "media_ref": "x", "offset": 0}]]
+    t = pa.Table.from_arrays(
+        [pa.array(["doc-kind"], pa.string()),
+         pa.array(spans, pa.list_(SPAN_STRUCT))],
+        schema=DOCUMENTS_SCHEMA)
+    out = parse_batch(t).to_pylist()
+    assert out[0]["error_layer"] == "span"
