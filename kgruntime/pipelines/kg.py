@@ -101,8 +101,13 @@ def build_kg(docs_ds, alias_table: dict | None = None,
     assignment, mapping = union_find(edges)
     out["assignment"] = assignment
     if mapping is None:
-        mapping = assignment_to_mapping(assignment)
-    canonical = canonicalize_triples(triples, mapping=mapping)
+        # distributed-UF regime: the assignment is beyond broadcast
+        # scale, so the remap must be the all-shuffle join path — never
+        # collect it to the driver
+        canonical = canonicalize_triples(triples, labels_ds=assignment,
+                                         via="join")
+    else:
+        canonical = canonicalize_triples(triples, mapping=mapping)
     if dedup:
         if hot_subject_threshold is not None and hot_subjects is None:
             # skew survey on the canonical ids (merging concentrates
