@@ -32,6 +32,35 @@ def read_documents(path: str, **kwargs):
     return rd.read_parquet(path, **kwargs)
 
 
+def from_ttl_files(paths):
+    """Raw Turtle files → documents Dataset in the input_hint shape
+    (one row per file, a single text span).  This is the reference
+    user's migration path: ``examples/simple.rs`` takes .ttl file
+    arguments; here the same files stream through the Ray pipeline.
+    """
+    import ray.data as rd
+
+    raw = rd.read_binary_files(paths, include_paths=True)
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        doc_ids, spans = [], []
+        for path, data in zip(batch["path"].to_pylist(),
+                              batch["bytes"].to_pylist()):
+            doc_ids.append(os.path.basename(path))
+            spans.append([{"kind": "text",
+                           "text": data.decode("utf-8"),
+                           "media_ref": "", "offset": 0}])
+        span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                            ("media_ref", pa.string()),
+                            ("offset", pa.int32())])
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids, pa.string()),
+             pa.array(spans, pa.list_(span_t))],
+            names=["doc_id", "spans"])
+
+    return raw.map_batches(to_docs, batch_format="pyarrow")
+
+
 def read_nquads(path: str):
     """N-Quads file(s) → triples Dataset (S3; line-per-triple)."""
     import ray.data as rd

@@ -119,3 +119,35 @@ def test_unknown_span_kind_quarantined():
         schema=DOCUMENTS_SCHEMA)
     out = parse_batch(t).to_pylist()
     assert out[0]["error_layer"] == "span"
+
+
+def test_from_ttl_files_migration_path(ray_session):
+    """Reference users' .ttl files stream straight through the pipeline."""
+    import glob
+
+    from kgruntime.sources.documents import from_ttl_files
+    from kgruntime.stages.extract import triples_dataset
+    from kgruntime.ttl.nquads import canonical_lines, parse_nquads
+
+    files = sorted(glob.glob("/root/reference/tests/positive/p0[1-5].ttl"))
+    docs = from_ttl_files(files)
+    tri = triples_dataset(docs).take_all()
+    per_doc = {}
+    for r in tri:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["subj"], r["subj_kind"], r["pred"], r["obj"], r["obj_kind"],
+             r["obj_datatype"], r["obj_lang"]))
+    for f in files:
+        name = os.path.basename(f)
+        with open(f[:-4] + ".nq") as fh:
+            exp_rows = parse_nquads(fh.read())
+        # blank labels are doc-scoped in the pipeline
+        def rw(v, k):
+            if k != 1:
+                return v
+            body = v[2:]
+            return (f"_:{name}/{body}" if body.isdigit()
+                    else f"_:{name}/L/{body}")
+        exp = canonical_lines([(rw(s, sk), sk, p, rw(o, ok), ok, dt, lg)
+                               for s, sk, p, o, ok, dt, lg in exp_rows])
+        assert canonical_lines(per_doc[name]) == exp, name
