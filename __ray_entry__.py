@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity": R.q_user_activity,
         "parts_by_brand": R.q_parts_by_brand,
         "revenue_by_part_type": R.q_revenue_by_part_type,
+        "discounted_orders": R.q_discounted_orders,
+        "customers_without_orders": R.q_customers_without_orders,
+        "distinct_users_per_type": R.q_distinct_users_per_type,
         # text analysis (SQL-backed)
         "doc_stats": _q_doc_stats,
         "token_stats": _q_token_stats,
@@ -346,6 +349,9 @@ def oracle_sql() -> dict[str, str]:
         "user_activity": R.Q_USER_ACTIVITY_SQL,
         "parts_by_brand": R.Q_PARTS_BY_BRAND_SQL,
         "revenue_by_part_type": R.Q_REVENUE_BY_PART_TYPE_SQL,
+        "discounted_orders": R.Q_DISCOUNTED_ORDERS_SQL,
+        "customers_without_orders": R.Q_CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "distinct_users_per_type": R.Q_DISTINCT_USERS_PER_TYPE_SQL,
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,

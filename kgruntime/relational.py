@@ -298,3 +298,103 @@ SELECT p_type, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type ORDER BY p_type
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-join: orders having ≥1 discounted lineitem (broadcast key set —
+# no shuffle of either side; ray_guide "Semi / anti join" pattern)
+# ---------------------------------------------------------------------------
+
+def q_discounted_orders(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    li = pq.read_table(_path(sf_dir, "lineitem"),
+                       columns=["l_orderkey", "l_discount"])
+    keys = pc.unique(li.filter(
+        pc.greater(li["l_discount"], 0.09))["l_orderkey"].combine_chunks())
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(pc.index_in(t["o_orderkey"],
+                                                value_set=keys)))
+
+    df = orders.map_batches(semi, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("o_orderpriority") \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_price")) \
+        .to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    return _round_cols(df, ["total_price"], 4)
+
+
+Q_DISCOUNTED_ORDERS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# anti-join: customers with no orders (broadcast key set)
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(sf_dir: str):
+    # anti-join against a selective subquery (customers lacking any
+    # finished order) so the result is non-trivial at every sf
+    ot = pq.read_table(_path(sf_dir, "orders"),
+                       columns=["o_custkey", "o_orderstatus"])
+    keys = pc.unique(ot.filter(
+        pc.equal(ot["o_orderstatus"], "F"))["o_custkey"].combine_chunks())
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(pc.index_in(t["c_custkey"],
+                                               value_set=keys)))
+
+    import pandas as pd
+
+    df = cust.map_batches(anti, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if df.empty:
+        # an empty Ray result drops its schema; pin the columns so the
+        # all-customers-have-orders case still hash-matches the oracle
+        df = pd.DataFrame(columns=["c_custkey", "c_name", "c_mktsegment"])
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact distinct-count via two-stage aggregation (distinct pairs shuffle,
+# then a small count per group — the scalable COUNT(DISTINCT) shape)
+# ---------------------------------------------------------------------------
+
+def q_distinct_users_per_type(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ev.groupby(["event_type", "user_id"]).count() \
+        .drop_columns(["count()"])
+    return pairs.groupby("event_type") \
+        .aggregate(Count(alias_name="n_users")) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+Q_DISTINCT_USERS_PER_TYPE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
