@@ -2,18 +2,29 @@
 (SURVEY.md §2f N4, north_rule "canonicalizes equivalent IRIs/blank nodes
 via a distributed union-find over groupby-aggregate shuffles").
 
-Connected components by iterative min-label propagation:
+Two interchangeable implementations behind one API:
 
-    label(x) ← min(label(x), min_{(x,y)∈E} label(y))
+* **driver mode** (auto-selected while |edges| ≤ DRIVER_CC_MAX_EDGES —
+  the same broadcast-size contract the remap relies on): stream the
+  edge list to the driver, dictionary-encode endpoints, and run
+  vectorized numpy min-label propagation with pointer jumping.
+* **distributed mode** (beyond-memory edge sets): iterative min-label
+  propagation
 
-Each round is expressed purely in Ray Data wide ops — one hash-partitioned
-``Dataset.join`` (edges ⋈ labels on the neighbor endpoint) plus one
-``groupby(node).min(label)`` — so the whole thing scales as ordinary
-shuffles: no driver-held state, no per-group Python.  Convergence in
-O(component diameter) rounds; entity-equivalence graphs from linking are
-star-shaped (mention → KB entity), so 2-3 rounds typically suffice.
-Early stop: the CRC sum of (node,label) assignments is monotonically
-decreasing and is compared between rounds with a tiny aggregate.
+      label(x) ← min(label(x), min_{(x,y)∈E} label(y))
+
+  where each round is purely Ray Data wide ops — a bucketed hash join
+  expressed as ONE ``groupby(bucket)`` shuffle (labels and edges
+  co-partitioned on hash(key), vectorized per-bucket lookup) plus one
+  ``groupby(node).min(label)``.  No driver-held state, no per-group
+  Python row loops.  Convergence in O(component diameter) rounds;
+  entity-equivalence graphs from linking are star-shaped (mention → KB
+  entity) so one confirming round usually suffices.  Early stop: the
+  hash-sum of (node,label) assignments is compared between rounds with
+  a tiny aggregate (seeded with the initial assignment's sum).
+
+Both modes produce the identical assignment (tested), with canonical
+label = rank-minimum member (IRIs preferred over blank nodes).
 
 The final mapping (node → component-min label) is applied to the triples
 table either by broadcast (``ray.put`` once, vectorized ``index_in``
