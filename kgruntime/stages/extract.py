@@ -187,7 +187,7 @@ def keep_errors(batch: pa.Table) -> pa.Table:
                      "error_layer", "error_kind", "error_msg"])
 
 
-def extract_triples(docs_ds, batch_size: int = 256):
+def extract_triples(docs_ds, batch_size: int = 1024):
     """documents Dataset → combined triples+errors Dataset.
 
     Stateless task-based ``map_batches`` (plain function → no actor pool
@@ -199,13 +199,13 @@ def extract_triples(docs_ds, batch_size: int = 256):
                                batch_size=batch_size, zero_copy_batch=True)
 
 
-def triples_dataset(docs_ds, batch_size: int = 256):
+def triples_dataset(docs_ds, batch_size: int = 1024):
     """documents Dataset → triples-only Dataset (errors dropped)."""
     return extract_triples(docs_ds, batch_size).map_batches(
         keep_triples, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def errors_dataset(docs_ds, batch_size: int = 256):
+def errors_dataset(docs_ds, batch_size: int = 1024):
     """documents Dataset → quarantine Dataset (FIXTURES.md §3)."""
     return extract_triples(docs_ds, batch_size).map_batches(
         keep_errors, batch_format="pyarrow", zero_copy_batch=True)
