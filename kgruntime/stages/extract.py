@@ -55,7 +55,9 @@ def concat_text_spans(batch: pa.Table) -> tuple[list[str], list[str], list[str]]
 
     Returns (doc_ids, concatenated_text_per_doc, span_error_per_doc) where
     span_error is "" for valid rows.  The per-row invariant checked here is
-    the input_hint one: kinds ∈ {text, media}, offsets strictly increasing.
+    the input_hint one: kinds ∈ {text, media}, offsets monotonically
+    non-decreasing (zero-length media spans may share the next text
+    span's offset).
     """
     col = batch["spans"].combine_chunks()
     if isinstance(col, pa.ChunkedArray):

@@ -139,3 +139,16 @@ EVAL = [
 def test_eval(name, src, expected):
     got = canonical_lines(parse_turtle(src))
     assert got == canonical_lines(parse_nquads(expected))
+
+
+def test_concatenated_goldens_single_doc():
+    """All 29 golden payloads concatenated into ONE document parse as a
+    single statement stream (directive state threads across sections in
+    document order) — deterministic, no crash."""
+    from kgruntime.synth import goldens
+
+    src = "\n".join(src for _, src, _ in goldens())
+    rows1 = parse_turtle(src)
+    rows2 = parse_turtle(src)
+    assert rows1 == rows2
+    assert len(rows1) > 100
