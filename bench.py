@@ -75,18 +75,26 @@ def run_headline(sf_dir: str) -> dict:
                 names.add(r[3])
     aliases = build_alias_table(names)
 
+    import shutil
+
+    from kgruntime.pipelines.kg import build_kg_staged
+
+    staging = f"/tmp/kgbench/staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
     t0 = time.perf_counter()
     docs = rd.read_parquet(corpus)
-    # materialize_intermediate: same round-bounded semantics as the
-    # checkpointed runner — one parse execution shared by the linking
-    # and canonical-store consumers; keep_buckets fuses the dedup
-    # shuffle with the store's subject-hash partitioning
-    res = build_kg(docs, alias_table=aliases, materialize_intermediate=True,
-                   keep_buckets=True)
+    # Staged headline: parse ONCE into a durable parquet staging table
+    # (never pinned in the object store — also the natural resume
+    # artifact), then stream it through linking/union-find and again
+    # through remap → dedup (fused with the store's subject-hash
+    # partitioning) → canonical store.  The only shape that is both
+    # parse-once and safe at 100 TB.
+    res = build_kg_staged(docs, staging, alias_table=aliases)
     out_dir = f"/tmp/kgbench/out-{os.getpid()}"
     from kgruntime.stages.materialize import write_triple_store
     write_triple_store(res["canonical"], out_dir, pre_bucketed=True)
     dt = time.perf_counter() - t0
+    shutil.rmtree(staging, ignore_errors=True)
 
     n_triples = sum(
         pq.read_metadata(os.path.join(root, f)).num_rows

@@ -200,3 +200,49 @@ def run_checkpointed(corpus_dir: str, out_dir: str, epoch: int = 0,
             })
             done_ids.append(fid)
     return {"processed": done_ids, "skipped": skipped}
+
+
+def build_kg_staged(docs_ds, staging_dir: str, alias_table: dict | None = None,
+                    link_threshold: float = 0.85, dedup_buckets: int = 64,
+                    keep_buckets: bool = True, hot_subjects: set | None = None):
+    """Staged variant: parse ONCE, durably.
+
+    Pass 1 streams extract → raw triples+quarantine parquet (never
+    pinned in memory — the staging table is also a resumable artifact).
+    Pass 2 streams the staging parquet through linking → union-find.
+    Pass 3 streams it again through remap → dedup → canonical store.
+    At 100 TB this is the standard shape: the staging read is far
+    cheaper than re-parsing, and no phase holds the corpus in the
+    object store.
+
+    Returns {"staging": path, "errors": Dataset, "assignment": Dataset,
+    "canonical": Dataset (lazy, bucket columns per ``keep_buckets``)}.
+    """
+    import ray.data as rd
+
+    from ..stages.canon import union_find
+
+    combined = extract_triples(docs_ds)
+    combined.write_parquet(staging_dir)
+
+    staged = rd.read_parquet(staging_dir)
+    triples = staged.map_batches(keep_triples, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    errors = staged.map_batches(keep_errors, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    mentions = mentions_dataset(triples)
+    if alias_table is None:
+        alias_table = corpus_alias_table(mentions)
+    edges = link_edges_dataset(mentions, alias_table,
+                               threshold=link_threshold)
+    assignment, mapping = union_find(edges)
+    if mapping is None:
+        canonical = canonicalize_triples(triples, labels_ds=assignment,
+                                         via="join")
+    else:
+        canonical = canonicalize_triples(triples, mapping=mapping)
+    canonical = dedup_triples(canonical, num_buckets=dedup_buckets,
+                              keep_buckets=keep_buckets,
+                              hot_subjects=hot_subjects)
+    return {"staging": staging_dir, "errors": errors,
+            "assignment": assignment, "canonical": canonical}

@@ -219,3 +219,19 @@ def test_linking_to_canonical_flow(ray_session):
                  if r["pred"] == "http://xmlns.com/foaf/0.1/name"
                  and r["obj"] == "Bob"]
     assert len(name_rows) == 1 and name_rows[0]["subj"] == bob
+
+
+def test_build_kg_staged_matches_build_kg(ray_session, tmp_path):
+    """The staged (parse-once, parquet staging) pipeline produces the
+    same canonical store as the in-memory variant."""
+    from kgruntime.pipelines.kg import build_kg, build_kg_staged
+
+    docs = _docs(ray_session, n=40)
+    mem = build_kg(docs, materialize_intermediate=True)["canonical"] \
+        .take_all()
+    staged = build_kg_staged(_docs(ray_session, n=40),
+                             str(tmp_path / "staging"),
+                             keep_buckets=False)["canonical"].take_all()
+    key = ["subj", "pred", "obj", "obj_datatype", "obj_lang"]
+    assert sorted(tuple(r[k] for k in key) for r in mem) == \
+        sorted(tuple(r[k] for k in key) for r in staged)
