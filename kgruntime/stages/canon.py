@@ -354,19 +354,38 @@ class _Remap:
             mapping = ray.get(mapping_ref) if mapping_ref is not None else {}
         if isinstance(mapping, tuple):      # (keys_array, vals_array)
             keys, vals = mapping
-            self.lookup = dict(zip(keys.to_pylist(), vals.to_pylist()))
         else:
-            self.lookup = dict(mapping)
+            keys = pa.array(list(mapping.keys()), pa.string())
+            vals = pa.array(list(mapping.values()), pa.string())
+        self.n = len(keys)
+        if self.n == 0:
+            return
+        try:
+            import polars as pl
+
+            # zero-copy Arrow → polars; Rust-side hash join per batch.
+            # A Python dict of the same mapping costs seconds to build
+            # PER WORKER at multi-million entries (blank-node mappings
+            # grow with the corpus) — this was the superlinear term in
+            # the remap stage at 4M-doc scale.
+            self._pl = pl
+            self.map_df = pl.DataFrame({"k": pl.from_arrow(keys),
+                                        "v": pl.from_arrow(vals)})
+        except Exception:
+            self._pl = None
+            self.lookup = dict(zip(keys.to_pylist(), vals.to_pylist()))
 
     def _remap_col(self, col):
-        # Probe per-batch DISTINCT values against the worker-cached dict:
-        # pc.index_in would rebuild a hash of the full (possibly
-        # multi-million-key) mapping on EVERY batch, which dominated the
-        # remap stage at scale; the dictionary trick pays |uniques| dict
-        # lookups instead.
-        if not self.lookup:
+        if self.n == 0:
             return col
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if self._pl is not None:
+            pl = self._pl
+            df = pl.DataFrame({"k": pl.from_arrow(col)}).with_row_index("i")
+            j = df.join(self.map_df, on="k", how="left").sort("i")
+            out = j.select(pl.coalesce(pl.col("v"), pl.col("k"))
+                           .alias("o"))["o"].to_arrow()
+            return out.cast(pa.string())
         enc = col.dictionary_encode()
         get = self.lookup.get
         uniq = enc.dictionary.to_pylist()
