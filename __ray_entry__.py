@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_edges": _q_kg_link_edges,
         "kg_assignment": _q_kg_assignment,
         "kg_canonical_store": _q_kg_canonical,
+        "kg_canonical_staged": _q_kg_staged,
         # training-data ops (hash/LSH-based → rows-only)
         "minhash_near_dups": _q_minhash,
         "simhash_near_dups": _q_simhash,
@@ -253,6 +254,17 @@ def _q_kg_canonical(sf_dir):
     from kgruntime.pipelines.kg import build_kg
 
     return build_kg(_synth_docs(sf_dir))["canonical"]
+
+
+def _q_kg_staged(sf_dir):
+    """Parse-once staged pipeline (the bench headline shape)."""
+    import tempfile
+
+    from kgruntime.pipelines.kg import build_kg_staged
+
+    staging = tempfile.mkdtemp(prefix="kg-staging-")
+    return build_kg_staged(_synth_docs(sf_dir), staging,
+                           keep_buckets=False)["canonical"]
 
 
 # --- training-data ops (rows-only checks) ---
