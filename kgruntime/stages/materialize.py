@@ -278,3 +278,25 @@ def read_manifests(out_dir: str) -> list[dict]:
             with open(os.path.join(d, f)) as fh:
                 out.append(json.load(fh))
     return out
+
+
+def read_triple_store(out_dir: str, buckets: list[int] | None = None,
+                      columns: list[str] | None = None):
+    """Read the partitioned triple store back as a Dataset.
+
+    ``buckets`` prunes to specific subject-hash partitions (partition-
+    column filtering happens at the directory level — only the named
+    ``subj_bucket=N`` directories are scanned, the point of the layout).
+    """
+    import ray.data as rd
+
+    if buckets is None:
+        return rd.read_parquet(out_dir, columns=columns)
+    import os as _os
+
+    paths = []
+    for root, dirs, _ in _os.walk(out_dir):
+        for d in dirs:
+            if any(d == f"subj_bucket={b}" for b in buckets):
+                paths.append(_os.path.join(root, d))
+    return rd.read_parquet(paths, columns=columns)

@@ -151,3 +151,21 @@ def test_from_ttl_files_migration_path(ray_session):
         exp = canonical_lines([(rw(s, sk), sk, p, rw(o, ok), ok, dt, lg)
                                for s, sk, p, o, ok, dt, lg in exp_rows])
         assert canonical_lines(per_doc[name]) == exp, name
+
+
+def test_read_triple_store_bucket_pruning(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kgruntime.stages.materialize import read_triple_store
+
+    ds = rd.from_arrow(_triples_table(n_hot=0, n_cold=40))
+    deduped = dedup_triples(ds, num_buckets=4, keep_buckets=True)
+    out = str(tmp_path / "store")
+    write_triple_store(deduped, out, pre_bucketed=True)
+
+    full = read_triple_store(out).take_all()
+    assert len(full) == 40
+    one = read_triple_store(out, buckets=[0]).take_all()
+    assert 0 < len(one) < 40
+    assert all(r["subj_bucket"] == 0 or str(r.get("subj_bucket")) == "0"
+               for r in one)
