@@ -89,7 +89,9 @@ def run_headline(sf_dir: str) -> dict:
     # through remap → dedup (fused with the store's subject-hash
     # partitioning) → canonical store.  The only shape that is both
     # parse-once and safe at 100 TB.
-    res = build_kg_staged(docs, staging, alias_table=aliases)
+    uf_mode = os.environ.get("KG_BENCH_UF_MODE", "auto")
+    res = build_kg_staged(docs, staging, alias_table=aliases,
+                          uf_mode=uf_mode)
     out_dir = f"/tmp/kgbench/out-{os.getpid()}"
     from kgruntime.stages.materialize import write_triple_store
     write_triple_store(res["canonical"], out_dir, pre_bucketed=True)

@@ -204,7 +204,8 @@ def run_checkpointed(corpus_dir: str, out_dir: str, epoch: int = 0,
 
 def build_kg_staged(docs_ds, staging_dir: str, alias_table: dict | None = None,
                     link_threshold: float = 0.85, dedup_buckets: int = 64,
-                    keep_buckets: bool = True, hot_subjects: set | None = None):
+                    keep_buckets: bool = True, hot_subjects: set | None = None,
+                    uf_mode: str = "auto"):
     """Staged variant: parse ONCE, durably.
 
     Pass 1 streams extract → raw triples+quarantine parquet (never
@@ -235,7 +236,7 @@ def build_kg_staged(docs_ds, staging_dir: str, alias_table: dict | None = None,
         alias_table = corpus_alias_table(mentions)
     edges = link_edges_dataset(mentions, alias_table,
                                threshold=link_threshold)
-    assignment, mapping = union_find(edges)
+    assignment, mapping = union_find(edges, mode=uf_mode)
     if mapping is None:
         canonical = canonicalize_triples(triples, labels_ds=assignment,
                                          via="join")
