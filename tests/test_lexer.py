@@ -92,3 +92,42 @@ def test_spans_are_char_offsets():
     toks = tokenize('<http://a/> <http://b/> "x" .')
     assert (toks[0].start, toks[0].end) == (0, 11)
     assert (toks[3].start, toks[3].end) == (28, 29)
+
+
+def test_bare_name_is_compact_iri_quirk():
+    """A bare non-keyword name followed by whitespace lexes as
+    CompactIri(name, "") with no colon — reference quirk
+    (lexing.rs:726-730 breaks to the PN_LOCAL path)."""
+    assert kinds("foo ") == [(COMPACT, ("foo", ""))]
+    # and resolves through the prefix map like any compact IRI
+    from kgruntime.ttl import BuildError, parse_turtle
+    import pytest as _pytest
+
+    with _pytest.raises(BuildError):
+        parse_turtle("foo <http://p/> <http://o/> .")
+
+
+def test_keyword_followed_by_comment_errors():
+    """`true#c` — '#' is not whitespace, so the keyword boundary check
+    fails exactly like the reference's Unexpected error."""
+    with pytest.raises(LexError):
+        tokenize("true#c")
+
+
+def test_dotted_namespace():
+    assert kinds("a.b:x") == [(COMPACT, ("a.b", "x"))]
+    # trailing dot before colon is an error both here and in the reference
+    with pytest.raises(LexError):
+        tokenize("ab.:x .")
+
+
+def test_long_string_fast_path_with_escape():
+    # backslash before the closing run forces the slow path
+    assert kinds(r'"""a\tb"""') == [(STRING, "a\tb")]
+    assert kinds('"""""" ') == [(STRING, "")]
+
+
+def test_numeric_then_statement_dot():
+    toks = kinds("<http://s/> <http://p/> 5 .")
+    assert toks[2] == (NUMERIC, ("5", "integer"))
+    assert toks[3] == (PUNCT, ".")
