@@ -247,3 +247,47 @@ def build_kg_staged(docs_ds, staging_dir: str, alias_table: dict | None = None,
                               hot_subjects=hot_subjects)
     return {"staging": staging_dir, "errors": errors,
             "assignment": assignment, "canonical": canonical}
+
+
+def build_kg_fused(docs_ds, alias_table: dict, link_threshold: float = 0.85,
+                   dedup_buckets: int = 64, keep_buckets: bool = True,
+                   hot_subjects: set | None = None, concurrency=None):
+    """Fused single-pass variant: parse + doc-local blank linking in one
+    actor-pool stage (stages/fused_link).  Only the small IRI↔KB
+    equivalence set reaches the global union-find, so the broadcast remap
+    stays broadcast-scale at ANY corpus size — this is the shape that
+    removes the per-doc mapping growth entirely (NOTES_r1 §2).
+
+    Requires a provided alias_table (there is no corpus-derivation pass
+    in the fused shape).  Returns {"errors", "edges", "assignment",
+    "canonical"}.
+    """
+    import ray
+
+    from ..stages.canon import union_find
+    from ..stages.extract import keep_errors, keep_triples
+    from ..stages.fused_link import FusedParseLink, keep_edges
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (2, max(4, (cpus * 3) // 4))
+    ref = ray.put(alias_table)
+    combined = docs_ds.map_batches(
+        FusedParseLink,
+        fn_constructor_kwargs={"alias_ref": ref,
+                               "threshold": link_threshold},
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency, num_cpus=1)
+    triples = combined.map_batches(keep_triples, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    errors = combined.map_batches(keep_errors, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    edges = combined.map_batches(keep_edges, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    assignment, mapping = union_find(edges)
+    canonical = canonicalize_triples(triples, mapping=mapping)
+    canonical = dedup_triples(canonical, num_buckets=dedup_buckets,
+                              keep_buckets=keep_buckets,
+                              hot_subjects=hot_subjects)
+    return {"errors": errors, "edges": edges, "assignment": assignment,
+            "canonical": canonical}

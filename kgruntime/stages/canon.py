@@ -393,9 +393,21 @@ class _Remap:
         return pc.take(mapped, pc.cast(enc.indices, pa.int64()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        for name in ("subj", "obj"):
+        for name, kind_name in (("subj", "subj_kind"), ("obj", "obj_kind")):
             i = batch.schema.get_field_index(name)
-            batch = batch.set_column(i, name, self._remap_col(batch[name]))
+            col = self._remap_col(batch[name])
+            batch = batch.set_column(i, name, col)
+            # a blank rewritten to a KB IRI changes kind 1 → 0; literals
+            # (kind 2) are never remapped and keep their kind
+            if kind_name in batch.schema.names:
+                ki = batch.schema.get_field_index(kind_name)
+                kinds = batch[kind_name]
+                blank_now = pc.starts_with(col, "_:")
+                new_kinds = pc.if_else(
+                    pc.equal(kinds, 2), kinds,
+                    pc.cast(pc.if_else(blank_now, 1, 0), pa.uint8()))
+                batch = batch.set_column(ki, kind_name,
+                                         pc.cast(new_kinds, pa.uint8()))
         return batch
 
 
@@ -449,8 +461,18 @@ def canonicalize_triples(triples_ds, labels_ds=None, mapping=None,
         def fold(batch: pa.Table, col=col) -> pa.Table:
             lab = batch[f"__l_{col}"]
             i = batch.schema.get_field_index(col)
-            batch = batch.set_column(
-                i, col, pc.if_else(pc.is_valid(lab), lab, batch[col]))
+            merged = pc.if_else(pc.is_valid(lab), lab, batch[col])
+            batch = batch.set_column(i, col, merged)
+            kind_name = f"{col}_kind"
+            if kind_name in batch.schema.names:
+                ki = batch.schema.get_field_index(kind_name)
+                kinds = batch[kind_name]
+                blank_now = pc.starts_with(merged, "_:")
+                new_kinds = pc.if_else(
+                    pc.equal(kinds, 2), kinds,
+                    pc.cast(pc.if_else(blank_now, 1, 0), pa.uint8()))
+                batch = batch.set_column(ki, kind_name,
+                                         pc.cast(new_kinds, pa.uint8()))
             return batch.drop_columns([f"__l_{col}"])
 
         out = out.map_batches(fold, batch_format="pyarrow")

@@ -235,3 +235,26 @@ def test_build_kg_staged_matches_build_kg(ray_session, tmp_path):
     key = ["subj", "pred", "obj", "obj_datatype", "obj_lang"]
     assert sorted(tuple(r[k] for k in key) for r in mem) == \
         sorted(tuple(r[k] for k in key) for r in staged)
+
+
+def test_build_kg_fused_matches_build_kg(ray_session):
+    """The fused parse+link shape must produce the identical canonical
+    store as the staged/unfused pipeline (given the same alias table)."""
+    from kgruntime.pipelines.kg import build_kg, build_kg_fused
+    from kgruntime.stages.linking import build_alias_table
+    from kgruntime.synth import goldens
+    from kgruntime.ttl import parse_turtle
+    from kgruntime.ttl.builder import LITERAL, XSD_STRING
+
+    names = {r[3] for _, src, _ in goldens() for r in parse_turtle(src)
+             if r[4] == LITERAL and (r[5] == XSD_STRING or r[6])}
+    aliases = build_alias_table(names)
+
+    ref = build_kg(_docs(ray_session, n=58), alias_table=aliases,
+                   materialize_intermediate=True)["canonical"].take_all()
+    fused = build_kg_fused(_docs(ray_session, n=58), alias_table=aliases,
+                           keep_buckets=False)["canonical"].take_all()
+    key = ["subj", "subj_kind", "pred", "obj", "obj_kind",
+           "obj_datatype", "obj_lang"]
+    assert sorted(tuple(r[k] for k in key) for r in ref) == \
+        sorted(tuple(r[k] for k in key) for r in fused)
