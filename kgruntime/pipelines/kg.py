@@ -251,7 +251,8 @@ def build_kg_staged(docs_ds, staging_dir: str, alias_table: dict | None = None,
 
 def build_kg_fused(docs_ds, alias_table: dict, link_threshold: float = 0.85,
                    dedup_buckets: int = 64, keep_buckets: bool = True,
-                   hot_subjects: set | None = None, concurrency=None):
+                   hot_subjects: set | None = None, concurrency=None,
+                   staging_dir: str | None = None):
     """Fused single-pass variant: parse + doc-local blank linking in one
     actor-pool stage (stages/fused_link).  Only the small IRI↔KB
     equivalence set reaches the global union-find, so the broadcast remap
@@ -278,6 +279,14 @@ def build_kg_fused(docs_ds, alias_table: dict, link_threshold: float = 0.85,
                                "threshold": link_threshold},
         batch_format="pyarrow", batch_size=1024,
         concurrency=concurrency, num_cpus=1)
+    if staging_dir is not None:
+        # parse+link ONCE into a durable staging table; the three
+        # consumers (edges, errors, canonical) stream from parquet
+        # instead of re-executing the fused stage per consumer
+        import ray.data as rd
+
+        combined.write_parquet(staging_dir)
+        combined = rd.read_parquet(staging_dir)
     triples = combined.map_batches(keep_triples, batch_format="pyarrow",
                                    zero_copy_batch=True)
     errors = combined.map_batches(keep_errors, batch_format="pyarrow",
