@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assignment": _q_kg_assignment,
         "kg_canonical_store": _q_kg_canonical,
         "kg_canonical_staged": _q_kg_staged,
+        "kg_canonical_fused": _q_kg_fused,
         # training-data ops (hash/LSH-based → rows-only)
         "minhash_near_dups": _q_minhash,
         "simhash_near_dups": _q_simhash,
@@ -265,6 +266,26 @@ def _q_kg_staged(sf_dir):
     staging = tempfile.mkdtemp(prefix="kg-staging-")
     return build_kg_staged(_synth_docs(sf_dir), staging,
                            keep_buckets=False)["canonical"]
+
+
+def _q_kg_fused(sf_dir):
+    """Fused parse + doc-local blank linking (the beyond-broadcast
+    scale shape; parity with the unfused pipeline is pytest-verified)."""
+    import tempfile
+
+    from kgruntime.pipelines.kg import build_kg_fused
+    from kgruntime.stages.linking import build_alias_table
+    from kgruntime.synth import goldens
+    from kgruntime.ttl import parse_turtle
+    from kgruntime.ttl.builder import LITERAL, XSD_STRING
+
+    names = {r[3] for _, src, _ in goldens() for r in parse_turtle(src)
+             if r[4] == LITERAL and (r[5] == XSD_STRING or r[6])}
+    staging = tempfile.mkdtemp(prefix="kg-fused-")
+    return build_kg_fused(_synth_docs(sf_dir),
+                          alias_table=build_alias_table(names),
+                          keep_buckets=False,
+                          staging_dir=staging)["canonical"]
 
 
 # --- training-data ops (rows-only checks) ---
