@@ -169,3 +169,19 @@ def test_read_triple_store_bucket_pruning(ray_session, tmp_path):
     assert 0 < len(one) < 40
     assert all(r["subj_bucket"] == 0 or str(r.get("subj_bucket")) == "0"
                for r in one)
+
+
+def test_cli_corpus_pipeline(tmp_path):
+    """`python -m kgruntime.cli --corpus` runs the checkpointed pipeline
+    end-to-end in its own process (owns its own Ray session)."""
+    from kgruntime.synth import write_corpus
+
+    corpus = str(tmp_path / "c")
+    out = str(tmp_path / "o")
+    write_corpus(corpus, 20, seed=3, rows_per_file=10)
+    r = subprocess.run(
+        [sys.executable, "-m", "kgruntime.cli", "--corpus", corpus, out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=280)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "processed 2 fragments" in r.stdout
+    assert len(os.listdir(os.path.join(out, "_manifest"))) == 2
