@@ -152,3 +152,50 @@ def test_concatenated_goldens_single_doc():
     rows2 = parse_turtle(src)
     assert rows1 == rows2
     assert len(rows1) > 100
+
+
+EVAL2 = [
+    (
+        "query_string_resolution",
+        "@base <http://a/b?x=1> .\n<?y=2> <#f> <> .",
+        "<http://a/b?y=2> <http://a/b?x=1#f> <http://a/b?x=1> .",
+    ),
+    (
+        "signed_numeric_verbatim",
+        "@prefix : <http://a/> .\n:s :p +7 , -0.50 , +1.0E+2 .",
+        '<http://a/s> <http://a/p> "+7"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://a/s> <http://a/p> "-0.50"^^<http://www.w3.org/2001/XMLSchema#decimal> .\n'
+        '<http://a/s> <http://a/p> "+1.0E+2"^^<http://www.w3.org/2001/XMLSchema#double> .',
+    ),
+    (
+        "anon_inside_collection",
+        "PREFIX : <http://a/>\n:s :p ( [ :q :r ] ) .",
+        "_:0 <http://a/q> <http://a/r> .\n"
+        "_:1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/1999/02/22-rdf-syntax-ns#List> .\n"
+        "_:1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> _:0 .\n"
+        "_:1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .\n"
+        "<http://a/s> <http://a/p> _:1 .",
+    ),
+    (
+        "langtag_case_preserved",
+        '@prefix : <http://a/> .\n:s :p "x"@en-US .',
+        '<http://a/s> <http://a/p> "x"@en-US .',
+    ),
+    (
+        "empty_prefix_with_colon_local",
+        "@prefix : <http://a/ns#> .\n:s :p ::x .",
+        "<http://a/ns#s> <http://a/ns#p> <http://a/ns#:x> .",
+    ),
+    (
+        "labeled_blank_both_positions",
+        "@prefix : <http://a/> .\n_:x :p _:y .\n_:y :q _:x .",
+        "_:x <http://a/p> _:y .\n_:y <http://a/q> _:x .",
+    ),
+]
+
+
+@pytest.mark.parametrize("name,src,expected", EVAL2,
+                         ids=[e[0] for e in EVAL2])
+def test_eval2(name, src, expected):
+    got = canonical_lines(parse_turtle(src))
+    assert got == canonical_lines(parse_nquads(expected))
