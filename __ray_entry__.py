@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discounted_orders": R.q_discounted_orders,
         "customers_without_orders": R.q_customers_without_orders,
         "distinct_users_per_type": R.q_distinct_users_per_type,
+        "shipping_priority": R.q_shipping_priority,
         # text analysis (SQL-backed)
         "doc_stats": _q_doc_stats,
         "token_stats": _q_token_stats,
@@ -385,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "discounted_orders": R.Q_DISCOUNTED_ORDERS_SQL,
         "customers_without_orders": R.Q_CUSTOMERS_WITHOUT_ORDERS_SQL,
         "distinct_users_per_type": R.Q_DISTINCT_USERS_PER_TYPE_SQL,
+        "shipping_priority": R.Q_SHIPPING_PRIORITY_SQL,
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,

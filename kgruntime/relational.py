@@ -398,3 +398,69 @@ Q_DISTINCT_USERS_PER_TYPE_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority: 3-table pipeline via two broadcast stages —
+# customer segment filters orders, qualifying orders filter lineitem,
+# revenue aggregates per order, deterministic top-10
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(_path(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_keys = pc.unique(cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .combine_chunks())
+
+    orders = pq.read_table(_path(sf_dir, "orders"),
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cutoff = pa.scalar("1995-03-15").cast(pa.timestamp("us"))
+    o_keep = orders.filter(pc.and_(
+        pc.is_valid(pc.index_in(orders["o_custkey"], value_set=seg_keys)),
+        pc.less(orders["o_orderdate"], cutoff)))
+    okeys = pc.unique(o_keep["o_orderkey"].combine_chunks())
+    odates = dict(zip(o_keep["o_orderkey"].to_pylist(),
+                      o_keep["o_orderdate"].to_pylist()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(pc.index_in(t["l_orderkey"], value_set=okeys)),
+            pc.greater(t["l_shipdate"], cutoff)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.Table.from_arrays([t["l_orderkey"], rev],
+                                    names=["o_orderkey", "revenue"])
+
+    agg = li.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue")) \
+        .to_pandas()
+    agg["revenue"] = agg["revenue"].round(4)
+    agg["o_orderdate"] = agg["o_orderkey"].map(odates)
+    top = agg.sort_values(["revenue", "o_orderkey"],
+                          ascending=[False, True]).head(10)
+    return top[["o_orderkey", "revenue", "o_orderdate"]] \
+        .reset_index(drop=True)
+
+
+Q_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
