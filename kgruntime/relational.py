@@ -43,6 +43,18 @@ def _round_cols(df, cols, digits=6):
     return df
 
 
+def _to_int64(col, scale: int) -> pa.Array:
+    """round(col * scale) as exact int64 (money→cents etc.).  Makes
+    distributed sums order-independent; the oracle SQL mirrors it."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))),
+                   pa.int64())
+
+
+def _money_cents(col) -> pa.Array:
+    return _to_int64(col, 100)
+
+
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary (scan → filter → groupby-agg → sort)
 # ---------------------------------------------------------------------------
@@ -58,31 +70,43 @@ def q_pricing_summary(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["l_shipdate"],
                              pa.scalar(cutoff).cast(pa.timestamp("us"))))
-        disc_price = pc.multiply(t["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        # money in integer cents / discount in basis points: float sums
+        # over 10^5+ rows are summation-order-dependent at the 1e-4
+        # rounding boundary, so both this and the oracle SQL sum EXACT
+        # int64 and divide once at the end
+        cents = _money_cents(t["l_extendedprice"])
+        bp = _to_int64(t["l_discount"], 10_000)
+        disc_n = pc.multiply(cents, pc.subtract(pa.scalar(10_000, pa.int64()),
+                                                bp))
         return pa.Table.from_arrays(
             [t["l_returnflag"], t["l_linestatus"], t["l_quantity"],
-             t["l_extendedprice"], disc_price],
-            names=["l_returnflag", "l_linestatus", "qty", "price", "disc_price"])
+             cents, disc_n],
+            names=["l_returnflag", "l_linestatus", "qty", "cents", "disc_n"])
 
     out = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby(["l_returnflag", "l_linestatus"]) \
         .aggregate(Sum("qty", alias_name="sum_qty"),
-                   Sum("price", alias_name="sum_base_price"),
-                   Sum("disc_price", alias_name="sum_disc_price"),
+                   Sum("cents", alias_name="sum_cents"),
+                   Sum("disc_n", alias_name="sum_disc_n"),
                    Mean("qty", alias_name="avg_qty"),
                    Count(alias_name="count_order"))
     df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]) \
         .reset_index(drop=True)
-    return _round_cols(df, ["sum_qty", "sum_base_price", "sum_disc_price",
-                            "avg_qty"], 4)
+    df["sum_base_price"] = (df.pop("sum_cents") / 100.0).round(4)
+    df["sum_disc_price"] = (df.pop("sum_disc_n") / 1_000_000.0).round(4)
+    df = df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "avg_qty", "count_order"]]
+    return _round_cols(df, ["sum_qty", "avg_qty"], 4)
 
 
 Q_PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4)                          AS sum_qty,
-       round(sum(l_extendedprice), 4)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4)
+                                                          AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+             / 1000000.0, 4)                              AS sum_disc_price,
        round(avg(l_quantity), 4)                          AS avg_qty,
        count(*)                                           AS count_order
 FROM lineitem
@@ -100,16 +124,25 @@ def q_orders_by_status(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
-    df = ds.groupby("o_orderstatus") \
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_orderstatus"], _money_cents(t["o_totalprice"])],
+            names=["o_orderstatus", "cents"])
+
+    df = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("o_orderstatus") \
         .aggregate(Count(alias_name="n_orders"),
-                   Sum("o_totalprice", alias_name="total_price")) \
+                   Sum("cents", alias_name="cents")) \
         .to_pandas().sort_values("o_orderstatus").reset_index(drop=True)
-    return _round_cols(df, ["total_price"], 4)
+    df["total_price"] = (df.pop("cents") / 100.0).round(4)
+    return df[["o_orderstatus", "n_orders", "total_price"]]
 
 
 Q_ORDERS_BY_STATUS_SQL = """
 SELECT o_orderstatus, count(*) AS n_orders,
-       round(sum(o_totalprice), 4) AS total_price
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4)
+           AS total_price
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
@@ -282,19 +315,25 @@ def q_revenue_by_part_type(sf_dir: str):
 
     def attach(t: pa.Table) -> pa.Table:
         idx = pc.index_in(t["l_partkey"], value_set=keys)
-        revenue = pc.multiply(t["l_extendedprice"],
-                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = _money_cents(t["l_extendedprice"])
+        bp = _to_int64(t["l_discount"], 10_000)
+        rev_n = pc.multiply(cents, pc.subtract(pa.scalar(10_000, pa.int64()),
+                                               bp))
         return pa.Table.from_arrays(
-            [pc.take(vals, idx), revenue], names=["p_type", "revenue"])
+            [pc.take(vals, idx), rev_n], names=["p_type", "rev_n"])
 
     df = ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("p_type").aggregate(Sum("revenue", alias_name="revenue")) \
+        .groupby("p_type").aggregate(Sum("rev_n", alias_name="rev_n")) \
         .to_pandas().sort_values("p_type").reset_index(drop=True)
-    return _round_cols(df, ["revenue"], 4)
+    df["revenue"] = (df.pop("rev_n") / 1_000_000.0).round(4)
+    return df[["p_type", "revenue"]]
 
 
 Q_REVENUE_BY_PART_TYPE_SQL = """
-SELECT p_type, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+SELECT p_type,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+             / 1000000.0, 4) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type ORDER BY p_type
 """
