@@ -122,7 +122,10 @@ def _q_doc_stats(sf_dir):
                    Mean("n_chars", alias_name="avg_chars"),
                    Sum("n_chars", alias_name="total_chars")) \
         .to_pandas().sort_values("source").reset_index(drop=True)
-    df["avg_chars"] = df["avg_chars"].round(4)
+    # half-away-from-zero like the DuckDB oracle round(); integer means
+    # can be exactly dyadic (odd-sum/2^k) where banker's rounding differs
+    v = df["avg_chars"].to_numpy(np.float64)
+    df["avg_chars"] = np.copysign(np.floor(np.abs(v) * 1e4 + 0.5), v) / 1e4
     return df
 
 
@@ -151,13 +154,12 @@ def _q_lang_distribution(sf_dir):
 
 
 def _q_exact_dup_docs(sf_dir):
-    from ray.data.aggregate import Count, Min
+    # shuffle keyed on the 128-bit content hash (16-byte key), with text
+    # verified exactly inside each hash group — never a full-text
+    # groupby key (kgruntime/ops/dedup.py:exact_dedup_groups)
+    from kgruntime.ops.dedup import exact_dedup_groups
 
-    df = _docs_ds(sf_dir).groupby("text") \
-        .aggregate(Min("doc_id", alias_name="keep_id"),
-                   Count(alias_name="n_dups")) \
-        .to_pandas()
-    return df[["text", "keep_id", "n_dups"]] \
+    return exact_dedup_groups(_docs_ds(sf_dir)).to_pandas() \
         .sort_values("keep_id").reset_index(drop=True)
 
 
@@ -186,7 +188,10 @@ _ANN_K = 5
 
 
 def _load_queries(sf_dir):
+    # sort before slicing: the oracle selects ORDER BY vec_id LIMIT N,
+    # and parquet file order is not guaranteed to match
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.sort_by("vec_id")
     ids = t["vec_id"].to_pylist()[:_ANN_N_QUERIES]
     q = np.array(t["embedding"].to_pylist()[:_ANN_N_QUERIES], np.float64)
     return q, ids

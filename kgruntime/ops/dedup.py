@@ -21,11 +21,23 @@ shuffle only (small) signature/pair rows, never document text.
 
 from __future__ import annotations
 
+import hashlib
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+logger = logging.getLogger(__name__)
+
+
+def _stable_hash64(data: bytes) -> int:
+    """Process-stable 63-bit hash (builtin ``hash`` is SipHash-salted per
+    process — never usable as a shuffle key across Ray workers)."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(),
+                          "big") & 0x7FFFFFFFFFFFFFFF
 
 
 # ---------------------------------------------------------------------------
@@ -33,15 +45,15 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 # ---------------------------------------------------------------------------
 
 def add_text_hash(batch: pa.Table) -> pa.Table:
-    """Append a 64-bit content hash of ``text`` (vectorized-ish; crc64 via
-    two crc32 passes is plenty for bucketing + exactness is re-checked by
-    the groupby on the hash *and* length)."""
-    import zlib
-
+    """Append a 128-bit content hash of ``text`` as a hex string.  At
+    billions of docs a 64-bit hash WILL collide (birthday bound ~5B at
+    p=0.5); 128-bit blake2b keeps false merges below 1e-18 even at
+    10^12 docs, and ``exact_dedup_groups`` re-verifies text within each
+    hash group anyway."""
     texts = batch["text"].to_pylist()
-    h = [(zlib.crc32(t.encode()) << 32) | zlib.crc32(t[::-1].encode())
+    h = [hashlib.blake2b(t.encode(), digest_size=16).hexdigest()
          for t in texts]
-    return batch.append_column("text_hash", pa.array(h, pa.uint64()))
+    return batch.append_column("text_hash", pa.array(h, pa.string()))
 
 
 def exact_dedup(docs_ds):
@@ -54,6 +66,30 @@ def exact_dedup(docs_ds):
         .groupby("text_hash") \
         .aggregate(Min("doc_id", alias_name="keep_id"),
                    Count(alias_name="n_dups"))
+
+
+def _exact_group(g: pa.Table) -> pa.Table:
+    """Within one 128-bit-hash group, verify text equality exactly and
+    emit one row per DISTINCT text — a hash collision can never silently
+    merge two different documents."""
+    import pandas as pd
+
+    df = pd.DataFrame({"text": g["text"].to_pylist(),
+                       "doc_id": g["doc_id"].to_pylist()})
+    out = df.groupby("text", sort=False).agg(
+        keep_id=("doc_id", "min"), n_dups=("doc_id", "count")).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def exact_dedup_groups(docs_ds):
+    """Exact duplicate groups with text retained: shuffles keyed on the
+    16-byte content hash (never the full text), verifies text within each
+    hash group.  Returns (text, keep_id, n_dups)."""
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(add_text_hash, batch_format="pyarrow") \
+        .groupby("text_hash") \
+        .map_groups(_exact_group, batch_format="pyarrow") \
+        .select_columns(["text", "keep_id", "n_dups"])
 
 
 # ---------------------------------------------------------------------------
@@ -106,12 +142,28 @@ class MinHasher:
                 chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
                 out_doc.append(d)
                 out_band.append(b)
-                out_hash.append(hash(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+                # process-stable hash: builtin hash() is SipHash-salted
+                # per worker process and would silently break the
+                # cross-actor (band, band_hash) groupby
+                out_hash.append(_stable_hash64(chunk.tobytes()))
                 out_sig.append(sig_bytes)
         return pa.Table.from_arrays(
             [pa.array(out_doc), pa.array(out_band, pa.int32()),
              pa.array(out_hash, pa.int64()), pa.array(out_sig, pa.binary())],
             names=["doc_id", "band", "band_hash", "sig"])
+
+
+def _cap_hot_bucket(items: list, cap: int, where: str) -> list:
+    """Hot-bucket guard: keep pair generation O(cap²) in a degenerate
+    bucket, and LOG how many candidates were dropped (a silent cap reads
+    as full recall when it isn't)."""
+    if len(items) > cap:
+        logger.warning(
+            "%s: hot bucket truncated %d -> %d members (%d dropped); "
+            "near-dup recall inside this bucket is incomplete",
+            where, len(items), cap, len(items) - cap)
+        return items[:cap]
+    return items
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
@@ -123,7 +175,7 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     uniq = {}
     for i, s in zip(ids, sigs):
         uniq.setdefault(i, s)
-    items = sorted(uniq.items())[:200]  # hot-bucket guard (logged cap)
+    items = _cap_hot_bucket(sorted(uniq.items()), 200, "minhash_lsh")
     a_col, b_col, jac = [], [], []
     for i in range(len(items)):
         ai, asig = items[i]
@@ -221,19 +273,20 @@ class SimHasher:
     def signature(self, text: str) -> int:
         import zlib
 
-        import zlib
-
-        acc = np.zeros(64, np.int64)
-        for tok in set(text.split()):
-            h = np.uint64((zlib.crc32(tok.encode()) |
-                           (zlib.crc32(tok[::-1].encode()) << 32)) &
-                          0xFFFFFFFFFFFFFFFF)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        sig = np.uint64(0)
-        for i in np.nonzero(acc > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(i)
-        return int(sig)
+        toks = set(text.split())
+        if not toks:
+            return 0
+        # one 64-bit hash per token, then all 64 bit-planes at once:
+        # (n_tokens, 64) sign matrix summed down the token axis
+        hs = np.array([(zlib.crc32(t.encode()) |
+                        (zlib.crc32(t[::-1].encode()) << 32)) &
+                       0xFFFFFFFFFFFFFFFF for t in toks], np.uint64)
+        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) \
+            & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        sig_bits = (acc > 0).astype(np.uint64)
+        return int((sig_bits << np.arange(64, dtype=np.uint64)).sum(
+            dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_doc, out_band, out_key, out_sig = [], [], [], []
@@ -256,7 +309,7 @@ class SimHasher:
 def _sim_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
     ids = group["doc_id"].to_pylist()
     sigs = group["sig"].to_pylist()
-    uniq = sorted(set(zip(ids, sigs)))[:200]
+    uniq = _cap_hot_bucket(sorted(set(zip(ids, sigs))), 200, "simhash")
     a_col, b_col, ham = [], [], []
     for i in range(len(uniq)):
         for j in range(i + 1, len(uniq)):
@@ -321,9 +374,9 @@ class HyperplaneLSH:
 
 
 def _cos_pairs(group: pa.Table, threshold: float) -> pa.Table:
-    ids = group["vec_id"].to_pylist()
-    emb = np.array(group["embedding"].to_pylist(), dtype=np.float64)[:256]
-    ids = ids[:256]
+    ids = _cap_hot_bucket(group["vec_id"].to_pylist(), 256, "embedding_lsh")
+    emb = np.array(group["embedding"].to_pylist(),
+                   dtype=np.float64)[:len(ids)]
     if len(ids) < 2:
         return pa.Table.from_arrays(
             [pa.array([], pa.int64()), pa.array([], pa.int64()),

@@ -22,13 +22,19 @@ def _sessionize_group(g: pd.DataFrame) -> pd.DataFrame:
     g = g.sort_values(["ts", "event_id"])
     gap = g["ts"].diff().dt.total_seconds().div(60)
     new_session = (gap.isna() | (gap > SESSION_GAP_MIN)).cumsum()
+    import numpy as np
+
+    # sum exact integer cents, not floats: float sums are summation-
+    # order-dependent in the last ulp, which breaks the value-hash gate
+    # (the oracle SQL mirrors the cents formula)
+    g = g.assign(cents=np.rint(g["value"].to_numpy() * 100).astype(np.int64))
     out = g.groupby(new_session).agg(
         user_id=("user_id", "first"),
         session_start=("ts", "min"),
         n_events=("event_id", "count"),
-        total_value=("value", "sum"),
+        cents=("cents", "sum"),
     )
-    out["total_value"] = out["total_value"].round(4)
+    out["total_value"] = out.pop("cents") / 100.0
     return out.reset_index(drop=True)
 
 
@@ -55,36 +61,52 @@ sessions AS (
   FROM marked
 )
 SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-       round(sum(value), 4) AS total_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM sessions GROUP BY user_id, session_id
 ORDER BY user_id, session_start
 """
 
 
-def _tumbling_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.copy()
-    g["window_start"] = g["ts"].dt.floor("1h")
-    out = g.groupby("window_start").agg(
-        event_type=("event_type", "first"),
-        n_events=("event_id", "count"),
-        total_value=("value", "sum"),
-    )
-    out["total_value"] = out["total_value"].round(4)
-    return out.reset_index()
-
-
 def tumbling_hourly(events_ds):
     """Tumbling 1-hour windows per event_type:
-    (event_type, window_start, n_events, total_value)."""
-    out = events_ds.groupby("event_type").map_groups(
-        _tumbling_group, batch_format="pandas")
-    return out.select_columns(["event_type", "window_start", "n_events",
-                               "total_value"])
+    (event_type, window_start, n_events, total_value).
+
+    A plain (type, hour) rollup — native hash ``groupby().aggregate``
+    (pre-aggregated per block by Ray), NOT ``map_groups``: with ~5 event
+    types a per-type pandas group would hold 1/5 of the whole corpus in
+    one worker's heap.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                    pa.timestamp("us"))
+        # exact integer cents: distributed float sums are summation-
+        # order-dependent in the last ulp (oracle mirrors the formula)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.Table.from_arrays(
+            [t["event_type"], w, cents],
+            names=["event_type", "window_start", "cents"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("cents")
+        total = pc.divide(pc.cast(t["cents"], pa.float64()), 100.0)
+        return t.set_column(i, "total_value", total)
+
+    return events_ds.map_batches(add_window, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby(["event_type", "window_start"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("cents", alias_name="cents")) \
+        .map_batches(finish, batch_format="pyarrow")
 
 
 TUMBLING_HOURLY_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
-       count(*) AS n_events, round(sum(value), 4) AS total_value
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY event_type, window_start
 ORDER BY event_type, window_start
 """

@@ -294,7 +294,13 @@ def build_kg_fused(docs_ds, alias_table: dict, link_threshold: float = 0.85,
     edges = combined.map_batches(keep_edges, batch_format="pyarrow",
                                  zero_copy_batch=True)
     assignment, mapping = union_find(edges)
-    canonical = canonicalize_triples(triples, mapping=mapping)
+    if mapping is None:
+        # edge set beyond broadcast scale (distributed-UF regime): use
+        # the all-shuffle join remap, same as build_kg/build_kg_staged
+        canonical = canonicalize_triples(triples, labels_ds=assignment,
+                                         via="join")
+    else:
+        canonical = canonicalize_triples(triples, mapping=mapping)
     canonical = dedup_triples(canonical, num_buckets=dedup_buckets,
                               keep_buckets=keep_buckets,
                               hot_subjects=hot_subjects)

@@ -38,8 +38,15 @@ def _read(sf_dir: str, name: str, columns=None):
 
 
 def _round_cols(df, cols, digits=6):
+    """Round half-AWAY-from-zero to match DuckDB ``round()`` — pandas
+    ``.round`` is banker's (half-even), which diverges on exactly-dyadic
+    means (e.g. odd-sum/32 → .03125) and breaks the value-hash gate."""
+    import numpy as np
+
+    scale = 10.0 ** digits
     for c in cols:
-        df[c] = df[c].round(digits)
+        v = df[c].to_numpy(dtype=np.float64)
+        df[c] = np.copysign(np.floor(np.abs(v) * scale + 0.5), v) / scale
     return df
 
 
@@ -92,11 +99,12 @@ def q_pricing_summary(sf_dir: str):
                    Count(alias_name="count_order"))
     df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]) \
         .reset_index(drop=True)
-    df["sum_base_price"] = (df.pop("sum_cents") / 100.0).round(4)
-    df["sum_disc_price"] = (df.pop("sum_disc_n") / 1_000_000.0).round(4)
+    df["sum_base_price"] = df.pop("sum_cents") / 100.0
+    df["sum_disc_price"] = df.pop("sum_disc_n") / 1_000_000.0
     df = df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
              "sum_disc_price", "avg_qty", "count_order"]]
-    return _round_cols(df, ["sum_qty", "avg_qty"], 4)
+    return _round_cols(df, ["sum_qty", "sum_base_price", "sum_disc_price",
+                            "avg_qty"], 4)
 
 
 Q_PRICING_SUMMARY_SQL = """
@@ -135,8 +143,9 @@ def q_orders_by_status(sf_dir: str):
         .aggregate(Count(alias_name="n_orders"),
                    Sum("cents", alias_name="cents")) \
         .to_pandas().sort_values("o_orderstatus").reset_index(drop=True)
-    df["total_price"] = (df.pop("cents") / 100.0).round(4)
-    return df[["o_orderstatus", "n_orders", "total_price"]]
+    df["total_price"] = df.pop("cents") / 100.0
+    return _round_cols(df[["o_orderstatus", "n_orders", "total_price"]],
+                       ["total_price"], 4)
 
 
 Q_ORDERS_BY_STATUS_SQL = """
@@ -160,10 +169,17 @@ def q_top_customers(sf_dir: str):
                      cust["c_name"].to_pylist()))
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    agg = orders.groupby("o_custkey") \
-        .aggregate(Sum("o_totalprice", alias_name="revenue")) \
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_custkey"], _money_cents(t["o_totalprice"])],
+            names=["o_custkey", "cents"])
+
+    agg = orders.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("o_custkey").aggregate(Sum("cents", alias_name="cents")) \
         .to_pandas()
-    agg["revenue"] = agg["revenue"].round(4)
+    agg["revenue"] = agg.pop("cents") / 100.0
     agg["c_name"] = agg["o_custkey"].map(names)
     agg = agg.rename(columns={"o_custkey": "c_custkey"})
     top = agg.sort_values(["revenue", "c_custkey"],
@@ -172,7 +188,8 @@ def q_top_customers(sf_dir: str):
 
 
 Q_TOP_CUSTOMERS_SQL = """
-SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS revenue
+SELECT c_custkey, c_name,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey ASC
@@ -202,19 +219,21 @@ def q_customers_per_region(sf_dir: str):
         keys = pa.array(sorted(n_to_region), pa.int32())
         vals = pa.array([n_to_region[k] for k in sorted(n_to_region)])
         idx = pc.index_in(t["c_nationkey"], value_set=keys)
-        return t.append_column("r_name", pc.take(vals, idx))
+        t = t.append_column("r_name", pc.take(vals, idx))
+        return t.append_column("cents", _money_cents(t["c_acctbal"]))
 
     df = cust.map_batches(attach, batch_format="pyarrow") \
         .groupby("r_name") \
         .aggregate(Count(alias_name="n_customers"),
-                   Sum("c_acctbal", alias_name="total_acctbal")) \
+                   Sum("cents", alias_name="cents")) \
         .to_pandas().sort_values("r_name").reset_index(drop=True)
-    return _round_cols(df, ["total_acctbal"], 4)
+    df["total_acctbal"] = df.pop("cents") / 100.0
+    return df
 
 
 Q_CUSTOMERS_PER_REGION_SQL = """
 SELECT r_name, count(*) AS n_customers,
-       round(sum(c_acctbal), 4) AS total_acctbal
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -235,20 +254,21 @@ def q_events_by_type_day(sf_dir: str):
         day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
                       pa.timestamp("us"))
         return pa.Table.from_arrays(
-            [t["event_type"], day, t["value"]],
-            names=["event_type", "day", "value"])
+            [t["event_type"], day, _money_cents(t["value"])],
+            names=["event_type", "day", "cents"])
 
     df = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby(["event_type", "day"]) \
         .aggregate(Count(alias_name="n_events"),
-                   Sum("value", alias_name="total_value")) \
+                   Sum("cents", alias_name="cents")) \
         .to_pandas().sort_values(["event_type", "day"]).reset_index(drop=True)
-    return _round_cols(df, ["total_value"], 4)
+    df["total_value"] = df.pop("cents") / 100.0
+    return df
 
 
 Q_EVENTS_BY_TYPE_DAY_SQL = """
 SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events,
-       round(sum(value), 4) AS total_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY event_type, day ORDER BY event_type, day
 """
 
@@ -261,16 +281,26 @@ def q_user_activity(sf_dir: str):
     from ray.data.aggregate import Count, Max, Sum
 
     ds = _read(sf_dir, "events", columns=["user_id", "value"])
-    df = ds.groupby("user_id") \
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["user_id"], _money_cents(t["value"]), t["value"]],
+            names=["user_id", "cents", "value"])
+
+    df = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("user_id") \
         .aggregate(Count(alias_name="n_events"),
-                   Sum("value", alias_name="sum_value"),
+                   Sum("cents", alias_name="cents"),
                    Max("value", alias_name="max_value")) \
         .to_pandas().sort_values("user_id").reset_index(drop=True)
-    return _round_cols(df, ["sum_value", "max_value"], 4)
+    df["sum_value"] = df.pop("cents") / 100.0
+    df = df[["user_id", "n_events", "sum_value", "max_value"]]
+    return _round_cols(df, ["max_value"], 4)
 
 
 Q_USER_ACTIVITY_SQL = """
-SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+SELECT user_id, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
@@ -325,8 +355,8 @@ def q_revenue_by_part_type(sf_dir: str):
     df = ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("p_type").aggregate(Sum("rev_n", alias_name="rev_n")) \
         .to_pandas().sort_values("p_type").reset_index(drop=True)
-    df["revenue"] = (df.pop("rev_n") / 1_000_000.0).round(4)
-    return df[["p_type", "revenue"]]
+    df["revenue"] = df.pop("rev_n") / 1_000_000.0
+    return _round_cols(df[["p_type", "revenue"]], ["revenue"], 4)
 
 
 Q_REVENUE_BY_PART_TYPE_SQL = """
@@ -344,33 +374,51 @@ GROUP BY p_type ORDER BY p_type
 # no shuffle of either side; ray_guide "Semi / anti join" pattern)
 # ---------------------------------------------------------------------------
 
+def _distinct_keys(ds, filter_fn, key_col: str) -> pa.Array:
+    """Distinct qualifying keys computed IN RAY (per-batch filter +
+    pre-dedup, then a distributed distinct) — the driver only receives
+    the small broadcast key set, never the fact table."""
+    def batch_keys(t: pa.Table) -> pa.Table:
+        keep = filter_fn(t)
+        return pa.Table.from_arrays(
+            [pc.unique(keep[key_col].combine_chunks())], names=[key_col])
+
+    vals = ds.map_batches(batch_keys, batch_format="pyarrow",
+                          zero_copy_batch=True).unique(key_col)
+    return pa.array(sorted(vals))
+
+
 def q_discounted_orders(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
-    li = pq.read_table(_path(sf_dir, "lineitem"),
-                       columns=["l_orderkey", "l_discount"])
-    keys = pc.unique(li.filter(
-        pc.greater(li["l_discount"], 0.09))["l_orderkey"].combine_chunks())
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_discount"])
+    keys = _distinct_keys(
+        li, lambda t: t.filter(pc.greater(t["l_discount"], 0.09)),
+        "l_orderkey")
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
 
     def semi(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_valid(pc.index_in(t["o_orderkey"],
-                                                value_set=keys)))
+        t = t.filter(pc.is_valid(pc.index_in(t["o_orderkey"],
+                                             value_set=keys)))
+        return pa.Table.from_arrays(
+            [t["o_orderpriority"], _money_cents(t["o_totalprice"])],
+            names=["o_orderpriority", "cents"])
 
     df = orders.map_batches(semi, batch_format="pyarrow",
                             zero_copy_batch=True) \
         .groupby("o_orderpriority") \
         .aggregate(Count(alias_name="n_orders"),
-                   Sum("o_totalprice", alias_name="total_price")) \
+                   Sum("cents", alias_name="cents")) \
         .to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
-    return _round_cols(df, ["total_price"], 4)
+    df["total_price"] = df.pop("cents") / 100.0
+    return df
 
 
 Q_DISCOUNTED_ORDERS_SQL = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 4) AS total_price
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
 FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
@@ -385,10 +433,10 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 def q_customers_without_orders(sf_dir: str):
     # anti-join against a selective subquery (customers lacking any
     # finished order) so the result is non-trivial at every sf
-    ot = pq.read_table(_path(sf_dir, "orders"),
-                       columns=["o_custkey", "o_orderstatus"])
-    keys = pc.unique(ot.filter(
-        pc.equal(ot["o_orderstatus"], "F"))["o_custkey"].combine_chunks())
+    keys = _distinct_keys(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]),
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")),
+        "o_custkey")
 
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_name", "c_mktsegment"])
@@ -448,50 +496,80 @@ FROM events GROUP BY event_type ORDER BY event_type
 def q_shipping_priority(sf_dir: str):
     from ray.data.aggregate import Sum
 
-    cust = pq.read_table(_path(sf_dir, "customer"),
-                         columns=["c_custkey", "c_mktsegment"])
-    seg_keys = pc.unique(cust.filter(
-        pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
-        .combine_chunks())
+    # stage 1: BUILDING-segment customer keys (small broadcast set), in Ray
+    seg_keys = _distinct_keys(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        "c_custkey")
 
-    orders = pq.read_table(_path(sf_dir, "orders"),
-                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    # stage 2: qualifying order keys via broadcast semi-join, in Ray —
+    # the orders fact table never touches the driver
     cutoff = pa.scalar("1995-03-15").cast(pa.timestamp("us"))
-    o_keep = orders.filter(pc.and_(
-        pc.is_valid(pc.index_in(orders["o_custkey"], value_set=seg_keys)),
-        pc.less(orders["o_orderdate"], cutoff)))
-    okeys = pc.unique(o_keep["o_orderkey"].combine_chunks())
-    odates = dict(zip(o_keep["o_orderkey"].to_pylist(),
-                      o_keep["o_orderdate"].to_pylist()))
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(
+            pc.is_valid(pc.index_in(t["o_custkey"], value_set=seg_keys)),
+            pc.less(t["o_orderdate"], cutoff)))
+
+    okeys = _distinct_keys(orders, o_filter, "o_orderkey")
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount",
                         "l_shipdate"])
 
     def prep(t: pa.Table) -> pa.Table:
+        # exact fixed-point revenue (cents × basis points): float sums
+        # are summation-order-dependent; the oracle mirrors the formula
         t = t.filter(pc.and_(
             pc.is_valid(pc.index_in(t["l_orderkey"], value_set=okeys)),
             pc.greater(t["l_shipdate"], cutoff)))
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.Table.from_arrays([t["l_orderkey"], rev],
-                                    names=["o_orderkey", "revenue"])
+        cents = _money_cents(t["l_extendedprice"])
+        bp = _to_int64(t["l_discount"], 10_000)
+        disc_n = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))
+        return pa.Table.from_arrays([t["l_orderkey"], disc_n],
+                                    names=["o_orderkey", "disc_n"])
 
-    agg = li.map_batches(prep, batch_format="pyarrow",
+    def to_revenue(t: pa.Table) -> pa.Table:
+        # revenue rounded BEFORE the top-k sort so ties break by
+        # o_orderkey exactly as the oracle's ORDER BY round(...) does;
+        # half-away-from-zero via the same floor(+0.5) formula used
+        # driver-side (matches DuckDB round on doubles)
+        import numpy as np
+
+        v = t["disc_n"].to_numpy(zero_copy_only=False) / 1_000_000.0
+        rev = np.floor(np.abs(v) * 1e4 + 0.5) * np.sign(v) / 1e4
+        return pa.Table.from_arrays(
+            [t["o_orderkey"], pa.array(rev, pa.float64())],
+            names=["o_orderkey", "revenue"])
+
+    top = li.map_batches(prep, batch_format="pyarrow",
                          zero_copy_batch=True) \
-        .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue")) \
-        .to_pandas()
-    agg["revenue"] = agg["revenue"].round(4)
-    agg["o_orderdate"] = agg["o_orderkey"].map(odates)
-    top = agg.sort_values(["revenue", "o_orderkey"],
-                          ascending=[False, True]).head(10)
+        .groupby("o_orderkey").aggregate(Sum("disc_n", alias_name="disc_n")) \
+        .map_batches(to_revenue, batch_format="pyarrow") \
+        .sort(["revenue", "o_orderkey"], descending=[True, False]) \
+        .limit(10).to_pandas()
+
+    # stage 3: dates for just the top-10 keys — a targeted broadcast
+    # filter over orders, 10 rows back to the driver
+    top_keys = pa.array(top["o_orderkey"].tolist(), okeys.type)
+    dates = orders.map_batches(
+        lambda t: t.filter(pc.is_valid(
+            pc.index_in(t["o_orderkey"], value_set=top_keys))),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    odates = dict(zip(dates["o_orderkey"], dates["o_orderdate"]))
+    top["o_orderdate"] = top["o_orderkey"].map(odates)
     return top[["o_orderkey", "revenue", "o_orderdate"]] \
         .reset_index(drop=True)
 
 
 Q_SHIPPING_PRIORITY_SQL = """
 SELECT l_orderkey AS o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+             / 1000000.0, 4) AS revenue,
        o_orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey

@@ -396,12 +396,21 @@ class _Remap:
         for name, kind_name in (("subj", "subj_kind"), ("obj", "obj_kind")):
             i = batch.schema.get_field_index(name)
             col = self._remap_col(batch[name])
-            batch = batch.set_column(i, name, col)
-            # a blank rewritten to a KB IRI changes kind 1 → 0; literals
-            # (kind 2) are never remapped and keep their kind
-            if kind_name in batch.schema.names:
-                ki = batch.schema.get_field_index(kind_name)
+            has_kind = kind_name in batch.schema.names
+            if has_kind:
                 kinds = batch[kind_name]
+                # literals (kind 2) are NEVER remapped — a literal whose
+                # lexical value equals a mapped node id must keep its
+                # original value, not just its kind
+                col = pc.if_else(pc.equal(kinds, 2),
+                                 batch[name].combine_chunks()
+                                 if isinstance(batch[name], pa.ChunkedArray)
+                                 else batch[name],
+                                 col)
+            batch = batch.set_column(i, name, col)
+            # a blank rewritten to a KB IRI changes kind 1 → 0
+            if has_kind:
+                ki = batch.schema.get_field_index(kind_name)
                 blank_now = pc.starts_with(col, "_:")
                 new_kinds = pc.if_else(
                     pc.equal(kinds, 2), kinds,
@@ -462,8 +471,15 @@ def canonicalize_triples(triples_ds, labels_ds=None, mapping=None,
             lab = batch[f"__l_{col}"]
             i = batch.schema.get_field_index(col)
             merged = pc.if_else(pc.is_valid(lab), lab, batch[col])
-            batch = batch.set_column(i, col, merged)
             kind_name = f"{col}_kind"
+            if kind_name in batch.schema.names:
+                # literals never remap, even on a joined label hit
+                merged = pc.if_else(pc.equal(batch[kind_name], 2),
+                                    batch[col].combine_chunks()
+                                    if isinstance(batch[col], pa.ChunkedArray)
+                                    else batch[col],
+                                    merged)
+            batch = batch.set_column(i, col, merged)
             if kind_name in batch.schema.names:
                 ki = batch.schema.get_field_index(kind_name)
                 kinds = batch[kind_name]

@@ -258,3 +258,33 @@ def test_build_kg_fused_matches_build_kg(ray_session):
            "obj_datatype", "obj_lang"]
     assert sorted(tuple(r[k] for k in key) for r in ref) == \
         sorted(tuple(r[k] for k in key) for r in fused)
+
+
+def test_remap_never_rewrites_literals(ray_session):
+    """A literal whose lexical value equals a mapped node id must keep
+    its original value (kind 2 masks the remap on both paths)."""
+    import ray.data as rd
+
+    tri = rd.from_items([
+        {"subj": "http://s/", "subj_kind": 0, "pred": "http://p/",
+         "obj": "_:d1/0", "obj_kind": 2,   # literal that LOOKS like a node
+         "obj_datatype": "http://www.w3.org/2001/XMLSchema#string",
+         "obj_lang": "", "span_start": 0, "span_end": 1, "stmt_index": 0},
+        {"subj": "_:d1/0", "subj_kind": 1, "pred": "http://p/",
+         "obj": "_:d1/0", "obj_kind": 1, "obj_datatype": "", "obj_lang": "",
+         "span_start": 0, "span_end": 1, "stmt_index": 1},
+    ])
+    mapping = {"_:d1/0": "http://kb/a"}
+    out = canonicalize_triples(tri, mapping=mapping).take_all()
+    by_stmt = {r["stmt_index"]: r for r in out}
+    assert by_stmt[0]["obj"] == "_:d1/0"          # literal untouched
+    assert by_stmt[0]["obj_kind"] == 2
+    assert by_stmt[1]["obj"] == "http://kb/a"     # node remapped
+
+    labels = rd.from_items([{"node": "_:d1/0", "label": "http://kb/a"}])
+    out2 = canonicalize_triples(tri, labels_ds=labels, via="join",
+                                num_partitions=2).take_all()
+    by_stmt2 = {r["stmt_index"]: r for r in out2}
+    assert by_stmt2[0]["obj"] == "_:d1/0"
+    assert by_stmt2[0]["obj_kind"] == 2
+    assert by_stmt2[1]["obj"] == "http://kb/a"

@@ -204,3 +204,51 @@ def test_sessionize_and_tumbling(ray_session):
     assert set(tw["event_type"]) == {"a", "b"}
     a_row = tw[tw["event_type"] == "a"]
     assert a_row["n_events"].sum() == 3
+
+
+def test_hot_bucket_cap_logs(caplog):
+    import logging
+
+    from kgruntime.ops.dedup import _cap_hot_bucket
+
+    with caplog.at_level(logging.WARNING, logger="kgruntime.ops.dedup"):
+        out = _cap_hot_bucket(list(range(250)), 200, "unit_test")
+    assert len(out) == 200
+    assert any("truncated 250 -> 200" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="kgruntime.ops.dedup"):
+        out = _cap_hot_bucket(list(range(10)), 200, "unit_test")
+    assert len(out) == 10 and not caplog.records
+
+
+def test_band_hash_process_stable():
+    """band_hash must be identical across worker processes (builtin
+    hash() is SipHash-salted per process and was silently breaking the
+    cross-actor LSH bucket groupby)."""
+    import subprocess
+    import sys
+
+    from kgruntime.ops.dedup import _stable_hash64
+
+    local = _stable_hash64(b"some band bytes")
+    code = ("from kgruntime.ops.dedup import _stable_hash64;"
+            "print(_stable_hash64(b'some band bytes'))")
+    remote = int(subprocess.check_output(
+        [sys.executable, "-c", code], env={"PYTHONHASHSEED": "99",
+                                           "PATH": "/usr/bin:/bin"},
+        cwd="/root/repo").strip())
+    assert local == remote
+
+
+def test_exact_dedup_groups_hash_collision_safe(ray_session):
+    """Distinct texts must never merge, even inside one hash group —
+    verified by forcing two different texts through _exact_group."""
+    import pyarrow as pa
+
+    from kgruntime.ops.dedup import _exact_group
+
+    g = pa.table({"text": ["aaa", "bbb", "aaa"], "doc_id": [3, 2, 1],
+                  "text_hash": ["h", "h", "h"]})
+    out = _exact_group(g).to_pydict()
+    rows = sorted(zip(out["text"], out["keep_id"], out["n_dups"]))
+    assert rows == [("aaa", 1, 2), ("bbb", 2, 1)]
