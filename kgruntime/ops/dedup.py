@@ -68,27 +68,29 @@ def exact_dedup(docs_ds):
                    Count(alias_name="n_dups"))
 
 
-def _exact_group(g: pa.Table) -> pa.Table:
-    """Within one 128-bit-hash group, verify text equality exactly and
-    emit one row per DISTINCT text — a hash collision can never silently
-    merge two different documents."""
-    import pandas as pd
-
-    df = pd.DataFrame({"text": g["text"].to_pylist(),
-                       "doc_id": g["doc_id"].to_pylist()})
-    out = df.groupby("text", sort=False).agg(
-        keep_id=("doc_id", "min"), n_dups=("doc_id", "count")).reset_index()
-    return pa.Table.from_pandas(out, preserve_index=False)
+def _local_exact_combine(batch: pa.Table) -> pa.Table:
+    """Batch-local combiner: vectorized Arrow group_by collapses in-batch
+    duplicates before the exchange."""
+    batch = add_text_hash(batch.select(["doc_id", "text"]))
+    g = batch.group_by(["text_hash", "text"], use_threads=False) \
+        .aggregate([("doc_id", "min"), ("doc_id", "count")])
+    return g.rename_columns(["text_hash", "text", "keep_id", "cnt"])
 
 
 def exact_dedup_groups(docs_ds):
-    """Exact duplicate groups with text retained: shuffles keyed on the
-    16-byte content hash (never the full text), verifies text within each
-    hash group.  Returns (text, keep_id, n_dups)."""
-    return docs_ds.select_columns(["doc_id", "text"]) \
-        .map_batches(add_text_hash, batch_format="pyarrow") \
-        .groupby("text_hash") \
-        .map_groups(_exact_group, batch_format="pyarrow") \
+    """Exact duplicate groups with text retained, collision-safe and
+    native: the global hash-aggregate keys on (text_hash, text) with the
+    16-byte hash LEADING the key, so exchange partitioning and compares
+    resolve on the hash and only consult the text on (vanishingly rare)
+    hash ties — while keeping text in the key makes a silent collision
+    merge impossible.  Returns (text, keep_id, n_dups)."""
+    from ray.data.aggregate import Min, Sum
+
+    return docs_ds.map_batches(_local_exact_combine,
+                               batch_format="pyarrow") \
+        .groupby(["text_hash", "text"]) \
+        .aggregate(Min("keep_id", alias_name="keep_id"),
+                   Sum("cnt", alias_name="n_dups")) \
         .select_columns(["text", "keep_id", "n_dups"])
 
 

@@ -270,8 +270,13 @@ def build_kg_fused(docs_ds, alias_table: dict, link_threshold: float = 0.85,
     from ..stages.fused_link import FusedParseLink, keep_edges
 
     if concurrency is None:
+        # FIXED pool sized to the node, minus headroom for the read and
+        # staging-write tasks: a fixed pool spins all actors up front
+        # (measured 11 s vs 16 s for autoscaling (2, cpus) at 960k docs
+        # — the autoscaler ramps too slowly for a minutes-long stage),
+        # and a pool of exactly `cpus` deadlocks the upstream read
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (2, max(4, (cpus * 3) // 4))
+        concurrency = max(2, cpus - 4)
     ref = ray.put(alias_table)
     combined = docs_ds.map_batches(
         FusedParseLink,

@@ -46,83 +46,123 @@ class FusedParseLink:
                                  threshold=threshold)
         self.threshold = threshold
 
-    def _doc_rewrites(self, doc_rows: dict) -> tuple[dict, list[tuple]]:
-        """One document's rows → (blank→kb rewrite dict, iri-edge list)."""
-        subj = doc_rows["subj"]
-        subj_kind = doc_rows["subj_kind"]
-        obj = doc_rows["obj"]
-        obj_kind = doc_rows["obj_kind"]
-        dt = doc_rows["obj_datatype"]
-        lang = doc_rows["obj_lang"]
-        # entity → set of KB targets from its name-literal mentions
-        targets: dict[tuple, set] = {}
+    def _score_unique(self, texts: pa.Array) -> pa.Array:
+        """Dictionary-encode mention texts; run the memoized Python
+        scorer ONLY on distinct texts, expand vectorized."""
+        enc = texts.dictionary_encode()
         memo = self.scorer._memo
-        for i in range(len(subj)):
-            if obj_kind[i] != LITERAL:
-                continue
-            if not (dt[i] == XSD_STRING or lang[i]):
-                continue
-            text = obj[i]
-            if text in memo:
-                res = memo[text]
+        kb = []
+        for u in enc.dictionary.to_pylist():
+            if u in memo:
+                res = memo[u]
             else:
-                res = self.scorer.score(normalize_name(text))
+                res = self.scorer.score(normalize_name(u))
                 if res is not None and res[1] < self.threshold:
                     res = None
-                memo[text] = res
-            if res is None:
-                continue
-            targets.setdefault((subj[i], subj_kind[i]), set()).add(res[0])
-        rewrites: dict[str, str] = {}
-        edges: list[tuple] = []
-        for (ent, kind), kbs in targets.items():
-            canon = min(kbs)
-            # bridged KB entities merge globally
-            edges.extend((canon, other) for other in kbs if other != canon)
-            if kind == BLANKN:
-                rewrites[ent] = canon      # resolved locally, no shuffle
-            else:
-                edges.append((ent, canon))  # IRI link → global union-find
-        return rewrites, edges
+                memo[u] = res
+            kb.append(res[0] if res else None)
+        return pc.take(pa.array(kb, pa.string()),
+                       pc.cast(enc.indices, pa.int64()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        parsed = parse_batch(batch)
-        if parsed.num_rows == 0:
-            return parsed
-        # rows are doc-contiguous (parse emits per doc); walk doc groups
-        cols = {c: parsed[c].to_pylist()
-                for c in ("doc_id", "subj", "subj_kind", "obj", "obj_kind",
-                          "obj_datatype", "obj_lang", "record_kind")}
+        """Vectorized doc-group walk: numpy boundary/segment ops over the
+        doc-contiguous parse output + one pandas groupby over the (much
+        smaller) KB-matched mention set.  No per-row Python in the
+        triples-sized path."""
+        import numpy as np
+        import pandas as pd
+
+        parsed = parse_batch(batch).combine_chunks()
         n = parsed.num_rows
-        rewrites: dict[str, str] = {}
+        if n == 0:
+            return parsed
+
+        # doc-contiguous rows → group ids via boundary cumsum
+        codes = pc.dictionary_encode(parsed["doc_id"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        boundary = np.empty(n, bool)
+        boundary[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=boundary[1:])
+        grp = np.cumsum(boundary) - 1
+        n_grp = int(grp[-1]) + 1
+        group_starts = np.flatnonzero(boundary)
+
+        # docs with any quarantine row skip linking entirely
+        rk = parsed["record_kind"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        grp_has_err = np.bincount(
+            grp, weights=(rk != RECORD_TRIPLE), minlength=n_grp) > 0
+
+        # name-literal mention rows (same predicate as detect_mentions)
+        is_mention = pc.and_(
+            pc.equal(parsed["obj_kind"], LITERAL),
+            pc.or_(pc.equal(parsed["obj_datatype"], XSD_STRING),
+                   pc.not_equal(parsed["obj_lang"], ""))) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        is_mention &= ~grp_has_err[grp]
+        midx = np.flatnonzero(is_mention)
+
+        rewrites_keys: list[str] = []
+        rewrites_vals: list[str] = []
         edge_rows: list[tuple] = []
-        start = 0
-        for i in range(1, n + 1):
-            if i == n or cols["doc_id"][i] != cols["doc_id"][start]:
-                doc = {k: v[start:i] for k, v in cols.items()}
-                if all(rk == RECORD_TRIPLE for rk in doc["record_kind"]):
-                    rw, ed = self._doc_rewrites(doc)
-                    # blank ids are doc-scoped → no cross-doc collisions
-                    rewrites.update(rw)
-                    edge_rows.extend((cols["doc_id"][start],) + e
-                                     for e in ed)
-                start = i
-        # vectorized rewrite of blank ids (batch-local dict, small)
-        if rewrites:
-            get = rewrites.get
+        if len(midx):
+            take_idx = pa.array(midx)
+            kb_hits = self._score_unique(
+                pc.take(parsed["obj"], take_idx).combine_chunks())
+            valid = pc.is_valid(kb_hits).to_numpy(zero_copy_only=False)
+            hit_rows = midx[valid]
+            if len(hit_rows):
+                hit_take = pa.array(hit_rows)
+                df = pd.DataFrame({
+                    "g": grp[hit_rows],
+                    "ent": pc.take(parsed["subj"], hit_take).to_pylist(),
+                    "kind": pc.take(parsed["subj_kind"], hit_take)
+                        .to_numpy(zero_copy_only=False),
+                    "kb": kb_hits.filter(pa.array(valid)).to_pylist(),
+                }).drop_duplicates()
+                # canon = min(kb) per (g, ent) WITHOUT groupby.transform
+                # (pandas string-min falls back to per-group Python):
+                # stable-sort by kb, first row per (g, ent) is the min
+                firsts = df.sort_values("kb", kind="stable") \
+                    .drop_duplicates(["g", "ent"]) \
+                    .rename(columns={"kb": "canon"})
+                df = df.merge(firsts[["g", "ent", "canon"]],
+                              on=["g", "ent"], sort=False)
+                doc_ids = parsed["doc_id"].combine_chunks()
+                grp_doc = pc.take(doc_ids, pa.array(group_starts)) \
+                    .to_pylist()
+                # bridged KB entities merge globally: (canon, other_kb)
+                bridged = df[df["kb"] != df["canon"]]
+                edge_rows.extend(
+                    (grp_doc[g], c, k) for g, c, k in
+                    zip(bridged["g"], bridged["canon"], bridged["kb"]))
+                blanks = firsts[firsts["kind"] == BLANKN]
+                # blank ids are doc-scoped → flat dict, no collisions
+                rewrites_keys = blanks["ent"].tolist()
+                rewrites_vals = blanks["canon"].tolist()
+                iris = firsts[firsts["kind"] != BLANKN]
+                edge_rows.extend(
+                    (grp_doc[g], e, c) for g, e, c in
+                    zip(iris["g"], iris["ent"], iris["canon"]))
+
+        # vectorized blank-id rewrite (index_in against the small batch-
+        # local key set; literals/IRIs masked by kind)
+        if rewrites_keys:
+            keys = pa.array(rewrites_keys, pa.string())
+            vals = pa.array(rewrites_vals, pa.string())
             for col, kind_col in (("subj", "subj_kind"), ("obj", "obj_kind")):
-                vals = cols[col]
-                kinds = cols[kind_col]
-                new_vals = [get(v, v) if k == BLANKN else v
-                            for v, k in zip(vals, kinds)]
-                new_kinds = [0 if (k == BLANKN and v in rewrites) else k
-                             for v, k in zip(vals, kinds)]
+                c = parsed[col].combine_chunks()
+                k = parsed[kind_col].combine_chunks()
+                idx = pc.index_in(c, value_set=keys)
+                hit = pc.and_(pc.is_valid(idx),
+                              pc.equal(k, pa.scalar(BLANKN, pa.uint8())))
+                new_c = pc.if_else(hit, pc.take(vals, idx), c)
+                new_k = pc.if_else(hit, pa.scalar(0, pa.uint8()), k)
                 ci = parsed.schema.get_field_index(col)
-                parsed = parsed.set_column(ci, col,
-                                           pa.array(new_vals, pa.string()))
+                parsed = parsed.set_column(ci, col, new_c)
                 ki = parsed.schema.get_field_index(kind_col)
                 parsed = parsed.set_column(ki, kind_col,
-                                           pa.array(new_kinds, pa.uint8()))
+                                           pc.cast(new_k, pa.uint8()))
         if not edge_rows:
             return parsed
         n_e = len(edge_rows)

@@ -241,14 +241,20 @@ def test_band_hash_process_stable():
 
 
 def test_exact_dedup_groups_hash_collision_safe(ray_session):
-    """Distinct texts must never merge, even inside one hash group —
-    verified by forcing two different texts through _exact_group."""
+    """Distinct texts must never merge: text stays in the aggregate key
+    (hash leading), so even a 128-bit hash collision cannot merge two
+    different documents; duplicates combine across batches."""
     import pyarrow as pa
+    import ray.data as rd
 
-    from kgruntime.ops.dedup import _exact_group
+    from kgruntime.ops.dedup import _local_exact_combine, exact_dedup_groups
 
-    g = pa.table({"text": ["aaa", "bbb", "aaa"], "doc_id": [3, 2, 1],
-                  "text_hash": ["h", "h", "h"]})
-    out = _exact_group(g).to_pydict()
-    rows = sorted(zip(out["text"], out["keep_id"], out["n_dups"]))
-    assert rows == [("aaa", 1, 2), ("bbb", 2, 1)]
+    g = pa.table({"doc_id": [3, 2, 1, 9], "text": ["aaa", "bbb", "aaa", "ccc"]})
+    local = _local_exact_combine(g).to_pydict()
+    rows = sorted(zip(local["text"], local["keep_id"], local["cnt"]))
+    assert rows == [("aaa", 1, 2), ("bbb", 2, 1), ("ccc", 9, 1)]
+
+    ds = rd.from_arrow(g).repartition(3)
+    out = exact_dedup_groups(ds).to_pandas()
+    got = sorted(zip(out["text"], out["keep_id"], out["n_dups"]))
+    assert got == [("aaa", 1, 2), ("bbb", 2, 1), ("ccc", 9, 1)]
