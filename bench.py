@@ -23,11 +23,12 @@ import sys
 import time
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
-# docs multiplier: synthetic corpus is ~280 B of Turtle per doc; ×96 the
-# documents-table row count gives a compute-dominated headline on sf0.1
-# (480k docs ≈ 137 MB ≈ 2.4M raw triples) so the scaling measurement
-# reflects throughput, not per-stage scheduling constants.
-DOCS_MULTIPLIER = int(os.environ.get("KG_BENCH_DOCS_MULT", "192"))
+# docs multiplier: synthetic corpus is ~280 B of Turtle per doc; ×384
+# the documents-table row count gives a compute-dominated headline on
+# sf0.1 (1.92M docs ≈ 550 MB ≈ 9.6M raw triples) so the scaling
+# measurement reflects throughput, not the ~5 s of fixed phase-barrier /
+# job-launch overhead that otherwise dominates the 32-CPU run.
+DOCS_MULTIPLIER = int(os.environ.get("KG_BENCH_DOCS_MULT", "384"))
 
 
 def corpus_path(n_docs: int, seed: int = 42) -> str:
@@ -148,7 +149,12 @@ def main() -> None:
                  logging_level="ERROR")
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # push-based shuffle pipelines the wide dedup/groupby exchanges with
+    # their producers (measured: remap+dedup 14.6 s → 10.4 s at 3.84M
+    # docs / 32 CPUs, and it scales better 8→32)
+    ctx.use_push_based_shuffle = True
 
     head = run_headline(sf_dir)
     queries = {} if "--headline-only" in sys.argv else run_queries(sf_dir)

@@ -18,7 +18,6 @@ per-bucket join is still vectorized C++.
 
 from __future__ import annotations
 
-import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -32,8 +31,12 @@ def _bucket_array(col, num_buckets: int) -> pa.Array:
     if pa.types.is_integer(col.type):
         vals = col.to_numpy(zero_copy_only=False)
         return pa.array((vals % num_buckets).astype("int32"), pa.int32())
-    return pa.array([zlib.crc32(str(v).encode()) % num_buckets
-                     for v in col.to_pylist()], pa.int32())
+    # vectorized string hash (polars ahash via canon._hash_col, crc32
+    # fallback) — a per-row Python crc32 here was the dominant cost of
+    # the join-path remap at 1.66M rows
+    from ..stages.canon import _hash_col
+
+    return _hash_col(col, mod=num_buckets)
 
 
 def bucketed_hash_join(left, right, left_on: str, right_on: str,

@@ -224,13 +224,19 @@ def build_kg_staged(docs_ds, staging_dir: str, alias_table: dict | None = None,
     from ..stages.canon import union_find
 
     combined = extract_triples(docs_ds)
-    combined.write_parquet(staging_dir)
+    # staging partitioned by record_kind: the linking and remap passes
+    # read only triple rows (with error columns pruned at the source),
+    # the quarantine sink reads only error rows
+    combined.write_parquet(staging_dir, partition_cols=["record_kind"])
 
-    staged = rd.read_parquet(staging_dir)
-    triples = staged.map_batches(keep_triples, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    errors = staged.map_batches(keep_errors, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    triples = _read_kind(staging_dir, 0,
+                         columns=["doc_id", "subj", "subj_kind", "pred",
+                                  "obj", "obj_kind", "obj_datatype",
+                                  "obj_lang", "span_start", "span_end",
+                                  "stmt_index"])
+    errors = _read_kind(staging_dir, 1,
+                        columns=["doc_id", "span_start", "span_end",
+                                 "error_layer", "error_kind", "error_msg"])
     mentions = mentions_dataset(triples)
     if alias_table is None:
         alias_table = corpus_alias_table(mentions)
@@ -249,10 +255,31 @@ def build_kg_staged(docs_ds, staging_dir: str, alias_table: dict | None = None,
             "assignment": assignment, "canonical": canonical}
 
 
+def _read_kind(staging_dir: str, kind: int, columns: list[str],
+               num_blocks: int | None = None):
+    """Read one record_kind partition of a staged parse table; a missing
+    partition (e.g. no errors in the corpus) yields an empty Dataset with
+    the schema PINNED (empty Ray datasets drop schemas otherwise).
+    ``num_blocks`` coalesces a many-tiny-file partition (each staging
+    write task emits one file per partition) into few read tasks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.extract import TRIPLES_SCHEMA
+
+    part = os.path.join(staging_dir, f"record_kind={kind}")
+    if os.path.isdir(part):
+        kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+        return rd.read_parquet(part, columns=columns, **kw)
+    fields = [TRIPLES_SCHEMA.field(c) for c in columns]
+    return rd.from_arrow(pa.Table.from_arrays(
+        [pa.array([], f.type) for f in fields], schema=pa.schema(fields)))
+
+
 def build_kg_fused(docs_ds, alias_table: dict, link_threshold: float = 0.85,
                    dedup_buckets: int = 64, keep_buckets: bool = True,
                    hot_subjects: set | None = None, concurrency=None,
-                   staging_dir: str | None = None):
+                   staging_dir: str | None = None, batch_size: int = 4096):
     """Fused single-pass variant: parse + doc-local blank linking in one
     actor-pool stage (stages/fused_link).  Only the small IRI↔KB
     equivalence set reaches the global union-find, so the broadcast remap
@@ -270,34 +297,52 @@ def build_kg_fused(docs_ds, alias_table: dict, link_threshold: float = 0.85,
     from ..stages.fused_link import FusedParseLink, keep_edges
 
     if concurrency is None:
-        # FIXED pool sized to the node, minus headroom for the read and
-        # staging-write tasks: a fixed pool spins all actors up front
-        # (measured 11 s vs 16 s for autoscaling (2, cpus) at 960k docs
-        # — the autoscaler ramps too slowly for a minutes-long stage),
-        # and a pool of exactly `cpus` deadlocks the upstream read
+        # FIXED pool sized to ~3/4 of the node: a fixed pool spins all
+        # actors up front (measured 11 s vs 16 s for autoscaling
+        # (2, cpus) at 960k docs — the autoscaler ramps too slowly),
+        # a pool of exactly `cpus` deadlocks the upstream read, and the
+        # staging write + read tasks need real headroom (sweep at 32
+        # CPUs: 24 actors 7.7 s, 28 actors 10.1 s, 31 actors 17.3 s)
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, cpus - 4)
+        concurrency = max(2, cpus - max(2, cpus // 4))
     ref = ray.put(alias_table)
+    # batch_size 4096: larger batches amortize the per-batch vectorized
+    # setup (measured 7.7 s vs 9.8 s @1024 for the parse+stage phase at
+    # 960k docs) while output amplification (~50×) keeps per-task heap
+    # bounded; lower this for corpora with much longer documents
     combined = docs_ds.map_batches(
         FusedParseLink,
         fn_constructor_kwargs={"alias_ref": ref,
                                "threshold": link_threshold},
-        batch_format="pyarrow", batch_size=1024,
+        batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
     if staging_dir is not None:
-        # parse+link ONCE into a durable staging table; the three
-        # consumers (edges, errors, canonical) stream from parquet
-        # instead of re-executing the fused stage per consumer
-        import ray.data as rd
-
-        combined.write_parquet(staging_dir)
-        combined = rd.read_parquet(staging_dir)
-    triples = combined.map_batches(keep_triples, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-    errors = combined.map_batches(keep_errors, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    edges = combined.map_batches(keep_edges, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+        # parse+link ONCE into a durable staging table PARTITIONED BY
+        # record_kind: the union-find pass then reads only the (tiny)
+        # edge partition instead of rescanning the whole corpus, and the
+        # remap pass reads only triple rows with error columns pruned —
+        # each downstream consumer scans exactly the bytes it needs
+        combined.write_parquet(staging_dir, partition_cols=["record_kind"])
+        triples = _read_kind(staging_dir, 0,
+                             columns=["doc_id", "subj", "subj_kind",
+                                      "pred", "obj", "obj_kind",
+                                      "obj_datatype", "obj_lang",
+                                      "span_start", "span_end",
+                                      "stmt_index"])
+        errors = _read_kind(staging_dir, 1,
+                            columns=["doc_id", "span_start", "span_end",
+                                     "error_layer", "error_kind",
+                                     "error_msg"])
+        edges_raw = _read_kind(staging_dir, 2, columns=["subj", "obj"],
+                               num_blocks=4)
+        edges = edges_raw.rename_columns({"subj": "src", "obj": "dst"})
+    else:
+        triples = combined.map_batches(keep_triples, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        errors = combined.map_batches(keep_errors, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        edges = combined.map_batches(keep_edges, batch_format="pyarrow",
+                                     zero_copy_batch=True)
     assignment, mapping = union_find(edges)
     if mapping is None:
         # edge set beyond broadcast scale (distributed-UF regime): use

@@ -165,6 +165,18 @@ class FusedParseLink:
                                            pc.cast(new_k, pa.uint8()))
         if not edge_rows:
             return parsed
+        # batch-local edge dedup: the same IRI↔KB equivalence repeats in
+        # every doc that mentions the entity (measured 562k edge rows →
+        # 15 distinct at 960k docs); keep the first occurrence per
+        # (src, dst) — deterministic, and downstream union-find is
+        # set-semantics anyway
+        seen: set = set()
+        deduped = []
+        for e in edge_rows:
+            if e[1:] not in seen:
+                seen.add(e[1:])
+                deduped.append(e)
+        edge_rows = deduped
         n_e = len(edge_rows)
         empty_s = pa.array([""] * n_e, pa.string())
         zeros = pa.array([0] * n_e, pa.uint8())

@@ -95,8 +95,26 @@ def build_alias_table(names) -> dict[str, str]:
     return out
 
 
+def _trigrams(s: str) -> list[str]:
+    """Char 3-grams (whole string when shorter) — the similarity unit."""
+    if len(s) < 3:
+        return [s] if s else []
+    return [s[i:i + 3] for i in range(len(s) - 2)]
+
+
+# posting-list cap for extremely common trigrams (low-idf, so dropping
+# them barely moves the cosine); sorted-alias order keeps it deterministic
+_POSTINGS_CAP = 200
+
+
 class LinkScorer:
-    """N3: stateful actor — alias table loaded once per worker.
+    """N3: stateful actor — alias table + char-trigram TF-IDF index
+    loaded/built once per worker.
+
+    Scoring: exact normalized-alias hit → 1.0; otherwise a TF-IDF cosine
+    over char trigrams (binary TF, idf = 1 + ln(N/df) computed from the
+    alias table itself).  Fully deterministic (sorted-alias tie-break),
+    so task retries are safe and tests are exact.
 
     Use as::
 
@@ -110,33 +128,62 @@ class LinkScorer:
 
     def __init__(self, alias_ref=None, alias_table: dict | None = None,
                  threshold: float = 0.85):
+        import math
+
         import ray
 
         if alias_table is None:
             alias_table = ray.get(alias_ref) if alias_ref is not None else {}
         self.aliases = alias_table
         self.threshold = threshold
-        # token-prefix index for partial matches, built once per actor
-        self.by_first_token: dict[str, list[str]] = {}
-        for k in alias_table:
-            first = k.split(" ", 1)[0]
-            self.by_first_token.setdefault(first, []).append(k)
+        keys = sorted(alias_table)
+        df: dict[str, int] = {}
+        grams: dict[str, set] = {}
+        for k in keys:
+            gs = set(_trigrams(k))
+            grams[k] = gs
+            for g in gs:
+                df[g] = df.get(g, 0) + 1
+        n = max(1, len(keys))
+        self._idf = {g: 1.0 + math.log(n / c) for g, c in df.items()}
+        self._idf_default = 1.0 + math.log(n)
+        self._alias_norm = {
+            k: math.sqrt(sum(self._idf[g] ** 2 for g in gs)) or 1.0
+            for k, gs in grams.items()}
+        self._inv: dict[str, list[str]] = {}
+        for k in keys:                       # sorted → deterministic cap
+            for g in grams[k]:
+                lst = self._inv.setdefault(g, [])
+                if len(lst) < _POSTINGS_CAP:
+                    lst.append(k)
         self._memo: dict[str, tuple | None] = {}
 
     def score(self, norm: str) -> tuple[str, float] | None:
+        import math
+
         hit = self.aliases.get(norm)
         if hit is not None:
             return hit, 1.0
         if not norm:
             return None
-        first = norm.split(" ", 1)[0]
+        gs = set(_trigrams(norm))
+        acc: dict[str, float] = {}
+        for g in gs:
+            w = self._idf.get(g)
+            if w is None:
+                continue
+            w2 = w * w
+            for k in self._inv.get(g, ()):
+                acc[k] = acc.get(k, 0.0) + w2
+        if not acc:
+            return None
+        qnorm = math.sqrt(sum(
+            (self._idf.get(g, self._idf_default)) ** 2 for g in gs))
         best = None
-        for cand in self.by_first_token.get(first, ()):
-            # containment similarity on token sets (deterministic)
-            a, b = set(norm.split()), set(cand.split())
-            sim = len(a & b) / max(len(a), len(b))
+        for k in sorted(acc):                # deterministic tie-break
+            sim = acc[k] / (qnorm * self._alias_norm[k])
             if best is None or sim > best[1]:
-                best = (self.aliases[cand], sim)
+                best = (self.aliases[k], sim)
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -39,7 +39,10 @@ from __future__ import annotations
 
 from typing import Callable
 
+from .iri import is_valid_iri
 from .resolve import is_absolute, resolve
+
+_IRI_OK: dict[str, bool] = {}
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDF_TYPE = RDF_NS + "type"
@@ -125,7 +128,15 @@ class Context:
             raise BuildError("UnknownPrefix",
                              f"unknown prefix {prefix!r}", start, end)
         out = iri + suffix  # plain concat — build.rs:148-150
-        if not is_absolute(out):
+        # full RFC 3987 absolute-IRI validation of the expansion,
+        # mirroring the reference's Iri::new check (build.rs:149-159);
+        # memoized per worker — compact IRIs repeat massively
+        ok = _IRI_OK.get(out)
+        if ok is None:
+            ok = is_valid_iri(out)
+            if len(_IRI_OK) < 100_000:
+                _IRI_OK[out] = ok
+        if not ok:
             raise BuildError(
                 "InvalidCompactIriSuffix",
                 f"invalid compact IRI {prefix!r}:{suffix!r}", start, end)

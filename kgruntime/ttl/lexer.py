@@ -26,16 +26,40 @@ Faithfully replicated reference behaviors (each cited):
 * long strings close at the first run of three delimiters
   (lexing.rs:489-511).
 
-Known accept-more divergences (documented, error-path only): trailing-dot
-blank labels (`_:a.`) lex as label + period here but error in the
-reference; deep IRI grammar validation (`iref` crate) is reduced to the
-charset check the lexer itself performs.
+Closed parity gaps (round 2): IRIREF tokens validate through the RFC
+3987 IRI-reference grammar (kgruntime/ttl/iri.py — mirrors the
+reference's ``IriRefBuf::from_string`` at lexing.rs:450-452, and
+``Iri::new`` on compact-IRI expansions at build.rs:149-159); blank-node
+labels followed by a dot run error exactly like the reference's label
+loop (lexing.rs:657-668 consumes dots then rejects the non-PN_CHARS
+successor), so ``_:a.`` is a lex error, never label + terminator.
+
+Remaining deliberate quirks are the reference-faithful ones listed
+above (PN_LOCAL %XX decoding, no PN_LOCAL dots, `1.` lex error,
+keyword whitespace boundaries, raw newlines in short strings).
 """
 
 from __future__ import annotations
 
 import re
 from typing import NamedTuple
+
+from .iri import is_valid_iri_ref
+
+# IRIs repeat massively across a corpus (predicates, namespaces, types):
+# memoize grammar validation per worker process.  Bounded so a pathological
+# corpus of unique IRIs cannot grow the cache without limit.
+_IRI_OK_CACHE: dict[str, bool] = {}
+_IRI_OK_CACHE_MAX = 100_000
+
+
+def _iri_ref_ok(value: str) -> bool:
+    ok = _IRI_OK_CACHE.get(value)
+    if ok is None:
+        ok = is_valid_iri_ref(value)
+        if len(_IRI_OK_CACHE) < _IRI_OK_CACHE_MAX:
+            _IRI_OK_CACHE[value] = ok
+    return ok
 
 # Token kinds (small ints: cheap to compare in the parser hot path).
 KEYWORD = 0      # value: 'a' | '@prefix' | '@base' | 'PREFIX' | 'BASE' | 'true' | 'false'
@@ -149,11 +173,16 @@ def tokenize(s: str) -> list[Token]:
         elif c == "<":
             m = _IRIREF_FAST.match(s, i)
             if m:
-                push(Token(IRIREF, m.group(1), start, m.end()))
-                i = m.end()
+                value, i = m.group(1), m.end()
             else:
                 value, i = _iriref_slow(s, i + 1, start)
-                push(Token(IRIREF, value, start, i))
+            # RFC 3987 grammar validation of the decoded reference —
+            # mirrors the reference's IriRefBuf::from_string acceptance
+            # at lex time (lexing.rs:450-452)
+            if not _iri_ref_ok(value):
+                raise LexError("InvalidIriRef",
+                               f"invalid IRI reference <{value}>", start, i)
+            push(Token(IRIREF, value, start, i))
         elif c == '"' or c == "'":
             value, i = _string_literal(s, i, c)
             push(Token(STRING, value, start, i))
@@ -161,8 +190,20 @@ def tokenize(s: str) -> list[Token]:
             m = _BLANK_LABEL.match(s, i)
             if not m:
                 raise LexError("Unexpected", "invalid blank node label", i, i + 2)
-            push(Token(BLANK, "_:" + m.group(1), start, m.end()))
-            i = m.end()
+            j = m.end()
+            # trailing-dot parity with the reference (lexing.rs:657-668):
+            # its label loop CONSUMES dots and then errors when the char
+            # after a dot run is not PN_CHARS — so `_:a.` (and `_:a..,`
+            # etc.) is a lex error, never label + terminator
+            if j < len(s) and s[j] == ".":
+                k = j
+                while k < len(s) and s[k] == ".":
+                    k += 1
+                raise LexError("Unexpected",
+                               "blank node label may not end with '.'",
+                               j, k + 1)
+            push(Token(BLANK, "_:" + m.group(1), start, j))
+            i = j
         elif c == ",":
             push(Token(PUNCT, ",", i, i + 1)); i += 1
         elif c == ";":

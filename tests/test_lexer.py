@@ -131,3 +131,24 @@ def test_numeric_then_statement_dot():
     toks = kinds("<http://s/> <http://p/> 5 .")
     assert toks[2] == (NUMERIC, ("5", "integer"))
     assert toks[3] == (PUNCT, ".")
+
+
+def test_iri_ref_grammar_validation():
+    """RFC 3987 validator parity cases (reference: iref crate acceptance,
+    lexing.rs:450 / build.rs:149)."""
+    from kgruntime.ttl.iri import is_valid_iri, is_valid_iri_ref
+
+    good = ["http://example.com/a?b#c", "http://u@h:80/p", "//h/p", "a/b",
+            "?q", "#f", "", "http://[2001:db8::1]/x", "urn:uuid:1234",
+            "http://例え.jp/パス", "p:a%2Fb", "../rel",
+            "mailto:x@y.z", "http://1.2.3.4:99/", "http://h/~u"]
+    bad = ["http://ex a", "http://h/[x]", "http://h/%GG", "http://h/%2",
+           "1http://e", "http://h:8a/", "http://[1.2.3]/", "http://h/p|q",
+           "http://h/a\\b", "%ZZ"]
+    for g in good:
+        assert is_valid_iri_ref(g), g
+    for b in bad:
+        assert not is_valid_iri_ref(b), b
+    assert is_valid_iri("http://e/x")
+    assert not is_valid_iri("rel/x")          # absolute requires scheme
+    assert not is_valid_iri("http://h/%G1")

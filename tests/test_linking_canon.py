@@ -288,3 +288,24 @@ def test_remap_never_rewrites_literals(ray_session):
     assert by_stmt2[0]["obj"] == "_:d1/0"
     assert by_stmt2[0]["obj_kind"] == 2
     assert by_stmt2[1]["obj"] == "http://kb/a"
+
+
+def test_link_scorer_tfidf_properties():
+    """Char-trigram TF-IDF scorer: exact hit = 1.0, typo'd variants score
+    high, unrelated text scores None/low, and scoring is deterministic
+    across separately-built instances (retry safety)."""
+    aliases = build_alias_table(
+        ["Green Goblin", "Green Lantern", "Dave Beckett", "Bob"])
+    a = LinkScorer(alias_table=aliases, threshold=0.5)
+    b = LinkScorer(alias_table=aliases, threshold=0.5)
+
+    assert a.score("dave beckett") == ("http://kb.example/entity/dave-beckett", 1.0)
+    ent, sim = a.score("dave becket")          # single-char typo
+    assert ent == "http://kb.example/entity/dave-beckett" and sim > 0.7
+    # shared-prefix confusables rank correctly
+    ent_g, sim_g = a.score("green goblin sr")
+    assert ent_g == "http://kb.example/entity/green-goblin"
+    assert a.score("xyzzy") is None
+    # determinism across instances
+    for q in ["dave becket", "green goblin sr", "green lan", "bob"]:
+        assert a.score(q) == b.score(q)

@@ -66,6 +66,24 @@ BAD = {
                               ParseError),
     "unknown_prefix": ("q:s <http://a/p> <http://a/o> .", BuildError),
     "relative_no_base": ("<s> <http://a/p> <http://a/o> .", BuildError),
+    # RFC 3987 IRI grammar rejects (reference: iref via lexing.rs:450)
+    "iri_bad_pct": ("<http://a/%GG> <http://a/p> <http://a/o> .", LexError),
+    "iri_truncated_pct": ("<http://a/x%2> <http://a/p> <http://a/o> .",
+                          LexError),
+    "iri_bad_port": ("<http://h:8a/> <http://a/p> <http://a/o> .", LexError),
+    "iri_path_brackets": ("<http://h/a[b]> <http://a/p> <http://a/o> .",
+                          LexError),
+    "iri_digit_scheme": ("<1http://e/> <http://a/p> <http://a/o> .",
+                         LexError),
+    "iri_bad_ipv6": ("<http://[1.2.3]/> <http://a/p> <http://a/o> .",
+                     LexError),
+    # compact-IRI expansion must be a valid absolute IRI (build.rs:149)
+    "compact_bad_expansion": (
+        "@prefix p: <http://h/> .\np:a%20b <http://a/p> <http://a/o> .",
+        BuildError),
+    # blank label + dot run errors in the reference (lexing.rs:657-668)
+    "blank_trailing_dot": ("@prefix : <http://a/> .\n:s :p _:o.", LexError),
+    "blank_double_dot": ("@prefix : <http://a/> .\n_:a.. :p :o .", LexError),
 }
 
 
