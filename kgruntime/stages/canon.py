@@ -474,10 +474,228 @@ def canonicalize_triples(triples_ds, labels_ds=None, mapping=None,
         return triples_ds.map_batches(remap, batch_format="pyarrow",
                                       zero_copy_batch=True)
 
-    # join path: left-outer bucketed joins keep unmapped nodes as-is
+    assert labels_ds is not None
+    names = set(triples_ds.schema().names)
+    if {"doc_id", "stmt_index"} <= names:
+        return _join_remap_exploded(triples_ds, labels_ds, num_partitions)
+    return _join_remap_legacy(triples_ds, labels_ds, num_partitions)
+
+
+# Hit tables (one row per actually-remapped subj/obj position) up to this
+# many rows are ray.put once and applied map-side — the common case when a
+# huge assignment is sparsely applicable to this triples table.
+HITS_BROADCAST_MAX = 2_000_000
+
+
+def _explode_refs(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Triples batch → skinny (bucket, key, doc_id, stmt_index, pos) node
+    references: pos 0 = subj, pos 1 = non-literal obj.  This is the only
+    stream the assignment join shuffles — never the full triple payload."""
+    parts = []
+    for pos, col, kind in ((0, "subj", "subj_kind"), (1, "obj", "obj_kind")):
+        vals = batch[col].combine_chunks()
+        doc = batch["doc_id"].combine_chunks()
+        stmt = pc.cast(batch["stmt_index"], pa.int64()).combine_chunks()
+        if kind in batch.schema.names:
+            keep = pc.not_equal(  # literals never remap
+                batch[kind].combine_chunks(), 2)
+            vals, doc, stmt = (vals.filter(keep), doc.filter(keep),
+                               stmt.filter(keep))
+        n = len(vals)
+        parts.append(pa.Table.from_arrays(
+            [_hash_col(vals, mod=num_buckets), vals, doc, stmt,
+             pa.array([pos] * n, pa.int8()), pa.nulls(n, pa.string())],
+            names=["bucket", "key", "doc_id", "stmt_index", "pos", "label"]))
+    return pa.concat_tables(parts)
+
+
+_HITS_SCHEMA = pa.schema([("doc_id", pa.string()),
+                          ("stmt_index", pa.int64()),
+                          ("pos", pa.int8()),
+                          ("node", pa.string()),
+                          ("label", pa.string())])
+
+
+def _hit_lookup(group: pa.Table) -> pa.Table:
+    """One bucket: reference rows receive their node's canonical label
+    via vectorized index_in against the assignment rows; only NON-IDENTITY
+    matches survive (the hit table stays as small as the applied remap).
+    Output is deduped on the full (doc_id, stmt_index, pos, node) key —
+    one statement can yield many triples sharing (doc_id, stmt_index)
+    (collections, predicate lists), and the join-back must not multiply."""
+    is_lab = pc.equal(group["pos"], -1)
+    lab = group.filter(is_lab)
+    ref = group.filter(pc.invert(is_lab))
+    if not ref.num_rows or not lab.num_rows:
+        return _HITS_SCHEMA.empty_table()
+    idx = pc.index_in(ref["key"].combine_chunks(),
+                      value_set=lab["key"].combine_chunks())
+    got = pc.take(lab["label"].combine_chunks(), idx)
+    hit = pc.and_(pc.is_valid(got),
+                  pc.not_equal(got, ref["key"].combine_chunks()))
+    out = pa.Table.from_arrays(
+        [ref["doc_id"].combine_chunks().filter(hit),
+         pc.cast(ref["stmt_index"], pa.int64()).combine_chunks().filter(hit),
+         ref["pos"].combine_chunks().filter(hit),
+         ref["key"].combine_chunks().filter(hit),
+         got.filter(hit)],
+        names=["doc_id", "stmt_index", "pos", "node", "label"])
+    agg = out.group_by(["doc_id", "stmt_index", "pos", "node"],
+                       use_threads=False).aggregate([("label", "min")])
+    return agg.select(["doc_id", "stmt_index", "pos", "node",
+                       "label_min"]) \
+        .rename_columns(["doc_id", "stmt_index", "pos", "node", "label"]) \
+        .cast(_HITS_SCHEMA)
+
+
+def _apply_hits(batch: pa.Table, hits: pa.Table) -> pa.Table:
+    """Substitute subj/obj labels from a (doc_id, stmt_index, pos, node,
+    label) hit table via one acero left join per position; recompute
+    kinds.  The node is part of the join key: triples sharing (doc_id,
+    stmt_index) (collection cells, predicate lists) carry different
+    nodes, and hits are unique per full key so the join never
+    multiplies."""
+    import numpy as np
+
+    for pos, col, kind_name in ((0, "subj", "subj_kind"),
+                                (1, "obj", "obj_kind")):
+        side = hits.filter(pc.equal(hits["pos"], pos)) \
+            .select(["doc_id", "stmt_index", "node", "label"])
+        if not side.num_rows:
+            continue
+        key = pa.Table.from_arrays(
+            [batch["doc_id"].combine_chunks(),
+             pc.cast(batch["stmt_index"], pa.int64()).combine_chunks(),
+             batch[col].combine_chunks(),
+             pa.array(np.arange(batch.num_rows), pa.int64())],
+            names=["doc_id", "stmt_index", "node", "__row"])
+        j = key.join(side, keys=["doc_id", "stmt_index", "node"],
+                     join_type="left outer").sort_by("__row")
+        lab = j["label"].combine_chunks()
+        orig = batch[col].combine_chunks()
+        merged = pc.if_else(pc.is_valid(lab), lab, orig)
+        if kind_name in batch.schema.names:
+            kinds = batch[kind_name]
+            merged = pc.if_else(pc.equal(kinds, 2), orig, merged)
+        i = batch.schema.get_field_index(col)
+        batch = batch.set_column(i, col, merged)
+        if kind_name in batch.schema.names:
+            ki = batch.schema.get_field_index(kind_name)
+            blank_now = pc.starts_with(merged, "_:")
+            new_kinds = pc.if_else(
+                pc.equal(batch[kind_name], 2), batch[kind_name],
+                pc.cast(pc.if_else(blank_now, 1, 0), pa.uint8()))
+            batch = batch.set_column(ki, kind_name,
+                                     pc.cast(new_kinds, pa.uint8()))
+    return batch
+
+
+def _join_remap_exploded(triples_ds, labels_ds, num_partitions: int):
+    """ONE-shuffle join remap (VERDICT r1 #6).  The legacy path shipped
+    the full triple payload through two bucketed joins (subj, then obj);
+    this ships only a skinny (node, doc_id, stmt_index, pos) reference
+    stream through a single bucketed lookup against the assignment, then
+    applies the resulting hit table either map-side (broadcast, the
+    common sparse-application case — zero full-table shuffles) or via
+    one doc_id-bucketed co-shuffle."""
+    import ray
+    import ray.data as rd
+
+    tagged_labels = labels_ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [_hash_col(t["node"], mod=num_partitions),
+             t["node"].combine_chunks(),
+             pa.nulls(t.num_rows, pa.string()),
+             pa.nulls(t.num_rows, pa.int64()),
+             pa.array([-1] * t.num_rows, pa.int8()),
+             t["label"].combine_chunks()],
+            names=["bucket", "key", "doc_id", "stmt_index", "pos",
+                   "label"]),
+        batch_format="pyarrow")
+    refs = triples_ds.map_batches(
+        lambda t: _explode_refs(t, num_partitions), batch_format="pyarrow")
+    hits = refs.union(tagged_labels).groupby("bucket").map_groups(
+        _hit_lookup, batch_format="pyarrow").materialize()
+    n_hits = hits.count()
+    if n_hits == 0:
+        return triples_ds
+    if n_hits <= HITS_BROADCAST_MAX:
+        # Collapse hits to the RESTRICTED mapping — distinct (node,
+        # label) over nodes that actually occur in this triples table —
+        # and apply it through the standard broadcast remap.  This is
+        # the common case even when the full assignment is beyond
+        # broadcast scale: only the applicable slice needs to travel.
+        # (Empty blocks lose their schema in Ray 2.49 — drop them before
+        # concat; n_hits > 0 guarantees at least one non-empty block.)
+        hit_tbl = pa.concat_tables(
+            [t for t in ray.get(hits.to_arrow_refs())
+             if t.num_rows]).combine_chunks()
+        agg = hit_tbl.group_by(["node"], use_threads=False) \
+            .aggregate([("label", "min")])
+        mapping = (agg["node"].combine_chunks(),
+                   agg["label_min"].combine_chunks())
+        return canonicalize_triples(triples_ds, mapping=mapping,
+                                    via="broadcast")
+    # hits beyond broadcast: ONE full-table co-shuffle on hash(doc_id)
+    schema = triples_ds.schema()
+    tri_names = list(schema.names)
+    tri_types = dict(zip(schema.names, schema.types))
+
+    extra = ["pos", "__hitnode", "label", "bucket2"]
+    extra_types = [pa.int8(), pa.string(), pa.string(), pa.int32()]
+
+    def tag_triples(t: pa.Table) -> pa.Table:
+        arrays = [pc.cast(t["stmt_index"], pa.int64()) if c == "stmt_index"
+                  else t[c] for c in tri_names]
+        arrays += [pa.nulls(t.num_rows, pa.int8()),
+                   pa.nulls(t.num_rows, pa.string()),
+                   pa.nulls(t.num_rows, pa.string()),
+                   _hash_col(t["doc_id"], mod=num_partitions)]
+        return pa.Table.from_arrays(arrays, names=tri_names + extra)
+
+    def tag_hits(t: pa.Table) -> pa.Table:
+        if not t.num_rows:  # schema-less empty block (Ray 2.49)
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64() if c == "stmt_index"
+                          else tri_types[c]) for c in tri_names]
+                + [pa.array([], ty) for ty in extra_types],
+                names=tri_names + extra)
+        arrays = []
+        for c in tri_names:
+            if c == "doc_id":
+                arrays.append(t["doc_id"])
+            elif c == "stmt_index":
+                arrays.append(pc.cast(t["stmt_index"], pa.int64()))
+            else:
+                arrays.append(pa.nulls(t.num_rows, tri_types[c]))
+        arrays += [t["pos"], t["node"], t["label"],
+                   _hash_col(t["doc_id"], mod=num_partitions)]
+        return pa.Table.from_arrays(arrays, names=tri_names + extra)
+
+    def fold_bucket(g: pa.Table) -> pa.Table:
+        is_hit = pc.is_valid(g["pos"])
+        tri = g.filter(pc.invert(is_hit)).select(tri_names)
+        ht = g.filter(is_hit) \
+            .select(["doc_id", "stmt_index", "pos", "__hitnode", "label"]) \
+            .rename_columns(["doc_id", "stmt_index", "pos", "node",
+                             "label"])
+        out = _apply_hits(tri, ht)
+        si = out.schema.get_field_index("stmt_index")
+        return out.set_column(si, "stmt_index",
+                              pc.cast(out["stmt_index"],
+                                      tri_types["stmt_index"]))
+
+    tri_tagged = triples_ds.map_batches(tag_triples, batch_format="pyarrow")
+    hit_tagged = hits.map_batches(tag_hits, batch_format="pyarrow")
+    return tri_tagged.union(hit_tagged).groupby("bucket2").map_groups(
+        fold_bucket, batch_format="pyarrow")
+
+
+def _join_remap_legacy(triples_ds, labels_ds, num_partitions: int):
+    # legacy two-join path: for triples tables without (doc_id,
+    # stmt_index) — left-outer bucketed joins keep unmapped nodes as-is
     from ..ops.join import bucketed_hash_join
 
-    assert labels_ds is not None
     out = triples_ds
     for col in ("subj", "obj"):
         side = labels_ds.rename_columns({"node": f"__n_{col}",

@@ -309,3 +309,46 @@ def test_link_scorer_tfidf_properties():
     # determinism across instances
     for q in ["dave becket", "green goblin sr", "green lan", "bob"]:
         assert a.score(q) == b.score(q)
+
+
+def test_exploded_join_remap_matches_legacy(ray_session, monkeypatch):
+    """The single-shuffle exploded join remap (hits-broadcast AND
+    co-shuffle variants) must agree with the legacy two-join path on a
+    collection-shaped table where many triples share (doc_id,
+    stmt_index) and the same blank node recurs as subj and obj — the
+    shape that would multiply rows under a (doc, stmt)-only join key."""
+    import ray.data as rd
+
+    from kgruntime.stages import canon
+
+    tri = pa.table({
+        "doc_id": ["d1"] * 5 + ["d2"] * 2,
+        "stmt_index": pa.array([0, 0, 0, 0, 1, 0, 0], pa.int32()),
+        "subj": ["_:c0", "_:c0", "_:c1", "_:c1", "http://x/s",
+                 "_:c0", "_:z"],
+        "subj_kind": pa.array([1, 1, 1, 1, 0, 1, 1], pa.uint8()),
+        "pred": ["first", "rest", "first", "rest", "p", "first", "p"],
+        "obj": ["A", "_:c1", "B", "nil", "_:c0", "_:q", "_:c0"],
+        # obj "A"/"B" are literals; "_:c0" also appears as a LITERAL
+        # lexical value nowhere here (covered by
+        # test_remap_never_rewrites_literals)
+        "obj_kind": pa.array([2, 1, 2, 0, 1, 1, 1], pa.uint8()),
+    })
+    labels = pa.table({
+        "node": ["_:c0", "_:c1", "_:q", "_:z"],
+        "label": ["http://kb/L", "_:c1", "http://kb/Q", "_:z"],
+    })
+    tds, lds = rd.from_arrow(tri), rd.from_arrow(labels)
+
+    def run(f):
+        rows = f(tds, lds, 4).take_all()
+        assert len(rows) == tri.num_rows          # no multiplication
+        rows.sort(key=lambda r: (r["doc_id"], r["stmt_index"],
+                                 r["pred"], r["subj"], r["obj"]))
+        return [(r["doc_id"], r["stmt_index"], r["subj"], r["subj_kind"],
+                 r["obj"], r["obj_kind"]) for r in rows]
+
+    expected = run(canon._join_remap_legacy)
+    assert run(canon._join_remap_exploded) == expected      # hits bcast
+    monkeypatch.setattr(canon, "HITS_BROADCAST_MAX", 0)     # co-shuffle
+    assert run(canon._join_remap_exploded) == expected
