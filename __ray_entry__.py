@@ -73,6 +73,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": R.q_distinct_users_per_type,
         "shipping_priority": R.q_shipping_priority,
         "top_event_per_user": R.q_top_event_per_user,
+        "asof_click_purchase": R.q_asof_click_purchase,
+        "value_bands": R.q_value_bands,
+        "top_type_per_user": R.q_top_type_per_user,
+        "event_value_quantiles": R.q_event_value_quantiles,
+        "local_supplier_revenue": R.q_local_supplier_revenue,
         # text analysis (SQL-backed)
         "doc_stats": _q_doc_stats,
         "token_stats": _q_token_stats,
@@ -83,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming-shaped windows (SQL-backed via window functions)
         "sessionize": _q_sessionize,
         "tumbling_hourly": _q_tumbling,
+        "hopping_2h_1h": _q_hopping,
+        "user_gap_stats": _q_user_gaps,
         # similarity search (SQL-backed baseline)
         "ann_topk": _q_ann_topk,
         # KG pipeline (non-SQL-expressible → rows-only; exactness is
@@ -190,6 +197,20 @@ def _q_tumbling(sf_dir):
 
     return tumbling_hourly(_events_ds(sf_dir)).to_pandas() \
         .sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def _q_hopping(sf_dir):
+    from kgruntime.ops.sessions import hopping_windows
+
+    return hopping_windows(_events_ds(sf_dir)).to_pandas() \
+        .sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def _q_user_gaps(sf_dir):
+    from kgruntime.ops.sessions import user_gap_stats
+
+    return user_gap_stats(_events_ds(sf_dir)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
 
 
 _ANN_N_QUERIES = 10
@@ -385,6 +406,18 @@ def _tumbling_sql():
     return TUMBLING_HOURLY_SQL
 
 
+def _hopping_sql():
+    from kgruntime.ops.sessions import HOPPING_2H_1H_SQL
+
+    return HOPPING_2H_1H_SQL
+
+
+def _user_gaps_sql():
+    from kgruntime.ops.sessions import USER_GAP_STATS_SQL
+
+    return USER_GAP_STATS_SQL
+
+
 def oracle_sql() -> dict[str, str]:
     from kgruntime import relational as R
 
@@ -402,6 +435,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": R.Q_DISTINCT_USERS_PER_TYPE_SQL,
         "shipping_priority": R.Q_SHIPPING_PRIORITY_SQL,
         "top_event_per_user": R.Q_TOP_EVENT_PER_USER_SQL,
+        "asof_click_purchase": R.Q_ASOF_CLICK_PURCHASE_SQL,
+        "value_bands": R.Q_VALUE_BANDS_SQL,
+        "top_type_per_user": R.Q_TOP_TYPE_PER_USER_SQL,
+        "event_value_quantiles": R.Q_EVENT_VALUE_QUANTILES_SQL,
+        "local_supplier_revenue": R.Q_LOCAL_SUPPLIER_REVENUE_SQL,
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,
@@ -451,6 +489,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": _sessions_sql(),
         "tumbling_hourly": _tumbling_sql(),
+        "hopping_2h_1h": _hopping_sql(),
+        "user_gap_stats": _user_gaps_sql(),
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang

@@ -110,3 +110,105 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
 FROM events GROUP BY event_type, window_start
 ORDER BY event_type, window_start
 """
+
+
+def hopping_windows(events_ds, size_hours: int = 2, hop_hours: int = 1):
+    """Hopping (sliding) windows per event_type: each event lands in
+    ``size/hop`` overlapping windows.  Output (event_type, window_start,
+    n_events, total_value).
+
+    Scale shape: the explode is per-batch (each batch emits size/hop
+    copies with shifted window starts — vectorized concat, no Python
+    rows), then ONE native hash groupby; the shuffle carries the
+    aggregated (type, window) rows, pre-combined per block by Ray.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    if size_hours % hop_hours:
+        raise ValueError("size_hours must be a multiple of hop_hours")
+    n_copies = size_hours // hop_hours
+
+    def explode(t: pa.Table) -> pa.Table:
+        base = pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                       pa.timestamp("us"))
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        parts = []
+        for i in range(n_copies):
+            w = pc.subtract(base, pa.scalar(i * hop_hours * 3_600_000_000,
+                                            pa.duration("us")))
+            parts.append(pa.Table.from_arrays(
+                [t["event_type"], pc.cast(w, pa.timestamp("us")), cents],
+                names=["event_type", "window_start", "cents"]))
+        return pa.concat_tables(parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("cents")
+        return t.set_column(
+            i, "total_value",
+            pc.divide(pc.cast(t["cents"], pa.float64()), 100.0))
+
+    return events_ds.map_batches(explode, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby(["event_type", "window_start"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("cents", alias_name="cents")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+HOPPING_2H_1H_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS window_start,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events CROSS JOIN range(0, 2) AS t(i)
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
+def _gap_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    # integer microseconds end-to-end: float seconds would accumulate
+    # representation error and drift from the epoch_us() oracle
+    # (explicit datetime64[us] — pandas resolution is version-dependent)
+    us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    gaps = us[1:] - us[:-1]
+    if len(gaps) == 0:
+        return pd.DataFrame(columns=["user_id", "n_gaps", "avg_gap_sec",
+                                     "max_gap_sec"])
+    avg = (float(gaps.sum()) / len(gaps)) / 1e6
+    import numpy as np
+
+    avg = float(np.copysign(np.floor(abs(avg) * 1e6 + 0.5), avg) / 1e6)
+    return pd.DataFrame({
+        "user_id": [int(g["user_id"].iloc[0])],
+        "n_gaps": [len(gaps)],
+        "avg_gap_sec": [avg],
+        "max_gap_sec": [float(gaps.max()) / 1e6],
+    })
+
+
+def user_gap_stats(events_ds):
+    """Per-user inter-event gap statistics — the lag()-window shape:
+    (user_id, n_gaps, avg_gap_sec, max_gap_sec); users with a single
+    event produce no row.  Per-user groups are small, so the
+    partition-by-key + in-group sort idiom (same as sessionize) holds.
+    """
+    return events_ds.select_columns(["user_id", "ts", "event_id"]) \
+        .groupby("user_id").map_groups(_gap_group, batch_format="pandas")
+
+
+USER_GAP_STATS_SQL = """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id, count(*) AS n_gaps,
+       round(sum(gap_us) / count(*) / 1000000.0, 6) AS avg_gap_sec,
+       max(gap_us) / 1000000.0 AS max_gap_sec
+FROM d WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""

@@ -1,0 +1,124 @@
+"""Distributed exact statistics: grouped quantiles and grouped mode.
+
+Both avoid the per-group ``map_groups`` trap (a low-cardinality group
+key would pull 1/k of the corpus into one pandas frame):
+
+* ``grouped_quantiles`` reduces the data to a fixed-point VALUE
+  HISTOGRAM with a native ``groupby(key, units).count()`` — the shuffle
+  carries at most |keys| × |distinct units| rows (bounded by the value
+  range × scale, NOT the corpus size) and the exact interpolated
+  quantile (``quantile_cont`` semantics: h = q·(n−1), linear between
+  the two bracketing order statistics) is computed from the histogram.
+* ``grouped_mode`` is two native hash aggregations: count per
+  (key, category), then a single ``Max`` over a composite
+  ``count · 2^6 | (63 − category_rank)`` integer — the argmax row
+  without any per-group Python.  Ties break toward the
+  lexicographically-smallest category, mirroring a
+  ``row_number() OVER (ORDER BY cnt DESC, category ASC)`` oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _quantile_from_hist(units: np.ndarray, counts: np.ndarray,
+                        q: float) -> float:
+    """Exact ``quantile_cont(q)`` of the multiset {units[i] × counts[i]}.
+
+    units must be sorted ascending.  Interpolates exactly like DuckDB /
+    numpy 'linear': h = q·(n−1); x[floor(h)] + (x[ceil(h)] − x[floor(h)])
+    · frac(h), where x[j] is the j-th order statistic read off the
+    cumulative histogram.
+    """
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    h = q * (n - 1)
+    j0, j1 = int(np.floor(h)), int(np.ceil(h))
+    x0 = float(units[np.searchsorted(cum, j0, side="right")])
+    x1 = float(units[np.searchsorted(cum, j1, side="right")])
+    return x0 + (x1 - x0) * (h - j0)
+
+
+def grouped_quantiles(ds, key: str, value_col: str,
+                      qs=(0.5, 0.9, 0.95), names=("p50", "p90", "p95"),
+                      scale: int = 100, digits: int = 6) -> pd.DataFrame:
+    """Per-``key`` exact interpolated quantiles of ``value_col``,
+    computed at fixed-point resolution ``1/scale`` (the same rounding an
+    exact-cents oracle applies: ``quantile_cont(round(v·scale))/scale``).
+
+    Returns a small pandas frame (one row per key, sorted by key) — the
+    only driver-side data is the histogram, whose size is bounded by
+    |keys| × value-range × scale regardless of corpus size.
+    """
+    def prep(t: pa.Table) -> pa.Table:
+        units = pc.cast(pc.round(pc.multiply(t[value_col], float(scale))),
+                        pa.int64())
+        return pa.Table.from_arrays([t[key], units], names=[key, "units"])
+
+    hist = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby([key, "units"]).count().to_pandas()
+    hist = hist.sort_values([key, "units"], kind="mergesort")
+
+    rows = []
+    for k, g in hist.groupby(key, sort=True):
+        units = g["units"].to_numpy(np.int64)
+        counts = g["count()"].to_numpy(np.int64)
+        row = {key: k}
+        for q, name in zip(qs, names):
+            v = _quantile_from_hist(units, counts, q) / scale
+            row[name] = np.copysign(
+                np.floor(abs(v) * 10.0 ** digits + 0.5), v) / 10.0 ** digits
+        rows.append(row)
+    return pd.DataFrame(rows, columns=[key, *names]).reset_index(drop=True)
+
+
+_MODE_SHIFT = 6  # category rank packed in the low 6 bits (≤64 categories)
+
+
+def grouped_mode(ds, key: str, cat_col: str,
+                 out_cat: str = "top_cat", out_n: str = "n"):
+    """Most frequent ``cat_col`` value per ``key`` (ties → smallest
+    category), as a Dataset with columns (key, out_cat, out_n).
+
+    ``cat_col`` must be low-cardinality (≤ 2^6 distinct values — the
+    usual enum/label case); its domain is discovered with one cheap
+    distinct pass.
+    """
+    from ray.data.aggregate import Max
+
+    cats = sorted(ds.unique(cat_col))
+    if len(cats) > (1 << _MODE_SHIFT):
+        raise ValueError(f"cat_col has {len(cats)} categories (max 64)")
+    cat_arr = pa.array(cats, pa.string())
+    rank = {c: i for i, c in enumerate(cats)}
+    rank_vals = pa.array([rank[c] for c in cats], pa.int64())
+    low_max = pa.scalar((1 << _MODE_SHIFT) - 1, pa.int64())
+
+    counts = ds.groupby([key, cat_col]).count()
+
+    def encode(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[cat_col], value_set=cat_arr)
+        r = pc.take(rank_vals, idx)
+        comp = pc.add(
+            pc.shift_left(pc.cast(t["count()"], pa.int64()),
+                          pa.scalar(_MODE_SHIFT, pa.int64())),
+            pc.subtract(low_max, r))
+        return pa.Table.from_arrays([t[key], comp], names=[key, "comp"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        comp = t["comp"].combine_chunks()
+        cnt = pc.shift_right(comp, pa.scalar(_MODE_SHIFT, pa.int64()))
+        r = pc.subtract(low_max, pc.subtract(
+            comp, pc.shift_left(cnt, pa.scalar(_MODE_SHIFT, pa.int64()))))
+        return pa.Table.from_arrays(
+            [t[key], pc.take(cat_arr, r), cnt],
+            names=[key, out_cat, out_n])
+
+    return counts.map_batches(encode, batch_format="pyarrow") \
+        .groupby(key).aggregate(Max("comp", alias_name="comp")) \
+        .map_batches(decode, batch_format="pyarrow")

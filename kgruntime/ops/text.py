@@ -125,16 +125,21 @@ class LangId:
 
 # --- document fingerprint: rolling polynomial hash over tokens ---
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_OFFSET = np.uint64(14695981039346656037)
+_FP_BASE = 1099511628211
+_FP_OFFSET = 14695981039346656037
+_FP_MASK = (1 << 64) - 1
 
 
 def fingerprint_tokens(tokens: list[str]) -> int:
-    """FNV-style rolling hash over the token sequence (order-sensitive)."""
+    """FNV-style rolling hash over the token sequence (order-sensitive).
+
+    Pure-int with an explicit 64-bit mask: identical values to the
+    former numpy-uint64 version (wraparound ≡ mask) without per-token
+    numpy scalar overhead or its overflow RuntimeWarning."""
     h = _FP_OFFSET
     for t in tokens:
-        h = np.uint64((h ^ np.uint64(zlib.crc32(t.encode()))) * _FP_BASE)
-    return int(h)
+        h = ((h ^ zlib.crc32(t.encode())) * _FP_BASE) & _FP_MASK
+    return h
 
 
 def fingerprints(batch: pa.Table) -> pa.Table:

@@ -635,3 +635,263 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# as-of join: each click joined to the user's most recent prior purchase
+# (distributed co-partitioned merge_asof — ops/asof.py; the oracle is a
+# native DuckDB ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+def q_asof_click_purchase(sf_dir: str):
+    import numpy as np
+
+    from .ops.asof import asof_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def clicks_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return t.select(["event_id", "user_id", "ts"])
+
+    def purch_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        # cents as float64: a left-join bucket with any unmatched row
+        # would promote int64→float64 only in SOME blocks; exact ints in
+        # float64 keep every block's schema identical
+        cents = pc.cast(_money_cents(t["value"]), pa.float64())
+        return pa.Table.from_arrays(
+            [t["user_id"], t["ts"], t["ts"], cents],
+            names=["user_id", "ts", "purchase_ts", "purchase_cents"])
+
+    clicks = ev.map_batches(clicks_prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    purch = ev.map_batches(purch_prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    df = asof_join(clicks, purch, by="user_id", on="ts",
+                   how="inner").to_pandas()
+
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    p_us = df["purchase_ts"].to_numpy().astype("datetime64[us]") \
+        .astype(np.int64)
+    df["lag_sec"] = (ts_us - p_us) / 1e6
+    df["purchase_value"] = df.pop("purchase_cents") / 100.0
+    return df[["event_id", "user_id", "purchase_ts", "purchase_value",
+               "lag_sec"]].sort_values("event_id").reset_index(drop=True)
+
+
+Q_ASOF_CLICK_PURCHASE_SQL = """
+WITH purch AS (
+  SELECT user_id, ts, ts AS purchase_ts,
+         max(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, p.purchase_ts,
+       p.cents / 100.0 AS purchase_value,
+       (epoch_us(c.ts) - epoch_us(p.purchase_ts)) / 1000000.0 AS lag_sec
+FROM clicks c ASOF JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join: events bucketed into value bands — broadcast
+# band table, zero shuffle until the final tiny rollup (ops/asof.py)
+# ---------------------------------------------------------------------------
+
+_VALUE_BANDS = [("T0", 0.0, 25.0), ("T1", 25.0, 50.0), ("T2", 50.0, 100.0),
+                ("T3", 100.0, 200.0), ("T4", 200.0, 1000.0)]
+
+
+def q_value_bands(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from .ops.asof import band_join
+
+    bands = pa.table({
+        "band": [b for b, _, _ in _VALUE_BANDS],
+        "lo": [lo for _, lo, _ in _VALUE_BANDS],
+        "hi": [hi for _, _, hi in _VALUE_BANDS],
+    })
+    ev = _read(sf_dir, "events", columns=["value"])
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", _money_cents(t["value"]))
+
+    df = band_join(ev.map_batches(cents_col, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+                   bands, value_col="value") \
+        .groupby("band") \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("cents", alias_name="cents")) \
+        .to_pandas().sort_values("band").reset_index(drop=True)
+    df["total_value"] = df.pop("cents") / 100.0
+    return df[["band", "n_events", "total_value"]]
+
+
+Q_VALUE_BANDS_SQL = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('T0', 0.0, 25.0), ('T1', 25.0, 50.0), ('T2', 50.0, 100.0),
+  ('T3', 100.0, 200.0), ('T4', 200.0, 1000.0))
+SELECT band, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped mode (most frequent category per key) — two native hash
+# aggregations, no per-group Python (ops/stats.py:grouped_mode)
+# ---------------------------------------------------------------------------
+
+def q_top_type_per_user(sf_dir: str):
+    from .ops.stats import grouped_mode
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_mode(ev, key="user_id", cat_col="event_type",
+                        out_cat="top_type", out_n="n_events") \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+Q_TOP_TYPE_PER_USER_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM c)
+SELECT user_id, event_type AS top_type, cnt AS n_events
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped exact quantiles via fixed-point value histogram
+# (ops/stats.py:grouped_quantiles — shuffle bounded by value range, not
+# corpus size)
+# ---------------------------------------------------------------------------
+
+def q_event_value_quantiles(sf_dir: str):
+    from .ops.stats import grouped_quantiles
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles(ev, key="event_type", value_col="value")
+
+
+Q_EVENT_VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+             / 100.0, 6) AS p50,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9)
+             / 100.0, 6) AS p90,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95)
+             / 100.0, 6) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5-style local-supplier revenue: the two FACT tables (lineitem ⋈
+# orders) meet in ONE bucketed hash-join shuffle; customer/supplier/
+# nation/region ride along as broadcast key→nation maps.  (At extreme
+# scale the customer map outgrows broadcast — the same bucketed join
+# then applies to orders ⋈ customer first; the lineitem-side shape is
+# unchanged.)
+# ---------------------------------------------------------------------------
+
+def q_local_supplier_revenue(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .ops.join import bucketed_hash_join
+
+    nation = pq.read_table(_path(sf_dir, "nation"))
+    region = pq.read_table(_path(sf_dir, "region"))
+    rmap = dict(zip(region["r_regionkey"].to_pylist(),
+                    region["r_name"].to_pylist()))
+    asia = sorted(nk for nk, rk in
+                  zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_regionkey"].to_pylist())
+                  if rmap[rk] == "ASIA")
+    asia_arr = pa.array(asia, pa.int32())
+    nkeys = nation["n_nationkey"].combine_chunks()
+    nvals = nation["n_name"].combine_chunks()
+
+    cust = pq.read_table(_path(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    ckeys = cust["c_custkey"].combine_chunks()
+    cnat = cust["c_nationkey"].combine_chunks()
+    supp = pq.read_table(_path(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    skeys = supp["s_suppkey"].combine_chunks()
+    snat = supp["s_nationkey"].combine_chunks()
+
+    lo = pa.scalar("1996-01-01").cast(pa.timestamp("us"))
+    hi = pa.scalar("1998-01-01").cast(pa.timestamp("us"))
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        t = t.append_column(
+            "cust_nation",
+            pc.take(cnat, pc.index_in(t["o_custkey"], value_set=ckeys)))
+        t = t.filter(pc.is_valid(pc.index_in(t["cust_nation"],
+                                             value_set=asia_arr)))
+        return t.select(["o_orderkey", "cust_nation"])
+
+    o_sel = _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        cents = _money_cents(t["l_extendedprice"])
+        bp = _to_int64(t["l_discount"], 10_000)
+        disc_n = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))
+        snation = pc.take(snat, pc.index_in(t["l_suppkey"],
+                                            value_set=skeys))
+        return pa.Table.from_arrays(
+            [t["l_orderkey"], snation, disc_n],
+            names=["l_orderkey", "supp_nation", "disc_n"])
+
+    l_sel = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"]) \
+        .map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = bucketed_hash_join(l_sel, o_sel, "l_orderkey", "o_orderkey")
+
+    def local_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["supp_nation"], t["cust_nation"]))
+        name = pc.take(nvals, pc.index_in(t["cust_nation"],
+                                          value_set=nkeys))
+        return pa.Table.from_arrays([name, t["disc_n"]],
+                                    names=["n_name", "disc_n"])
+
+    df = j.map_batches(local_only, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("disc_n", alias_name="disc_n")) \
+        .to_pandas().sort_values("n_name").reset_index(drop=True)
+    df["revenue"] = df.pop("disc_n") / 1_000_000.0
+    return _round_cols(df[["n_name", "revenue"]], ["revenue"], 4)
+
+
+Q_LOCAL_SUPPLIER_REVENUE_SQL = """
+SELECT n_name,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+             / 1000000.0, 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY n_name
+"""

@@ -1,0 +1,155 @@
+"""Unit tests for the round-2 extension operators: as-of join, band
+(interval) join, grouped quantiles, grouped mode, hopping windows, and
+per-user gap stats."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ts(s):
+    return pd.Timestamp(s).to_datetime64()
+
+
+def test_asof_join_basic(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.asof import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "lid": [1, 2, 3, 4],
+        "k": [10, 10, 10, 20],
+        "t": pa.array([100, 250, 50, 100], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": [10, 10, 20],
+        "t": pa.array([100, 200, 999], pa.int64()),
+        "payload": [7.0, 8.0, 9.0],
+    }))
+    out = asof_join(left, right, by="k", on="t", how="left") \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    # lid=1: exact match t=100 -> 7; lid=2: t=250 -> latest ≤ is 200 -> 8
+    # lid=3: t=50 -> no prior -> NaN; lid=4: k=20 t=100 < 999 -> NaN
+    assert list(out["lid"]) == [1, 2, 3, 4]
+    assert out["payload"].tolist()[:2] == [7.0, 8.0]
+    assert np.isnan(out["payload"].iloc[2]) and np.isnan(out["payload"].iloc[3])
+
+    inner = asof_join(left, right, by="k", on="t", how="inner") \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    assert list(inner["lid"]) == [1, 2]
+    assert inner["lid"].dtype == np.int64  # no float promotion leaks out
+
+
+def test_asof_join_unique_right_keeps_max(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.asof import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "lid": [1], "k": [5], "t": pa.array([10], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": [5, 5], "t": pa.array([10, 10], pa.int64()),
+        "payload": [3.0, 4.0]}))   # duplicate (k, t): max payload wins
+    out = asof_join(left, right, by="k", on="t", how="inner").to_pandas()
+    assert out["payload"].tolist() == [4.0]
+
+
+def test_band_join_edges(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.asof import band_join
+
+    bands = pa.table({"band": ["a", "b"], "lo": [0.0, 10.0],
+                      "hi": [10.0, 20.0]})
+    ds = rd.from_arrow(pa.table({
+        "x": [0.0, 9.99, 10.0, 19.99, 20.0, -0.01]}))
+    out = band_join(ds, bands, value_col="x").to_pandas() \
+        .sort_values("x").reset_index(drop=True)
+    # lo inclusive, hi exclusive; 20.0 and -0.01 dropped
+    assert out["x"].tolist() == [0.0, 9.99, 10.0, 19.99]
+    assert out["band"].tolist() == ["a", "a", "b", "b"]
+
+    overlapping = pa.table({"band": ["a", "b"], "lo": [0.0, 5.0],
+                            "hi": [10.0, 20.0]})
+    with pytest.raises(ValueError):
+        band_join(ds, overlapping, value_col="x")
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import grouped_quantiles
+
+    rng = np.random.RandomState(7)
+    vals_a = np.round(rng.uniform(0, 50, 101), 2)
+    vals_b = np.round(rng.uniform(0, 9, 40), 2)
+    ds = rd.from_arrow(pa.table({
+        "k": ["a"] * 101 + ["b"] * 40,
+        "v": np.concatenate([vals_a, vals_b]),
+    })).repartition(4)
+    out = grouped_quantiles(ds, key="k", value_col="v",
+                            qs=(0.5, 0.9), names=("p50", "p90"))
+    for k, vals in (("a", vals_a), ("b", vals_b)):
+        row = out[out["k"] == k].iloc[0]
+        cents = np.round(vals * 100).astype(np.int64)
+        for q, name in ((0.5, "p50"), (0.9, "p90")):
+            expect = round(float(np.percentile(cents, q * 100,
+                                               method="linear")) / 100, 6)
+            assert abs(row[name] - expect) < 1e-9, (k, name)
+
+
+def test_grouped_mode_tie_breaks_lexical(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import grouped_mode
+
+    ds = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 1, 2, 2],
+        "c": ["zz", "zz", "aa", "aa", "mm", "zz"],
+    })).repartition(3)
+    out = grouped_mode(ds, key="k", cat_col="c").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    # k=1: tie 2-2 -> lexicographically smallest "aa"; k=2: tie -> "mm"
+    assert out["top_cat"].tolist() == ["aa", "mm"]
+    assert out["n"].tolist() == [2, 1]
+
+
+def test_hopping_windows_boundary(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import hopping_windows
+
+    ds = rd.from_arrow(pa.table({
+        "event_type": ["x"],
+        "ts": pa.array([_ts("2024-01-01 05:30:00")]),
+        "value": [2.0],
+    }))
+    out = hopping_windows(ds, size_hours=2, hop_hours=1).to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+    # one event -> exactly the 04:00 and 05:00 windows
+    assert len(out) == 2
+    assert [str(w) for w in out["window_start"]] == \
+        ["2024-01-01 04:00:00", "2024-01-01 05:00:00"]
+    assert out["n_events"].tolist() == [1, 1]
+    assert out["total_value"].tolist() == [2.0, 2.0]
+
+
+def test_user_gap_stats_single_event_user(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import user_gap_stats
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 1, 2],
+        "event_id": [1, 2, 3, 4],
+        "ts": pa.array([_ts("2024-01-01 00:00:00"),
+                        _ts("2024-01-01 00:00:10"),
+                        _ts("2024-01-01 00:01:10"),
+                        _ts("2024-01-01 00:00:00")]),
+    }))
+    out = user_gap_stats(ds).to_pandas()
+    assert out["user_id"].tolist() == [1]   # user 2 has no gaps
+    assert out["n_gaps"].tolist() == [2]
+    assert out["avg_gap_sec"].tolist() == [35.0]
+    assert out["max_gap_sec"].tolist() == [60.0]
