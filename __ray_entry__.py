@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_type_per_user": R.q_top_type_per_user,
         "event_value_quantiles": R.q_event_value_quantiles,
         "local_supplier_revenue": R.q_local_supplier_revenue,
+        "props_k_stats": R.q_props_k_stats,
         # text analysis (SQL-backed)
         "doc_stats": _q_doc_stats,
         "token_stats": _q_token_stats,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_pred": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
     }
@@ -250,6 +252,20 @@ def _q_ann_lsh(sf_dir):
     q, ids = _load_queries(sf_dir)
     dim = len(q[0])
     out = lsh_topk(emb, q, ids, dim=dim, k=_ANN_K).to_pandas()
+    return out[["query_id", "neighbor_id"]] \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+
+
+def _q_ann_ivf(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import ivf_topk
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q, ids = _load_queries(sf_dir)
+    dim = len(q[0])
+    out = ivf_topk(emb, q, ids, dim=dim, k=_ANN_K).to_pandas()
     return out[["query_id", "neighbor_id"]] \
         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
 
@@ -440,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "top_type_per_user": R.Q_TOP_TYPE_PER_USER_SQL,
         "event_value_quantiles": R.Q_EVENT_VALUE_QUANTILES_SQL,
         "local_supplier_revenue": R.Q_LOCAL_SUPPLIER_REVENUE_SQL,
+        "props_k_stats": R.Q_PROPS_K_STATS_SQL,
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,

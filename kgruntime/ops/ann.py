@@ -142,3 +142,97 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
         partials = partials.filter(expr="query_id != neighbor_id")
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pyarrow")
+
+
+# --- IVF (inverted-file) ANN: coarse k-means quantizer + probed buckets ---
+
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means: init = first k rows of the
+    (pre-sorted) sample, fixed iteration count, empty clusters keep
+    their previous centroid.  Returns L2-normalized centroids."""
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                            1e-12)
+    c = x[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
+             k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+             sample_mod: int = 7, train_size: int = 4096,
+             exclude_self: bool = True, concurrency=(2, 8)):
+    """IVF ANN: a coarse quantizer (spherical k-means over a
+    deterministic hash-sample of the corpus) splits vectors into
+    ``n_centroids`` inverted lists; each query scans only its
+    ``n_probe`` nearest lists.  Compute scales by ~n_probe/n_centroids
+    vs brute force; recall measured against brute force in tests.
+
+    The training sample is vectors with ``crc32(vec_id) % sample_mod ==
+    0``, sorted by vec_id — block-order independent, so centroids (and
+    results) are reproducible on any cluster layout.  The sample and the
+    centroid matrix are the only driver-side data.
+    """
+    import zlib
+
+    import ray
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        keep = [zlib.crc32(str(i).encode()) % sample_mod == 0 for i in ids]
+        return t.filter(pa.array(keep))
+
+    sample_rows = sorted(
+        emb_ds.map_batches(sample_batch, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"])[:train_size]
+    sample = np.array([r["embedding"] for r in sample_rows], np.float64)
+    cents = _kmeans_fit(sample, min(n_centroids, len(sample)))
+
+    q = np.asarray(queries, np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    by_list: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for cid in probe[qi]:
+            by_list.setdefault(int(cid), []).append(qi)
+    ref = ray.put((qn, list(query_ids), cents, by_list))
+
+    class ListScorer:
+        def __init__(self):
+            self.qn, self.query_ids, self.cents, self.by_list = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
+            emb = np.array(batch["embedding"].to_pylist(), np.float64)
+            emb = emb / np.maximum(
+                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            assign = np.argmax(emb @ self.cents.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for cid, q_idx in self.by_list.items():
+                mask = assign == cid
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                sims = self.qn[q_idx] @ emb[mask].T
+                top = min(k + 1, sims.shape[1])
+                for row, qi in enumerate(q_idx):
+                    for j in np.argpartition(-sims[row], top - 1)[:top]:
+                        out_q.append(self.query_ids[qi])
+                        out_n.append(int(sub_ids[j]))
+                        out_s.append(float(sims[row, j]))
+            return pa.Table.from_arrays(
+                [pa.array(out_q, pa.int64()), pa.array(out_n, pa.int64()),
+                 pa.array(out_s, pa.float64())],
+                names=["query_id", "neighbor_id", "cosine"])
+
+    partials = emb_ds.map_batches(ListScorer, batch_format="pyarrow",
+                                  concurrency=concurrency, num_cpus=1)
+    if exclude_self:
+        partials = partials.filter(expr="query_id != neighbor_id")
+    return partials.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pyarrow")

@@ -895,3 +895,42 @@ WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
   AND o_orderdate <  TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction: JSON props field → typed column, fully
+# vectorized (pc.extract_regex — no per-row json.loads in the hot path)
+# ---------------------------------------------------------------------------
+
+def q_props_k_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.Table.from_arrays([t["event_type"], k],
+                                    names=["event_type", "k"])
+
+    df = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("event_type") \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("k", alias_name="sum_k"),
+                   Max("k", alias_name="max_k")) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["avg_k"] = df["sum_k"] / df["n_events"]
+    return _round_cols(df[["event_type", "n_events", "sum_k", "max_k",
+                           "avg_k"]], ["avg_k"], 6)
+
+
+Q_PROPS_K_STATS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       round(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             / count(*), 6) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -153,3 +153,30 @@ def test_user_gap_stats_single_event_user(ray_session):
     assert out["n_gaps"].tolist() == [2]
     assert out["avg_gap_sec"].tolist() == [35.0]
     assert out["max_gap_sec"].tolist() == [60.0]
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(3)
+    n, dim = 400, 16
+    emb = rng.randn(n, dim)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(emb),
+    })).repartition(4)
+    q_ids = list(range(8))
+    q = emb[:8]
+    exact = brute_force_topk(ds, q, q_ids, k=5).to_pandas()
+    approx = ivf_topk(ds, q, q_ids, dim=dim, k=5,
+                      n_centroids=8, n_probe=4).to_pandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
+    # determinism: a second run reproduces the same result exactly
+    again = ivf_topk(ds, q, q_ids, dim=dim, k=5,
+                     n_centroids=8, n_probe=4).to_pandas()
+    assert approx_pairs == set(zip(again["query_id"], again["neighbor_id"]))
