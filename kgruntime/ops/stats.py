@@ -122,3 +122,51 @@ def grouped_mode(ds, key: str, cat_col: str,
     return counts.map_batches(encode, batch_format="pyarrow") \
         .groupby(key).aggregate(Max("comp", alias_name="comp")) \
         .map_batches(decode, batch_format="pyarrow")
+
+
+def grouped_corr(ds, key: str, x_col: str, y_col: str,
+                 x_scale: int = 1, y_scale: int = 100,
+                 out: str = "corr", digits: int = 6) -> pd.DataFrame:
+    """Exact grouped Pearson correlation via integer sufficient
+    statistics — the canonical partial-aggregation shape.
+
+    Each batch reduces to ONE row per key of (n, Σx, Σy, Σxy, Σx², Σy²)
+    over the fixed-point integers round(x·x_scale)/round(y·y_scale); the
+    shuffle carries |keys| × |blocks| tiny rows, never data.  The final
+    combine runs on the driver with Python ints (arbitrary precision, so
+    Σy² can't overflow at any corpus size) and both sides — this and the
+    DuckDB oracle summing BIGINT into HUGEINT — evaluate the identical
+    float formula on identical exact integers, making the result
+    bit-deterministic regardless of summation order.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(t[x_col], float(x_scale))),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.round(pc.multiply(t[y_col], float(y_scale))),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({key: t[key].to_pandas(), "x": x, "y": y,
+                           "xy": x * y, "xx": x * x, "yy": y * y})
+        g = df.groupby(key, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096, zero_copy_batch=True) \
+        .to_pandas()
+
+    rows = []
+    for k, g in parts.groupby(key, sort=True):
+        n = int(g["n"].astype(object).sum())
+        sx = int(g["sx"].astype(object).sum())
+        sy = int(g["sy"].astype(object).sum())
+        sxy = int(g["sxy"].astype(object).sum())
+        sxx = int(g["sxx"].astype(object).sum())
+        syy = int(g["syy"].astype(object).sum())
+        num = float(n * sxy - sx * sy)
+        den = np.sqrt(float(n * sxx - sx * sx)) * \
+            np.sqrt(float(n * syy - sy * sy))
+        v = num / den if den != 0.0 else float("nan")
+        rows.append({key: k, out: np.copysign(
+            np.floor(abs(v) * 10.0 ** digits + 0.5), v) / 10.0 ** digits})
+    return pd.DataFrame(rows, columns=[key, out]).reset_index(drop=True)

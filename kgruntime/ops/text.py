@@ -155,3 +155,83 @@ def fingerprints(batch: pa.Table) -> pa.Table:
         [batch["doc_id"], pa.array(fps, pa.uint64()),
          pa.array(pfps, pa.uint64())],
         names=["doc_id", "fingerprint", "prefix_fingerprint"])
+
+
+def _explode_words(t: pa.Table, with_lang: bool) -> "object":
+    """Batch → polars frame of non-empty single-space-split words
+    (str_split(' ') semantics, matching DuckDB's str_split exactly:
+    consecutive spaces yield empty tokens, which both sides drop)."""
+    import polars as pl
+
+    cols = {"text": pl.from_arrow(t["text"].combine_chunks())}
+    if with_lang:
+        cols["lang"] = pl.from_arrow(t["lang"].combine_chunks())
+    df = pl.DataFrame(cols)
+    out = df.with_columns(pl.col("text").str.split(" ").alias("word")) \
+        .drop("text").explode("word") \
+        .filter(pl.col("word") != "")
+    return out
+
+
+def term_frequencies(docs_ds, top_n: int = 100):
+    """Corpus-level top-N word counts — the classic wordcount, shaped
+    for scale: each batch pre-aggregates its own (word, cnt) partials
+    with a vectorized polars explode+groupby (Rust-side, no Python row
+    loop), so the ``groupby(word)`` shuffle carries per-batch-distinct
+    words, not one row per token.  The final distributed sort + limit
+    keeps only N rows on the driver.  Ties break by word ascending so
+    the boundary of the top-N is deterministic."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = _explode_words(t, with_lang=False) \
+            .group_by("word").agg(pl.len().cast(pl.Int64).alias("cnt"))
+        return g.to_arrow().cast(
+            pa.schema([("word", pa.string()), ("cnt", pa.int64())]))
+
+    return docs_ds.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("word").aggregate(Sum("cnt", alias_name="cnt")) \
+        .sort(["cnt", "word"], descending=[True, False]) \
+        .limit(top_n)
+
+
+TERM_FREQUENCIES_SQL = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 100
+"""
+
+
+def vocab_per_lang(docs_ds):
+    """Distinct-word count per language — exact distributed COUNT
+    DISTINCT: per-batch polars explode + unique reduces each block to
+    its distinct (lang, word) pairs, one ``groupby`` dedups globally,
+    and a second tiny ``groupby(lang)`` counts.  The heavy shuffle
+    carries deduplicated pairs (bounded by vocab × langs), never
+    one row per token."""
+    from ray.data.aggregate import Count
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = _explode_words(t, with_lang=True).unique(["lang", "word"])
+        return g.to_arrow().cast(
+            pa.schema([("lang", pa.string()), ("word", pa.string())]))
+
+    return docs_ds.select_columns(["text", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["lang", "word"]).count() \
+        .groupby("lang").aggregate(Count(alias_name="vocab_size"))
+
+
+VOCAB_PER_LANG_SQL = """
+SELECT lang, count(DISTINCT word) AS vocab_size
+FROM (SELECT lang, unnest(str_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY lang
+ORDER BY lang
+"""

@@ -934,3 +934,149 @@ SELECT event_type, count(*) AS n_events,
              / count(*), 6) AS avg_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped Pearson correlation (exact partial-aggregation sufficient stats)
+# ---------------------------------------------------------------------------
+
+def q_corr_qty_price(sf_dir: str):
+    """corr(l_quantity, l_extendedprice) per return flag via
+    ops.stats.grouped_corr — each block reduces to one sufficient-stats
+    row per flag, so the shuffle is O(|flags| × |blocks|) regardless of
+    fact-table size, and the exact-integer combine makes the float
+    result independent of summation order (the oracle mirrors it by
+    summing BIGINT into HUGEINT)."""
+    from kgruntime.ops.stats import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice",
+                        x_scale=1, y_scale=100, out="corr_qty_price")
+
+
+Q_CORR_QTY_PRICE_SQL = """
+WITH f AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM f GROUP BY l_returnflag)
+SELECT l_returnflag,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS corr_qty_price
+FROM s ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot: per-user event-type counts as columns (indicator-sum shape)
+# ---------------------------------------------------------------------------
+
+def q_user_event_pivot(sf_dir: str):
+    """Wide per-user counts, one column per event type — the pivot as
+    indicator columns summed by a native hash groupby (pre-aggregated
+    per block by Ray), never a per-group pandas frame.  The type domain
+    comes from one tiny distinct pass."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    types = sorted(ds.unique("event_type"))
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols, names = [t["user_id"]], ["user_id"]
+        for ty in types:
+            cols.append(pc.cast(pc.equal(t["event_type"], ty), pa.int64()))
+            names.append(f"{ty}_cnt")
+        return pa.Table.from_arrays(cols, names=names)
+
+    aggs = [Sum(f"{ty}_cnt", alias_name=f"{ty}_cnt") for ty in types]
+    return ds.map_batches(indicators, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("user_id").aggregate(*aggs) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+Q_USER_EVENT_PIVOT_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         AS click_cnt,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         AS error_cnt,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+         AS purchase_cnt,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+         AS signup_cnt,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+         AS view_cnt
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup: multi-level totals from ONE base aggregation
+# ---------------------------------------------------------------------------
+
+def q_rollup_region_nation(sf_dir: str):
+    """(region, nation) → (region) → () customer totals, computed as a
+    single native groupby at the finest grain plus a driver-side rollup
+    of the tiny |nations|-row result — the subtotal levels are derived,
+    not re-scanned (exact integer cents make the re-sums safe)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(_path(sf_dir, "nation"))
+    region = pq.read_table(_path(sf_dir, "region"))
+    r_names = dict(zip(region["r_regionkey"].to_pylist(),
+                       region["r_name"].to_pylist()))
+    n_info = {nk: (r_names[rk], nn) for nk, rk, nn in
+              zip(nation["n_nationkey"].to_pylist(),
+                  nation["n_regionkey"].to_pylist(),
+                  nation["n_name"].to_pylist())}
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["c_nationkey"], _money_cents(t["c_acctbal"])],
+            names=["c_nationkey", "cents"])
+
+    base = cust.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("c_nationkey") \
+        .aggregate(Count(alias_name="n_customers"),
+                   Sum("cents", alias_name="cents")) \
+        .to_pandas()
+    base["r_name"] = [n_info[k][0] for k in base["c_nationkey"]]
+    base["n_name"] = [n_info[k][1] for k in base["c_nationkey"]]
+
+    fine = base[["r_name", "n_name", "n_customers", "cents"]]
+    sub = fine.groupby("r_name", as_index=False)[
+        ["n_customers", "cents"]].sum()
+    sub["n_name"] = "ALL"
+    total = pd.DataFrame({
+        "r_name": ["ALL"], "n_name": ["ALL"],
+        "n_customers": [fine["n_customers"].sum()],
+        "cents": [fine["cents"].sum()]})
+    df = pd.concat([fine, sub, total], ignore_index=True) \
+        .sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    df["total_acctbal"] = df.pop("cents") / 100.0
+    return df[["r_name", "n_name", "n_customers", "total_acctbal"]]
+
+
+Q_ROLLUP_REGION_NATION_SQL = """
+SELECT coalesce(r_name, 'ALL') AS r_name,
+       coalesce(n_name, 'ALL') AS n_name,
+       count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY 1, 2
+"""

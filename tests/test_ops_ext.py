@@ -180,3 +180,96 @@ def test_ivf_topk_recall(ray_session):
     again = ivf_topk(ds, q, q_ids, dim=dim, k=5,
                      n_centroids=8, n_probe=4).to_pandas()
     assert approx_pairs == set(zip(again["query_id"], again["neighbor_id"]))
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import grouped_corr
+
+    rng = np.random.RandomState(7)
+    n = 500
+    key = rng.choice(["a", "b"], n)
+    x = rng.randint(1, 51, n).astype(float)
+    y = (x * 3.0 + rng.randn(n) * 10.0).round(2)
+    ds = rd.from_arrow(pa.table({"k": key, "x": x, "y": y})).repartition(4)
+    out = grouped_corr(ds, "k", "x", "y", x_scale=1, y_scale=100,
+                       out="corr")
+    assert out["k"].tolist() == ["a", "b"]
+    for k in ["a", "b"]:
+        m = key == k
+        expect = np.corrcoef(np.round(x[m]),
+                             np.round(y[m] * 100))[0, 1]
+        got = float(out.loc[out["k"] == k, "corr"].iloc[0])
+        assert abs(got - expect) < 1e-6, (k, got, expect)
+
+
+def test_running_user_totals_order(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import running_user_totals
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 1, 2],
+        "event_id": [3, 1, 2, 9],
+        "ts": pa.array([_ts("2024-01-01 00:00:30"),
+                        _ts("2024-01-01 00:00:10"),
+                        _ts("2024-01-01 00:00:20"),
+                        _ts("2024-01-01 00:00:00")]),
+        "value": [1.25, 2.00, 0.50, 4.00],
+    }))
+    out = running_user_totals(ds).to_pandas() \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    # user 1 in ts order: 2.00, +0.50, +1.25 → cum by event_id 1,2,3 =
+    # 200, 250, 375
+    assert out["cum_value_cents"].tolist() == [200, 250, 375, 400]
+
+
+def test_term_frequencies_counts(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import term_frequencies
+
+    ds = rd.from_arrow(pa.table({
+        "text": ["b a a", "a  b", "c"],
+    })).repartition(3)
+    out = term_frequencies(ds, top_n=2).to_pandas()
+    assert out["word"].tolist() == ["a", "b"]
+    assert out["cnt"].tolist() == [3, 2]
+
+
+def test_vocab_per_lang(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import vocab_per_lang
+
+    ds = rd.from_arrow(pa.table({
+        "text": ["a b a", "b c", "x  y"],
+        "lang": ["en", "en", "fr"],
+    })).repartition(2)
+    out = vocab_per_lang(ds).to_pandas().sort_values("lang")
+    assert out["lang"].tolist() == ["en", "fr"]
+    assert out["vocab_size"].tolist() == [3, 2]
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sample import _KNUTH, _M32, stratified_sample
+
+    n = 1000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": ["en" if i % 2 == 0 else "fr" for i in range(n)],
+    })).repartition(4)
+    rates = {"en": 0.5, "fr": 0.1}
+    out = stratified_sample(ds, rates, key_col="doc_id") \
+        .to_pandas().sort_values("doc_id")
+    # exact replication of the predicate
+    expect = [i for i in range(n)
+              if (i * _KNUTH) % _M32 <
+              int(rates["en" if i % 2 == 0 else "fr"] * _M32)]
+    assert out["doc_id"].tolist() == expect
+    # roughly the requested rates
+    n_en = sum(1 for i in expect if i % 2 == 0)
+    assert 0.4 < n_en / (n / 2) < 0.6
