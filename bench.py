@@ -143,6 +143,12 @@ def main() -> None:
     if "--scaling" in sys.argv:
         run_scaling(sf_dir)
         return
+    if "--calibrate" in sys.argv:
+        run_calibration()
+        return
+    if "--calibrate-leg" in sys.argv:
+        calibration_leg(ncpu)
+        return
 
     import ray
 
@@ -192,15 +198,41 @@ def run_scaling(sf_dir: str) -> None:
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        r = json.loads(out.strip().splitlines()[-1])
+        print(f"  trial @{ncpu} cpus: {r['value']} s", file=sys.stderr)
+        return r
 
     _ = run(8)          # warm OS page cache + corpus synth, untimed
-    # min of N trials per level: single-host contention adds up to ±50%
-    # run-to-run noise; the minimum is the cleanest proxy for capacity
-    trials = int(os.environ.get("KG_BENCH_SCALING_TRIALS", "3"))
-    lo = min((run(8) for _ in range(trials)), key=lambda r: r["value"])
-    hi = min((run(32) for _ in range(trials)), key=lambda r: r["value"])
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # PAIRED trials: the sandbox host's effective throughput drifts by
+    # up to ±50% over minutes (firecracker noisy neighbors), so an
+    # 8-CPU leg and a 32-CPU leg measured minutes apart sample
+    # different machines (observed: identical 8-CPU runs 110 s vs
+    # 165 s).  Running each 8-CPU trial back-to-back with a 32-CPU
+    # trial makes both legs share host conditions; the per-pair
+    # efficiency is then meaningful, and the MEDIAN pair is robust to
+    # one disturbed pair without cherry-picking the best.
+    pairs = int(os.environ.get("KG_BENCH_SCALING_PAIRS", "3"))
+    results = []
+    for _ in range(pairs):
+        lo, hi = run(8), run(32)
+        results.append((lo, hi, (lo["value"] / hi["value"]) / (32 / 8)))
+    results.sort(key=lambda p: p[2])
+    lo, hi, eff = results[len(results) // 2]
+
+    # host-capacity calibration pair: even an embarrassingly parallel,
+    # shuffle-free workload does not scale 1.0 on this host (measured:
+    # cache-resident CPU ~0.81, DRAM-bandwidth-bound ~0.04-0.09 —
+    # 32 concurrent memory streams run absolutely SLOWER than 8).  The
+    # pipeline efficiency above should be read against the cpu ceiling.
+    def calib(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--calibrate-leg"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    c8, c32 = calib(8), calib(32)
     print(json.dumps({
         "metric": "kg_pipeline_scaling",
         "sec_8": lo["value"], "sec_32": hi["value"],
@@ -209,7 +241,84 @@ def run_scaling(sf_dir: str) -> None:
         "triples_per_sec_8": lo["triples_per_sec"],
         "triples_per_sec_32": hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "pair_efficiencies": [round(p[2], 3) for p in results],
+        "host_cpu_calibration_efficiency":
+            round((c8["cpu_sec"] / c32["cpu_sec"]) / 4, 3),
+        "host_membw_calibration_efficiency":
+            round((c8["membw_sec"] / c32["membw_sec"]) / 4, 3),
         "sf": sf_dir,
+    }))
+
+
+def calibration_leg(ncpu: int) -> None:
+    """One calibration measurement at ``ncpu`` CPUs: N embarrassingly
+    parallel Ray tasks (zero shuffles, zero object-store traffic) for
+    two profiles — cache-resident CPU work and DRAM-bandwidth work."""
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+
+    @ray.remote(num_cpus=1)
+    def cpu_task(reps: int) -> int:
+        # cache-resident: 256×256 matmul, ~0.5 MB working set
+        import numpy as np
+
+        a = np.full((256, 256), 1.0001)
+        for _ in range(reps):
+            a = np.clip(a @ a, 0.5, 1.5)
+        return int(a[0, 0])
+
+    @ray.remote(num_cpus=1)
+    def membw_task(reps: int) -> float:
+        # DRAM-bound: stream over a 256 MB array (far beyond LLC)
+        import numpy as np
+
+        a = np.ones(32_000_000)
+        s = 0.0
+        for _ in range(reps):
+            s += float(a.sum())
+            a[::4096] += 1.0
+        return s
+
+    out = {"num_cpus": ncpu}
+    for name, task, reps in (("cpu", cpu_task, 60), ("membw", membw_task, 6)):
+        ray.get([task.remote(1)])            # warm the worker pool
+        t0 = time.perf_counter()
+        ray.get([task.remote(reps) for _ in range(64)])
+        out[name + "_sec"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def run_calibration() -> None:
+    """Host-capacity calibration: the same trivially parallel work at 8
+    and 32 CPUs in fresh processes.  A shuffle-free workload that scales
+    below 1.0 here bounds what ANY pipeline can reach on this host —
+    the pipeline's measured efficiency should be read relative to it."""
+
+    def leg(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--calibrate-leg"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        r = json.loads(out.strip().splitlines()[-1])
+        print(f"  calib @{ncpu}: {r}", file=sys.stderr)
+        return r
+
+    pairs = int(os.environ.get("KG_BENCH_SCALING_PAIRS", "3"))
+    effs = {"cpu": [], "membw": []}
+    for _ in range(pairs):
+        lo, hi = leg(8), leg(32)
+        for k in effs:
+            effs[k].append(round((lo[k + "_sec"] / hi[k + "_sec"]) / 4, 3))
+    med = {k: sorted(v)[len(v) // 2] for k, v in effs.items()}
+    print(json.dumps({
+        "metric": "host_calibration",
+        "cpu_efficiency": med["cpu"],
+        "membw_efficiency": med["membw"],
+        "pair_efficiencies": effs,
     }))
 
 

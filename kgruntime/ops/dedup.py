@@ -324,18 +324,29 @@ class SimHasher:
     def __init__(self, bands: int = 4, seed: int = 17):
         self.bands = bands
         self.band_bits = 64 // bands
+        # token→hash memo, built per actor: corpus vocabulary repeats
+        # massively across documents, so the per-token crc32 pair runs
+        # once per distinct token per actor, not once per occurrence
+        self._memo: dict[str, int] = {}
 
-    def signature(self, text: str) -> int:
+    def _token_hash(self, t: str) -> int:
         import zlib
 
+        h = self._memo.get(t)
+        if h is None:
+            h = (zlib.crc32(t.encode()) |
+                 (zlib.crc32(t[::-1].encode()) << 32)) & 0xFFFFFFFFFFFFFFFF
+            if len(self._memo) < 1_000_000:   # bound actor heap
+                self._memo[t] = h
+        return h
+
+    def signature(self, text: str) -> int:
         toks = set(text.split())
         if not toks:
             return 0
         # one 64-bit hash per token, then all 64 bit-planes at once:
         # (n_tokens, 64) sign matrix summed down the token axis
-        hs = np.array([(zlib.crc32(t.encode()) |
-                        (zlib.crc32(t[::-1].encode()) << 32)) &
-                       0xFFFFFFFFFFFFFFFF for t in toks], np.uint64)
+        hs = np.array([self._token_hash(t) for t in toks], np.uint64)
         bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) \
             & np.uint64(1)
         acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
