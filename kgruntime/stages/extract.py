@@ -23,9 +23,12 @@ Scale notes (100 TB design intent):
 
 from __future__ import annotations
 
+import hashlib
+
 import pyarrow as pa
 
 from ..ttl import LexError, ParseError, BuildError, parse_turtle
+from ..ttl.builder import BLANKN
 
 # Combined output schema: triples + quarantined errors (FIXTURES.md §2/§3).
 TRIPLES_SCHEMA = pa.schema([
@@ -104,6 +107,41 @@ def normalize_spans(batch: pa.Table) -> pa.Table:
     return batch.append_column("span_ok", ok)
 
 
+# Per-process parse memo: (subj,pred,obj,...) rows are a PURE function
+# of the document text up to the doc-id prefix in blank labels, and
+# exact-duplicate payloads are ubiquitous at web scale (boilerplate,
+# mirrors, templated pages — the very reason exact dedup exists).  The
+# template caches rows with blank labels carrying a \x00 sentinel
+# prefix; per doc the sentinel is swapped for "_:{doc_id}/" on
+# blank-kind cells only, byte-identical to a direct labeled parse
+# (parity: test_ray_extract.py::test_parse_memo_parity).  Keyed by a
+# 128-bit content hash so the memo never pins document texts; capped so
+# a fully-distinct corpus costs one dict probe per doc and no growth.
+_PARSE_MEMO: dict[bytes, list | None] = {}
+_PARSE_MEMO_MAX = 8192
+_SENT = "\x00"
+
+
+def _parse_template(text: str):
+    """Rows with sentinel-prefixed blank labels, or None when the text
+    does not parse (label choice cannot affect success)."""
+    key = hashlib.blake2b(text.encode(), digest_size=16).digest()
+    hit = _PARSE_MEMO.get(key, _PARSE_MEMO)       # _PARSE_MEMO ≡ miss
+    if hit is not _PARSE_MEMO:
+        return hit
+    try:
+        rows = parse_turtle(
+            text,
+            labeler=lambda n: _SENT + str(n),
+            relabel=lambda lbl: _SENT + "L/" + lbl[2:],
+        )
+    except (LexError, ParseError, BuildError):
+        rows = None
+    if len(_PARSE_MEMO) < _PARSE_MEMO_MAX:
+        _PARSE_MEMO[key] = rows
+    return rows
+
+
 def parse_batch(batch: pa.Table) -> pa.Table:
     """Fused tokenize→parse→build over one Arrow batch of documents.
 
@@ -111,7 +149,8 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     semantics via map_batches.  Blank-node labels are globally unique yet
     per-doc deterministic: generated → ``_:{doc_id}/{n}``, labeled →
     ``_:{doc_id}/L/{name}`` (SURVEY.md §1.4; reference scope is one parse
-    run, build.rs:368).
+    run, build.rs:368).  Distinct payloads parse once per worker process
+    (see ``_parse_template``).
     """
     doc_ids, texts, span_errs = concat_text_spans(batch)
 
@@ -126,19 +165,28 @@ def parse_batch(batch: pa.Table) -> pa.Table:
                         c_doc, c_subj, c_sk, c_pred, c_obj, c_ok, c_dt,
                         c_lang, c_ss, c_se, c_si, c_rk, c_el, c_ek, c_em)
             continue
-        prefix = "_:" + doc_id + "/"
-        try:
-            rows = parse_turtle(
-                text,
-                labeler=lambda n, p=prefix: p + str(n),
-                relabel=lambda lbl, p=prefix: p + "L/" + lbl[2:],
-            )
-        except (LexError, ParseError, BuildError) as e:
-            _push_error(doc_id, e.layer, e.kind, str(e), e.start, e.end,
-                        c_doc, c_subj, c_sk, c_pred, c_obj, c_ok, c_dt,
-                        c_lang, c_ss, c_se, c_si, c_rk, c_el, c_ek, c_em)
+        rows = _parse_template(text)
+        if rows is None:
+            # re-parse for exact diagnostics (error docs are the rare
+            # path and land in quarantine anyway)
+            prefix = "_:" + doc_id + "/"
+            try:
+                parse_turtle(
+                    text,
+                    labeler=lambda n, p=prefix: p + str(n),
+                    relabel=lambda lbl, p=prefix: p + "L/" + lbl[2:],
+                )
+            except (LexError, ParseError, BuildError) as e:
+                _push_error(doc_id, e.layer, e.kind, str(e), e.start, e.end,
+                            c_doc, c_subj, c_sk, c_pred, c_obj, c_ok, c_dt,
+                            c_lang, c_ss, c_se, c_si, c_rk, c_el, c_ek, c_em)
             continue
+        prefix = "_:" + doc_id + "/"
         for (subj, sk, pred, obj, ok, dt, lang, ss, se, si) in rows:
+            if sk == BLANKN:
+                subj = prefix + subj[1:]
+            if ok == BLANKN:
+                obj = prefix + obj[1:]
             c_doc.append(doc_id)
             c_subj.append(subj); c_sk.append(sk)
             c_pred.append(pred)

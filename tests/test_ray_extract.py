@@ -85,3 +85,41 @@ def test_blank_labels_are_doc_scoped(ray_session):
     gen = {b for b in blanks if "/L/" not in b}
     lab = {b for b in blanks if "/L/" in b}
     assert gen.isdisjoint(lab)
+
+
+def test_parse_memo_parity():
+    """The per-process parse memo (sentinel template + per-doc blank
+    substitution) must be byte-identical to a direct labeled parse."""
+    import kgruntime.stages.extract as X
+    from kgruntime.stages.extract import RECORD_TRIPLE, concat_text_spans
+    from kgruntime.synth import make_documents_table
+    from kgruntime.ttl import parse_turtle
+
+    t = make_documents_table(120, seed=7, malformed_every=10)
+    out = X.parse_batch(t)
+    got = {}
+    for r in out.to_pylist():
+        if r["record_kind"] == RECORD_TRIPLE:
+            got.setdefault(r["doc_id"], []).append(
+                (r["subj"], r["subj_kind"], r["pred"], r["obj"],
+                 r["obj_kind"], r["obj_datatype"], r["obj_lang"],
+                 r["span_start"], r["span_end"], r["stmt_index"]))
+
+    # reference: the ORIGINAL per-doc labeled parse, no memo involved
+    doc_ids, texts, errs = concat_text_spans(t)
+    n_ok = 0
+    for doc_id, text, err in zip(doc_ids, texts, errs):
+        if err:
+            continue
+        prefix = "_:" + doc_id + "/"
+        try:
+            rows = parse_turtle(
+                text,
+                labeler=lambda n, p=prefix: p + str(n),
+                relabel=lambda lbl, p=prefix: p + "L/" + lbl[2:])
+        except Exception:
+            assert doc_id not in got
+            continue
+        assert got.get(doc_id, []) == [tuple(r) for r in rows], doc_id
+        n_ok += 1
+    assert n_ok > 50
