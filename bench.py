@@ -31,10 +31,18 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 # (measured efficiency: 0.54 at 960k docs → 0.71 at 1.92M → 0.80 at
 # 3.84M with the identical pipeline).
 DOCS_MULTIPLIER = int(os.environ.get("KG_BENCH_DOCS_MULT", "768"))
+# Default corpus: every document TEXT is distinct (one doc-unique
+# statement appended per doc) — the realistic web profile, so the
+# headline measures the parser, not the parse memo.  Set
+# KG_BENCH_DUP_CORPUS=1 for the original 29-payload cycling corpus
+# (99.3% exact-duplicate texts), which benchmarks the memo's win on
+# duplicate-heavy data (measured: 40.1 s -> 30.0 s at 3.84M docs).
+DISTINCT_CORPUS = os.environ.get("KG_BENCH_DUP_CORPUS", "0") != "1"
 
 
 def corpus_path(n_docs: int, seed: int = 42) -> str:
-    return f"/tmp/kgbench/corpus-{n_docs}-{seed}"
+    suffix = "-d" if DISTINCT_CORPUS else ""
+    return f"/tmp/kgbench/corpus-{n_docs}-{seed}{suffix}"
 
 
 def ensure_corpus(n_docs: int, seed: int = 42) -> str:
@@ -47,7 +55,8 @@ def ensure_corpus(n_docs: int, seed: int = 42) -> str:
         return path
     from kgruntime.synth import synth_documents_dataset
 
-    ds = synth_documents_dataset(n_docs, seed=seed)
+    ds = synth_documents_dataset(n_docs, seed=seed,
+                                 distinct=DISTINCT_CORPUS)
     os.makedirs(path, exist_ok=True)
     ds.write_parquet(path, min_rows_per_file=10_000)
     with open(marker, "w") as f:

@@ -44,6 +44,47 @@ def _stable_hash64(data: bytes) -> int:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+# Per-process hasher cache: signature state (permutation coefficients,
+# hyperplanes, token memos) is cheap and deterministic to build, so
+# these stages run as plain TASK pools — no actor-pool startup/sizing —
+# while Ray's long-lived worker processes still reuse one instance per
+# process via lru_cache.  Heavy-state stages (LinkScorer, LangId,
+# MediaDecoder) remain actor pools.
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _minhasher(num_perm: int, bands: int, shingle_n: int, seed: int):
+    return MinHasher(num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+                     seed=seed)
+
+
+def minhash_explode(batch: pa.Table, num_perm: int = 64, bands: int = 16,
+                    shingle_n: int = 3, seed: int = 13) -> pa.Table:
+    return _minhasher(num_perm, bands, shingle_n, seed)(batch)
+
+
+@lru_cache(maxsize=8)
+def _simhasher(bands: int, seed: int):
+    return SimHasher(bands=bands, seed=seed)
+
+
+def simhash_explode(batch: pa.Table, bands: int = 4,
+                    seed: int = 17) -> pa.Table:
+    return _simhasher(bands, seed)(batch)
+
+
+@lru_cache(maxsize=8)
+def _hyperplane_lsh(dim: int, n_planes: int, seed: int, n_tables: int):
+    return HyperplaneLSH(dim=dim, n_planes=n_planes, seed=seed,
+                         n_tables=n_tables)
+
+
+def hyperplane_explode(batch: pa.Table, dim: int, n_planes: int = 12,
+                       seed: int = 23, n_tables: int = 1) -> pa.Table:
+    return _hyperplane_lsh(dim, n_planes, seed, n_tables)(batch)
+
+
 def add_text_hash(batch: pa.Table) -> pa.Table:
     """Append a 128-bit content hash of ``text`` as a hex string.  At
     billions of docs a 64-bit hash WILL collide (birthday bound ~5B at
@@ -112,8 +153,10 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: permutation coefficients drawn once per actor
-    from a fixed seed (deterministic across retries/cluster sizes)."""
+    """Signature stage (run as a task pool via ``minhash_explode`` —
+    one instance per worker process through the lru_cache factory):
+    permutation coefficients drawn once from a fixed seed
+    (deterministic across retries/cluster sizes)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3,
                  seed: int = 13):
@@ -194,12 +237,11 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
 
 
 def minhash_near_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
-                      bands: int = 16, concurrency=(2, 8)):
+                      bands: int = 16):
     """Near-duplicate pairs (doc_a < doc_b, jaccard_est ≥ threshold)."""
     exploded = docs_ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"num_perm": num_perm,
-                                          "bands": bands},
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+        minhash_explode, fn_kwargs={"num_perm": num_perm, "bands": bands},
+        batch_format="pyarrow")
     pairs = exploded.groupby(["band", "band_hash"]) \
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     uniq = pairs.groupby(["doc_a", "doc_b"]).max("jaccard_est") \
@@ -388,9 +430,8 @@ def _sim_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
         names=["doc_a", "doc_b", "hamming"])
 
 
-def simhash_near_dups(docs_ds, max_hamming: int = 3, concurrency=(2, 8)):
-    exploded = docs_ds.map_batches(SimHasher, batch_format="pyarrow",
-                                   concurrency=concurrency, num_cpus=1)
+def simhash_near_dups(docs_ds, max_hamming: int = 3):
+    exploded = docs_ds.map_batches(simhash_explode, batch_format="pyarrow")
     pairs = exploded.groupby(["band", "band_key"]).map_groups(
         lambda g: _sim_pairs(g, max_hamming), batch_format="pyarrow")
     return pairs.groupby(["doc_a", "doc_b"]).min("hamming") \
@@ -465,13 +506,11 @@ def _cos_pairs(group: pa.Table, threshold: float) -> pa.Table:
 
 
 def embedding_near_dups(emb_ds, dim: int, threshold: float = 0.95,
-                        n_planes: int = 10, n_tables: int = 1,
-                        concurrency=(2, 8)):
+                        n_planes: int = 10, n_tables: int = 1):
     bucketed = emb_ds.map_batches(
-        HyperplaneLSH, fn_constructor_kwargs={"dim": dim,
-                                              "n_planes": n_planes,
-                                              "n_tables": n_tables},
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+        hyperplane_explode,
+        fn_kwargs={"dim": dim, "n_planes": n_planes, "n_tables": n_tables},
+        batch_format="pyarrow")
     pairs = bucketed.groupby("bucket").map_groups(
         lambda g: _cos_pairs(g, threshold), batch_format="pyarrow")
     return pairs.groupby(["vec_a", "vec_b"]).max("cosine") \

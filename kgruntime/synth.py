@@ -79,11 +79,20 @@ def _split_text(src: str, rng: random.Random) -> list[str]:
 
 
 def _doc_row(i: int, seed: int, malformed_every: int,
-             g: list) -> tuple[str, list[dict]]:
+             g: list, distinct: bool = False) -> tuple[str, list[dict]]:
     """One document, seeded per-index — identical output no matter how
-    docs are batched across generator tasks (retry/parallelism safe)."""
+    docs are batched across generator tasks (retry/parallelism safe).
+
+    ``distinct=True`` appends one doc-unique statement so every document
+    TEXT is distinct — the realistic corpus profile (web documents are
+    mostly unique; exact duplicates are a minority handled by dedup and
+    the parse memo).  Default False preserves the original cycling
+    corpus and every golden-parity expectation."""
     doc_id = f"doc-{i:06d}"
     _, src, _ = g[i % len(g)]
+    if distinct:
+        src = (src + f"\n<http://kb.example/doc/{doc_id}>"
+               f" <http://kb.example/p/ord> \"{i}\" .\n")
     if malformed_every and i % malformed_every == malformed_every - 1:
         src = src + "\n<http://bad.example/a b> <http://x/> <http://y/> ."
     rng = random.Random((seed << 32) ^ i)
@@ -112,14 +121,14 @@ def _doc_row(i: int, seed: int, malformed_every: int,
 
 def make_documents_table(n_docs: int, seed: int = 42,
                          malformed_every: int = 0,
-                         start: int = 0) -> pa.Table:
+                         start: int = 0, distinct: bool = False) -> pa.Table:
     """Build (a slice of) the documents table as one Arrow table.
 
     ``malformed_every`` > 0 injects a lex-broken text span in every k-th
     doc (for quarantine-path testing).
     """
     g = goldens()
-    rows = [_doc_row(i, seed, malformed_every, g)
+    rows = [_doc_row(i, seed, malformed_every, g, distinct=distinct)
             for i in range(start, start + n_docs)]
     return pa.Table.from_arrays(
         [pa.array([r[0] for r in rows], pa.string()),
@@ -129,7 +138,8 @@ def make_documents_table(n_docs: int, seed: int = 42,
 
 def synth_documents_dataset(n_docs: int, seed: int = 42,
                             malformed_every: int = 0,
-                            docs_per_block: int = 4000):
+                            docs_per_block: int = 4000,
+                            distinct: bool = False):
     """Generate the corpus *in parallel* as a Ray Dataset: ``range`` →
     ``map_batches`` over index batches, each task synthesizing its slice
     independently (per-doc seeding ⇒ batching-invariant output)."""
@@ -138,7 +148,8 @@ def synth_documents_dataset(n_docs: int, seed: int = 42,
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_pylist()
         g = goldens()
-        rows = [_doc_row(int(i), seed, malformed_every, g) for i in ids]
+        rows = [_doc_row(int(i), seed, malformed_every, g,
+                         distinct=distinct) for i in ids]
         return pa.Table.from_arrays(
             [pa.array([r[0] for r in rows], pa.string()),
              pa.array([r[1] for r in rows], pa.list_(SPAN_STRUCT))],

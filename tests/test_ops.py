@@ -278,3 +278,22 @@ def test_jaccard_adjacent_pairs(ray_session):
     assert list(out["doc_a"]) == [0, 2, 4]
     assert list(out["doc_b"]) == [1, 3, 5]
     assert list(out["jaccard"]) == [1.0, 0.0, 1.0]
+
+
+def test_distinct_corpus_mode():
+    """distinct=True makes every document text unique while keeping the
+    payload parseable; default mode is unchanged."""
+    from kgruntime.stages.extract import concat_text_spans, parse_batch
+    from kgruntime.synth import make_documents_table
+
+    t = make_documents_table(100, seed=3, distinct=True)
+    _, texts, errs = concat_text_spans(t)
+    assert len(set(texts)) == 100
+    assert not any(errs)
+    out = parse_batch(t)
+    import pyarrow.compute as pc
+    assert pc.sum(pc.cast(pc.equal(out["record_kind"], 1),
+                          "int64")).as_py() == 0
+    # one extra doc-unique triple per doc vs the cycling corpus
+    base = parse_batch(make_documents_table(100, seed=3))
+    assert out.num_rows == base.num_rows + 100
