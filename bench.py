@@ -134,7 +134,8 @@ def run_queries(sf_dir: str) -> dict:
     qs = E.queries()
     picked = ["pricing_summary", "user_activity", "revenue_by_part_type",
               "token_stats", "exact_dup_docs", "ann_topk",
-              "minhash_near_dups", "kg_triples"]
+              "minhash_near_dups", "kg_triples", "term_frequencies",
+              "corr_qty_price", "running_user_totals"]
     out = {}
     for name in picked:
         t0 = time.perf_counter()
@@ -220,28 +221,36 @@ def run_scaling(sf_dir: str) -> None:
     # trial makes both legs share host conditions; the per-pair
     # efficiency is then meaningful, and the MEDIAN pair is robust to
     # one disturbed pair without cherry-picking the best.
-    pairs = int(os.environ.get("KG_BENCH_SCALING_PAIRS", "3"))
-    results = []
-    for _ in range(pairs):
-        lo, hi = run(8), run(32)
-        results.append((lo, hi, (lo["value"] / hi["value"]) / (32 / 8)))
-    results.sort(key=lambda p: p[2])
-    lo, hi, eff = results[len(results) // 2]
-
-    # host-capacity calibration pair: even an embarrassingly parallel,
-    # shuffle-free workload does not scale 1.0 on this host (measured:
-    # cache-resident CPU ~0.81, DRAM-bandwidth-bound ~0.04-0.09 —
-    # 32 concurrent memory streams run absolutely SLOWER than 8).  The
-    # pipeline efficiency above should be read against the cpu ceiling.
+    # Each pair also carries a host-capacity calibration (same two CPU
+    # levels, embarrassingly parallel shuffle-free tasks, fresh
+    # sessions) measured in the same time window: even pure CPU work
+    # does not scale 1.0 on this host (observed 0.49-0.81 depending on
+    # the minute), and DRAM-bandwidth work runs absolutely SLOWER at 32
+    # workers than 8.  The normalized efficiency (pipeline / same-window
+    # cpu calibration) is the number a real N -> 4N *node* cluster —
+    # which adds memory bandwidth with nodes — would be bounded by.
     def calib(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--calibrate-leg"],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        r = json.loads(out.strip().splitlines()[-1])
+        print(f"  calib @{ncpu}: {r}", file=sys.stderr)
+        return r
 
-    c8, c32 = calib(8), calib(32)
+    pairs = int(os.environ.get("KG_BENCH_SCALING_PAIRS", "3"))
+    results = []
+    for _ in range(pairs):
+        lo, hi = run(8), run(32)
+        c8, c32 = calib(8), calib(32)
+        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        cpu_eff = (c8["cpu_sec"] / c32["cpu_sec"]) / 4
+        membw_eff = (c8["membw_sec"] / c32["membw_sec"]) / 4
+        results.append((lo, hi, eff, cpu_eff, membw_eff,
+                        eff / cpu_eff if cpu_eff else float("nan")))
+    results.sort(key=lambda p: p[2])
+    lo, hi, eff, cpu_eff, membw_eff, norm = results[len(results) // 2]
     print(json.dumps({
         "metric": "kg_pipeline_scaling",
         "sec_8": lo["value"], "sec_32": hi["value"],
@@ -251,10 +260,10 @@ def run_scaling(sf_dir: str) -> None:
         "triples_per_sec_32": hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "pair_efficiencies": [round(p[2], 3) for p in results],
-        "host_cpu_calibration_efficiency":
-            round((c8["cpu_sec"] / c32["cpu_sec"]) / 4, 3),
-        "host_membw_calibration_efficiency":
-            round((c8["membw_sec"] / c32["membw_sec"]) / 4, 3),
+        "host_cpu_calibration_efficiency": round(cpu_eff, 3),
+        "host_membw_calibration_efficiency": round(membw_eff, 3),
+        "host_normalized_scaling_efficiency": round(norm, 3),
+        "normalized_pair_efficiencies": [round(p[5], 3) for p in results],
         "sf": sf_dir,
     }))
 
