@@ -82,6 +82,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_price": R.q_corr_qty_price,
         "user_event_pivot": R.q_user_event_pivot,
         "rollup_region_nation": R.q_rollup_region_nation,
+        "top3_per_nation": R.q_top3_per_nation,
+        "monthly_revenue_ma3": R.q_monthly_revenue_ma3,
+        "long_docs_p90": R.q_long_docs_p90,
+        "events_dow_hour": R.q_events_dow_hour,
+        "orders_priority_share": R.q_orders_priority_share,
         # text analysis (SQL-backed)
         "doc_stats": _q_doc_stats,
         "token_stats": _q_token_stats,
@@ -527,6 +532,11 @@ def oracle_sql() -> dict[str, str]:
         "corr_qty_price": R.Q_CORR_QTY_PRICE_SQL,
         "user_event_pivot": R.Q_USER_EVENT_PIVOT_SQL,
         "rollup_region_nation": R.Q_ROLLUP_REGION_NATION_SQL,
+        "top3_per_nation": R.Q_TOP3_PER_NATION_SQL,
+        "monthly_revenue_ma3": R.Q_MONTHLY_REVENUE_MA3_SQL,
+        "long_docs_p90": R.Q_LONG_DOCS_P90_SQL,
+        "events_dow_hour": R.Q_EVENTS_DOW_HOUR_SQL,
+        "orders_priority_share": R.Q_ORDERS_PRIORITY_SHARE_SQL,
         "term_frequencies": _term_freqs_sql(),
         "vocab_per_lang": _vocab_lang_sql(),
         "stratified_sample": _strat_sample_sql(),

@@ -124,6 +124,37 @@ def grouped_mode(ds, key: str, cat_col: str,
         .map_batches(decode, batch_format="pyarrow")
 
 
+def grouped_topk(ds, key: str, val: str, k: int, tie_col: str,
+                 descending: bool = True, rank_col: str = "rnk"):
+    """Top-``k`` rows per ``key`` by ``val`` (ties → smallest
+    ``tie_col``), with a 1-based ``rank_col``, as a Dataset.
+
+    The scale shape is partial top-k: every batch keeps at most ``k``
+    rows per key BEFORE the shuffle, so the exchange and the final
+    per-key groups carry ≤ k × num_blocks rows per key — never the
+    corpus.  The final selection is a ``map_groups`` over those tiny
+    survivor sets only.  Mirrors a
+    ``row_number() OVER (PARTITION BY key ORDER BY val DESC, tie ASC)``
+    oracle.
+    """
+    by = [key, val, tie_col]
+    asc = [True, not descending, True]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(by, ascending=asc, kind="mergesort")
+                  .groupby(key, sort=False).head(k))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(by, ascending=asc, kind="mergesort").head(k)
+        out = out.reset_index(drop=True)
+        out[rank_col] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return ds.map_batches(partial, batch_format="pandas",
+                          batch_size=8192) \
+        .groupby(key).map_groups(final, batch_format="pandas")
+
+
 def grouped_corr(ds, key: str, x_col: str, y_col: str,
                  x_scale: int = 1, y_scale: int = 100,
                  out: str = "corr", digits: int = 6) -> pd.DataFrame:

@@ -1080,3 +1080,188 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (partial top-k before the shuffle — ops/stats.py:
+# grouped_topk; the exchange carries ≤ k×blocks rows per key)
+# ---------------------------------------------------------------------------
+
+def q_top3_per_nation(sf_dir: str):
+    from .ops.stats import grouped_topk
+
+    nation = pq.read_table(_path(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])  # small side
+    names = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    df = grouped_topk(cust, key="c_nationkey", val="c_acctbal", k=3,
+                      tie_col="c_custkey").to_pandas()
+    df["n_name"] = df["c_nationkey"].map(names)
+    df = df.sort_values(["n_name", "rnk"]).reset_index(drop=True)
+    return df[["n_name", "rnk", "c_custkey", "c_acctbal"]]
+
+
+Q_TOP3_PER_NATION_SQL = """
+WITH r AS (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+SELECT n_name, rnk, c_custkey, c_acctbal
+FROM r WHERE rnk <= 3 ORDER BY n_name, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# monthly revenue + 3-month moving average (native groupby to a tiny
+# month-grain result, window finished on the driver in exact cents)
+# ---------------------------------------------------------------------------
+
+def q_monthly_revenue_ma3(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        month = pc.cast(pc.floor_temporal(t["o_orderdate"], unit="month"),
+                        pa.timestamp("us"))
+        return pa.Table.from_arrays(
+            [month, _money_cents(t["o_totalprice"])],
+            names=["month", "cents"])
+
+    df = orders.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("month") \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("cents", alias_name="cents")) \
+        .to_pandas().sort_values("month").reset_index(drop=True)
+    # window over the tiny month-grain frame, in exact Python ints
+    cents = [int(c) for c in df["cents"]]
+    ma3 = []
+    for i in range(len(cents)):
+        w = cents[max(0, i - 2):i + 1]
+        ma3.append(sum(w) / (len(w) * 100.0))
+    df["revenue"] = df.pop("cents") / 100.0
+    df["ma3_revenue"] = ma3
+    df = _round_cols(df, ["ma3_revenue"])
+    return df[["month", "n_orders", "revenue", "ma3_revenue"]]
+
+
+Q_MONTHLY_REVENUE_MA3_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY month)
+SELECT month, n_orders, cents / 100.0 AS revenue,
+       round(sum(cents) OVER w / (count(*) OVER w * 100.0), 6)
+         AS ma3_revenue
+FROM m WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# global-percentile filter: docs longer than the corpus p90 (threshold
+# from a value histogram — shuffle bounded by |distinct n_chars|, then a
+# streamed filter; the corpus is never materialized)
+# ---------------------------------------------------------------------------
+
+def q_long_docs_p90(sf_dir: str):
+    from .ops.stats import _quantile_from_hist
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    hist = docs.groupby("n_chars").count().to_pandas() \
+        .sort_values("n_chars")
+    thr = _quantile_from_hist(hist["n_chars"].to_numpy("int64"),
+                              hist["count()"].to_numpy("int64"), 0.9)
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n_chars"], pa.scalar(thr)))
+
+    return docs.map_batches(pick, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+Q_LONG_DOCS_P90_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars > (SELECT quantile_cont(n_chars, 0.9) FROM documents)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# calendar extraction rollup (vectorized temporal kernels, native
+# groupby on the derived (isodow, hour) key)
+# ---------------------------------------------------------------------------
+
+def q_events_dow_hour(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(t["ts"], count_from_zero=False, week_start=1)
+        hour = pc.hour(t["ts"])
+        return pa.Table.from_arrays(
+            [pc.cast(dow, pa.int64()), pc.cast(hour, pa.int64()),
+             _money_cents(t["value"])],
+            names=["dow", "hour", "cents"])
+
+    df = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby(["dow", "hour"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("cents", alias_name="cents")) \
+        .to_pandas().sort_values(["dow", "hour"]).reset_index(drop=True)
+    df["total_value"] = df.pop("cents") / 100.0
+    return df[["dow", "hour", "n_events", "total_value"]]
+
+
+Q_EVENTS_DOW_HOUR_SQL = """
+SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events GROUP BY dow, hour ORDER BY dow, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# share-of-total (two-level: native per-group aggregate, global scalar
+# derived from the tiny result on the driver — no second scan)
+# ---------------------------------------------------------------------------
+
+def q_orders_priority_share(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_orderpriority"], _money_cents(t["o_totalprice"])],
+            names=["o_orderpriority", "cents"])
+
+    df = orders.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("o_orderpriority") \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("cents", alias_name="cents")) \
+        .to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    total = int(df["n_orders"].sum())
+    df["pct_orders"] = [n * 100.0 / total for n in df["n_orders"]]
+    df["revenue"] = df.pop("cents") / 100.0
+    df = _round_cols(df, ["pct_orders"])
+    return df[["o_orderpriority", "n_orders", "revenue", "pct_orders"]]
+
+
+Q_ORDERS_PRIORITY_SHARE_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS pct_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

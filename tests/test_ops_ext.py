@@ -273,3 +273,29 @@ def test_stratified_sample_deterministic(ray_session):
     # roughly the requested rates
     n_en = sum(1 for i in expect if i % 2 == 0)
     assert 0.4 < n_en / (n / 2) < 0.6
+
+
+def test_grouped_topk_partial_and_ties(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import grouped_topk
+
+    rng = np.random.default_rng(7)
+    n = 500
+    t = pa.table({
+        "k": rng.integers(0, 5, n),
+        "v": np.round(rng.random(n) * 10, 1),  # plenty of value ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    out = grouped_topk(rd.from_arrow(t).repartition(8), key="k", val="v",
+                       k=3, tie_col="id").to_pandas() \
+        .sort_values(["k", "rnk"]).reset_index(drop=True)
+
+    df = t.to_pandas()
+    expect = (df.sort_values(["k", "v", "id"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+                .groupby("k", sort=True).head(3).reset_index(drop=True))
+    assert out["id"].tolist() == expect["id"].tolist()
+    assert out["rnk"].tolist() == [1, 2, 3] * 5
+    assert out["rnk"].dtype == np.int64
