@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_totals": _q_running_totals,
         # similarity search (SQL-backed baseline)
         "ann_topk": _q_ann_topk,
+        "label_centroids": _q_label_centroids,
+        "knn_label_vote": _q_knn_label_vote,
+        "clean_corpus": _q_clean_corpus,
         # KG pipeline (non-SQL-expressible → rows-only; exactness is
         # covered by the golden-parity pytest suite)
         "kg_triples": _q_kg_triples,
@@ -315,6 +318,80 @@ def _q_ann_ivf(sf_dir):
     out = ivf_topk(emb, q, ids, dim=dim, k=_ANN_K).to_pandas()
     return out[["query_id", "neighbor_id"]] \
         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+
+
+def _q_clean_corpus(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.text import clean_corpus
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "n_chars"])
+    return clean_corpus(docs).to_pandas() \
+        .sort_values("keep_id").reset_index(drop=True)
+
+
+def _clean_corpus_sql() -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, n_chars, text,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS t
+          FROM documents),
+        q AS (
+          SELECT doc_id, text, n_chars,
+                 CASE WHEN len(t) = 0 THEN 0.0 ELSE
+                   round(least(1.0, len(t) / 50.0)
+                     * (0.5 + 0.5 * (len(list_filter(t, x ->
+                          regexp_matches(x, '^[A-Za-z]+$')))::DOUBLE
+                          / len(t)))
+                     * (1.0 - 0.5 * (len(list_filter(t, x ->
+                          list_contains({_STOPWORDS_SQL}, lower(x))))::DOUBLE
+                          / len(t))), 6) END AS quality
+          FROM toks),
+        pass AS (
+          SELECT * FROM q WHERE quality >= 0.5 AND n_chars >= 20)
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies, quality
+        FROM pass GROUP BY text, quality ORDER BY keep_id
+    """
+
+
+def _q_label_centroids(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import label_centroids
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["label", "embedding"])
+    return label_centroids(emb).sort_values(["label", "i"]) \
+        .reset_index(drop=True)
+
+
+def _q_knn_label_vote(sf_dir):
+    # composition: broadcast brute-force top-k (ops/ann.py) + majority
+    # label vote over the tiny (queries × k) result on the driver
+    import ray.data as rd
+
+    from kgruntime.ops.ann import brute_force_topk
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q, ids = _load_queries(sf_dir)
+    out = brute_force_topk(emb, q, ids, k=_ANN_K).to_pandas()
+
+    labels = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "label"])  # small side
+    lab = dict(zip(labels["vec_id"].to_pylist(),
+                   labels["label"].to_pylist()))
+    out["label"] = out["neighbor_id"].map(lab)
+    votes = out.groupby(["query_id", "label"]).size() \
+        .reset_index(name="n_votes") \
+        .sort_values(["query_id", "n_votes", "label"],
+                     ascending=[True, False, True], kind="mergesort") \
+        .groupby("query_id", sort=True).head(1).reset_index(drop=True)
+    votes["pred_label"] = votes.pop("label").astype("int32")
+    return votes[["query_id", "pred_label", "n_votes"]]
 
 
 # --- KG pipeline queries (rows-only checks) ---
@@ -588,6 +665,7 @@ def oracle_sql() -> dict[str, str]:
                             / len(t))), 6) END AS quality
             FROM toks ORDER BY doc_id
         """,
+        "clean_corpus": _clean_corpus_sql(),
         "sessionize": _sessions_sql(),
         "tumbling_hourly": _tumbling_sql(),
         "hopping_2h_1h": _hopping_sql(),
@@ -640,5 +718,41 @@ def oracle_sql() -> dict[str, str]:
               WHERE e.vec_id != q.vec_id)
             WHERE rnk <= {_ANN_K}
             ORDER BY query_id, neighbor_id
+        """,
+        "label_centroids": """
+            WITH e AS (
+              SELECT label, generate_subscripts(embedding, 1) AS i,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000) AS BIGINT) AS u
+              FROM embeddings)
+            SELECT label, i,
+                   round(sum(u) / (count(*) * 1000000.0), 6) AS centroid
+            FROM e GROUP BY label, i ORDER BY label, i
+        """,
+        "knn_label_vote": f"""
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       ORDER BY vec_id LIMIT {_ANN_N_QUERIES}),
+            nn AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(
+                           q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                           DESC, e.vec_id ASC) AS rnk
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id != q.vec_id)
+              WHERE rnk <= {_ANN_K}),
+            v AS (
+              SELECT nn.query_id, e.label, count(*) AS n_votes
+              FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+              GROUP BY nn.query_id, e.label),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY n_votes DESC, label ASC) AS rn
+              FROM v)
+            SELECT query_id, label AS pred_label, n_votes
+            FROM r WHERE rn = 1 ORDER BY query_id
         """,
     }

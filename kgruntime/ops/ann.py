@@ -236,3 +236,58 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
         partials = partials.filter(expr="query_id != neighbor_id")
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pyarrow")
+
+
+def label_centroids(emb_ds, label_col: str = "label",
+                    vec_col: str = "embedding", scale: int = 1_000_000,
+                    digits: int = 6):
+    """Element-wise mean embedding per label, as an exploded
+    (label, i, centroid) pandas frame (i is the 1-based dimension).
+
+    The canonical vector-aggregate partial shape: each batch reduces to
+    ONE (n, Σunits[dim]) row per label present in it — a flat matmul of
+    the one-hot label matrix against the fixed-point unit matrix — so
+    the driver only ever sees |labels| × |blocks| tiny partials, never
+    vectors.  Fixed-point int64 unit sums make the mean identical to a
+    ``sum(BIGINT)/ (n·scale)`` DuckDB oracle regardless of summation
+    order (float32 → float64 is exact, round-to-unit matches on both
+    sides).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t[label_col].to_numpy(zero_copy_only=False)
+        flat = t[vec_col].combine_chunks()
+        dim = len(flat[0])
+        vals = np.asarray(flat.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.float64).reshape(len(labels), dim)
+        units = np.copysign(np.floor(np.abs(vals) * scale + 0.5),
+                            vals).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        onehot = np.zeros((len(uniq), len(labels)), np.int64)
+        onehot[inv, np.arange(len(labels))] = 1
+        sums = onehot @ units                     # (|labels|, dim)
+        n = onehot.sum(axis=1)
+        return pa.table({
+            label_col: uniq,
+            "n": n,
+            "sums": list(sums),
+        })
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    rows = []
+    for lab, g in parts.groupby(label_col, sort=True):
+        n = int(g["n"].sum())
+        tot = np.sum(np.stack(g["sums"].to_numpy()), axis=0,
+                     dtype=object)  # Python ints: no overflow at any n
+        for i, s in enumerate(tot, start=1):
+            v = int(s) / (n * float(scale))
+            rows.append({label_col: lab, "i": i, "centroid":
+                         np.copysign(np.floor(abs(v) * 10.0 ** digits + 0.5),
+                                     v) / 10.0 ** digits})
+    df = pd.DataFrame(rows, columns=[label_col, "i", "centroid"])
+    df[label_col] = df[label_col].astype(parts[label_col].dtype)
+    df["i"] = df["i"].astype(np.int64)
+    return df.reset_index(drop=True)

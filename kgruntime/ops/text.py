@@ -235,3 +235,43 @@ WHERE word <> ''
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# --- end-to-end corpus cleaning (filter → exact-dedup keep-first) ---
+
+def clean_corpus(docs_ds, min_quality: float = 0.5, min_chars: int = 20):
+    """Training-corpus cleaning pipeline: quality/length filter FIRST
+    (cheap vectorized predicates shrink the stream before any exchange),
+    then collision-safe exact dedup keeping the smallest ``doc_id`` per
+    surviving text.  Returns a Dataset of (keep_id, n_copies, quality).
+
+    The dedup shuffle is keyed on (16-byte content hash, text) exactly
+    like ``ops/dedup.py:exact_dedup_groups`` — partitioning resolves on
+    the hash, the text in the key makes silent collision merges
+    impossible, and each batch pre-collapses its duplicates so the
+    exchange carries per-batch-distinct rows only.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from .dedup import add_text_hash
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = quality_scores(t)["quality"]
+        keep = pc.and_(pc.greater_equal(q, pa.scalar(min_quality)),
+                       pc.greater_equal(t["n_chars"],
+                                        pa.scalar(min_chars)))
+        t = t.append_column("quality", q).filter(keep)
+        t = add_text_hash(t.select(["doc_id", "text", "quality"]))
+        # batch-local combiner before the exchange
+        g = t.group_by(["text_hash", "text", "quality"],
+                       use_threads=False) \
+            .aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(
+            ["text_hash", "text", "quality", "keep_id", "cnt"])
+
+    return docs_ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby(["text_hash", "text", "quality"]) \
+        .aggregate(Min("keep_id", alias_name="keep_id"),
+                   Sum("cnt", alias_name="n_copies")) \
+        .select_columns(["keep_id", "n_copies", "quality"])

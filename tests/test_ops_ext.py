@@ -299,3 +299,52 @@ def test_grouped_topk_partial_and_ties(ray_session):
     assert out["id"].tolist() == expect["id"].tolist()
     assert out["rnk"].tolist() == [1, 2, 3] * 5
     assert out["rnk"].dtype == np.int64
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import label_centroids
+
+    rng = np.random.default_rng(3)
+    n, dim = 120, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    t = pa.table({
+        "label": labels,
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    out = label_centroids(rd.from_arrow(t).repartition(5))
+
+    units = np.copysign(np.floor(np.abs(vecs.astype(np.float64)) * 1e6
+                                 + 0.5), vecs).astype(np.int64)
+    for lab in np.unique(labels):
+        m = units[labels == lab].sum(axis=0) / \
+            ((labels == lab).sum() * 1e6)
+        got = out[out["label"] == lab].sort_values("i")["centroid"] \
+            .to_numpy()
+        expect = np.copysign(np.floor(np.abs(m) * 1e6 + 0.5), m) / 1e6
+        assert np.array_equal(got, expect)
+    assert out["label"].dtype == np.int32 and out["i"].dtype == np.int64
+
+
+def test_clean_corpus_filters_then_dedups(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import clean_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through fields of green grass all day long " * 3)
+    t = pa.table({
+        "doc_id": pa.array([5, 2, 9, 1, 7], pa.int64()),
+        "text": [good, good, "x", good, "!!! ### $$$ %%% ^^^ &&&"],
+        "n_chars": pa.array([len(good), len(good), 1, len(good), 23],
+                            pa.int64()),
+    })
+    out = clean_corpus(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .sort_values("keep_id").reset_index(drop=True)
+    # doc 9 fails min_chars, doc 7 fails quality; the three copies of
+    # `good` collapse to keep_id=1 with n_copies=3
+    assert out["keep_id"].tolist() == [1]
+    assert out["n_copies"].tolist() == [3]
+    assert (out["quality"] >= 0.5).all()
