@@ -97,6 +97,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_freqs,
         "vocab_per_lang": _q_vocab_lang,
         "stratified_sample": _q_strat_sample,
+        "repetition_scores": _q_repetition,
+        "contamination_check": _q_contamination,
+        "tfidf_doc_terms": _q_tfidf_terms,
+        "token_shards": _q_token_shards,
+        "langid_pred": _q_langid,
+        "doc_fingerprints": _q_fingerprints,
         # streaming-shaped windows (SQL-backed via window functions)
         "sessionize": _q_sessionize,
         "tumbling_hourly": _q_tumbling,
@@ -122,8 +128,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _q_minhash,
         "simhash_near_dups": _q_simhash,
         "embedding_near_dups": _q_emb_near_dups,
-        "langid_pred": _q_langid,
-        "doc_fingerprints": _q_fingerprints,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
@@ -222,6 +226,35 @@ def _q_strat_sample(sf_dir):
     out = stratified_sample(_docs_ds(sf_dir), _SAMPLE_RATES) \
         .select_columns(["doc_id", "lang", "source"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_repetition(sf_dir):
+    from kgruntime.ops.text import repetition_scores
+
+    return _docs_ds(sf_dir).map_batches(
+        repetition_scores, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_contamination(sf_dir):
+    from kgruntime.ops.text import contamination_check
+
+    return contamination_check(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_tfidf_terms(sf_dir):
+    from kgruntime.ops.text import tfidf_doc_terms
+
+    return tfidf_doc_terms(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+
+
+def _q_token_shards(sf_dir):
+    from kgruntime.ops.shard import token_budget_shards
+
+    return token_budget_shards(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def _events_ds(sf_dir):
@@ -498,13 +531,16 @@ def _q_langid(sf_dir):
     from kgruntime.ops.text import LangId
 
     return _docs_ds(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        LangId, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_fingerprints(sf_dir):
     from kgruntime.ops.text import fingerprints
 
-    return _docs_ds(sf_dir).map_batches(fingerprints, batch_format="pyarrow")
+    return _docs_ds(sf_dir) \
+        .map_batches(fingerprints, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_media_features(sf_dir):
@@ -583,6 +619,42 @@ def _running_totals_sql():
     return RUNNING_USER_TOTALS_SQL
 
 
+def _repetition_sql():
+    from kgruntime.ops.text import REPETITION_SCORES_SQL
+
+    return REPETITION_SCORES_SQL
+
+
+def _contamination_sql():
+    from kgruntime.ops.text import contamination_sql
+
+    return contamination_sql()
+
+
+def _tfidf_terms_sql():
+    from kgruntime.ops.text import tfidf_doc_terms_sql
+
+    return tfidf_doc_terms_sql()
+
+
+def _token_shards_sql():
+    from kgruntime.ops.shard import token_budget_shards_sql
+
+    return token_budget_shards_sql()
+
+
+def _langid_oracle_sql():
+    from kgruntime.ops.text import LANGID_SQL
+
+    return LANGID_SQL
+
+
+def _fingerprints_sql():
+    from kgruntime.ops.text import FINGERPRINTS_SQL
+
+    return FINGERPRINTS_SQL
+
+
 def oracle_sql() -> dict[str, str]:
     from kgruntime import relational as R
 
@@ -618,6 +690,12 @@ def oracle_sql() -> dict[str, str]:
         "vocab_per_lang": _vocab_lang_sql(),
         "stratified_sample": _strat_sample_sql(),
         "running_user_totals": _running_totals_sql(),
+        "repetition_scores": _repetition_sql(),
+        "contamination_check": _contamination_sql(),
+        "tfidf_doc_terms": _tfidf_terms_sql(),
+        "token_shards": _token_shards_sql(),
+        "langid_pred": _langid_oracle_sql(),
+        "doc_fingerprints": _fingerprints_sql(),
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,

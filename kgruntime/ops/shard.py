@@ -1,0 +1,103 @@
+"""Token-budget sharding — a distributed prefix scan.
+
+Packing a training corpus into fixed token-budget shards needs the
+global cumulative token count in ``doc_id`` order: doc *d*'s shard is
+``floor(tokens_before(d) / budget)``.  A naive window over the whole
+corpus would serialize on one node; the scale shape is the classic
+two-phase scan:
+
+1. one vectorized pass counts tokens per doc and a native
+   ``groupby(bucket).sum`` reduces them to per-bucket totals
+   (``bucket = doc_id // bucket_size`` — the shuffle carries one row
+   per *bucket*, not per doc);
+2. the driver turns the tiny bucket-total table into exclusive prefix
+   offsets (exact Python ints — no float accumulation), broadcasts
+   them once via ``ray.put``, and a ``groupby(bucket).map_groups``
+   finishes each ≤ ``bucket_size``-row group independently with a
+   local cumsum + its bucket offset.
+
+Driver state is one int per bucket (n_docs / bucket_size entries —
+at 10^10 docs and bucket_size 4096 that is ~2.4M ints; beyond that,
+apply the same scan one level up on bucket-groups).  Every step is
+exact integer arithmetic, so retries / resume reproduce identical
+shard assignments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = r"\S+"
+
+
+def token_counts(batch: pa.Table, bucket_size: int) -> pa.Table:
+    """(doc_id, n_tokens, bucket) — whitespace token count via the Arrow
+    regex kernel (same semantics as ``ops/text.py:token_stats``)."""
+    trimmed = pc.utf8_trim_whitespace(batch["text"])
+    n_tokens = pc.if_else(
+        pc.equal(trimmed, ""), pa.scalar(0, pa.int64()),
+        pc.cast(pc.count_substring_regex(trimmed, _TOKEN_RE), pa.int64()))
+    bucket = pc.divide(batch["doc_id"], pa.scalar(bucket_size, pa.int64()))
+    return pa.Table.from_arrays(
+        [batch["doc_id"], n_tokens, bucket],
+        names=["doc_id", "n_tokens", "bucket"])
+
+
+def token_budget_shards(docs_ds, budget: int = 2000,
+                        bucket_size: int = 4096):
+    """Assign each doc to the shard containing its global token start
+    offset (docs ordered by ``doc_id``): ``shard_id =
+    (cumsum(n_tokens) - n_tokens) // budget``.
+
+    Returns a Dataset of (doc_id, n_tokens, shard_id).  Mirrors the
+    ``sum(...) OVER (ORDER BY doc_id)`` window oracle exactly.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    tok = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        token_counts, fn_kwargs={"bucket_size": bucket_size},
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # phase 1: per-bucket totals (tiny — one row per 4096 docs)
+    sums = tok.groupby("bucket").aggregate(
+        Sum("n_tokens", alias_name="bucket_tokens")).to_pandas()
+    sums = sums.sort_values("bucket").reset_index(drop=True)
+    totals = sums["bucket_tokens"].to_numpy(np.int64)
+    offsets = dict(zip(
+        sums["bucket"].to_numpy(np.int64).tolist(),
+        np.concatenate([[0], np.cumsum(totals)[:-1]]).tolist()))
+    off_ref = ray.put(offsets)
+
+    # phase 2: finish each bucket locally (≤ bucket_size rows per group)
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(df["bucket"].iloc[0])]
+        df = df.sort_values("doc_id", kind="mergesort")
+        start = off + df["n_tokens"].cumsum() - df["n_tokens"]
+        df = df[["doc_id", "n_tokens"]].copy()
+        df["shard_id"] = (start // budget).astype(np.int64)
+        return df
+
+    return tok.groupby("bucket").map_groups(finish, batch_format="pandas")
+
+
+def token_budget_shards_sql(budget: int = 2000,
+                            table: str = "documents") -> str:
+    """DuckDB oracle: the identical integer window arithmetic."""
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens
+  FROM {table})
+SELECT doc_id, n_tokens,
+       ((sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens) // {budget})::BIGINT AS shard_id
+FROM tok ORDER BY doc_id
+"""

@@ -11,7 +11,6 @@ actor ``__init__`` where noted.
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -128,18 +127,66 @@ class LangId:
 _FP_BASE = 1099511628211
 _FP_OFFSET = 14695981039346656037
 _FP_MASK = (1 << 64) - 1
+_TOK_BASE = 257
+
+# per-worker memo: the corpus vocabulary repeats heavily, so each token's
+# char-polynomial is computed once per worker (capped to bound memory on
+# high-cardinality vocabularies)
+_tok_hash_cache: dict[str, int] = {}
+_TOK_CACHE_MAX = 1 << 20
+
+
+def _token_hash(t: str) -> int:
+    """Per-token 64-bit polynomial over code points:
+    ``h = (h·257 + ord(c)) mod 2^64`` — chosen (over crc32) because a
+    SQL oracle can replicate it verbatim with HUGEINT ``list_reduce``."""
+    h = _tok_hash_cache.get(t)
+    if h is None:
+        h = 0
+        for c in t:
+            h = (h * _TOK_BASE + ord(c)) & _FP_MASK
+        if len(_tok_hash_cache) >= _TOK_CACHE_MAX:
+            _tok_hash_cache.clear()
+        _tok_hash_cache[t] = h
+    return h
 
 
 def fingerprint_tokens(tokens: list[str]) -> int:
-    """FNV-style rolling hash over the token sequence (order-sensitive).
-
-    Pure-int with an explicit 64-bit mask: identical values to the
-    former numpy-uint64 version (wraparound ≡ mask) without per-token
-    numpy scalar overhead or its overflow RuntimeWarning."""
+    """FNV-style rolling hash over the token sequence (order-sensitive):
+    ``h = ((h XOR token_hash) · FNV_PRIME) mod 2^64`` starting from the
+    FNV offset basis.  Exact Python ints with an explicit 64-bit mask;
+    the DuckDB oracle (``FINGERPRINTS_SQL``) reproduces it bit-for-bit
+    in HUGEINT arithmetic."""
     h = _FP_OFFSET
     for t in tokens:
-        h = ((h ^ zlib.crc32(t.encode())) * _FP_BASE) & _FP_MASK
+        h = ((h ^ _token_hash(t)) * _FP_BASE) & _FP_MASK
     return h
+
+
+_M64 = "18446744073709551616"  # 2^64 as a HUGEINT literal
+
+FINGERPRINTS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+')
+         END AS t
+  FROM documents),
+th AS (
+  SELECT doc_id,
+         list_transform(t, tok -> list_reduce(
+           list_transform(str_split(tok, ''), c -> unicode(c)::HUGEINT),
+           (a, b) -> (a * {_TOK_BASE} + b) % {_M64}::HUGEINT)) AS h
+  FROM toks)
+SELECT doc_id,
+       list_reduce(list_prepend({_FP_OFFSET}::HUGEINT, h),
+         (a, b) -> (xor(a, b) * {_FP_BASE}) % {_M64}::HUGEINT
+       )::UBIGINT AS fingerprint,
+       list_reduce(list_prepend({_FP_OFFSET}::HUGEINT, h[1:32]),
+         (a, b) -> (xor(a, b) * {_FP_BASE}) % {_M64}::HUGEINT
+       )::UBIGINT AS prefix_fingerprint
+FROM th ORDER BY doc_id
+"""
 
 
 def fingerprints(batch: pa.Table) -> pa.Table:
@@ -155,6 +202,196 @@ def fingerprints(batch: pa.Table) -> pa.Table:
         [batch["doc_id"], pa.array(fps, pa.uint64()),
          pa.array(pfps, pa.uint64())],
         names=["doc_id", "fingerprint", "prefix_fingerprint"])
+
+
+# DuckDB oracle for LangId: the identical gram construction (distinct
+# tokens of [a-zà-ÿ]+ over lower(text), each with its char trigrams),
+# per-language intersection sizes against the inlined profiles, and the
+# same first-max-in-profile-order tie-break ('und' when all scores are 0).
+def _langid_sql() -> str:
+    score_cols, cases = [], []
+    for lang, prof in _LANG_PROFILES.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in prof.split()) + "]"
+        score_cols.append(
+            f"len(list_intersect(grams, {lst})) AS s_{lang}")
+        cases.append(f"WHEN s_{lang} = m THEN '{lang}'")
+    return rf"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(flatten(list_transform(
+           list_distinct(regexp_extract_all(lower(text), '[a-zà-ÿ]+')),
+           t -> list_prepend(t, list_transform(
+                  range(1, length(t) - 1), i -> substr(t, i, 3)))
+         ))) AS grams
+  FROM documents),
+s AS (SELECT doc_id, {', '.join(score_cols)} FROM g),
+m AS (SELECT *, greatest({', '.join('s_' + l for l in _LANG_PROFILES)}) AS m
+      FROM s)
+SELECT doc_id,
+       CASE WHEN m = 0 THEN 'und' {' '.join(cases)} END AS pred_lang
+FROM m ORDER BY doc_id
+"""
+
+
+LANGID_SQL = _langid_sql()
+
+
+# --- repetition scores: Gopher-style duplicate-content heuristics ---
+
+def repetition_scores(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, distinct_ratio, top_word_frac, dup_2gram_frac)
+    — within-document repetition signals used by Gopher/C4-style
+    filters: distinct-token ratio, most-frequent-token mass, and the
+    fraction of duplicated token bigrams.  Per-row loop over tokens is
+    deliberate: the ratios must follow exact Python/SQL counting
+    semantics for the value-hash oracle."""
+    from collections import Counter
+
+    n_tok, d_ratio, top_frac, dup2 = [], [], [], []
+    for t in batch["text"].to_pylist():
+        toks = t.split()
+        n = len(toks)
+        n_tok.append(n)
+        if n == 0:
+            d_ratio.append(0.0); top_frac.append(0.0); dup2.append(0.0)
+            continue
+        c = Counter(toks)
+        d_ratio.append(_round6(len(c) / n))
+        top_frac.append(_round6(max(c.values()) / n))
+        if n < 2:
+            dup2.append(0.0)
+        else:
+            grams = [f"{toks[i]} {toks[i + 1]}" for i in range(n - 1)]
+            dup2.append(_round6(1.0 - len(set(grams)) / (n - 1)))
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pa.array(n_tok, pa.int64()),
+         pa.array(d_ratio, pa.float64()), pa.array(top_frac, pa.float64()),
+         pa.array(dup2, pa.float64())],
+        names=["doc_id", "n_tokens", "distinct_ratio", "top_word_frac",
+               "dup_2gram_frac"])
+
+
+REPETITION_SCORES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+')
+         END AS t
+  FROM documents)
+SELECT doc_id, len(t) AS n_tokens,
+       CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         round(len(list_distinct(t))::DOUBLE / len(t), 6) END
+         AS distinct_ratio,
+       CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         round(list_aggregate(list_transform(list_distinct(t),
+                 w -> len(list_filter(t, x -> x = w))), 'max')::DOUBLE
+               / len(t), 6) END AS top_word_frac,
+       CASE WHEN len(t) < 2 THEN 0.0 ELSE
+         round(1.0 - len(list_distinct(list_transform(
+                 range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))))
+               ::DOUBLE / (len(t) - 1), 6) END AS dup_2gram_frac
+FROM toks ORDER BY doc_id
+"""
+
+
+# --- contamination check: n-gram overlap against a broadcast eval set ---
+
+def _doc_ngrams(toks: list[str], n: int) -> set[str]:
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def contamination_check(docs_ds, every: int = 97, n: int = 8,
+                        digits: int = 6):
+    """Benchmark-contamination scan: fraction of each training doc's
+    distinct token ``n``-grams that appear in the eval set (docs with
+    ``doc_id % every == 0``; eval docs themselves are excluded from the
+    output).
+
+    Scale shape: the eval set is small by construction (real eval
+    benchmarks are MBs against a 100 TB corpus), so its distinct grams
+    are collected once — per-batch distinct partials, driver union —
+    and broadcast via ``ray.put``; the corpus-side pass is a single
+    streamed ``map_batches`` membership test with no shuffle at all.
+    At production scale the broadcast would carry 8-byte gram hashes;
+    here it carries the raw strings so the DuckDB oracle can join on
+    them verbatim.
+    """
+    import ray
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % every == 0)
+        grams: set[str] = set()
+        for txt in t.filter(keep)["text"].to_pylist():
+            grams |= _doc_ngrams(txt.split(), n)
+        return pa.Table.from_arrays(
+            [pa.array(sorted(grams), pa.string())], names=["gram"])
+
+    ev = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(eval_grams, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas()
+    ev_ref = ray.put(frozenset(ev["gram"].tolist()))
+
+    def score(t: pa.Table) -> pa.Table:
+        evset = ray.get(ev_ref)
+        ids_np = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids_np % every != 0))
+        ids, n_grams, n_hit, frac = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            g = _doc_ngrams(txt.split(), n)
+            hit = sum(1 for x in g if x in evset)
+            ids.append(did)
+            n_grams.append(len(g))
+            n_hit.append(hit)
+            frac.append(_round6(hit / len(g)) if g else 0.0)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(n_grams, pa.int64()),
+             pa.array(n_hit, pa.int64()), pa.array(frac, pa.float64())],
+            names=["doc_id", "n_grams", "n_hit", "contam_frac"])
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def contamination_sql(every: int = 97, n: int = 8) -> str:
+    win = ", ".join(f"t[i+{j}]" for j in range(n))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+')
+         END AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+              WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(
+                range(1, len(t) - {n - 2}),
+                i -> concat_ws(' ', {win})))
+         END AS g
+  FROM toks),
+ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+       WHERE doc_id % {every} = 0),
+tgt AS (SELECT doc_id, g FROM grams WHERE doc_id % {every} <> 0),
+hits AS (
+  SELECT ex.doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(g) AS gram FROM tgt) ex
+  JOIN ev ON ex.gram = ev.gram
+  GROUP BY ex.doc_id)
+SELECT tgt.doc_id, len(tgt.g) AS n_grams,
+       coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
+       CASE WHEN len(tgt.g) = 0 THEN 0.0 ELSE
+         round(coalesce(hits.n_hit, 0)::DOUBLE / len(tgt.g), 6) END
+         AS contam_frac
+FROM tgt LEFT JOIN hits ON tgt.doc_id = hits.doc_id
+ORDER BY tgt.doc_id
+"""
 
 
 def _explode_words(t: pa.Table, with_lang: bool) -> "object":
@@ -234,6 +471,93 @@ FROM (SELECT lang, unnest(str_split(text, ' ')) AS word FROM documents)
 WHERE word <> ''
 GROUP BY lang
 ORDER BY lang
+"""
+
+
+# --- per-doc TF-IDF top terms ---
+
+def _per_doc_tf(t: pa.Table) -> pa.Table:
+    """Batch → (doc_id, word, tf) via a Rust-side polars explode+groupby
+    (one row per distinct word per doc; batches hold whole docs, so a
+    doc's terms never span batches)."""
+    import polars as pl
+
+    df = pl.DataFrame({
+        "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()),
+        "word": pl.from_arrow(t["text"].combine_chunks()),
+    })
+    g = df.with_columns(pl.col("word").str.split(" ")) \
+        .explode("word").filter(pl.col("word") != "") \
+        .group_by(["doc_id", "word"]) \
+        .agg(pl.len().cast(pl.Int64).alias("tf"))
+    return g.to_arrow().cast(pa.schema(
+        [("doc_id", pa.int64()), ("word", pa.string()),
+         ("tf", pa.int64())]))
+
+
+def tfidf_doc_terms(docs_ds, k: int = 3):
+    """Top-``k`` TF-IDF terms per document (ties → lexicographically
+    smallest word), as a Dataset of (doc_id, word, tf, tfidf, rnk).
+
+    Two streamed passes: (1) per-batch (doc, word, tf) partials feed a
+    native ``groupby(word)`` that reduces to the document-frequency
+    table — vocabulary-sized, brought to the driver and broadcast via
+    ``ray.put`` (natural-language vocabularies are broadcast-scale;
+    a beyond-broadcast lexicon would use the bucketed-join path in
+    ``ops/join.py`` instead); (2) the same partials rank locally per
+    doc against the broadcast idf — no shuffle carries per-token rows.
+    ``idf = ln(N / df)`` with both sides computing the identical
+    float64 expression, rounded half-away at 6 digits.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Count
+
+    cols = docs_ds.select_columns(["doc_id", "text"])
+    n_docs = cols.count()
+    df_tbl = cols.map_batches(_per_doc_tf, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("word").aggregate(Count(alias_name="df")).to_pandas()
+    idf = {w: math.log(n_docs / d)
+           for w, d in zip(df_tbl["word"], df_tbl["df"])}
+    idf_ref = ray.put(idf)
+
+    def rank(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lut = ray.get(idf_ref)
+        df = _per_doc_tf(t).to_pandas()
+        v = (df["tf"] * df["word"].map(lut)).to_numpy()
+        df["tfidf"] = np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        df = df.sort_values(["doc_id", "tfidf", "word"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df["rnk"] = df.groupby("doc_id", sort=False).cumcount() + 1
+        out = df[df["rnk"] <= k].reset_index(drop=True)
+        out["rnk"] = out["rnk"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return cols.map_batches(rank, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def tfidf_doc_terms_sql(k: int = 3) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+       FROM w WHERE word <> '' GROUP BY doc_id, word),
+df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+s AS (SELECT tf.doc_id, tf.word, tf.tf,
+             round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE
+                              / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (word)),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+      FROM s)
+SELECT doc_id, word, tf, tfidf, rnk FROM r WHERE rnk <= {k}
+ORDER BY doc_id, rnk
 """
 
 

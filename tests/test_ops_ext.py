@@ -348,3 +348,93 @@ def test_clean_corpus_filters_then_dedups(ray_session):
     assert out["keep_id"].tolist() == [1]
     assert out["n_copies"].tolist() == [3]
     assert (out["quality"] >= 0.5).all()
+
+
+def test_token_budget_shards_matches_window(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.shard import token_budget_shards
+
+    texts = ["a b c", "", "d e", "f g h i j", "k", "l m n o p q r s"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = token_budget_shards(docs, budget=4, bucket_size=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    n = np.array([3, 0, 2, 5, 1, 8])
+    starts = np.cumsum(n) - n
+    assert out["n_tokens"].tolist() == n.tolist()
+    assert out["shard_id"].tolist() == (starts // 4).tolist()
+
+
+def test_repetition_scores_values(ray_session):
+    from kgruntime.ops.text import repetition_scores
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["x x x y", "a b c d", ""],
+    })
+    out = repetition_scores(t).to_pylist()
+    # doc 0: 4 tokens, 2 distinct, top=3/4, bigrams: "x x","x x","x y"
+    assert out[0] == {"doc_id": 0, "n_tokens": 4, "distinct_ratio": 0.5,
+                      "top_word_frac": 0.75, "dup_2gram_frac": 0.333333}
+    assert out[1]["distinct_ratio"] == 1.0
+    assert out[1]["dup_2gram_frac"] == 0.0
+    assert out[2]["n_tokens"] == 0 and out[2]["top_word_frac"] == 0.0
+
+
+def test_contamination_check_hits(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import contamination_check
+
+    # doc 0 is the eval doc (0 % 3 == 0 with every=3); doc 1 repeats its
+    # text (full contamination), doc 2 shares nothing
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["one two three", "one two three", "alpha beta gamma"],
+    }))
+    out = contamination_check(docs, every=3, n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]     # eval doc excluded
+    assert out["contam_frac"].tolist() == [1.0, 0.0]
+
+
+def test_tfidf_doc_terms_ranks(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from kgruntime.ops.text import tfidf_doc_terms
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["cat cat dog", "dog fish"],
+    }))
+    out = tfidf_doc_terms(docs, k=2).to_pandas() \
+        .sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    # 'dog' appears in both docs -> idf 0; cat/fish are doc-unique
+    d0 = out[out["doc_id"] == 0]
+    assert d0.iloc[0]["word"] == "cat"
+    assert d0.iloc[0]["tfidf"] == round(2 * math.log(2), 6)
+    assert d0.iloc[1]["word"] == "dog" and d0.iloc[1]["tfidf"] == 0.0
+    d1 = out[out["doc_id"] == 1]
+    assert d1.iloc[0]["word"] == "fish"
+
+
+def test_fingerprint_sql_parity():
+    import duckdb
+
+    from kgruntime.ops.text import FINGERPRINTS_SQL, fingerprint_tokens
+
+    texts = ["hello world", "", "héllo wörld rép", "a", "one one one"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts)) +
+                ") v(doc_id, text)")
+    out = con.sql(FINGERPRINTS_SQL).df()
+    for i, t in enumerate(texts):
+        assert out["fingerprint"][i] == fingerprint_tokens(t.split())
+        assert out["prefix_fingerprint"][i] == \
+            fingerprint_tokens(t.split()[:32])
