@@ -124,7 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_store": _q_kg_canonical,
         "kg_canonical_staged": _q_kg_staged,
         "kg_canonical_fused": _q_kg_fused,
-        # training-data ops (hash/LSH-based → rows-only)
+        # training-data LSH ops (SQL-backed: md5-60/fixed-point
+        # primitives make the full LSH pipelines DuckDB-replayable)
         "minhash_near_dups": _q_minhash,
         "simhash_near_dups": _q_simhash,
         "embedding_near_dups": _q_emb_near_dups,
@@ -655,6 +656,28 @@ def _fingerprints_sql():
     return FINGERPRINTS_SQL
 
 
+_EMB_DIM = 64   # testdata embeddings.parquet dimension (all scale factors)
+
+
+def _minhash_sql():
+    from kgruntime.ops.dedup import minhash_near_dups_sql
+
+    return minhash_near_dups_sql(threshold=0.5)   # mirrors _q_minhash
+
+
+def _simhash_sql():
+    from kgruntime.ops.dedup import simhash_near_dups_sql
+
+    return simhash_near_dups_sql(max_hamming=3)   # mirrors _q_simhash
+
+
+def _emb_near_dups_sql():
+    from kgruntime.ops.dedup import embedding_near_dups_sql
+
+    return embedding_near_dups_sql(dim=_EMB_DIM, threshold=0.35,
+                                   n_planes=6, n_tables=8)
+
+
 def oracle_sql() -> dict[str, str]:
     from kgruntime import relational as R
 
@@ -696,6 +719,9 @@ def oracle_sql() -> dict[str, str]:
         "token_shards": _token_shards_sql(),
         "langid_pred": _langid_oracle_sql(),
         "doc_fingerprints": _fingerprints_sql(),
+        "minhash_near_dups": _minhash_sql(),
+        "simhash_near_dups": _simhash_sql(),
+        "embedding_near_dups": _emb_near_dups_sql(),
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,

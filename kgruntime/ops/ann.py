@@ -56,8 +56,15 @@ def _merge_topk(group: pa.Table, k: int) -> pa.Table:
     sims = group["cosine"].to_pylist()
     ids = group["neighbor_id"].to_pylist()
     qid = group["query_id"][0].as_py()
-    # deterministic: sort by (-sim, neighbor_id)
-    order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:k]
+    # deterministic: sort by (-sim, neighbor_id); dedupe neighbors (a
+    # multi-table LSH probe can surface the same vector twice)
+    order, seen = [], set()
+    for i in sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i])):
+        if ids[i] not in seen:
+            seen.add(ids[i])
+            order.append(i)
+        if len(order) == k:
+            break
     return pa.Table.from_arrays(
         [pa.array([qid] * len(order), pa.int64()),
          pa.array([ids[i] for i in order], pa.int64()),
@@ -87,22 +94,27 @@ def brute_force_topk(emb_ds, queries: np.ndarray, query_ids: list[int],
 
 
 def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
-             k: int = 5, n_planes: int = 8, exclude_self: bool = True,
-             concurrency=(2, 8)):
-    """Bucketed ANN: score only vectors whose hyperplane signature matches
-    a query's bucket.  Same output schema as brute force; approximate
-    (recall < 1), ~2^n_planes× less compute at scale."""
+             k: int = 5, n_planes: int = 8, n_tables: int = 4,
+             exclude_self: bool = True, concurrency=(2, 8)):
+    """Bucketed ANN: score only vectors whose hyperplane signature
+    matches a query's bucket in ANY of ``n_tables`` independent tables
+    (multi-probe recall recovery: recall ≈ 1-(1-p^k)^L).  Same output
+    schema as brute force; approximate, ~n_tables/2^n_planes of the
+    brute-force compute at scale."""
     import ray
 
     from .dedup import HyperplaneLSH
 
-    rng_planes = HyperplaneLSH(dim, n_planes).planes[0]  # same seed → same buckets
+    planes = HyperplaneLSH(dim, n_planes,
+                           n_tables=n_tables).planes  # same seed → same buckets
+    pow2 = 1 << np.arange(n_planes)
     q = np.asarray(queries, dtype=np.float64)
-    q_keys = ((q @ rng_planes.T) > 0).dot(
-        1 << np.arange(n_planes)).astype(np.int64)
     by_bucket: dict[int, list[int]] = {}
-    for i, key in enumerate(q_keys):
-        by_bucket.setdefault(int(key), []).append(i)
+    for t in range(n_tables):
+        q_keys = ((q @ planes[t].T) > 0).dot(pow2).astype(np.int64) \
+            + (t << 40)
+        for i, key in enumerate(q_keys):
+            by_bucket.setdefault(int(key), []).append(i)
     ref = ray.put((q, list(query_ids), by_bucket))
 
     class BucketScorer:
@@ -110,18 +122,20 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
             self.q, self.query_ids, self.by_bucket = ray.get(ref)
             self.qn = self.q / np.maximum(
                 np.linalg.norm(self.q, axis=1, keepdims=True), 1e-12)
-            self.lsh = HyperplaneLSH(dim, n_planes)
+            self.planes = HyperplaneLSH(dim, n_planes,
+                                        n_tables=n_tables).planes
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
             emb = np.array(batch["embedding"].to_pylist(), np.float64)
             emb = emb / np.maximum(
                 np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-            keys = ((emb @ self.lsh.planes[0].T) > 0).dot(
-                1 << np.arange(n_planes)).astype(np.int64)
+            keys = np.stack([
+                ((emb @ self.planes[t].T) > 0).dot(pow2).astype(np.int64)
+                + (t << 40) for t in range(n_tables)])   # (L, B)
             out_q, out_n, out_s = [], [], []
             for bucket, q_idx in self.by_bucket.items():
-                mask = keys == bucket
+                mask = (keys == bucket).any(axis=0)
                 if not mask.any():
                     continue
                 sub_ids = ids[mask]

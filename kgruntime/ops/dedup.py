@@ -40,6 +40,13 @@ def _stable_hash64(data: bytes) -> int:
                           "big") & 0x7FFFFFFFFFFFFFFF
 
 
+def _md5_60(data: bytes) -> int:
+    """Process-stable 60-bit hash, SQL-replicable: DuckDB computes the
+    identical value as ``('0x' || substr(md5(x), 1, 15))::BIGINT``, which
+    lets the driver's oracle gate replay every LSH stage end-to-end."""
+    return int(hashlib.md5(data).hexdigest()[:15], 16)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -139,17 +146,30 @@ def exact_dedup_groups(docs_ds):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingles → uint64 hashes (vector)."""
-    import zlib
-
+def _shingle_hashes(text: str, n: int = 3,
+                    memo: dict | None = None) -> np.ndarray:
+    """Word n-gram shingles → 60-bit md5 hashes (vector).  The md5-60
+    primitive keeps every downstream minhash value SQL-replicable; the
+    optional per-worker memo skips re-hashing grams that repeat across
+    documents (duplicate grams inside one doc don't change the min)."""
     toks = text.split()
     if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
+        grams = {" ".join(toks)} if toks else ()
     else:
-        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-    return np.array([zlib.crc32(g.encode()) for g in grams],
-                    dtype=np.uint64) if grams else np.array([], np.uint64)
+        grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    if not grams:
+        return np.array([], np.uint64)
+    if memo is None:
+        return np.array([_md5_60(g.encode()) for g in grams], np.uint64)
+    out = []
+    for g in grams:
+        h = memo.get(g)
+        if h is None:
+            h = _md5_60(g.encode())
+            if len(memo) < 4_000_000:   # bound worker heap
+                memo[g] = h
+        out.append(h)
+    return np.array(out, np.uint64)
 
 
 class MinHasher:
@@ -167,12 +187,15 @@ class MinHasher:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
+        self._gram_memo: dict[str, int] = {}
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.shingle_n)
+        sh = _shingle_hashes(text, self.shingle_n, self._gram_memo)
         if len(sh) == 0:
             return np.zeros(self.num_perm, np.uint64)
-        # (num_perm, n_shingles) via broadcasting; mod Mersenne prime
+        # (num_perm, n_shingles) via broadcasting: products wrap mod 2^64
+        # (uint64), then mod the Mersenne prime — the oracle replicates
+        # the wrap exactly with HUGEINT `% 2^64 % p`
         v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
         return v.min(axis=1)
 
@@ -187,10 +210,13 @@ class MinHasher:
                 chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
                 out_doc.append(d)
                 out_band.append(b)
-                # process-stable hash: builtin hash() is SipHash-salted
-                # per worker process and would silently break the
-                # cross-actor (band, band_hash) groupby
-                out_hash.append(_stable_hash64(chunk.tobytes()))
+                # process-stable AND SQL-replicable: md5-60 of the
+                # comma-joined decimal signature chunk — DuckDB's
+                # md5(string_agg(sig, ',' ORDER BY perm)) recomputes the
+                # identical bucket key (builtin hash() is SipHash-salted
+                # per worker and would silently break the groupby)
+                out_hash.append(_md5_60(
+                    ",".join(str(int(v)) for v in chunk).encode()))
                 out_sig.append(sig_bytes)
         return pa.Table.from_arrays(
             [pa.array(out_doc), pa.array(out_band, pa.int32()),
@@ -360,24 +386,27 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float,
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash signatures; hamming-≤k candidates via pigeonhole
-    band buckets (k+1 bands ⇒ any pair within k shares ≥1 band)."""
+    """60-bit SimHash signatures; hamming-≤k candidates via pigeonhole
+    band buckets (k+1 bands ⇒ any pair within k shares ≥1 band).
+
+    60 bits (not 64) so the md5-60 token-hash primitive — and therefore
+    the whole signature, band keys, and hamming distances — is exactly
+    replayable by the DuckDB oracle with bigint bit ops."""
+
+    BITS = 60
 
     def __init__(self, bands: int = 4, seed: int = 17):
         self.bands = bands
-        self.band_bits = 64 // bands
-        # token→hash memo, built per actor: corpus vocabulary repeats
-        # massively across documents, so the per-token crc32 pair runs
-        # once per distinct token per actor, not once per occurrence
+        self.band_bits = self.BITS // bands
+        # token→hash memo, built per worker: corpus vocabulary repeats
+        # massively across documents, so the per-token md5 runs once per
+        # distinct token per worker, not once per occurrence
         self._memo: dict[str, int] = {}
 
     def _token_hash(self, t: str) -> int:
-        import zlib
-
         h = self._memo.get(t)
         if h is None:
-            h = (zlib.crc32(t.encode()) |
-                 (zlib.crc32(t[::-1].encode()) << 32)) & 0xFFFFFFFFFFFFFFFF
+            h = _md5_60(t.encode())
             if len(self._memo) < 1_000_000:   # bound actor heap
                 self._memo[t] = h
         return h
@@ -386,14 +415,14 @@ class SimHasher:
         toks = set(text.split())
         if not toks:
             return 0
-        # one 64-bit hash per token, then all 64 bit-planes at once:
-        # (n_tokens, 64) sign matrix summed down the token axis
+        # one 60-bit hash per token, then all 60 bit-planes at once:
+        # (n_tokens, 60) sign matrix summed down the token axis
         hs = np.array([self._token_hash(t) for t in toks], np.uint64)
-        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) \
+        bits = (hs[:, None] >> np.arange(self.BITS, dtype=np.uint64)[None, :]) \
             & np.uint64(1)
         acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
         sig_bits = (acc > 0).astype(np.uint64)
-        return int((sig_bits << np.arange(64, dtype=np.uint64)).sum(
+        return int((sig_bits << np.arange(self.BITS, dtype=np.uint64)).sum(
             dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -410,7 +439,7 @@ class SimHasher:
         return pa.Table.from_arrays(
             [pa.array(out_doc), pa.array(out_band, pa.int32()),
              pa.array(out_key, pa.int64()),
-             pa.array([s & 0x7FFFFFFFFFFFFFFF for s in out_sig], pa.int64())],
+             pa.array(out_sig, pa.int64())],
             names=["doc_id", "band", "band_key", "sig"])
 
 
@@ -442,8 +471,26 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
 # embedding-cosine near-dup (random hyperplane LSH + in-bucket verify)
 # ---------------------------------------------------------------------------
 
+_FP_SCALE = 1_000_000
+
+
+def quantize_fp6(emb: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero fixed-point (1e-6) quantization — the same
+    value DuckDB's ``round(x * 1000000)::BIGINT`` produces, so every
+    projection sign, dot product, and norm downstream is an EXACT
+    integer identical on both sides of the oracle gate."""
+    return np.where(emb >= 0, np.floor(emb * _FP_SCALE + 0.5),
+                    -np.floor(-emb * _FP_SCALE + 0.5)).astype(np.int64)
+
+
 class HyperplaneLSH:
     """Signed-projection buckets; planes drawn once per actor, seeded.
+
+    Planes are Rademacher ±1 (sign-random projections, Achlioptas-style)
+    rather than Gaussian: the collision-probability guarantee is the
+    same family, and integer planes × fixed-point vectors make bucket
+    keys exact integers — deterministic across workers AND replayable
+    by the SQL oracle.
 
     ``n_tables`` independent tables of ``n_planes`` planes each: a pair
     with hyperplane-collision probability p per plane is recalled with
@@ -454,22 +501,23 @@ class HyperplaneLSH:
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 23,
                  n_tables: int = 1):
         rng = np.random.RandomState(seed)
-        self.planes = rng.normal(size=(n_tables, n_planes, dim))
+        self.planes = (rng.randint(0, 2, size=(n_tables, n_planes, dim))
+                       * 2 - 1).astype(np.int64)
         self.n_tables = n_tables
         self.n_planes = n_planes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        out_id, out_bucket, out_emb = [], [], []
+        q = quantize_fp6(emb)
+        out_id, out_bucket = [], []
         emb_list = batch["embedding"]
         pow2 = (1 << np.arange(self.n_planes)).astype(np.int64)
         for t in range(self.n_tables):
-            signs = (emb @ self.planes[t].T) > 0
+            signs = (q @ self.planes[t].T) > 0
             keys = signs.dot(pow2) + (t << 40)  # disjoint key space per table
             out_id.append(ids)
             out_bucket.append(keys)
-        n = len(ids)
         id_arr = pa.array(np.concatenate(out_id), pa.int64())
         bucket_arr = pa.array(np.concatenate(out_bucket), pa.int64())
         emb_rep = pa.concat_arrays(
@@ -481,24 +529,38 @@ class HyperplaneLSH:
 
 
 def _cos_pairs(group: pa.Table, threshold: float) -> pa.Table:
-    ids = _cap_hot_bucket(group["vec_id"].to_pylist(), 256, "embedding_lsh")
-    emb = np.array(group["embedding"].to_pylist(),
-                   dtype=np.float64)[:len(ids)]
+    # sort by vec_id BEFORE the cap so the capped membership is
+    # deterministic regardless of shuffle arrival order
+    ids = np.asarray(group["vec_id"].to_pylist(), np.int64)
+    emb = np.array(group["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, emb = ids[order], emb[order]
+    keep = len(_cap_hot_bucket(ids.tolist(), 256, "embedding_lsh"))
+    ids, emb = ids[:keep], emb[:keep]
     if len(ids) < 2:
         return pa.Table.from_arrays(
             [pa.array([], pa.int64()), pa.array([], pa.int64()),
              pa.array([], pa.float64())],
             names=["vec_a", "vec_b", "cosine"])
-    norms = np.linalg.norm(emb, axis=1, keepdims=True)
-    normed = emb / np.maximum(norms, 1e-12)
-    sims = normed @ normed.T
+    # exact-integer cosine: fixed-point dot / (√n2a · √n2b), each float
+    # op a single IEEE round — bit-identical to the SQL twin
+    q = quantize_fp6(emb)
+    dot = q @ q.T
+    n2 = np.diag(dot).astype(np.float64)
+    root = np.sqrt(n2)
+    denom = root[:, None] * root[None, :]
     a_col, b_col, cos = [], [], []
     for i in range(len(ids)):
+        if n2[i] == 0:
+            continue
         for j in range(i + 1, len(ids)):
-            if sims[i, j] >= threshold and ids[i] != ids[j]:
-                a, b = sorted((ids[i], ids[j]))
+            if n2[j] == 0 or ids[i] == ids[j]:
+                continue
+            sim = dot[i, j] / denom[i, j]
+            if sim >= threshold:
+                a, b = sorted((int(ids[i]), int(ids[j])))
                 a_col.append(a); b_col.append(b)
-                cos.append(round(float(sims[i, j]), 6))
+                cos.append(np.floor(sim * 1e6 + 0.5) / 1e6)  # half-away
     return pa.Table.from_arrays(
         [pa.array(a_col, pa.int64()), pa.array(b_col, pa.int64()),
          pa.array(cos, pa.float64())],
@@ -515,3 +577,201 @@ def embedding_near_dups(emb_ds, dim: int, threshold: float = 0.95,
         lambda g: _cos_pairs(g, threshold), batch_format="pyarrow")
     return pairs.groupby(["vec_a", "vec_b"]).max("cosine") \
         .rename_columns({"max(cosine)": "cosine"})
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins — replay each LSH pipeline end-to-end in SQL.
+#
+# Every hash primitive above (md5-60 shingle/token/band hashes, the
+# uint64-wrapping minhash permutations, fixed-point hyperplane
+# projections) was chosen to be exactly expressible in DuckDB, so the
+# driver's value-hash gate checks the REAL operators, not a simplified
+# stand-in.  The hot-bucket caps are replicated via row_number().
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = r"""
+        toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS t
+          FROM documents)"""
+
+
+def minhash_near_dups_sql(threshold: float = 0.7, num_perm: int = 64,
+                          bands: int = 16, shingle_n: int = 3,
+                          seed: int = 13, cap: int = 200) -> str:
+    """SQL twin of ``minhash_near_dups`` (same seed ⇒ same permutation
+    coefficients, embedded as literals)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm)
+    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+                          for i in range(num_perm))
+    rpb = num_perm // bands
+    n = shingle_n
+    gram_expr = (f"CASE WHEN len(t) = 0 THEN []::VARCHAR[] "
+                 f"WHEN len(t) < {n} THEN [array_to_string(t, ' ')] "
+                 f"ELSE list_distinct(list_transform(range(1, len(t) - {n - 2}), "
+                 f"i -> concat_ws(' ', "
+                 + ", ".join(f"t[i+{j}]" for j in range(n)) + "))) END")
+    return rf"""
+        WITH perms(idx, a, b) AS (VALUES {perm_rows}),
+        {_TOKS_CTE.lstrip()},
+        grams AS (
+          SELECT doc_id, unnest({gram_expr}) AS g FROM toks),
+        gh AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+          FROM grams),
+        sigs AS (
+          -- (a*h + b) wraps mod 2^64 exactly as numpy uint64 does, then
+          -- mod the Mersenne prime; docs with no grams get sig 0
+          SELECT d.doc_id, p.idx,
+                 COALESCE(min(
+                   (((p.a::HUGEINT * gh.h + p.b) % 18446744073709551616)
+                    % 2305843009213693951)::BIGINT), 0) AS sig
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          CROSS JOIN perms p
+          LEFT JOIN gh ON gh.doc_id = d.doc_id
+          GROUP BY d.doc_id, p.idx),
+        bands AS (
+          SELECT doc_id, idx // {rpb} AS band,
+                 ('0x' || substr(md5(
+                    string_agg(sig::VARCHAR, ',' ORDER BY idx)), 1, 15))
+                 ::BIGINT AS band_hash
+          FROM sigs GROUP BY doc_id, idx // {rpb}),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+          FROM bands),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ranked a JOIN ranked b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+          WHERE a.rn <= {cap} AND b.rn <= {cap}),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 (count(*) FILTER (WHERE sa.sig = sb.sig))::DOUBLE
+                   / {num_perm} AS jaccard_est
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.doc_a
+          JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.idx = sa.idx
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b, jaccard_est
+        FROM est WHERE jaccard_est >= {threshold!r}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def simhash_near_dups_sql(max_hamming: int = 3, bands: int = 4,
+                          cap: int = 200) -> str:
+    """SQL twin of ``simhash_near_dups`` (60-bit md5 token hashes)."""
+    bits = SimHasher.BITS
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    return rf"""
+        WITH {_TOKS_CTE.lstrip()},
+        dtok AS (
+          SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+        th AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM dtok),
+        bitsums AS (
+          SELECT doc_id, r.b,
+                 sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+          FROM th CROSS JOIN (SELECT unnest(range({bits})) AS b) r
+          GROUP BY doc_id, r.b),
+        sig AS (
+          SELECT d.doc_id,
+                 COALESCE(sum(CASE WHEN bs.acc > 0
+                              THEN (1::BIGINT << bs.b) ELSE 0 END), 0) AS sig
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          LEFT JOIN bitsums bs ON bs.doc_id = d.doc_id
+          GROUP BY d.doc_id),
+        bands AS (
+          SELECT doc_id, sig, bb.band,
+                 (sig >> (bb.band * {band_bits})) & {mask} AS band_key
+          FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band) bb),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY band, band_key ORDER BY doc_id) AS rn
+          FROM bands)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sig, b.sig))::INTEGER AS hamming
+        FROM ranked a JOIN ranked b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE a.rn <= {cap} AND b.rn <= {cap}
+          AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def embedding_near_dups_sql(dim: int, threshold: float = 0.95,
+                            n_planes: int = 10, seed: int = 23,
+                            n_tables: int = 1, cap: int = 256) -> str:
+    """SQL twin of ``embedding_near_dups``: the same seeded Rademacher
+    planes (as 0/1 strings), fixed-point quantization, integer
+    projections and dot products, and the identical float op sequence
+    ``dot / (sqrt(n2a) * sqrt(n2b))`` for the cosine."""
+    lsh = HyperplaneLSH(dim=dim, n_planes=n_planes, seed=seed,
+                        n_tables=n_tables)
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            s = "".join("1" if v == 1 else "0" for v in lsh.planes[t, p])
+            rows.append(f"({t}, {p}, '{s}')")
+    plane_rows = ", ".join(rows)
+    return rf"""
+        WITH pl(t, pi, s) AS (VALUES {plane_rows}),
+        planes AS (
+          SELECT t, pi, r.i,
+                 CASE WHEN substr(s, r.i::INTEGER, 1) = '1'
+                      THEN 1 ELSE -1 END AS v
+          FROM pl CROSS JOIN
+               (SELECT unnest(range(1, {dim + 1})) AS i) r),
+        e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                            * 1000000) AS BIGINT) AS u
+          FROM embeddings),
+        proj AS (
+          SELECT e.vec_id, p.t, p.pi, sum(e.u * p.v) AS pr
+          FROM e JOIN planes p ON p.i = e.i
+          GROUP BY e.vec_id, p.t, p.pi),
+        keys AS (
+          SELECT vec_id, t,
+                 sum(CASE WHEN pr > 0 THEN (1::BIGINT << pi)
+                     ELSE 0 END) + (t::BIGINT << 40) AS bucket
+          FROM proj GROUP BY vec_id, t),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY bucket ORDER BY vec_id) AS rn
+          FROM keys),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM ranked a JOIN ranked b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE a.rn <= {cap} AND b.rn <= {cap}),
+        n2 AS (SELECT vec_id, sum(u * u) AS n2 FROM e GROUP BY vec_id),
+        dots AS (
+          SELECT c.vec_a, c.vec_b, sum(ea.u * eb.u) AS dot
+          FROM cand c
+          JOIN e ea ON ea.vec_id = c.vec_a
+          JOIN e eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+          GROUP BY c.vec_a, c.vec_b),
+        cos AS (
+          SELECT d.vec_a, d.vec_b,
+                 d.dot::DOUBLE
+                   / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS c
+          FROM dots d
+          JOIN n2 na ON na.vec_id = d.vec_a
+          JOIN n2 nb ON nb.vec_id = d.vec_b
+          WHERE na.n2 > 0 AND nb.n2 > 0)
+        SELECT vec_a, vec_b, round(c, 6) AS cosine
+        FROM cos WHERE c >= {threshold!r}
+        ORDER BY vec_a, vec_b
+    """
