@@ -678,6 +678,12 @@ def _emb_near_dups_sql():
                                    n_planes=6, n_tables=8)
 
 
+def _ann_lsh_sql():
+    from kgruntime.ops.ann import lsh_topk_sql
+
+    return lsh_topk_sql(dim=_EMB_DIM, k=_ANN_K, n_queries=_ANN_N_QUERIES)
+
+
 def oracle_sql() -> dict[str, str]:
     from kgruntime import relational as R
 
@@ -722,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_sql(),
         "simhash_near_dups": _simhash_sql(),
         "embedding_near_dups": _emb_near_dups_sql(),
+        "ann_topk_lsh": _ann_lsh_sql(),
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,

@@ -105,14 +105,11 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
 
     from .dedup import HyperplaneLSH
 
-    planes = HyperplaneLSH(dim, n_planes,
-                           n_tables=n_tables).planes  # same seed → same buckets
-    pow2 = 1 << np.arange(n_planes)
+    lsh = HyperplaneLSH(dim, n_planes,
+                        n_tables=n_tables)  # same seed → same buckets
     q = np.asarray(queries, dtype=np.float64)
     by_bucket: dict[int, list[int]] = {}
-    for t in range(n_tables):
-        q_keys = ((q @ planes[t].T) > 0).dot(pow2).astype(np.int64) \
-            + (t << 40)
+    for t, q_keys in enumerate(lsh.keys_for(q)):
         for i, key in enumerate(q_keys):
             by_bucket.setdefault(int(key), []).append(i)
     ref = ray.put((q, list(query_ids), by_bucket))
@@ -122,17 +119,16 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
             self.q, self.query_ids, self.by_bucket = ray.get(ref)
             self.qn = self.q / np.maximum(
                 np.linalg.norm(self.q, axis=1, keepdims=True), 1e-12)
-            self.planes = HyperplaneLSH(dim, n_planes,
-                                        n_tables=n_tables).planes
+            self.lsh = HyperplaneLSH(dim, n_planes, n_tables=n_tables)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
-            emb = np.array(batch["embedding"].to_pylist(), np.float64)
-            emb = emb / np.maximum(
-                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-            keys = np.stack([
-                ((emb @ self.planes[t].T) > 0).dot(pow2).astype(np.int64)
-                + (t << 40) for t in range(n_tables)])   # (L, B)
+            raw = np.array(batch["embedding"].to_pylist(), np.float64)
+            # keys from quantized RAW vectors (exact ints, shared with
+            # HyperplaneLSH + the SQL oracle); scoring on normalized
+            emb = raw / np.maximum(
+                np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+            keys = self.lsh.keys_for(raw)               # (L, B)
             out_q, out_n, out_s = [], [], []
             for bucket, q_idx in self.by_bucket.items():
                 mask = (keys == bucket).any(axis=0)
@@ -156,6 +152,42 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
         partials = partials.filter(expr="query_id != neighbor_id")
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pyarrow")
+
+
+def lsh_topk_sql(dim: int, k: int = 5, n_planes: int = 8,
+                 n_tables: int = 4, n_queries: int = 10,
+                 seed: int = 23) -> str:
+    """SQL twin of ``lsh_topk``: bucket keys replayed exactly (integer
+    fixed-point projections via ``lsh_keys_cte_sql``), candidates = any
+    shared bucket across tables, ranked by cosine with vec_id
+    tie-breaks — the same ranking convention as the passing brute-force
+    ``ann_topk`` oracle."""
+    from .dedup import lsh_keys_cte_sql
+
+    return rf"""
+        WITH {lsh_keys_cte_sql(dim, n_planes, seed, n_tables)},
+        q AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+              LIMIT {n_queries}),
+        qkeys AS (
+          SELECT k.vec_id, k.bucket FROM keys k
+          JOIN q ON q.vec_id = k.vec_id),
+        cand AS (
+          SELECT DISTINCT qk.vec_id AS query_id, dk.vec_id AS neighbor_id
+          FROM qkeys qk JOIN keys dk ON dk.bucket = qk.bucket
+          WHERE dk.vec_id != qk.vec_id),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY list_cosine_similarity(
+                     qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+                     c.neighbor_id ASC) AS rnk
+          FROM cand c
+          JOIN embeddings qe ON qe.vec_id = c.query_id
+          JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+        SELECT query_id, neighbor_id FROM scored WHERE rnk <= {k}
+        ORDER BY query_id, neighbor_id
+    """
 
 
 # --- IVF (inverted-file) ANN: coarse k-means quantizer + probed buckets ---

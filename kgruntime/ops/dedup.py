@@ -506,18 +506,25 @@ class HyperplaneLSH:
         self.n_tables = n_tables
         self.n_planes = n_planes
 
+    def keys_for(self, emb: np.ndarray) -> np.ndarray:
+        """(n_tables, n_rows) integer bucket keys from float vectors —
+        via fixed-point quantization, so any two processes (or the SQL
+        oracle) agree exactly on every key."""
+        q = quantize_fp6(np.asarray(emb, dtype=np.float64))
+        pow2 = (1 << np.arange(self.n_planes)).astype(np.int64)
+        return np.stack([
+            ((q @ self.planes[t].T) > 0).dot(pow2) + (t << 40)
+            for t in range(self.n_tables)])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        q = quantize_fp6(emb)
+        all_keys = self.keys_for(emb)
         out_id, out_bucket = [], []
         emb_list = batch["embedding"]
-        pow2 = (1 << np.arange(self.n_planes)).astype(np.int64)
         for t in range(self.n_tables):
-            signs = (q @ self.planes[t].T) > 0
-            keys = signs.dot(pow2) + (t << 40)  # disjoint key space per table
             out_id.append(ids)
-            out_bucket.append(keys)
+            out_bucket.append(all_keys[t])
         id_arr = pa.array(np.concatenate(out_id), pa.int64())
         bucket_arr = pa.array(np.concatenate(out_bucket), pa.int64())
         emb_rep = pa.concat_arrays(
@@ -710,13 +717,13 @@ def simhash_near_dups_sql(max_hamming: int = 3, bands: int = 4,
     """
 
 
-def embedding_near_dups_sql(dim: int, threshold: float = 0.95,
-                            n_planes: int = 10, seed: int = 23,
-                            n_tables: int = 1, cap: int = 256) -> str:
-    """SQL twin of ``embedding_near_dups``: the same seeded Rademacher
-    planes (as 0/1 strings), fixed-point quantization, integer
-    projections and dot products, and the identical float op sequence
-    ``dot / (sqrt(n2a) * sqrt(n2b))`` for the cosine."""
+def lsh_keys_cte_sql(dim: int, n_planes: int, seed: int = 23,
+                     n_tables: int = 1) -> str:
+    """Chained-CTE fragment defining ``keys(vec_id, t, bucket)`` — the
+    exact integer LSH bucket keys of every ``embeddings`` row, computed
+    from the same seeded Rademacher planes (as 0/1 literal strings) and
+    the same fixed-point quantization as ``HyperplaneLSH.keys_for``.
+    Also defines ``e(vec_id, i, u)`` (quantized elements) for reuse."""
     lsh = HyperplaneLSH(dim=dim, n_planes=n_planes, seed=seed,
                         n_tables=n_tables)
     rows = []
@@ -725,8 +732,7 @@ def embedding_near_dups_sql(dim: int, threshold: float = 0.95,
             s = "".join("1" if v == 1 else "0" for v in lsh.planes[t, p])
             rows.append(f"({t}, {p}, '{s}')")
     plane_rows = ", ".join(rows)
-    return rf"""
-        WITH pl(t, pi, s) AS (VALUES {plane_rows}),
+    return rf"""pl(t, pi, s) AS (VALUES {plane_rows}),
         planes AS (
           SELECT t, pi, r.i,
                  CASE WHEN substr(s, r.i::INTEGER, 1) = '1'
@@ -746,7 +752,18 @@ def embedding_near_dups_sql(dim: int, threshold: float = 0.95,
           SELECT vec_id, t,
                  sum(CASE WHEN pr > 0 THEN (1::BIGINT << pi)
                      ELSE 0 END) + (t::BIGINT << 40) AS bucket
-          FROM proj GROUP BY vec_id, t),
+          FROM proj GROUP BY vec_id, t)"""
+
+
+def embedding_near_dups_sql(dim: int, threshold: float = 0.95,
+                            n_planes: int = 10, seed: int = 23,
+                            n_tables: int = 1, cap: int = 256) -> str:
+    """SQL twin of ``embedding_near_dups``: the same seeded Rademacher
+    planes (as 0/1 strings), fixed-point quantization, integer
+    projections and dot products, and the identical float op sequence
+    ``dot / (sqrt(n2a) * sqrt(n2b))`` for the cosine."""
+    return rf"""
+        WITH {lsh_keys_cte_sql(dim, n_planes, seed, n_tables)},
         ranked AS (
           SELECT *, row_number() OVER (
             PARTITION BY bucket ORDER BY vec_id) AS rn
