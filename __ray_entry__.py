@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data LSH ops (SQL-backed: md5-60/fixed-point
         # primitives make the full LSH pipelines DuckDB-replayable)
         "minhash_near_dups": _q_minhash,
+        "minhash_dup_clusters": _q_minhash_clusters,
+        "chunk_documents": _q_chunks,
+        "bigram_counts": _q_bigrams,
         "simhash_near_dups": _q_simhash,
         "embedding_near_dups": _q_emb_near_dups,
         "ann_topk_lsh": _q_ann_lsh,
@@ -506,6 +509,27 @@ def _q_minhash(sf_dir):
     return minhash_near_dups(_docs_ds(sf_dir), threshold=0.5)
 
 
+def _q_minhash_clusters(sf_dir):
+    from kgruntime.ops.dedup import minhash_dup_clusters
+
+    return minhash_dup_clusters(_docs_ds(sf_dir), threshold=0.5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_chunks(sf_dir):
+    from kgruntime.ops.text import chunk_documents
+
+    return chunk_documents(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def _q_bigrams(sf_dir):
+    from kgruntime.ops.text import bigram_counts
+
+    return bigram_counts(_docs_ds(sf_dir)).to_pandas() \
+        .reset_index(drop=True)
+
+
 def _q_simhash(sf_dir):
     from kgruntime.ops.dedup import simhash_near_dups
 
@@ -665,6 +689,24 @@ def _minhash_sql():
     return minhash_near_dups_sql(threshold=0.5)   # mirrors _q_minhash
 
 
+def _minhash_clusters_sql():
+    from kgruntime.ops.dedup import minhash_dup_clusters_sql
+
+    return minhash_dup_clusters_sql(threshold=0.5)
+
+
+def _chunks_sql():
+    from kgruntime.ops.text import chunk_documents_sql
+
+    return chunk_documents_sql()
+
+
+def _bigrams_sql():
+    from kgruntime.ops.text import bigram_counts_sql
+
+    return bigram_counts_sql()
+
+
 def _simhash_sql():
     from kgruntime.ops.dedup import simhash_near_dups_sql
 
@@ -726,6 +768,9 @@ def oracle_sql() -> dict[str, str]:
         "langid_pred": _langid_oracle_sql(),
         "doc_fingerprints": _fingerprints_sql(),
         "minhash_near_dups": _minhash_sql(),
+        "minhash_dup_clusters": _minhash_clusters_sql(),
+        "chunk_documents": _chunks_sql(),
+        "bigram_counts": _bigrams_sql(),
         "simhash_near_dups": _simhash_sql(),
         "embedding_near_dups": _emb_near_dups_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),

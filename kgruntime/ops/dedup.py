@@ -289,6 +289,41 @@ def dedup_components(pairs_ds):
     return connected_components(edges)
 
 
+def minhash_dup_clusters(docs_ds, threshold: float = 0.7,
+                         num_perm: int = 64, bands: int = 16):
+    """Near-duplicate clusters: MinHash-LSH pairs → connected components
+    (the same distributed union-find as entity canonicalization); each
+    member doc gets its component's min doc_id as ``cluster_id``.
+
+    Doc ids are zero-padded to 20 digits on the way into the union-find
+    (whose canonical label is the *string*-minimum member) so the
+    string minimum IS the numeric minimum — matching the recursive-CTE
+    oracle's ``min(doc_id)`` exactly.  Non-negative ids assumed.
+    Returns (doc_id, cluster_id) for every doc in some near-dup pair.
+    """
+    from ..stages.canon import connected_components
+
+    pairs = minhash_near_dups(docs_ds, threshold=threshold,
+                              num_perm=num_perm, bands=bands)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.utf8_lpad(pc.cast(t["doc_a"], pa.string()), 20, "0"),
+             pc.utf8_lpad(pc.cast(t["doc_b"], pa.string()), 20, "0")],
+            names=["src", "dst"])
+
+    comp = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["node"], pa.int64()),
+             pc.cast(t["label"], pa.int64())],
+            names=["doc_id", "cluster_id"])
+
+    return comp.map_batches(to_ints, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, for verification / small candidate sets)
 # ---------------------------------------------------------------------------
@@ -605,11 +640,12 @@ _TOKS_CTE = r"""
           FROM documents)"""
 
 
-def minhash_near_dups_sql(threshold: float = 0.7, num_perm: int = 64,
-                          bands: int = 16, shingle_n: int = 3,
-                          seed: int = 13, cap: int = 200) -> str:
-    """SQL twin of ``minhash_near_dups`` (same seed ⇒ same permutation
-    coefficients, embedded as literals)."""
+def _minhash_pairs_cte_sql(threshold: float = 0.7, num_perm: int = 64,
+                           bands: int = 16, shingle_n: int = 3,
+                           seed: int = 13, cap: int = 200) -> str:
+    """CTE body (no leading WITH, no final select) defining
+    ``mh_pairs(doc_a, doc_b, jaccard_est)`` — shared by the near-dup
+    pair oracle and the recursive dup-cluster oracle."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, (1 << 61) - 1, size=num_perm)
     b = rng.randint(0, (1 << 61) - 1, size=num_perm)
@@ -622,8 +658,7 @@ def minhash_near_dups_sql(threshold: float = 0.7, num_perm: int = 64,
                  f"ELSE list_distinct(list_transform(range(1, len(t) - {n - 2}), "
                  f"i -> concat_ws(' ', "
                  + ", ".join(f"t[i+{j}]" for j in range(n)) + "))) END")
-    return rf"""
-        WITH perms(idx, a, b) AS (VALUES {perm_rows}),
+    return rf"""perms(idx, a, b) AS (VALUES {perm_rows}),
         {_TOKS_CTE.lstrip()},
         grams AS (
           SELECT doc_id, unnest({gram_expr}) AS g FROM toks),
@@ -665,10 +700,47 @@ def minhash_near_dups_sql(threshold: float = 0.7, num_perm: int = 64,
           FROM cand c
           JOIN sigs sa ON sa.doc_id = c.doc_a
           JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.idx = sa.idx
-          GROUP BY c.doc_a, c.doc_b)
-        SELECT doc_a, doc_b, jaccard_est
-        FROM est WHERE jaccard_est >= {threshold!r}
+          GROUP BY c.doc_a, c.doc_b),
+        mh_pairs AS (
+          SELECT doc_a, doc_b, jaccard_est
+          FROM est WHERE jaccard_est >= {threshold!r})"""
+
+
+def minhash_near_dups_sql(threshold: float = 0.7, num_perm: int = 64,
+                          bands: int = 16, shingle_n: int = 3,
+                          seed: int = 13, cap: int = 200) -> str:
+    """SQL twin of ``minhash_near_dups`` (same seed ⇒ same permutation
+    coefficients, embedded as literals)."""
+    body = _minhash_pairs_cte_sql(threshold, num_perm, bands, shingle_n,
+                                  seed, cap)
+    return f"""
+        WITH {body}
+        SELECT doc_a, doc_b, jaccard_est FROM mh_pairs
         ORDER BY doc_a, doc_b
+    """
+
+
+def minhash_dup_clusters_sql(threshold: float = 0.7, num_perm: int = 64,
+                             bands: int = 16, shingle_n: int = 3,
+                             seed: int = 13, cap: int = 200) -> str:
+    """SQL twin of ``minhash_near_dups`` → ``dedup_components``: the
+    near-dup pair CTE feeds a recursive transitive closure, and each
+    member doc gets the min doc_id of its component as cluster id —
+    exactly the rank-minimum label the distributed union-find emits."""
+    body = _minhash_pairs_cte_sql(threshold, num_perm, bands, shingle_n,
+                                  seed, cap)
+    return f"""
+        WITH RECURSIVE {body},
+        dedges AS (
+          SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+          UNION ALL
+          SELECT doc_b AS a, doc_a AS b FROM mh_pairs),
+        reach(n, l) AS (
+          SELECT DISTINCT a, a FROM dedges
+          UNION
+          SELECT e.b, r.l FROM reach r JOIN dedges e ON e.a = r.n)
+        SELECT n AS doc_id, min(l) AS cluster_id
+        FROM reach GROUP BY n ORDER BY doc_id
     """
 
 

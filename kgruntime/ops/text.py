@@ -599,3 +599,133 @@ def clean_corpus(docs_ds, min_quality: float = 0.5, min_chars: int = 20):
         .aggregate(Min("keep_id", alias_name="keep_id"),
                    Sum("cnt", alias_name="n_copies")) \
         .select_columns(["keep_id", "n_copies", "quality"])
+
+
+# --- context-window chunking (training-example preparation) ---
+
+def chunk_documents(docs_ds, size: int = 32, stride: int = 24):
+    """Split each document into overlapping token windows — the standard
+    context-window preparation step before tokenized training shards.
+
+    Tokens are the non-empty single-space-split words (DuckDB
+    ``str_split`` parity, like ``term_frequencies``).  Window ``k``
+    covers tokens ``[k*stride, k*stride+size)``; windows start while
+    ``k*stride < n_tokens``, so every token lands in ≥1 chunk and tail
+    chunks may be short.  Entirely polars/Rust per batch: the only
+    Python loop is over the ≤ ceil(max_tokens/stride) window indices.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text) rows.
+    """
+    schema = pa.schema([("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+                        ("n_tokens", pa.int64()),
+                        ("chunk_text", pa.string())])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()),
+            "text": pl.from_arrow(t["text"].combine_chunks()),
+        })
+        df = df.with_columns(
+            pl.col("text").str.split(" ")
+              .list.eval(pl.element().filter(pl.element() != ""))
+              .alias("t")).drop("text")
+        df = df.with_columns(pl.col("t").list.len().cast(pl.Int64)
+                             .alias("n"))
+        max_n = df["n"].max()
+        outs = []
+        k = 0
+        while max_n is not None and k * stride < max_n:
+            s = k * stride
+            sub = df.filter(pl.col("n") > s).select(
+                "doc_id",
+                pl.lit(k).cast(pl.Int64).alias("chunk_id"),
+                pl.min_horizontal(pl.lit(size).cast(pl.Int64),
+                                  pl.col("n") - s).alias("n_tokens"),
+                pl.col("t").list.slice(s, size).list.join(" ")
+                  .alias("chunk_text"))
+            outs.append(sub)
+            k += 1
+        if not outs:
+            return schema.empty_table()
+        return pl.concat(outs).to_arrow().cast(schema)
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents_sql(size: int = 32, stride: int = 24) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(str_split(text, ' '), x -> x <> '') AS t
+          FROM documents),
+        st AS (
+          SELECT doc_id, t,
+                 unnest(range(0, len(t), {stride})) AS s
+          FROM toks WHERE len(t) > 0)
+        SELECT doc_id, s // {stride} AS chunk_id,
+               least({size}, len(t) - s) AS n_tokens,
+               array_to_string(t[s+1 : least(s+{size}, len(t))], ' ')
+                 AS chunk_text
+        FROM st ORDER BY doc_id, chunk_id
+    """
+
+
+# --- bigram counts (corpus n-gram statistics) ---
+
+def bigram_counts(docs_ds, top_n: int = 100):
+    """Corpus-level top-N adjacent-word-pair counts.  Same partial-
+    aggregation shape as ``term_frequencies``: each batch explodes to
+    tokens, pairs them with a grouped shift (Rust-side), and
+    pre-aggregates its own (w1, w2, cnt) partials, so the global
+    ``groupby`` shuffle carries per-batch-distinct pairs, not one row
+    per token.  Ties break by (w1, w2) ascending."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()),
+            "text": pl.from_arrow(t["text"].combine_chunks()),
+        })
+        pairs = df.with_columns(
+            pl.col("text").str.split(" ")
+              .list.eval(pl.element().filter(pl.element() != ""))
+              .alias("w1")).drop("text") \
+            .explode("w1") \
+            .with_columns(pl.col("w1").shift(-1).over("doc_id")
+                          .alias("w2")) \
+            .drop_nulls("w2") \
+            .group_by(["w1", "w2"]) \
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        return pairs.select(["w1", "w2", "cnt"]).to_arrow().cast(
+            pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                       ("cnt", pa.int64())]))
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cnt")) \
+        .sort(["cnt", "w1", "w2"], descending=[True, False, False]) \
+        .limit(top_n)
+
+
+def bigram_counts_sql(top_n: int = 100) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(str_split(text, ' '), x -> x <> '') AS t
+          FROM documents),
+        pairs AS (
+          SELECT doc_id, t,
+                 unnest(range(1, len(t))) AS i
+          FROM toks WHERE len(t) >= 2)
+        SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS cnt
+        FROM pairs
+        GROUP BY t[i], t[i+1]
+        ORDER BY cnt DESC, w1, w2
+        LIMIT {top_n}
+    """

@@ -438,3 +438,63 @@ def test_fingerprint_sql_parity():
         assert out["fingerprint"][i] == fingerprint_tokens(t.split())
         assert out["prefix_fingerprint"][i] == \
             fingerprint_tokens(t.split()[:32])
+
+
+def test_chunk_documents_windows(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import chunk_documents
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["w0 w1 w2 w3 w4 w5 w6", "solo", ""],
+    }))
+    out = chunk_documents(docs, size=4, stride=3).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    # doc 0: 7 tokens -> windows at 0,3,6 -> lengths 4,4,1
+    d0 = out[out["doc_id"] == 0]
+    assert d0["chunk_id"].tolist() == [0, 1, 2]
+    assert d0["n_tokens"].tolist() == [4, 4, 1]
+    assert d0["chunk_text"].tolist() == ["w0 w1 w2 w3", "w3 w4 w5 w6", "w6"]
+    # doc 1: a single short chunk; doc 2 (empty) emits nothing
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk_text"].tolist() == ["solo"] and \
+        d1["n_tokens"].tolist() == [1]
+    assert (out["doc_id"] == 2).sum() == 0
+
+
+def test_bigram_counts_top_and_ties(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import bigram_counts
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["a b a b c", "a b z"],
+    }))
+    out = bigram_counts(docs, top_n=3).to_pandas().reset_index(drop=True)
+    # pairs: (a,b)x3, (b,a)x1, (b,c)x1, (b,z)x1 — ties break (w1,w2) asc,
+    # and no pair crosses the doc boundary (c->a is absent)
+    assert out.iloc[0][["w1", "w2", "cnt"]].tolist() == ["a", "b", 3]
+    assert out.iloc[1][["w1", "w2"]].tolist() == ["b", "a"]
+    assert out.iloc[2][["w1", "w2"]].tolist() == ["b", "c"]
+
+
+def test_minhash_dup_clusters_transitive(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import minhash_dup_clusters
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark woods tonight")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [base, base + " extra", base + " extra word",
+                 "completely different text about nothing at all here"],
+    }))
+    out = minhash_dup_clusters(docs, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # 0~1~2 form one component labeled by the min member; 3 is absent
+    assert set(out["doc_id"]) <= {0, 1, 2}
+    assert (out["cluster_id"] == 0).all()
+    assert len(out) >= 2
