@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # primitives make the full LSH pipelines DuckDB-replayable)
         "minhash_near_dups": _q_minhash,
         "minhash_dup_clusters": _q_minhash_clusters,
+        "near_dedup_corpus": _q_near_dedup_corpus,
+        "split_assign": _q_split_assign,
+        "source_mix_weights": _q_source_mix,
         "chunk_documents": _q_chunks,
         "bigram_counts": _q_bigrams,
         "simhash_near_dups": _q_simhash,
@@ -516,6 +519,26 @@ def _q_minhash_clusters(sf_dir):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_near_dedup_corpus(sf_dir):
+    from kgruntime.ops.dedup import near_dedup_corpus
+
+    return near_dedup_corpus(_docs_ds(sf_dir), threshold=0.5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_split_assign(sf_dir):
+    from kgruntime.ops.sample import split_assign
+
+    return split_assign(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_source_mix(sf_dir):
+    from kgruntime.ops.text import source_mix_weights
+
+    return source_mix_weights(_docs_ds(sf_dir))
+
+
 def _q_chunks(sf_dir):
     from kgruntime.ops.text import chunk_documents
 
@@ -695,6 +718,24 @@ def _minhash_clusters_sql():
     return minhash_dup_clusters_sql(threshold=0.5)
 
 
+def _near_dedup_sql():
+    from kgruntime.ops.dedup import near_dedup_corpus_sql
+
+    return near_dedup_corpus_sql(threshold=0.5)
+
+
+def _split_assign_sql():
+    from kgruntime.ops.sample import split_assign_sql
+
+    return split_assign_sql()
+
+
+def _source_mix_sql():
+    from kgruntime.ops.text import source_mix_weights_sql
+
+    return source_mix_weights_sql()
+
+
 def _chunks_sql():
     from kgruntime.ops.text import chunk_documents_sql
 
@@ -769,6 +810,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _fingerprints_sql(),
         "minhash_near_dups": _minhash_sql(),
         "minhash_dup_clusters": _minhash_clusters_sql(),
+        "near_dedup_corpus": _near_dedup_sql(),
+        "split_assign": _split_assign_sql(),
+        "source_mix_weights": _source_mix_sql(),
         "chunk_documents": _chunks_sql(),
         "bigram_counts": _bigrams_sql(),
         "simhash_near_dups": _simhash_sql(),

@@ -324,6 +324,65 @@ def minhash_dup_clusters(docs_ds, threshold: float = 0.7,
     return comp.map_batches(to_ints, batch_format="pyarrow")
 
 
+def near_dedup_corpus(docs_ds, threshold: float = 0.7,
+                      num_perm: int = 64, bands: int = 16):
+    """End-to-end near-duplicate removal: keep every doc that is either
+    in no MinHash-LSH cluster or is its cluster's min-doc_id
+    representative.
+
+    Scale shape: the cluster assignment (one small row per *clustered*
+    doc, never per corpus doc) joins back to the corpus through
+    ``bucketed_hash_join`` — a single keyed shuffle, no driver-side
+    removal set, no broadcast that grows with the duplicate count.
+    Returns surviving (doc_id, lang, source) rows.
+    """
+    from .join import bucketed_hash_join
+
+    clusters = minhash_dup_clusters(docs_ds, threshold=threshold,
+                                    num_perm=num_perm, bands=bands) \
+        .map_batches(lambda t: t.rename_columns(["cl_doc_id",
+                                                 "cluster_id"]),
+                     batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        docs_ds.select_columns(["doc_id", "lang", "source"]), clusters,
+        left_on="doc_id", right_on="cl_doc_id", how="left outer")
+
+    def keep(t: pa.Table) -> pa.Table:
+        c = t["cluster_id"]
+        mask = pc.or_kleene(pc.is_null(c), pc.equal(c, t["doc_id"]))
+        return t.filter(pc.fill_null(mask, False)) \
+            .select(["doc_id", "lang", "source"])
+
+    return joined.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def near_dedup_corpus_sql(threshold: float = 0.7, num_perm: int = 64,
+                          bands: int = 16, shingle_n: int = 3,
+                          seed: int = 13, cap: int = 200) -> str:
+    """SQL twin of ``near_dedup_corpus``: the recursive cluster CTE
+    anti-joined back to ``documents``."""
+    body = _minhash_pairs_cte_sql(threshold, num_perm, bands, shingle_n,
+                                  seed, cap)
+    return f"""
+        WITH RECURSIVE {body},
+        dedges AS (
+          SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+          UNION ALL
+          SELECT doc_b AS a, doc_a AS b FROM mh_pairs),
+        reach(n, l) AS (
+          SELECT DISTINCT a, a FROM dedges
+          UNION
+          SELECT e.b, r.l FROM reach r JOIN dedges e ON e.a = r.n),
+        clusters AS (
+          SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+        WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, for verification / small candidate sets)
 # ---------------------------------------------------------------------------

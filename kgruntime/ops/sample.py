@@ -71,3 +71,68 @@ WHERE ({key_col} * {_KNUTH}) % {_M32} <
       CASE {strata_col} {case} ELSE -1 END
 ORDER BY {order_by}
 """
+
+
+def split_assign(docs_ds, fractions: dict[str, float] | None = None,
+                 key_col: str = "doc_id"):
+    """Deterministic train/val/test assignment — a pure function of the
+    row key (same Knuth hash as ``hash_fraction``), so any worker, any
+    retry, any resume assigns identically and no doc ever crosses
+    splits between runs.  ``fractions`` maps split name → fraction; the
+    splits partition the hash space in sorted-name cut order.  Returns
+    (doc_id, lang, split) rows.
+    """
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = sorted(fractions)
+    cuts, acc = [], 0.0
+    for s in names[:-1]:
+        acc += fractions[s]
+        cuts.append(int(acc * _M32))
+
+    def assign(t: pa.Table) -> pa.Table:
+        col = t[key_col].combine_chunks()
+        h = pc.bit_wise_and(
+            pc.multiply_checked(pc.cast(col, pa.int64()),
+                                pa.scalar(_KNUTH, pa.int64())),
+            pa.scalar(_M32 - 1, pa.int64()))
+        split = pa.nulls(t.num_rows, pa.string())
+        lo = None
+        for s, hi in zip(names, cuts + [None]):
+            m = pc.greater_equal(h, lo) if lo is not None else None
+            if hi is not None:
+                lt = pc.less(h, hi)
+                m = lt if m is None else pc.and_(m, lt)
+            split = pc.if_else(m, pa.scalar(s), split) if m is not None \
+                else pa.array([s] * t.num_rows, pa.string())
+            lo = hi
+        return pa.Table.from_arrays(
+            [t[key_col], t["lang"], split],
+            names=["doc_id", "lang", "split"])
+
+    return docs_ds.select_columns([key_col, "lang"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_assign_sql(fractions: dict[str, float] | None = None,
+                     key_col: str = "doc_id",
+                     table: str = "documents") -> str:
+    """DuckDB oracle for ``split_assign`` — identical integer hash and
+    cut points."""
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = sorted(fractions)
+    cuts, acc = [], 0.0
+    for s in names[:-1]:
+        acc += fractions[s]
+        cuts.append(int(acc * _M32))
+    case = " ".join(f"WHEN h < {hi} THEN '{s}'"
+                    for s, hi in zip(names[:-1], cuts))
+    return f"""
+WITH h AS (
+  SELECT {key_col} AS doc_id, lang,
+         ({key_col} * {_KNUTH}) % {_M32} AS h
+  FROM {table})
+SELECT doc_id, lang, CASE {case} ELSE '{names[-1]}' END AS split
+FROM h ORDER BY doc_id
+"""

@@ -729,3 +729,76 @@ def bigram_counts_sql(top_n: int = 100) -> str:
         ORDER BY cnt DESC, w1, w2
         LIMIT {top_n}
     """
+
+
+# --- source mix / rebalance weights (data mixing) ---
+
+def source_mix_weights(docs_ds):
+    """Per-source corpus composition and uniform-target resampling
+    weights — the "data mixing" step that decides how to up/down-sample
+    each source before training.
+
+    Scale shape: one vectorized pass counts tokens per doc and
+    pre-aggregates per-batch (source, n_docs, n_tokens) partials, so
+    the ``groupby`` shuffle carries one row per source per batch; the
+    per-source table (a handful of rows) is finished on the driver with
+    exact integer sums and single-IEEE-op divisions rounded
+    half-away-from-zero, matching the DuckDB oracle bit for bit.
+
+    Returns (source, n_docs, n_tokens, token_share, weight) where
+    ``weight = total_tokens / (n_sources * n_tokens)`` — multiplying
+    each source's sampling rate by its weight yields a uniform token
+    mix.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        n_tok = pc.if_else(
+            pc.equal(trimmed, ""), pa.scalar(0, pa.int64()),
+            pc.cast(pc.count_substring_regex(trimmed, r"\S+"), pa.int64()))
+        g = pa.Table.from_arrays([t["source"], n_tok],
+                                 names=["source", "n_tokens"]) \
+            .group_by("source", use_threads=False) \
+            .aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
+        return g.rename_columns(["source", "n_tokens", "n_docs"]) \
+            .cast(pa.schema([("source", pa.string()),
+                             ("n_tokens", pa.int64()),
+                             ("n_docs", pa.int64())]))
+
+    per_src = docs_ds.select_columns(["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("source") \
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="n_tokens")) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+
+    total = int(per_src["n_tokens"].sum())
+    n_src = len(per_src)
+    per_src["token_share"] = [
+        _round6(int(v) / total) for v in per_src["n_tokens"]]
+    per_src["weight"] = [
+        _round6(total / (n_src * int(v))) for v in per_src["n_tokens"]]
+    return per_src
+
+
+def source_mix_weights_sql(table: str = "documents") -> str:
+    return rf"""
+WITH tok AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens
+  FROM {table}),
+per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS n_tokens
+  FROM tok GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens::DOUBLE / (sum(n_tokens) OVER ()), 6)
+         AS token_share,
+       round((sum(n_tokens) OVER ())::DOUBLE
+             / ((count(*) OVER ()) * n_tokens), 6) AS weight
+FROM per_src ORDER BY source
+"""

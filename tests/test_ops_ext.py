@@ -498,3 +498,65 @@ def test_minhash_dup_clusters_transitive(ray_session):
     assert set(out["doc_id"]) <= {0, 1, 2}
     assert (out["cluster_id"] == 0).all()
     assert len(out) >= 2
+
+
+def test_split_assign_deterministic_and_partition(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sample import split_assign
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "lang": ["en"] * 200,
+    }))
+    out = split_assign(docs).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    out2 = split_assign(docs).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out.equals(out2)                       # retry-stable
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert len(out) == 200                        # every doc assigned
+    # roughly the requested mix (hash-uniform, wide tolerance)
+    assert (out["split"] == "train").mean() > 0.6
+
+
+def test_source_mix_weights_math(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import source_mix_weights
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "source": ["a", "a", "b"],
+        "text": ["w x y", "z", "p q"],
+    }))
+    out = source_mix_weights(docs)
+    a = out[out["source"] == "a"].iloc[0]
+    b = out[out["source"] == "b"].iloc[0]
+    assert a["n_docs"] == 2 and a["n_tokens"] == 4
+    assert b["n_docs"] == 1 and b["n_tokens"] == 2
+    assert abs(a["token_share"] - 4 / 6) < 1e-6
+    # uniform target: rate_a*weight_a tokens == rate_b*weight_b tokens
+    assert abs(a["n_tokens"] * a["weight"] -
+               b["n_tokens"] * b["weight"]) < 1e-4
+
+
+def test_near_dedup_corpus_keeps_reps(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import near_dedup_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark woods tonight")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [base, base + " extra", base + " extra word",
+                 "completely different text about nothing at all here"],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+    }))
+    out = near_dedup_corpus(docs, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    kept = set(out["doc_id"])
+    assert 0 in kept and 3 in kept        # cluster rep + unclustered doc
+    assert kept.isdisjoint({1, 2})        # near-dups of 0 removed
