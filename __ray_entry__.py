@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_corpus": _q_near_dedup_corpus,
         "split_assign": _q_split_assign,
         "source_mix_weights": _q_source_mix,
+        "blocklist_filter": _q_blocklist,
         "chunk_documents": _q_chunks,
         "bigram_counts": _q_bigrams,
         "simhash_near_dups": _q_simhash,
@@ -539,6 +540,13 @@ def _q_source_mix(sf_dir):
     return source_mix_weights(_docs_ds(sf_dir))
 
 
+def _q_blocklist(sf_dir):
+    from kgruntime.ops.text import blocklist_filter
+
+    return blocklist_filter(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_chunks(sf_dir):
     from kgruntime.ops.text import chunk_documents
 
@@ -736,6 +744,12 @@ def _source_mix_sql():
     return source_mix_weights_sql()
 
 
+def _blocklist_sql():
+    from kgruntime.ops.text import blocklist_filter_sql
+
+    return blocklist_filter_sql()
+
+
 def _chunks_sql():
     from kgruntime.ops.text import chunk_documents_sql
 
@@ -813,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_corpus": _near_dedup_sql(),
         "split_assign": _split_assign_sql(),
         "source_mix_weights": _source_mix_sql(),
+        "blocklist_filter": _blocklist_sql(),
         "chunk_documents": _chunks_sql(),
         "bigram_counts": _bigrams_sql(),
         "simhash_near_dups": _simhash_sql(),

@@ -135,7 +135,8 @@ def run_queries(sf_dir: str) -> dict:
     picked = ["pricing_summary", "user_activity", "revenue_by_part_type",
               "token_stats", "exact_dup_docs", "ann_topk",
               "minhash_near_dups", "kg_triples", "term_frequencies",
-              "corr_qty_price", "running_user_totals", "clean_corpus"]
+              "corr_qty_price", "running_user_totals", "clean_corpus",
+              "near_dedup_corpus", "chunk_documents"]
     out = {}
     for name in picked:
         t0 = time.perf_counter()

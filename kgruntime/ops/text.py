@@ -802,3 +802,64 @@ SELECT source, n_docs, n_tokens,
              / ((count(*) OVER ()) * n_tokens), 6) AS weight
 FROM per_src ORDER BY source
 """
+
+
+# --- blocklist filtering (content policy / bad-word gating) ---
+
+_DEFAULT_BLOCKLIST = ("spark", "slow", "window")
+
+
+def blocklist_filter(docs_ds, blocklist: tuple[str, ...] = _DEFAULT_BLOCKLIST,
+                     max_hits: int = 1):
+    """Blocklist gating — the content-policy filter every training
+    corpus runs: count whole-token blocklist hits per doc and keep docs
+    with at most ``max_hits``.
+
+    Fully vectorized: one Arrow ``count_substring_regex`` per blocklist
+    term (compiled once, applied columnar), no per-row Python.  The
+    blocklist is driver state baked into the closure — at 100 TB the
+    list (KBs) ships once per task, never per batch.  Word boundaries
+    are whitespace/edges, matching the single-space tokenization of the
+    rest of the text ops.
+
+    Returns (doc_id, lang, source, n_hits) for surviving docs.
+    """
+    pats = [rf"(^|\s){re.escape(w)}(\s|$)" for w in sorted(blocklist)]
+
+    def gate(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        total = None
+        for p in pats:
+            c = pc.cast(pc.count_substring_regex(text, p), pa.int64())
+            total = c if total is None else pc.add(total, c)
+        hits = total if total is not None else \
+            pa.array([0] * t.num_rows, pa.int64())
+        out = pa.Table.from_arrays(
+            [t["doc_id"], t["lang"], t["source"], hits],
+            names=["doc_id", "lang", "source", "n_hits"])
+        return out.filter(pc.less_equal(hits,
+                                        pa.scalar(max_hits, pa.int64())))
+
+    return docs_ds.select_columns(["doc_id", "text", "lang", "source"]) \
+        .map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def blocklist_filter_sql(blocklist: tuple[str, ...] = _DEFAULT_BLOCKLIST,
+                         max_hits: int = 1,
+                         table: str = "documents") -> str:
+    """DuckDB oracle: identical per-term counts — both sides are RE2
+    with the same non-overlapping left-to-right scan, so adjacent
+    repeats ("w w w" → 1 with the boundary pattern) agree exactly."""
+    terms = sorted(blocklist)
+    counts = " + ".join(
+        "len(regexp_extract_all(text, '{p}'))".format(
+            p=rf"(^|\s){re.escape(w)}(\s|$)")
+        for w in terms)
+    return f"""
+WITH hits AS (
+  SELECT doc_id, lang, source, ({counts})::BIGINT AS n_hits
+  FROM {table})
+SELECT doc_id, lang, source, n_hits
+FROM hits WHERE n_hits <= {max_hits}
+ORDER BY doc_id
+"""

@@ -560,3 +560,22 @@ def test_near_dedup_corpus_keeps_reps(ray_session):
     kept = set(out["doc_id"])
     assert 0 in kept and 3 in kept        # cluster rep + unclustered doc
     assert kept.isdisjoint({1, 2})        # near-dups of 0 removed
+
+
+def test_blocklist_filter_counts_and_gate(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import blocklist_filter
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["clean doc here", "one spark mention", "spark slow spark",
+                 "sparkly unspark"],   # substrings don't count
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+    }))
+    out = blocklist_filter(docs, blocklist=("spark", "slow"),
+                           max_hits=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1, 3]    # doc 2 gated (3 hits)
+    assert out["n_hits"].tolist() == [0, 1, 0]
