@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_2h_1h": _q_hopping,
         "user_gap_stats": _q_user_gaps,
         "running_user_totals": _q_running_totals,
+        "event_transitions": _q_transitions,
+        "funnel_counts": _q_funnel,
+        "retention_cohorts": _q_retention,
         # similarity search (SQL-backed baseline)
         "ann_topk": _q_ann_topk,
         "label_centroids": _q_label_centroids,
@@ -304,6 +307,27 @@ def _q_running_totals(sf_dir):
 
     return running_user_totals(_events_ds(sf_dir)).to_pandas() \
         .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def _q_transitions(sf_dir):
+    from kgruntime.ops.sessions import event_transitions
+
+    return event_transitions(_events_ds(sf_dir)).to_pandas() \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def _q_funnel(sf_dir):
+    from kgruntime.ops.sessions import funnel_counts
+
+    return funnel_counts(_events_ds(sf_dir)).to_pandas() \
+        .sort_values("stage_idx").reset_index(drop=True)
+
+
+def _q_retention(sf_dir):
+    from kgruntime.ops.sessions import retention_cohorts
+
+    return retention_cohorts(_events_ds(sf_dir)).to_pandas() \
+        .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
 
 
 _ANN_N_QUERIES = 10
@@ -650,6 +674,24 @@ def _user_gaps_sql():
     return USER_GAP_STATS_SQL
 
 
+def _transitions_sql():
+    from kgruntime.ops.sessions import EVENT_TRANSITIONS_SQL
+
+    return EVENT_TRANSITIONS_SQL
+
+
+def _funnel_sql():
+    from kgruntime.ops.sessions import funnel_counts_sql
+
+    return funnel_counts_sql()
+
+
+def _retention_sql():
+    from kgruntime.ops.sessions import RETENTION_COHORTS_SQL
+
+    return RETENTION_COHORTS_SQL
+
+
 def _term_freqs_sql():
     from kgruntime.ops.text import TERM_FREQUENCIES_SQL
 
@@ -885,6 +927,9 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_hourly": _tumbling_sql(),
         "hopping_2h_1h": _hopping_sql(),
         "user_gap_stats": _user_gaps_sql(),
+        "event_transitions": _transitions_sql(),
+        "funnel_counts": _funnel_sql(),
+        "retention_cohorts": _retention_sql(),
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang

@@ -259,3 +259,194 @@ SELECT user_id, event_id,
 FROM events
 ORDER BY user_id, event_id
 """
+
+
+# --- event-sequence analytics: transitions, funnels, retention ---
+
+def _transition_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    et = g["event_type"].to_numpy()
+    if len(et) < 2:
+        return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                             "to_type": pd.Series([], dtype=object),
+                             "n_pairs": pd.Series([], dtype="int64")})
+    pairs = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+    return pairs.groupby(["from_type", "to_type"], sort=False) \
+        .size().rename("n_pairs").reset_index()
+
+
+def event_transitions(events_ds):
+    """Markov transition counts between consecutive events per user —
+    the lead()-window shape: (from_type, to_type, n_pairs).
+
+    Scale shape: per-user groups are bounded (same idiom as sessionize);
+    each group emits at most |types|² partial-count rows, then ONE tiny
+    native groupby rolls them up — the second shuffle carries
+    pre-combined counts, never events.
+    """
+    from ray.data.aggregate import Sum
+
+    return events_ds.select_columns(["user_id", "ts", "event_id",
+                                     "event_type"]) \
+        .groupby("user_id").map_groups(_transition_group,
+                                       batch_format="pandas") \
+        .groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events)
+SELECT from_type, to_type, count(*) AS n_pairs
+FROM nxt WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_counts(events_ds, stages: tuple[str, ...] = FUNNEL_STAGES):
+    """Ordered-funnel analysis: how many users reached each stage, where
+    "reached stage k" means the user's first stage-k event came strictly
+    after their first stage-(k-1) event.  Output (stage_idx, stage,
+    n_users) with cumulative reach counts.
+
+    Scale shape: conditional first-times via ONE native
+    (user, type) Min groupby (pre-combined per block, shuffle carries
+    one int per user per stage); the per-user depth walk then runs over
+    |stages|-row groups; the final rollup is |stages| rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    stages = tuple(stages)
+    stage_idx = {s: i for i, s in enumerate(stages)}
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(list(stages), pa.string()))
+        t = t.filter(keep)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.Table.from_arrays(
+            [t["user_id"], t["event_type"], us],
+            names=["user_id", "event_type", "ts_us"])
+
+    def _depth_group(g: pd.DataFrame) -> pd.DataFrame:
+        first = dict(zip(g["event_type"], g["first_us"]))
+        last = None
+        reached = []
+        for i, s in enumerate(stages):
+            t = first.get(s)
+            if t is None or (last is not None and t <= last):
+                break
+            reached.append((i, s))
+            last = t
+        if not reached:
+            return pd.DataFrame({"stage_idx": pd.Series([], dtype="int64"),
+                                 "stage": pd.Series([], dtype=object)})
+        return pd.DataFrame({"stage_idx": [i for i, _ in reached],
+                             "stage": [s for _, s in reached]})
+
+    mins = events_ds.select_columns(["user_id", "event_type", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["user_id", "event_type"]) \
+        .aggregate(Min("ts_us", alias_name="first_us"))
+    return mins.groupby("user_id") \
+        .map_groups(_depth_group, batch_format="pandas") \
+        .groupby(["stage_idx", "stage"]) \
+        .aggregate(Count(alias_name="n_users"))
+
+
+def funnel_counts_sql(stages: tuple[str, ...] = FUNNEL_STAGES) -> str:
+    """DuckDB oracle: per-user conditional-min first-times, a CASE
+    ladder for ordered depth, and a VALUES join for cumulative reach."""
+    stages = tuple(stages)
+    mins = ",\n         ".join(
+        "min(CASE WHEN event_type = '{s}' THEN epoch_us(ts) END) AS t{i}"
+        .format(s=s, i=i) for i, s in enumerate(stages))
+    ladder = ["WHEN t0 IS NULL THEN 0"]
+    for i in range(1, len(stages)):
+        ladder.append(
+            f"WHEN t{i} IS NULL OR t{i} <= t{i-1} THEN {i}")
+    ladder.append(f"ELSE {len(stages)}")
+    vals = ", ".join(f"({i}, '{s}')" for i, s in enumerate(stages))
+    return f"""
+WITH m AS (
+  SELECT user_id,
+         {mins}
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT user_id,
+         CASE {' '.join(ladder)} END AS depth
+  FROM m)
+SELECT s.i AS stage_idx, s.name AS stage, count(*) AS n_users
+FROM d JOIN (VALUES {vals}) AS s(i, name) ON s.i < d.depth
+GROUP BY s.i, s.name
+ORDER BY s.i
+"""
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def retention_cohorts(events_ds):
+    """Retention-cohort analysis: users grouped by first-active day,
+    counted per activity-day offset — (cohort_day, day_offset, n_users).
+    Day indexes are integer days since the Unix epoch.
+
+    Scale shape: per-batch (user, day) dedup shrinks the exchange to
+    distinct activity days; the user-keyed shuffle carries only those;
+    the final (cohort, offset) rollup is calendar-bounded (days²), tiny
+    at any corpus size.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        # int64 divide truncates; all epochs are positive so trunc==floor
+        day = pc.divide(us, pa.scalar(_US_PER_DAY, pa.int64()))
+        out = pa.Table.from_arrays(
+            [t["user_id"], day],
+            names=["user_id", "day_idx"])
+        return out.group_by(["user_id", "day_idx"]).aggregate([])
+
+    def _cohort_group(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # the batch-level dedup is per-block only; finish it per user
+        days = np.unique(g["day_idx"].to_numpy("int64"))
+        cohort = int(days.min())
+        return pd.DataFrame({
+            "cohort_day": cohort,
+            "day_offset": days - cohort,
+        })
+
+    return events_ds.select_columns(["user_id", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("user_id").map_groups(_cohort_group,
+                                       batch_format="pandas") \
+        .groupby(["cohort_day", "day_offset"]) \
+        .aggregate(Count(alias_name="n_users"))
+
+
+RETENTION_COHORTS_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_idx
+  FROM events),
+c AS (
+  SELECT user_id, day_idx,
+         min(day_idx) OVER (PARTITION BY user_id) AS cohort_day
+  FROM ud)
+SELECT cohort_day, day_idx - cohort_day AS day_offset,
+       count(*) AS n_users
+FROM c GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""

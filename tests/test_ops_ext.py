@@ -562,6 +562,72 @@ def test_near_dedup_corpus_keeps_reps(ray_session):
     assert kept.isdisjoint({1, 2})        # near-dups of 0 removed
 
 
+def test_event_transitions_counts(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import event_transitions
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "event_type": ["view", "click", "view", "view", "click", "view"],
+        "ts": pa.array([_ts("2024-01-01 00:00:00"),
+                        _ts("2024-01-01 00:01:00"),
+                        _ts("2024-01-01 00:02:00"),
+                        _ts("2024-01-01 00:00:00"),
+                        _ts("2024-01-01 00:01:00"),
+                        _ts("2024-01-01 00:00:00")]),
+    }))
+    out = event_transitions(ds).to_pandas() \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    # user1: view->click, click->view; user2: view->click; user3: none
+    assert out[["from_type", "to_type"]].values.tolist() == \
+        [["click", "view"], ["view", "click"]]
+    assert out["n_pairs"].tolist() == [1, 2]
+
+
+def test_funnel_counts_ordered_reach(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import funnel_counts
+
+    # u1 reaches all 3 in order; u2 purchase BEFORE click -> depth 2;
+    # u3 never views -> depth 0; u4 view only -> depth 1
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 1, 2, 2, 2, 3, 4],
+        "event_type": ["view", "click", "purchase",
+                       "view", "purchase", "click",
+                       "purchase", "view"],
+        "ts": pa.array([_ts(f"2024-01-01 00:0{i}:00") for i in
+                        [0, 1, 2, 0, 1, 2, 0, 0]]),
+    }))
+    out = funnel_counts(ds).to_pandas() \
+        .sort_values("stage_idx").reset_index(drop=True)
+    assert out["stage"].tolist() == ["view", "click", "purchase"]
+    assert out["n_users"].tolist() == [3, 2, 1]
+
+
+def test_retention_cohorts_offsets(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import retention_cohorts
+
+    # u1 active day0+day2 (two events day0 dedup); u2 joins day1
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 1, 2],
+        "ts": pa.array([_ts("2024-01-01 01:00:00"),
+                        _ts("2024-01-01 23:00:00"),
+                        _ts("2024-01-03 05:00:00"),
+                        _ts("2024-01-02 00:00:00")]),
+    }))
+    out = retention_cohorts(ds).to_pandas() \
+        .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    d0 = 19723  # 2024-01-01 in days-since-epoch
+    assert out[["cohort_day", "day_offset"]].values.tolist() == \
+        [[d0, 0], [d0, 2], [d0 + 1, 0]]
+    assert out["n_users"].tolist() == [1, 1, 1]
+
+
 def test_blocklist_filter_counts_and_gate(ray_session):
     import ray.data as rd
 
