@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "source_mix_weights": _q_source_mix,
         "blocklist_filter": _q_blocklist,
+        "redact_terms": _q_redact,
+        "length_deciles": _q_deciles,
         "chunk_documents": _q_chunks,
         "bigram_counts": _q_bigrams,
         "simhash_near_dups": _q_simhash,
@@ -571,6 +573,20 @@ def _q_blocklist(sf_dir):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_redact(sf_dir):
+    from kgruntime.ops.text import redact_terms
+
+    return redact_terms(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_deciles(sf_dir):
+    from kgruntime.ops.stats import value_deciles
+
+    return value_deciles(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_chunks(sf_dir):
     from kgruntime.ops.text import chunk_documents
 
@@ -792,6 +808,18 @@ def _blocklist_sql():
     return blocklist_filter_sql()
 
 
+def _redact_sql():
+    from kgruntime.ops.text import redact_terms_sql
+
+    return redact_terms_sql()
+
+
+def _deciles_sql():
+    from kgruntime.ops.stats import value_deciles_sql
+
+    return value_deciles_sql()
+
+
 def _chunks_sql():
     from kgruntime.ops.text import chunk_documents_sql
 
@@ -870,6 +898,8 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql(),
         "source_mix_weights": _source_mix_sql(),
         "blocklist_filter": _blocklist_sql(),
+        "redact_terms": _redact_sql(),
+        "length_deciles": _deciles_sql(),
         "chunk_documents": _chunks_sql(),
         "bigram_counts": _bigrams_sql(),
         "simhash_near_dups": _simhash_sql(),

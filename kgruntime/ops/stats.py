@@ -201,3 +201,53 @@ def grouped_corr(ds, key: str, x_col: str, y_col: str,
         rows.append({key: k, out: np.copysign(
             np.floor(abs(v) * 10.0 ** digits + 0.5), v) / 10.0 ** digits})
     return pd.DataFrame(rows, columns=[key, out]).reset_index(drop=True)
+
+
+def value_deciles(ds, value_col: str = "n_chars", id_col: str = "doc_id",
+                  n_buckets: int = 10):
+    """Equal-frequency bucketing (length deciles for curriculum /
+    stratified sampling): assign every row to bucket
+    ``n_buckets · |{rows with value < v}| // N`` — a tie-stable,
+    integer-exact definition every row with the same value shares.
+
+    Scale shape: ONE native value-histogram groupby (shuffle bounded by
+    |distinct values|, not corpus size), tiny driver cum-sum to map
+    value → bucket, then a broadcast vectorized assign (searchsorted per
+    batch) — the corpus itself streams through exactly once and is
+    never materialized.  Output: (id, value, bucket).
+    """
+    hist = ds.groupby(value_col).count().to_pandas() \
+        .sort_values(value_col)
+    vals = hist[value_col].to_numpy("int64")
+    cnt = hist["count()"].to_numpy("int64")
+    c_lt = np.cumsum(cnt) - cnt
+    n = int(cnt.sum())
+    buckets = (n_buckets * c_lt) // n
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        b = buckets[np.searchsorted(vals, v)]
+        return pa.Table.from_arrays(
+            [t[id_col], t[value_col], pa.array(b, pa.int64())],
+            names=[id_col, value_col, "bucket"])
+
+    return ds.select_columns([id_col, value_col]) \
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def value_deciles_sql(value_col: str = "n_chars", id_col: str = "doc_id",
+                      n_buckets: int = 10,
+                      table: str = "documents") -> str:
+    """DuckDB oracle: the same c_lt-based bucket from a window cum-sum
+    over the value histogram (all-integer, so exact on both sides)."""
+    return f"""
+WITH c AS (
+  SELECT {value_col} AS v, count(*) AS cnt FROM {table} GROUP BY v),
+b AS (
+  SELECT v, (({n_buckets} * (sum(cnt) OVER (ORDER BY v) - cnt))
+             // (SELECT count(*) FROM {table}))::BIGINT AS bucket
+  FROM c)
+SELECT d.{id_col}, d.{value_col}, b.bucket
+FROM {table} d JOIN b ON d.{value_col} = b.v
+ORDER BY d.{id_col}
+"""

@@ -815,22 +815,33 @@ def blocklist_filter(docs_ds, blocklist: tuple[str, ...] = _DEFAULT_BLOCKLIST,
     corpus runs: count whole-token blocklist hits per doc and keep docs
     with at most ``max_hits``.
 
-    Fully vectorized: one Arrow ``count_substring_regex`` per blocklist
-    term (compiled once, applied columnar), no per-row Python.  The
-    blocklist is driver state baked into the closure — at 100 TB the
-    list (KBs) ships once per task, never per batch.  Word boundaries
-    are whitespace/edges, matching the single-space tokenization of the
-    rest of the text ops.
+    Fully vectorized: one Arrow RE2 pass per blocklist term (compiled
+    once, applied columnar), no per-row Python.  The blocklist is driver
+    state baked into the closure — at 100 TB the list (KBs) ships once
+    per task, never per batch.  Word boundaries are whitespace/edges,
+    matching the single-space tokenization of the rest of the text ops.
+
+    Hits are counted as GlobalReplace matches via the length delta of a
+    removal-replace, NOT ``count_substring_regex`` — the Arrow count
+    kernel counts adjacent repeats ("slow slow") overlappingly, while
+    RE2 GlobalReplace (and DuckDB's regexp functions) consume the
+    boundary and see one match; the replace semantics agree exactly
+    across engines, so counts derived from them do too.
 
     Returns (doc_id, lang, source, n_hits) for surviving docs.
     """
-    pats = [rf"(^|\s){re.escape(w)}(\s|$)" for w in sorted(blocklist)]
+    terms = sorted(blocklist)
+    pats = [rf"(^|\s){re.escape(w)}(\s|$)" for w in terms]
 
     def gate(t: pa.Table) -> pa.Table:
         text = t["text"]
+        lens = pc.cast(pc.utf8_length(text), pa.int64())
         total = None
-        for p in pats:
-            c = pc.cast(pc.count_substring_regex(text, p), pa.int64())
+        for w, p in zip(terms, pats):
+            removed = pc.replace_substring_regex(text, p, r"\1\2")
+            rl = pc.cast(pc.utf8_length(removed), pa.int64())
+            c = pc.divide(pc.subtract(lens, rl),
+                          pa.scalar(len(w), pa.int64()))
             total = c if total is None else pc.add(total, c)
         hits = total if total is not None else \
             pa.array([0] * t.num_rows, pa.int64())
@@ -844,17 +855,79 @@ def blocklist_filter(docs_ds, blocklist: tuple[str, ...] = _DEFAULT_BLOCKLIST,
         .map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def redact_terms(docs_ds, terms: tuple[str, ...] = _DEFAULT_BLOCKLIST,
+                 mask: str = "[REDACTED]"):
+    """PII-style term redaction — rewrite the corpus with sensitive
+    whole tokens masked, keeping a per-doc hit count for lineage.
+
+    The scrub shape every training pipeline needs: one RE2
+    ``replace_substring_regex`` per term (vectorized, captured
+    boundaries re-emitted via backrefs so adjacent tokens still match),
+    term passes applied in sorted order on the evolving text.  Hit
+    counts come from the length delta of a removal-replace on the same
+    text (GlobalReplace match count — see blocklist_filter on why the
+    Arrow count kernel can't be used).  Output
+    (doc_id, n_redacted, redacted).
+    """
+    srt = sorted(terms)
+    pats = [rf"(^|\s){re.escape(w)}(\s|$)" for w in srt]
+    repl = rf"\1{mask}\2"
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        total = None
+        for w, p in zip(srt, pats):
+            removed = pc.replace_substring_regex(text, p, r"\1\2")
+            c = pc.divide(
+                pc.subtract(pc.cast(pc.utf8_length(text), pa.int64()),
+                            pc.cast(pc.utf8_length(removed), pa.int64())),
+                pa.scalar(len(w), pa.int64()))
+            total = c if total is None else pc.add(total, c)
+            text = pc.replace_substring_regex(text, p, repl)
+        if total is None:
+            total = pa.array([0] * t.num_rows, pa.int64())
+        return pa.Table.from_arrays(
+            [t["doc_id"], total, text],
+            names=["doc_id", "n_redacted", "redacted"])
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact_terms_sql(terms: tuple[str, ...] = _DEFAULT_BLOCKLIST,
+                     mask: str = "[REDACTED]",
+                     table: str = "documents") -> str:
+    """DuckDB oracle: a CTE chain applying the identical sorted term
+    passes — regexp_replace('g') is the same RE2 GlobalReplace as the
+    Arrow kernel, and counts use the same removal-replace length
+    delta on the same evolving text."""
+    ctes = [f"s0 AS (SELECT doc_id, text AS t, 0 AS n FROM {table})"]
+    for i, w in enumerate(sorted(terms)):
+        p = rf"(^|\s){re.escape(w)}(\s|$)"
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, "
+            f"regexp_replace(t, '{p}', '\\1{mask}\\2', 'g') AS t, "
+            f"n + (length(t) - length(regexp_replace(t, '{p}', "
+            f"'\\1\\2', 'g'))) // {len(w)} AS n FROM s{i})")
+    last = f"s{len(tuple(terms))}"
+    return f"""
+WITH {', '.join(ctes)}
+SELECT doc_id, n::BIGINT AS n_redacted, t AS redacted
+FROM {last} ORDER BY doc_id
+"""
+
+
 def blocklist_filter_sql(blocklist: tuple[str, ...] = _DEFAULT_BLOCKLIST,
                          max_hits: int = 1,
                          table: str = "documents") -> str:
-    """DuckDB oracle: identical per-term counts — both sides are RE2
-    with the same non-overlapping left-to-right scan, so adjacent
-    repeats ("w w w" → 1 with the boundary pattern) agree exactly."""
-    terms = sorted(blocklist)
+    """DuckDB oracle: the same removal-replace length-delta counts —
+    RE2 GlobalReplace semantics on both sides, so adjacent repeats
+    ("w w w" → boundary consumed → fewer matches) agree exactly."""
     counts = " + ".join(
-        "len(regexp_extract_all(text, '{p}'))".format(
-            p=rf"(^|\s){re.escape(w)}(\s|$)")
-        for w in terms)
+        "(length(text) - length(regexp_replace(text, '{p}', "
+        "'\\1\\2', 'g'))) // {n}".format(
+            p=rf"(^|\s){re.escape(w)}(\s|$)", n=len(w))
+        for w in sorted(blocklist))
     return f"""
 WITH hits AS (
   SELECT doc_id, lang, source, ({counts})::BIGINT AS n_hits

@@ -645,3 +645,53 @@ def test_blocklist_filter_counts_and_gate(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert out["doc_id"].tolist() == [0, 1, 3]    # doc 2 gated (3 hits)
     assert out["n_hits"].tolist() == [0, 1, 0]
+
+
+def test_blocklist_adjacent_repeats_globalreplace_semantics(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import blocklist_filter
+
+    # "slow slow": GlobalReplace consumes the boundary -> ONE match
+    # (the count the DuckDB oracle sees), not two overlapping ones
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": ["slow slow"],
+        "lang": ["en"], "source": ["s"],
+    }))
+    out = blocklist_filter(docs, blocklist=("slow",), max_hits=9) \
+        .to_pandas()
+    assert out["n_hits"].tolist() == [1]
+
+
+def test_redact_terms_masks_and_counts(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import redact_terms
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["keep spark here", "slow slow spark"],
+        "lang": ["en"] * 2, "source": ["s"] * 2,
+    }))
+    out = redact_terms(docs, terms=("spark", "slow"), mask="[X]") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["redacted"].tolist() == \
+        ["keep [X] here", "[X] slow [X]"]   # 2nd "slow" boundary consumed
+    assert out["n_redacted"].tolist() == [1, 2]
+
+
+def test_value_deciles_tie_stable(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import value_deciles
+
+    # 10 rows, values with ties: all rows sharing a value share a bucket
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "n_chars": pa.array([5, 5, 5, 7, 7, 9, 11, 13, 15, 17], pa.int64()),
+    }))
+    out = value_deciles(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # c_lt: 5->0, 7->3, 9->5, 11->6, 13->7, 15->8, 17->9
+    assert out["bucket"].tolist() == [0, 0, 0, 3, 3, 5, 6, 7, 8, 9]
