@@ -17,6 +17,22 @@ import numpy as np
 import pyarrow as pa
 
 
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """Zero-copy-ish (B, dim) float64 matrix from a list<float> column:
+    flatten the list values buffer and reshape — never ``to_pylist``
+    (which boxes every float as a Python object)."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(len(arr), -1)
+
+
+def _ids_vector(batch: pa.Table, col: str = "vec_id") -> np.ndarray:
+    return batch[col].to_numpy(zero_copy_only=False).astype(np.int64,
+                                                            copy=False)
+
+
 class BruteForceTopK:
     """Actor-pool stage: normalized query matrix prepared once per actor."""
 
@@ -28,28 +44,29 @@ class BruteForceTopK:
             queries, query_ids = ray.get(queries_ref)
         q = np.asarray(queries, dtype=np.float64)
         self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        self.query_ids = list(query_ids)
+        self.query_ids = np.asarray(list(query_ids), np.int64)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = _ids_vector(batch)
+        emb = _emb_matrix(batch)
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
                                1e-12)
         sims = self.q @ emb.T                      # (Q, B)
         k = min(self.k, sims.shape[1])
-        # local top-k per query (argpartition = O(B))
+        # local top-k per query (argpartition = O(B)); the global merge
+        # re-ranks by (-sim, id), so selection order here is free
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        out_q, out_n, out_s = [], [], []
-        for qi, qid in enumerate(self.query_ids):
-            for j in part[qi]:
-                out_q.append(qid)
-                out_n.append(int(ids[j]))
-                out_s.append(float(sims[qi, j]))
+        nq = len(self.query_ids)
         return pa.Table.from_arrays(
-            [pa.array(out_q, pa.int64()), pa.array(out_n, pa.int64()),
-             pa.array(out_s, pa.float64())],
-            names=["query_id", "neighbor_id", "cosine"])
+            [pa.array(np.repeat(self.query_ids, k), pa.int64()),
+             pa.array(ids[part].ravel(), pa.int64()),
+             pa.array(np.take_along_axis(sims, part, axis=1).ravel(),
+                      pa.float64())],
+            names=["query_id", "neighbor_id", "cosine"]) \
+            if nq else pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
 
 
 def _merge_topk(group: pa.Table, k: int) -> pa.Table:
@@ -122,28 +139,34 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
             self.lsh = HyperplaneLSH(dim, n_planes, n_tables=n_tables)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
-            raw = np.array(batch["embedding"].to_pylist(), np.float64)
+            ids = _ids_vector(batch)
+            raw = _emb_matrix(batch)
             # keys from quantized RAW vectors (exact ints, shared with
             # HyperplaneLSH + the SQL oracle); scoring on normalized
             emb = raw / np.maximum(
                 np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
             keys = self.lsh.keys_for(raw)               # (L, B)
-            out_q, out_n, out_s = [], [], []
+            qid_arr = np.asarray(self.query_ids, np.int64)
+            parts_q, parts_n, parts_s = [], [], []
             for bucket, q_idx in self.by_bucket.items():
                 mask = (keys == bucket).any(axis=0)
                 if not mask.any():
                     continue
                 sub_ids = ids[mask]
                 sims = self.qn[q_idx] @ emb[mask].T
-                for row, qi in enumerate(q_idx):
-                    for j in np.argsort(-sims[row])[:k + 1]:
-                        out_q.append(self.query_ids[qi])
-                        out_n.append(int(sub_ids[j]))
-                        out_s.append(float(sims[row, j]))
+                top = min(k + 1, sims.shape[1])
+                sel = np.argsort(-sims, axis=1)[:, :top]
+                parts_q.append(np.repeat(qid_arr[q_idx], top))
+                parts_n.append(sub_ids[sel].ravel())
+                parts_s.append(np.take_along_axis(sims, sel, axis=1).ravel())
+            if not parts_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
             return pa.Table.from_arrays(
-                [pa.array(out_q, pa.int64()), pa.array(out_n, pa.int64()),
-                 pa.array(out_s, pa.float64())],
+                [pa.array(np.concatenate(parts_q), pa.int64()),
+                 pa.array(np.concatenate(parts_n), pa.int64()),
+                 pa.array(np.concatenate(parts_s), pa.float64())],
                 names=["query_id", "neighbor_id", "cosine"])
 
     partials = emb_ds.map_batches(BucketScorer, batch_format="pyarrow",
@@ -253,12 +276,13 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
             self.qn, self.query_ids, self.cents, self.by_list = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
-            emb = np.array(batch["embedding"].to_pylist(), np.float64)
+            ids = _ids_vector(batch)
+            emb = _emb_matrix(batch)
             emb = emb / np.maximum(
                 np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
             assign = np.argmax(emb @ self.cents.T, axis=1)
-            out_q, out_n, out_s = [], [], []
+            qid_arr = np.asarray(self.query_ids, np.int64)
+            parts_q, parts_n, parts_s = [], [], []
             for cid, q_idx in self.by_list.items():
                 mask = assign == cid
                 if not mask.any():
@@ -266,14 +290,21 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
                 sub_ids = ids[mask]
                 sims = self.qn[q_idx] @ emb[mask].T
                 top = min(k + 1, sims.shape[1])
-                for row, qi in enumerate(q_idx):
-                    for j in np.argpartition(-sims[row], top - 1)[:top]:
-                        out_q.append(self.query_ids[qi])
-                        out_n.append(int(sub_ids[j]))
-                        out_s.append(float(sims[row, j]))
+                sel = np.argpartition(-sims, top - 1, axis=1)[:, :top] \
+                    if top < sims.shape[1] else \
+                    np.broadcast_to(np.arange(sims.shape[1]),
+                                    sims.shape).copy()
+                parts_q.append(np.repeat(qid_arr[q_idx], top))
+                parts_n.append(sub_ids[sel].ravel())
+                parts_s.append(np.take_along_axis(sims, sel, axis=1).ravel())
+            if not parts_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
             return pa.Table.from_arrays(
-                [pa.array(out_q, pa.int64()), pa.array(out_n, pa.int64()),
-                 pa.array(out_s, pa.float64())],
+                [pa.array(np.concatenate(parts_q), pa.int64()),
+                 pa.array(np.concatenate(parts_n), pa.int64()),
+                 pa.array(np.concatenate(parts_s), pa.float64())],
                 names=["query_id", "neighbor_id", "cosine"])
 
     partials = emb_ds.map_batches(ListScorer, batch_format="pyarrow",
