@@ -33,6 +33,22 @@ def _ids_vector(batch: pa.Table, col: str = "vec_id") -> np.ndarray:
                                                             copy=False)
 
 
+# Per-worker-process broadcast-state cache (task-pool pattern: the
+# scorer stages need no actor pool — state is one ray.get of the
+# broadcast ref, cached per process, so tasks skip actor startup cost
+# entirely and the streaming executor can use every idle CPU).
+_STATE_CACHE: dict = {}
+
+
+def _cached_state(ref, build):
+    key = ref.binary() if hasattr(ref, "binary") else id(ref)
+    st = _STATE_CACHE.get(key)
+    if st is None:
+        st = build()
+        _STATE_CACHE[key] = st
+    return st
+
+
 class BruteForceTopK:
     """Actor-pool stage: normalized query matrix prepared once per actor."""
 
@@ -89,35 +105,55 @@ def _merge_topk(group: pa.Table, k: int) -> pa.Table:
         names=["query_id", "neighbor_id", "cosine"])
 
 
+def _bf_score_batch(batch: pa.Table, ref, k: int) -> pa.Table:
+    scorer = _cached_state(ref, lambda: BruteForceTopK(queries_ref=ref, k=k))
+    return scorer(batch)
+
+
 def brute_force_topk(emb_ds, queries: np.ndarray, query_ids: list[int],
                      k: int = 5, exclude_self: bool = True,
-                     concurrency=(2, 8)):
+                     concurrency=None):
     """Top-k cosine neighbors for each query vector.
 
     ``exclude_self`` drops hits where neighbor_id == query_id (the usual
-    self-match when queries come from the same table).
+    self-match when queries come from the same table).  Runs as a TASK
+    pool — the broadcast query matrix is fetched once per worker process
+    (``_cached_state``), so there is no actor-pool spin-up and no idle
+    reserved CPUs.
     """
+    from functools import partial
+
     import ray
 
     ref = ray.put((np.asarray(queries, dtype=np.float64), list(query_ids)))
     partials = emb_ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k + (1 if exclude_self else 0)},
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+        partial(_bf_score_batch, ref=ref,
+                k=k + (1 if exclude_self else 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
     if exclude_self:
         partials = partials.filter(expr="query_id != neighbor_id")
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pyarrow")
 
 
+def _lsh_score_batch(batch: pa.Table, ref, dim: int, n_planes: int,
+                     n_tables: int, k: int) -> pa.Table:
+    scorer = _cached_state(
+        ref, lambda: _BucketScorer(ref, dim, n_planes, n_tables))
+    return scorer(batch, k)
+
+
 def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
              k: int = 5, n_planes: int = 8, n_tables: int = 4,
-             exclude_self: bool = True, concurrency=(2, 8)):
+             exclude_self: bool = True, concurrency=None):
     """Bucketed ANN: score only vectors whose hyperplane signature
     matches a query's bucket in ANY of ``n_tables`` independent tables
     (multi-probe recall recovery: recall ≈ 1-(1-p^k)^L).  Same output
     schema as brute force; approximate, ~n_tables/2^n_planes of the
-    brute-force compute at scale."""
+    brute-force compute at scale.  Task pool with per-process cached
+    broadcast state (see brute_force_topk)."""
+    from functools import partial
+
     import ray
 
     from .dedup import HyperplaneLSH
@@ -131,50 +167,57 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
             by_bucket.setdefault(int(key), []).append(i)
     ref = ray.put((q, list(query_ids), by_bucket))
 
-    class BucketScorer:
-        def __init__(self):
-            self.q, self.query_ids, self.by_bucket = ray.get(ref)
-            self.qn = self.q / np.maximum(
-                np.linalg.norm(self.q, axis=1, keepdims=True), 1e-12)
-            self.lsh = HyperplaneLSH(dim, n_planes, n_tables=n_tables)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = _ids_vector(batch)
-            raw = _emb_matrix(batch)
-            # keys from quantized RAW vectors (exact ints, shared with
-            # HyperplaneLSH + the SQL oracle); scoring on normalized
-            emb = raw / np.maximum(
-                np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
-            keys = self.lsh.keys_for(raw)               # (L, B)
-            qid_arr = np.asarray(self.query_ids, np.int64)
-            parts_q, parts_n, parts_s = [], [], []
-            for bucket, q_idx in self.by_bucket.items():
-                mask = (keys == bucket).any(axis=0)
-                if not mask.any():
-                    continue
-                sub_ids = ids[mask]
-                sims = self.qn[q_idx] @ emb[mask].T
-                top = min(k + 1, sims.shape[1])
-                sel = np.argsort(-sims, axis=1)[:, :top]
-                parts_q.append(np.repeat(qid_arr[q_idx], top))
-                parts_n.append(sub_ids[sel].ravel())
-                parts_s.append(np.take_along_axis(sims, sel, axis=1).ravel())
-            if not parts_q:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "neighbor_id": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            return pa.Table.from_arrays(
-                [pa.array(np.concatenate(parts_q), pa.int64()),
-                 pa.array(np.concatenate(parts_n), pa.int64()),
-                 pa.array(np.concatenate(parts_s), pa.float64())],
-                names=["query_id", "neighbor_id", "cosine"])
-
-    partials = emb_ds.map_batches(BucketScorer, batch_format="pyarrow",
-                                  concurrency=concurrency, num_cpus=1)
+    partials = emb_ds.map_batches(
+        partial(_lsh_score_batch, ref=ref, dim=dim, n_planes=n_planes,
+                n_tables=n_tables, k=k),
+        batch_format="pyarrow", zero_copy_batch=True)
     if exclude_self:
         partials = partials.filter(expr="query_id != neighbor_id")
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pyarrow")
+
+
+class _BucketScorer:
+    def __init__(self, ref, dim, n_planes, n_tables):
+        import ray
+
+        from .dedup import HyperplaneLSH
+
+        self.q, self.query_ids, self.by_bucket = ray.get(ref)
+        self.qn = self.q / np.maximum(
+            np.linalg.norm(self.q, axis=1, keepdims=True), 1e-12)
+        self.lsh = HyperplaneLSH(dim, n_planes, n_tables=n_tables)
+
+    def __call__(self, batch: pa.Table, k: int) -> pa.Table:
+        ids = _ids_vector(batch)
+        raw = _emb_matrix(batch)
+        # keys from quantized RAW vectors (exact ints, shared with
+        # HyperplaneLSH + the SQL oracle); scoring on normalized
+        emb = raw / np.maximum(
+            np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+        keys = self.lsh.keys_for(raw)               # (L, B)
+        qid_arr = np.asarray(self.query_ids, np.int64)
+        parts_q, parts_n, parts_s = [], [], []
+        for bucket, q_idx in self.by_bucket.items():
+            mask = (keys == bucket).any(axis=0)
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = self.qn[q_idx] @ emb[mask].T
+            top = min(k + 1, sims.shape[1])
+            sel = np.argsort(-sims, axis=1)[:, :top]
+            parts_q.append(np.repeat(qid_arr[q_idx], top))
+            parts_n.append(sub_ids[sel].ravel())
+            parts_s.append(np.take_along_axis(sims, sel, axis=1).ravel())
+        if not parts_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(parts_q), pa.int64()),
+             pa.array(np.concatenate(parts_n), pa.int64()),
+             pa.array(np.concatenate(parts_s), pa.float64())],
+            names=["query_id", "neighbor_id", "cosine"])
 
 
 def lsh_topk_sql(dim: int, k: int = 5, n_planes: int = 8,
@@ -272,8 +315,9 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
     ref = ray.put((qn, list(query_ids), cents, by_list))
 
     class ListScorer:
-        def __init__(self):
-            self.qn, self.query_ids, self.cents, self.by_list = ray.get(ref)
+        def __init__(self, r=None):
+            self.qn, self.query_ids, self.cents, self.by_list = \
+                ray.get(r if r is not None else ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = _ids_vector(batch)
@@ -307,8 +351,12 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
                  pa.array(np.concatenate(parts_s), pa.float64())],
                 names=["query_id", "neighbor_id", "cosine"])
 
-    partials = emb_ds.map_batches(ListScorer, batch_format="pyarrow",
-                                  concurrency=concurrency, num_cpus=1)
+    def _ivf_score_batch(batch: pa.Table) -> pa.Table:
+        scorer = _cached_state(ref, lambda: ListScorer(ref))
+        return scorer(batch)
+
+    partials = emb_ds.map_batches(_ivf_score_batch, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     if exclude_self:
         partials = partials.filter(expr="query_id != neighbor_id")
     return partials.groupby("query_id").map_groups(
