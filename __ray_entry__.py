@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": _q_blocklist,
         "redact_terms": _q_redact,
         "length_deciles": _q_deciles,
+        "pack_sequences": _q_pack,
+        "langid_mismatch": _q_langid_mismatch,
+        "zscore_by_source": _q_zscore,
         "chunk_documents": _q_chunks,
         "bigram_counts": _q_bigrams,
         "simhash_near_dups": _q_simhash,
@@ -587,6 +590,27 @@ def _q_deciles(sf_dir):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pack(sf_dir):
+    from kgruntime.ops.shard import pack_sequences
+
+    return pack_sequences(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("shard_id").reset_index(drop=True)
+
+
+def _q_langid_mismatch(sf_dir):
+    from kgruntime.ops.text import langid_mismatch_by_source
+
+    return langid_mismatch_by_source(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+
+
+def _q_zscore(sf_dir):
+    from kgruntime.ops.stats import zscore_by_source
+
+    return zscore_by_source(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_chunks(sf_dir):
     from kgruntime.ops.text import chunk_documents
 
@@ -820,6 +844,24 @@ def _deciles_sql():
     return value_deciles_sql()
 
 
+def _pack_sql():
+    from kgruntime.ops.shard import pack_sequences_sql
+
+    return pack_sequences_sql()
+
+
+def _langid_mismatch_sql():
+    from kgruntime.ops.text import langid_mismatch_sql
+
+    return langid_mismatch_sql()
+
+
+def _zscore_sql():
+    from kgruntime.ops.stats import zscore_by_source_sql
+
+    return zscore_by_source_sql()
+
+
 def _chunks_sql():
     from kgruntime.ops.text import chunk_documents_sql
 
@@ -900,6 +942,9 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": _blocklist_sql(),
         "redact_terms": _redact_sql(),
         "length_deciles": _deciles_sql(),
+        "pack_sequences": _pack_sql(),
+        "langid_mismatch": _langid_mismatch_sql(),
+        "zscore_by_source": _zscore_sql(),
         "chunk_documents": _chunks_sql(),
         "bigram_counts": _bigrams_sql(),
         "simhash_near_dups": _simhash_sql(),

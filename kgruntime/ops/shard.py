@@ -101,3 +101,81 @@ SELECT doc_id, n_tokens,
          - n_tokens) // {budget})::BIGINT AS shard_id
 FROM tok ORDER BY doc_id
 """
+
+
+def pack_sequences(docs_ds, budget: int = 2000, bucket_size: int = 4096,
+                   sep: str = " "):
+    """Pack the corpus into fixed token-budget training sequences:
+    every shard's docs concatenated in doc_id order —
+    (shard_id, n_docs, n_tokens, packed).
+
+    Same two-phase prefix scan as ``token_budget_shards``, but text
+    rides along so each shard group (bounded by ``budget`` tokens +
+    one doc) can emit its packed sequence locally.  The text crosses
+    two exchanges (bucket scan, then shard grouping) — the second is
+    inherent to packing; the first could be traded for a doc_id join
+    at the cost of an extra shuffle of the same bytes.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    tok = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        token_counts_with_text, fn_kwargs={"bucket_size": bucket_size},
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    sums = tok.select_columns(["bucket", "n_tokens"]) \
+        .groupby("bucket").aggregate(
+            Sum("n_tokens", alias_name="bucket_tokens")).to_pandas()
+    sums = sums.sort_values("bucket").reset_index(drop=True)
+    totals = sums["bucket_tokens"].to_numpy(np.int64)
+    offsets = dict(zip(
+        sums["bucket"].to_numpy(np.int64).tolist(),
+        np.concatenate([[0], np.cumsum(totals)[:-1]]).tolist()))
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(df["bucket"].iloc[0])]
+        df = df.sort_values("doc_id", kind="mergesort")
+        start = off + df["n_tokens"].cumsum() - df["n_tokens"]
+        out = df[["doc_id", "text", "n_tokens"]].copy()
+        out["shard_id"] = (start // budget).astype(np.int64)
+        return out
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        return pd.DataFrame({
+            "shard_id": [int(df["shard_id"].iloc[0])],
+            "n_docs": [len(df)],
+            "n_tokens": [int(df["n_tokens"].sum())],
+            "packed": [sep.join(df["text"])],
+        })
+
+    return tok.groupby("bucket").map_groups(assign, batch_format="pandas") \
+        .groupby("shard_id").map_groups(pack, batch_format="pandas")
+
+
+def token_counts_with_text(batch: pa.Table, bucket_size: int) -> pa.Table:
+    t = token_counts(batch, bucket_size)
+    return t.append_column("text", batch["text"])
+
+
+def pack_sequences_sql(budget: int = 2000, sep: str = " ",
+                       table: str = "documents") -> str:
+    """DuckDB oracle: identical window arithmetic + ordered string_agg."""
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens
+  FROM {table}),
+sh AS (
+  SELECT doc_id, text, n_tokens,
+         ((sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens) // {budget})::BIGINT AS shard_id
+  FROM tok)
+SELECT shard_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       string_agg(text, '{sep}' ORDER BY doc_id) AS packed
+FROM sh GROUP BY shard_id ORDER BY shard_id
+"""

@@ -251,3 +251,80 @@ SELECT d.{id_col}, d.{value_col}, b.bucket
 FROM {table} d JOIN b ON d.{value_col} = b.v
 ORDER BY d.{id_col}
 """
+
+
+def zscore_by_source(ds, key: str = "source", value_col: str = "n_chars",
+                     id_col: str = "doc_id", digits: int = 6):
+    """Group-wise z-score normalization (two-pass broadcast shape):
+    per-key sample mean/std from exact integer sufficient stats, then a
+    vectorized per-row normalize — (id, key, value, zscore).
+
+    Scale shape: pass 1 reduces every batch to ONE (key, n, Σx, Σx²)
+    row per key present (the shuffle carries |keys| × |blocks| tiny
+    rows); the driver combines them with Python ints (no overflow at
+    any corpus size) and broadcasts the |keys|-row stats table; pass 2
+    streams the corpus once through a numpy normalize.  Both sides —
+    this and the HUGEINT-sum oracle — evaluate the identical IEEE
+    sequence (x − Σx/n) / sqrt((n·Σx² − Σx²̂) / (n·(n−1))) on identical
+    exact integers, so the rounded result is bit-deterministic.
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({key: t[key].to_pandas(), "x": x, "xx": x * x})
+        g = df.groupby(key, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ds.select_columns([key, value_col]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096,
+                     zero_copy_batch=True).to_pandas()
+    stats = {}
+    for k, g in parts.groupby(key, sort=True):
+        n = int(g["n"].astype(object).sum())
+        sx = int(g["sx"].astype(object).sum())
+        sxx = int(g["sxx"].astype(object).sum())
+        mean = float(sx) / float(n)
+        std = np.sqrt(float(n * sxx - sx * sx) / float(n * (n - 1))) \
+            if n > 1 else 0.0
+        stats[k] = (mean, std)
+
+    scale = 10.0 ** digits
+
+    def normalize(t: pa.Table) -> pa.Table:
+        keys = t[key].to_pandas()
+        x = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = keys.map(lambda s: stats[s][0]).to_numpy(np.float64)
+        std = keys.map(lambda s: stats[s][1]).to_numpy(np.float64)
+        z = np.where(std > 0.0, (x - mean) / np.where(std == 0.0, 1.0, std),
+                     0.0)
+        z = np.copysign(np.floor(np.abs(z) * scale + 0.5), z) / scale
+        return pa.Table.from_arrays(
+            [t[id_col], t[key], t[value_col], pa.array(z, pa.float64())],
+            names=[id_col, key, value_col, "zscore"])
+
+    return ds.select_columns([id_col, key, value_col]) \
+        .map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zscore_by_source_sql(key: str = "source", value_col: str = "n_chars",
+                         id_col: str = "doc_id", digits: int = 6,
+                         table: str = "documents") -> str:
+    """DuckDB oracle: identical sufficient-stats float formula on exact
+    HUGEINT sums (NOT stddev_samp, whose accumulation order differs)."""
+    return f"""
+WITH s AS (
+  SELECT {key} AS k, count(*) AS n,
+         sum({value_col}::HUGEINT) AS sx,
+         sum(({value_col}::HUGEINT) * ({value_col}::HUGEINT)) AS sxx
+  FROM {table} GROUP BY {key})
+SELECT d.{id_col}, d.{key}, d.{value_col},
+       CASE WHEN s.n > 1 AND (s.n * s.sxx - s.sx * s.sx) > 0
+            THEN round((d.{value_col} - (s.sx::DOUBLE / s.n::DOUBLE))
+                 / sqrt((s.n * s.sxx - s.sx * s.sx)::DOUBLE
+                        / (s.n * (s.n - 1))::DOUBLE), {digits})
+            ELSE 0.0 END AS zscore
+FROM {table} d JOIN s ON s.k = d.{key}
+ORDER BY d.{id_col}
+"""

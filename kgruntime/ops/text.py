@@ -936,3 +936,70 @@ SELECT doc_id, lang, source, n_hits
 FROM hits WHERE n_hits <= {max_hits}
 ORDER BY doc_id
 """
+
+
+# --- declared-vs-detected language mismatch audit ---
+
+_langid_singleton = None
+
+
+def langid_mismatch_by_source(docs_ds):
+    """Per-source audit of declared ``lang`` vs detected language —
+    (source, n_docs, n_mismatch, mismatch_rate), the metadata-quality
+    check run before trusting a crawl's self-reported languages.
+
+    Scale shape: the classifier state is one cached instance per worker
+    process (task pool); each batch reduces to ONE partial-count row
+    per source, so the shuffle carries |sources| × |blocks| tiny rows.
+    The rate divides the exact integer counts once at the end (same
+    IEEE op sequence as the oracle's round(sum/count, 6)).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        global _langid_singleton
+        if _langid_singleton is None:
+            _langid_singleton = LangId()
+        clf = _langid_singleton
+        preds = [clf.classify(x) for x in t["text"].to_pylist()]
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "mm": [int(p != d) for p, d in
+                   zip(preds, t["lang"].to_pylist())],
+        })
+        g = df.groupby("source", sort=False)["mm"] \
+            .agg(n_docs="size", n_mismatch="sum").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        rate = pa.array(
+            [_round6(m / n) for m, n in
+             zip(t["n_mismatch"].to_pylist(), t["n_docs"].to_pylist())],
+            pa.float64())
+        return pa.Table.from_arrays(
+            [t["source"], t["n_docs"], t["n_mismatch"], rate],
+            names=["source", "n_docs", "n_mismatch", "mismatch_rate"])
+
+    return docs_ds.select_columns(["doc_id", "text", "lang", "source"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("source") \
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_mismatch", alias_name="n_mismatch")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+def langid_mismatch_sql() -> str:
+    """DuckDB oracle: the LANGID_SQL prediction CTE joined back to the
+    declared lang, rolled up per source with the identical round."""
+    pred = LANGID_SQL.replace("ORDER BY doc_id", "")
+    return f"""
+WITH pred AS ({pred})
+SELECT d.source, count(*) AS n_docs,
+       sum((p.pred_lang != d.lang)::BIGINT)::BIGINT AS n_mismatch,
+       round(sum((p.pred_lang != d.lang)::BIGINT) / count(*)::DOUBLE, 6)
+         AS mismatch_rate
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source
+"""

@@ -628,6 +628,56 @@ def test_retention_cohorts_offsets(ray_session):
     assert out["n_users"].tolist() == [1, 1, 1]
 
 
+def test_pack_sequences_budget_boundaries(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.shard import pack_sequences
+
+    # budget 5 tokens: docs of 3,3,2,4 tokens -> starts 0,3,6,8 ->
+    # shards 0,0,1,1
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["a b c", "d e f", "g h", "i j k l"],
+    }))
+    out = pack_sequences(ds, budget=5).to_pandas() \
+        .sort_values("shard_id").reset_index(drop=True)
+    assert out["shard_id"].tolist() == [0, 1]
+    assert out["packed"].tolist() == ["a b c d e f", "g h i j k l"]
+    assert out["n_tokens"].tolist() == [6, 6]
+
+
+def test_zscore_by_source_exact(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import zscore_by_source
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "source": ["s1", "s1", "s1", "lone"],
+        "n_chars": pa.array([10, 20, 30, 5], pa.int64()),
+    }))
+    out = zscore_by_source(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["zscore"].tolist() == [-1.0, 0.0, 1.0, 0.0]  # std=10; n=1->0
+
+
+def test_langid_mismatch_rollup(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import langid_mismatch_by_source
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["the thing and the other thing", "el que de la los"],
+        "lang": ["en", "en"],     # second doc mislabeled
+        "source": ["s"] * 2,
+    }))
+    out = langid_mismatch_by_source(ds).to_pandas()
+    assert out["n_docs"].tolist() == [2]
+    assert out["n_mismatch"].tolist() == [1]
+    assert out["mismatch_rate"].tolist() == [0.5]
+
+
 def test_blocklist_filter_counts_and_gate(ray_session):
     import ray.data as rd
 
