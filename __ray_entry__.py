@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_terms": _q_redact,
         "length_deciles": _q_deciles,
         "pack_sequences": _q_pack,
+        "hll_distinct_users": _q_hll,
         "langid_mismatch": _q_langid_mismatch,
         "zscore_by_source": _q_zscore,
         "chunk_documents": _q_chunks,
@@ -611,6 +612,12 @@ def _q_zscore(sf_dir):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_hll(sf_dir):
+    from kgruntime.ops.sketch import hll_distinct
+
+    return hll_distinct(_events_ds(sf_dir))
+
+
 def _q_chunks(sf_dir):
     from kgruntime.ops.text import chunk_documents
 
@@ -862,6 +869,12 @@ def _zscore_sql():
     return zscore_by_source_sql()
 
 
+def _hll_sql():
+    from kgruntime.ops.sketch import hll_distinct_sql
+
+    return hll_distinct_sql()
+
+
 def _chunks_sql():
     from kgruntime.ops.text import chunk_documents_sql
 
@@ -943,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_terms": _redact_sql(),
         "length_deciles": _deciles_sql(),
         "pack_sequences": _pack_sql(),
+        "hll_distinct_users": _hll_sql(),
         "langid_mismatch": _langid_mismatch_sql(),
         "zscore_by_source": _zscore_sql(),
         "chunk_documents": _chunks_sql(),

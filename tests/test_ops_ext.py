@@ -678,6 +678,26 @@ def test_langid_mismatch_rollup(ray_session):
     assert out["mismatch_rate"].tolist() == [0.5]
 
 
+def test_hll_distinct_accuracy_and_merge_invariance(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sketch import hll_distinct
+
+    n = 1000
+    t = pa.table({
+        "event_type": ["a"] * n + ["b"] * n,
+        "user_id": pa.array(list(range(n)) + [i % 37 for i in range(n)],
+                            pa.int64()),
+    })
+    out1 = hll_distinct(rd.from_arrow(t))
+    # different block layout -> identical registers (merge-invariant)
+    out2 = hll_distinct(rd.from_arrow(t).repartition(7))
+    assert out1.equals(out2)
+    est = dict(zip(out1["event_type"], out1["est_distinct"]))
+    assert abs(est["a"] - 1000) / 1000 < 0.4     # m=64 -> ~13% stderr
+    assert abs(est["b"] - 37) / 37 < 1.5         # raw estimator, small-n bias
+
+
 def test_blocklist_filter_counts_and_gate(ray_session):
     import ray.data as rd
 
