@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
     }
     return q
 
@@ -686,6 +687,20 @@ def _q_media_frames(sf_dir):
 
     refs = [f"media://doc-{i:06d}/0" for i in range(100)]
     return sample_frames(rd.from_arrow(synth_media_table(refs)))
+
+
+def _q_media_resize(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.media import resize_raw_images, synth_raw_images
+
+    refs = [f"media://doc-{i:06d}/raw" for i in range(100)]
+    out = resize_raw_images(rd.from_arrow(synth_raw_images(refs))) \
+        .to_pandas().sort_values("media_ref").reset_index(drop=True)
+    # binary payload hashes keep the driver's value compare stable
+    out["payload"] = out.pop("payload").map(
+        lambda b: __import__("hashlib").sha256(b).hexdigest())
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -133,3 +133,119 @@ def sample_frames(media_ds, concurrency=(1, 4), batch_size: int = 32):
     return media_ds.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+# --- raw-RGB kernels: REAL compute, no codec needed -----------------------
+#
+# Compressed formats need PIL/ffmpeg (absent here — stubbed above), but a
+# raw uint8 RGB buffer is just bytes: the resize / feature math below is a
+# real, tested numpy kernel, so the media path is only stubbed at the
+# codec boundary, not at the compute.
+
+def synth_raw_images(refs: list[str], width: int = 32, height: int = 24,
+                     seed: int = 9) -> pa.Table:
+    """Deterministic raw RGB test images: a per-image gradient + seeded
+    noise, payload = height×width×3 uint8 bytes (row-major)."""
+    rows = []
+    for r in refs:
+        s = int.from_bytes(hashlib.sha256(f"{seed}:{r}".encode())
+                           .digest()[:4], "little")
+        rng = np.random.RandomState(s)
+        yy, xx = np.mgrid[0:height, 0:width]
+        img = np.stack([
+            (xx * 255 // max(1, width - 1)),
+            (yy * 255 // max(1, height - 1)),
+            rng.randint(0, 256, size=(height, width)),
+        ], axis=-1).astype(np.uint8)
+        rows.append(img.tobytes())
+    return pa.Table.from_arrays(
+        [pa.array(refs, pa.string()),
+         pa.array(["image"] * len(refs), pa.string()),
+         pa.array(rows, pa.binary()),
+         pa.array([width] * len(refs), pa.int32()),
+         pa.array([height] * len(refs), pa.int32()),
+         pa.array([-1] * len(refs), pa.int32())],
+        schema=MEDIA_SCHEMA)
+
+
+def _bilinear_grid(src_h: int, src_w: int, out_h: int, out_w: int):
+    """Sampling grid (align_corners=False convention):
+    src = (dst + 0.5) · scale − 0.5, clipped to the image."""
+    def axis(src_n, out_n):
+        pos = (np.arange(out_n, dtype=np.float64) + 0.5) * (src_n / out_n) \
+            - 0.5
+        pos = np.clip(pos, 0.0, src_n - 1.0)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(lo + 1, src_n - 1)
+        frac = pos - lo
+        return lo, hi, frac
+    ylo, yhi, fy = axis(src_h, out_h)
+    xlo, xhi, fx = axis(src_w, out_w)
+    return (ylo, yhi, fy), (xlo, xhi, fx)
+
+
+class RawImageOps:
+    """Actor-pool stage over raw RGB payloads: bilinear resize to a fixed
+    (out_w, out_h) + per-channel mean/std features.  The per-(src,dst)
+    sampling grids are cached in the actor (computed once, reused for
+    every image of that geometry)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w = out_w
+        self.out_h = out_h
+        self._grids: dict = {}
+
+    def _grid(self, h: int, w: int):
+        g = self._grids.get((h, w))
+        if g is None:
+            g = _bilinear_grid(h, w, self.out_h, self.out_w)
+            self._grids[(h, w)] = g
+        return g
+
+    def resize(self, img: np.ndarray) -> np.ndarray:
+        (ylo, yhi, fy), (xlo, xhi, fx) = self._grid(*img.shape[:2])
+        f = img.astype(np.float64)
+        top = f[ylo][:, xlo] * (1 - fx)[None, :, None] \
+            + f[ylo][:, xhi] * fx[None, :, None]
+        bot = f[yhi][:, xlo] * (1 - fx)[None, :, None] \
+            + f[yhi][:, xhi] * fx[None, :, None]
+        out = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, payloads, means, stds = [], [], [], []
+        for r, t, p, w, h in zip(batch["media_ref"].to_pylist(),
+                                 batch["media_type"].to_pylist(),
+                                 batch["payload"].to_pylist(),
+                                 batch["width"].to_pylist(),
+                                 batch["height"].to_pylist()):
+            if t != "image" or w <= 0 or h <= 0 or len(p) < w * h * 3:
+                continue
+            img = np.frombuffer(p, np.uint8)[:w * h * 3].reshape(h, w, 3)
+            small = self.resize(img)
+            refs.append(r)
+            payloads.append(small.tobytes())
+            means.append(img.reshape(-1, 3).mean(axis=0)
+                         .astype(np.float32).tolist())
+            stds.append(img.reshape(-1, 3).std(axis=0)
+                        .astype(np.float32).tolist())
+        return pa.Table.from_arrays(
+            [pa.array(refs, pa.string()),
+             pa.array([self.out_w] * len(refs), pa.int32()),
+             pa.array([self.out_h] * len(refs), pa.int32()),
+             pa.array(payloads, pa.binary()),
+             pa.array(means, pa.list_(pa.float32())),
+             pa.array(stds, pa.list_(pa.float32()))],
+            names=["media_ref", "width", "height", "payload",
+                   "channel_mean", "channel_std"])
+
+
+def resize_raw_images(media_ds, out_w: int = 16, out_h: int = 16,
+                      concurrency=(1, 4), batch_size: int = 64):
+    """Raw-RGB resize + features (actor pool, small batches — payload
+    rows are wide).  Real kernel: only compressed-codec decode is
+    stubbed in this container."""
+    return media_ds.map_batches(
+        RawImageOps, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -698,6 +698,33 @@ def test_hll_distinct_accuracy_and_merge_invariance(ray_session):
     assert abs(est["b"] - 37) / 37 < 1.5         # raw estimator, small-n bias
 
 
+def test_raw_image_resize_bilinear_exact(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.media import (MEDIA_SCHEMA, RawImageOps,
+                                     resize_raw_images, synth_raw_images)
+
+    # 2x2 -> 1x1 bilinear (align_corners=False) = mean of the 4 pixels
+    img = np.array([[[0, 0, 0], [100, 0, 0]],
+                    [[0, 200, 0], [100, 200, 0]]], np.uint8)
+    ops = RawImageOps(out_w=1, out_h=1)
+    small = ops.resize(img)
+    assert small.reshape(3).tolist() == [50, 100, 0]
+    # identity resize reproduces the image exactly
+    ops2 = RawImageOps(out_w=2, out_h=2)
+    assert np.array_equal(ops2.resize(img), img)
+
+    # end-to-end through the Dataset stage on synthetic raw images
+    t = synth_raw_images([f"m{i}" for i in range(6)], width=8, height=6)
+    assert t.schema.equals(MEDIA_SCHEMA)
+    out = resize_raw_images(rd.from_arrow(t), out_w=4, out_h=3) \
+        .to_pandas().sort_values("media_ref").reset_index(drop=True)
+    assert len(out) == 6
+    assert all(len(p) == 4 * 3 * 3 for p in out["payload"])
+    # gradient means: R ramps over x -> mean ~127.5, G over y
+    assert abs(out["channel_mean"][0][0] - 127.5) < 20
+
+
 def test_blocklist_filter_counts_and_gate(ray_session):
     import ray.data as rd
 
