@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_deciles": _q_deciles,
         "pack_sequences": _q_pack,
         "hll_distinct_users": _q_hll,
+        "doc_rarity_scores": _q_rarity,
         "langid_mismatch": _q_langid_mismatch,
         "zscore_by_source": _q_zscore,
         "chunk_documents": _q_chunks,
@@ -619,6 +620,13 @@ def _q_hll(sf_dir):
     return hll_distinct(_events_ds(sf_dir))
 
 
+def _q_rarity(sf_dir):
+    from kgruntime.ops.text import doc_rarity_scores
+
+    return doc_rarity_scores(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_chunks(sf_dir):
     from kgruntime.ops.text import chunk_documents
 
@@ -890,6 +898,12 @@ def _hll_sql():
     return hll_distinct_sql()
 
 
+def _rarity_sql():
+    from kgruntime.ops.text import DOC_RARITY_SQL
+
+    return DOC_RARITY_SQL
+
+
 def _chunks_sql():
     from kgruntime.ops.text import chunk_documents_sql
 
@@ -972,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "length_deciles": _deciles_sql(),
         "pack_sequences": _pack_sql(),
         "hll_distinct_users": _hll_sql(),
+        "doc_rarity_scores": _rarity_sql(),
         "langid_mismatch": _langid_mismatch_sql(),
         "zscore_by_source": _zscore_sql(),
         "chunk_documents": _chunks_sql(),

@@ -1003,3 +1003,78 @@ SELECT d.source, count(*) AS n_docs,
 FROM documents d JOIN pred p ON p.doc_id = d.doc_id
 GROUP BY d.source ORDER BY d.source
 """
+
+
+# --- rarity scoring: a perplexity proxy on exact integers ---
+
+def doc_rarity_scores(docs_ds):
+    """Per-doc mean corpus-frequency of its tokens — the rare-token
+    quality signal (a unigram-perplexity proxy with NO transcendentals:
+    exact integer token counts, one float division at the end, so the
+    result is bit-deterministic and SQL-replayable).
+
+    Scale shape: pass 1 is the wordcount (per-batch polars partials,
+    one ``groupby(word)`` shuffle carrying per-batch-distinct words);
+    the vocabulary ships once via ``ray.put`` and every pass-2 batch
+    does a zero-copy polars join against it (the broadcast-lookup
+    pattern — valid while vocab ≪ worker memory; beyond that, swap the
+    join for ops/join.py:bucketed_hash_join on word).  Output
+    (doc_id, n_tokens, sum_freq, mean_token_freq); docs with no tokens
+    produce no row.
+    """
+    import polars as pl
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = _explode_words(t, with_lang=False) \
+            .group_by("word").agg(pl.len().cast(pl.Int64).alias("cnt"))
+        return g.to_arrow().cast(
+            pa.schema([("word", pa.string()), ("cnt", pa.int64())]))
+
+    vocab = docs_ds.select_columns(["text"]) \
+        .map_batches(count_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("word").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    vocab_ref = ray.put(pa.table({
+        "word": pa.array(vocab["word"], pa.string()),
+        "cnt": pa.array(vocab["cnt"], pa.int64())}))
+
+    def score(t: pa.Table) -> pa.Table:
+        v = pl.from_arrow(ray.get(vocab_ref))
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()),
+            "text": pl.from_arrow(t["text"].combine_chunks()),
+        })
+        ex = df.with_columns(pl.col("text").str.split(" ").alias("word")) \
+            .drop("text").explode("word").filter(pl.col("word") != "")
+        g = ex.join(v, on="word", how="left") \
+            .group_by("doc_id") \
+            .agg(pl.len().cast(pl.Int64).alias("n_tokens"),
+                 pl.col("cnt").sum().cast(pl.Int64).alias("sum_freq"))
+        out = g.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+            ("sum_freq", pa.int64())]))
+        mean = pa.array(
+            [_round6(s / n) for s, n in
+             zip(out["sum_freq"].to_pylist(), out["n_tokens"].to_pylist())],
+            pa.float64())
+        return out.append_column("mean_token_freq", mean)
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOC_RARITY_SQL = """
+WITH tk AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+tk2 AS (SELECT * FROM tk WHERE word <> ''),
+f AS (SELECT word, count(*) AS cnt FROM tk2 GROUP BY word),
+d AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(f.cnt)::BIGINT AS sum_freq
+  FROM tk2 t JOIN f ON f.word = t.word GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, sum_freq,
+       round(sum_freq::DOUBLE / n_tokens::DOUBLE, 6) AS mean_token_freq
+FROM d ORDER BY doc_id
+"""

@@ -678,6 +678,22 @@ def test_langid_mismatch_rollup(ray_session):
     assert out["mismatch_rate"].tolist() == [0.5]
 
 
+def test_doc_rarity_scores_exact(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import doc_rarity_scores
+
+    # freqs: a=3, b=2, c=1 -> doc0 "a b" mean=(3+2)/2, doc1 "a a b c"=(3+3+2+1)/4
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["a b", "a a b c"],
+    }))
+    out = doc_rarity_scores(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["sum_freq"].tolist() == [5, 9]
+    assert out["mean_token_freq"].tolist() == [2.5, 2.25]
+
+
 def test_hll_distinct_accuracy_and_merge_invariance(ray_session):
     import ray.data as rd
 
