@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack,
         "hll_distinct_users": _q_hll,
         "doc_rarity_scores": _q_rarity,
+        "dup_rate_by_source": _q_dup_rate,
         "langid_mismatch": _q_langid_mismatch,
         "zscore_by_source": _q_zscore,
         "chunk_documents": _q_chunks,
@@ -627,6 +628,13 @@ def _q_rarity(sf_dir):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dup_rate(sf_dir):
+    from kgruntime.ops.dedup import dup_rate_by_source
+
+    return dup_rate_by_source(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+
+
 def _q_chunks(sf_dir):
     from kgruntime.ops.text import chunk_documents
 
@@ -904,6 +912,12 @@ def _rarity_sql():
     return DOC_RARITY_SQL
 
 
+def _dup_rate_sql():
+    from kgruntime.ops.dedup import DUP_RATE_BY_SOURCE_SQL
+
+    return DUP_RATE_BY_SOURCE_SQL
+
+
 def _chunks_sql():
     from kgruntime.ops.text import chunk_documents_sql
 
@@ -987,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sql(),
         "hll_distinct_users": _hll_sql(),
         "doc_rarity_scores": _rarity_sql(),
+        "dup_rate_by_source": _dup_rate_sql(),
         "langid_mismatch": _langid_mismatch_sql(),
         "zscore_by_source": _zscore_sql(),
         "chunk_documents": _chunks_sql(),

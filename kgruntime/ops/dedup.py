@@ -923,3 +923,63 @@ def embedding_near_dups_sql(dim: int, threshold: float = 0.95,
         FROM cos WHERE c >= {threshold!r}
         ORDER BY vec_a, vec_b
     """
+
+
+def dup_rate_by_source(docs_ds):
+    """Corpus-health metric: per-source exact-duplicate rate —
+    (source, n_docs, n_distinct, dup_rate).
+
+    Scale shape: per-batch (source, content-hash) dedup, ONE
+    groupby(source, hash) exchange carrying hashes (never text), then a
+    tiny per-source rollup.  Uses the md5-60 primitive so the DuckDB
+    oracle replays the hash exactly; a rate metric tolerates 60-bit
+    collisions (~2^-60 per pair) — collision-SAFE dedup paths
+    (exact_dedup_groups) keep text in the key instead.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        h = [_md5_60(x.encode()) for x in t["text"].to_pylist()]
+        df = pd.DataFrame({"source": src, "h": h})
+        g = df.groupby(["source", "h"], sort=False).size() \
+            .rename("cnt").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import math
+
+        n = t["n_docs"].to_pylist()
+        d = t["n_distinct"].to_pylist()
+        rate = [math.floor((1.0 - (dd / nn)) * 1e6 + 0.5) / 1e6
+                for nn, dd in zip(n, d)]
+        return pa.Table.from_arrays(
+            [t["source"], t["n_docs"], t["n_distinct"],
+             pa.array(rate, pa.float64())],
+            names=["source", "n_docs", "n_distinct", "dup_rate"])
+
+    return docs_ds.select_columns(["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["source", "h"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")) \
+        .groupby("source") \
+        .aggregate(Sum("cnt", alias_name="n_docs"),
+                   Count(alias_name="n_distinct")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+DUP_RATE_BY_SOURCE_SQL = """
+WITH h AS (
+  SELECT source,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+  FROM documents),
+d AS (
+  SELECT source, count(*) AS n_docs,
+         count(DISTINCT hv) AS n_distinct
+  FROM h GROUP BY source)
+SELECT source, n_docs, n_distinct,
+       round(1.0 - (n_distinct / n_docs::DOUBLE), 6) AS dup_rate
+FROM d ORDER BY source
+"""

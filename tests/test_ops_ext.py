@@ -678,6 +678,25 @@ def test_langid_mismatch_rollup(ray_session):
     assert out["mismatch_rate"].tolist() == [0.5]
 
 
+def test_dup_rate_by_source(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import dup_rate_by_source
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "source": ["s1", "s1", "s1", "s2"],
+        "text": ["x", "x", "y", "z"],
+        "lang": ["en"] * 4,
+        "n_chars": pa.array([1] * 4, pa.int64()),
+    }))
+    out = dup_rate_by_source(ds).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    assert out["n_docs"].tolist() == [3, 1]
+    assert out["n_distinct"].tolist() == [2, 1]
+    assert out["dup_rate"].tolist() == [0.333333, 0.0]
+
+
 def test_doc_rarity_scores_exact(ray_session):
     import ray.data as rd
 
@@ -808,3 +827,58 @@ def test_value_deciles_tie_stable(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     # c_lt: 5->0, 7->3, 9->5, 11->6, 13->7, 15->8, 17->9
     assert out["bucket"].tolist() == [0, 0, 0, 3, 3, 5, 6, 7, 8, 9]
+
+
+# --- property tests for the packing / decile / sketch ops ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=9), min_size=1,
+                max_size=40),
+       st.integers(min_value=1, max_value=15))
+def test_pack_sequences_matches_sequential_reference(ray_session, tok_counts,
+                                                     budget):
+    import ray.data as rd
+
+    from kgruntime.ops.shard import pack_sequences
+
+    texts = [" ".join(["w"] * n) for n in tok_counts]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": texts,
+    }))
+    out = pack_sequences(ds, budget=budget, bucket_size=7).to_pandas() \
+        .sort_values("shard_id").reset_index(drop=True)
+    # sequential reference: exclusive prefix sum // budget
+    start, ref = 0, {}
+    for i, n in enumerate(tok_counts):
+        ref.setdefault(start // budget, []).append(i)
+        start += n
+    assert out["shard_id"].tolist() == sorted(ref)
+    for _, row in out.iterrows():
+        docs = ref[row["shard_id"]]
+        assert row["n_docs"] == len(docs)
+        assert row["packed"] == " ".join(texts[i] for i in docs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                max_size=60))
+def test_value_deciles_reference(ray_session, vals):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import value_deciles
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(vals))), pa.int64()),
+        "n_chars": pa.array(vals, pa.int64()),
+    }))
+    out = value_deciles(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    n = len(vals)
+    for v, b in zip(vals, out["bucket"]):
+        c_lt = sum(1 for x in vals if x < v)
+        assert b == (10 * c_lt) // n
