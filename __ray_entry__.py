@@ -318,24 +318,34 @@ def _q_running_totals(sf_dir):
         .sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
+def _pin_cols(df, cols):
+    """Ray 2.49 drops the schema of an all-empty dataset (CLAUDE.md
+    gotcha); pin the expected columns so degenerate corpora sort/compare
+    instead of KeyError-ing."""
+    return df.reindex(columns=cols) if df.empty else df
+
+
 def _q_transitions(sf_dir):
     from kgruntime.ops.sessions import event_transitions
 
-    return event_transitions(_events_ds(sf_dir)).to_pandas() \
+    return _pin_cols(event_transitions(_events_ds(sf_dir)).to_pandas(),
+                     ["from_type", "to_type", "n_pairs"]) \
         .sort_values(["from_type", "to_type"]).reset_index(drop=True)
 
 
 def _q_funnel(sf_dir):
     from kgruntime.ops.sessions import funnel_counts
 
-    return funnel_counts(_events_ds(sf_dir)).to_pandas() \
+    return _pin_cols(funnel_counts(_events_ds(sf_dir)).to_pandas(),
+                     ["stage_idx", "stage", "n_users"]) \
         .sort_values("stage_idx").reset_index(drop=True)
 
 
 def _q_retention(sf_dir):
     from kgruntime.ops.sessions import retention_cohorts
 
-    return retention_cohorts(_events_ds(sf_dir)).to_pandas() \
+    return _pin_cols(retention_cohorts(_events_ds(sf_dir)).to_pandas(),
+                     ["cohort_day", "day_offset", "n_users"]) \
         .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
 
 

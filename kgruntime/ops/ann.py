@@ -36,8 +36,11 @@ def _ids_vector(batch: pa.Table, col: str = "vec_id") -> np.ndarray:
 # Per-worker-process broadcast-state cache (task-pool pattern: the
 # scorer stages need no actor pool — state is one ray.get of the
 # broadcast ref, cached per process, so tasks skip actor startup cost
-# entirely and the streaming executor can use every idle CPU).
+# entirely and the streaming executor can use every idle CPU).  Bounded:
+# each ANN invocation ray.puts fresh state, so long-lived workers would
+# otherwise accumulate one stale entry per invocation.
 _STATE_CACHE: dict = {}
+_STATE_CACHE_MAX = 8
 
 
 def _cached_state(ref, build):
@@ -45,12 +48,20 @@ def _cached_state(ref, build):
     st = _STATE_CACHE.get(key)
     if st is None:
         st = build()
+        while len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+            _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
         _STATE_CACHE[key] = st
     return st
 
 
+_EMPTY_TOPK = pa.table({"query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64())})
+
+
 class BruteForceTopK:
-    """Actor-pool stage: normalized query matrix prepared once per actor."""
+    """Scorer state built once per worker process (task-pool pattern):
+    normalized query matrix prepared in __init__, reused per batch."""
 
     def __init__(self, queries_ref=None, queries: np.ndarray | None = None,
                  query_ids: list[int] | None = None, k: int = 5):
@@ -64,6 +75,8 @@ class BruteForceTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or len(self.query_ids) == 0:
+            return _EMPTY_TOPK
         ids = _ids_vector(batch)
         emb = _emb_matrix(batch)
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
@@ -73,16 +86,12 @@ class BruteForceTopK:
         # local top-k per query (argpartition = O(B)); the global merge
         # re-ranks by (-sim, id), so selection order here is free
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        nq = len(self.query_ids)
         return pa.Table.from_arrays(
             [pa.array(np.repeat(self.query_ids, k), pa.int64()),
              pa.array(ids[part].ravel(), pa.int64()),
              pa.array(np.take_along_axis(sims, part, axis=1).ravel(),
                       pa.float64())],
-            names=["query_id", "neighbor_id", "cosine"]) \
-            if nq else pa.table({"query_id": pa.array([], pa.int64()),
-                                 "neighbor_id": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
+            names=["query_id", "neighbor_id", "cosine"])
 
 
 def _merge_topk(group: pa.Table, k: int) -> pa.Table:
@@ -111,8 +120,7 @@ def _bf_score_batch(batch: pa.Table, ref, k: int) -> pa.Table:
 
 
 def brute_force_topk(emb_ds, queries: np.ndarray, query_ids: list[int],
-                     k: int = 5, exclude_self: bool = True,
-                     concurrency=None):
+                     k: int = 5, exclude_self: bool = True):
     """Top-k cosine neighbors for each query vector.
 
     ``exclude_self`` drops hits where neighbor_id == query_id (the usual
@@ -145,7 +153,7 @@ def _lsh_score_batch(batch: pa.Table, ref, dim: int, n_planes: int,
 
 def lsh_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
              k: int = 5, n_planes: int = 8, n_tables: int = 4,
-             exclude_self: bool = True, concurrency=None):
+             exclude_self: bool = True):
     """Bucketed ANN: score only vectors whose hyperplane signature
     matches a query's bucket in ANY of ``n_tables`` independent tables
     (multi-probe recall recovery: recall ≈ 1-(1-p^k)^L).  Same output
@@ -189,6 +197,8 @@ class _BucketScorer:
         self.lsh = HyperplaneLSH(dim, n_planes, n_tables=n_tables)
 
     def __call__(self, batch: pa.Table, k: int) -> pa.Table:
+        if batch.num_rows == 0 or len(self.query_ids) == 0:
+            return _EMPTY_TOPK
         ids = _ids_vector(batch)
         raw = _emb_matrix(batch)
         # keys from quantized RAW vectors (exact ints, shared with
@@ -210,9 +220,7 @@ class _BucketScorer:
             parts_n.append(sub_ids[sel].ravel())
             parts_s.append(np.take_along_axis(sims, sel, axis=1).ravel())
         if not parts_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+            return _EMPTY_TOPK
         return pa.Table.from_arrays(
             [pa.array(np.concatenate(parts_q), pa.int64()),
              pa.array(np.concatenate(parts_n), pa.int64()),
@@ -278,7 +286,7 @@ def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
 def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
              k: int = 5, n_centroids: int = 16, n_probe: int = 4,
              sample_mod: int = 7, train_size: int = 4096,
-             exclude_self: bool = True, concurrency=(2, 8)):
+             exclude_self: bool = True):
     """IVF ANN: a coarse quantizer (spherical k-means over a
     deterministic hash-sample of the corpus) splits vectors into
     ``n_centroids`` inverted lists; each query scans only its
@@ -320,6 +328,8 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
                 ray.get(r if r is not None else ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or len(self.query_ids) == 0:
+                return _EMPTY_TOPK
             ids = _ids_vector(batch)
             emb = _emb_matrix(batch)
             emb = emb / np.maximum(
@@ -342,9 +352,7 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
                 parts_n.append(sub_ids[sel].ravel())
                 parts_s.append(np.take_along_axis(sims, sel, axis=1).ravel())
             if not parts_q:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "neighbor_id": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
+                return _EMPTY_TOPK
             return pa.Table.from_arrays(
                 [pa.array(np.concatenate(parts_q), pa.int64()),
                  pa.array(np.concatenate(parts_n), pa.int64()),

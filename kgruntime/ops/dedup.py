@@ -948,12 +948,11 @@ def dup_rate_by_source(docs_ds):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def finish(t: pa.Table) -> pa.Table:
-        import math
+        from .text import _round6
 
         n = t["n_docs"].to_pylist()
         d = t["n_distinct"].to_pylist()
-        rate = [math.floor((1.0 - (dd / nn)) * 1e6 + 0.5) / 1e6
-                for nn, dd in zip(n, d)]
+        rate = [_round6(1.0 - (dd / nn)) for nn, dd in zip(n, d)]
         return pa.Table.from_arrays(
             [t["source"], t["n_docs"], t["n_distinct"],
              pa.array(rate, pa.float64())],

@@ -46,6 +46,35 @@ def token_counts(batch: pa.Table, bucket_size: int) -> pa.Table:
         names=["doc_id", "n_tokens", "bucket"])
 
 
+def _bucket_offsets(tok_ds):
+    """Phase 1 of the prefix scan, shared by token_budget_shards and
+    pack_sequences: per-bucket token totals → exclusive prefix offsets,
+    broadcast once (one int per bucket).  Returns the ray.put ref."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    sums = tok_ds.select_columns(["bucket", "n_tokens"]) \
+        .groupby("bucket").aggregate(
+            Sum("n_tokens", alias_name="bucket_tokens")).to_pandas()
+    sums = sums.sort_values("bucket").reset_index(drop=True)
+    totals = sums["bucket_tokens"].to_numpy(np.int64)
+    offsets = dict(zip(
+        sums["bucket"].to_numpy(np.int64).tolist(),
+        np.concatenate([[0], np.cumsum(totals)[:-1]]).tolist()))
+    return ray.put(offsets)
+
+
+def _bucket_starts(df, off_ref, budget):
+    """Phase 2 core: within one sorted bucket group, exclusive token
+    prefix + broadcast bucket offset → shard ids (exact ints)."""
+    import ray
+
+    off = ray.get(off_ref)[int(df["bucket"].iloc[0])]
+    df = df.sort_values("doc_id", kind="mergesort")
+    start = off + df["n_tokens"].cumsum() - df["n_tokens"]
+    return df, (start // budget).astype(np.int64)
+
+
 def token_budget_shards(docs_ds, budget: int = 2000,
                         bucket_size: int = 4096):
     """Assign each doc to the shard containing its global token start
@@ -55,32 +84,17 @@ def token_budget_shards(docs_ds, budget: int = 2000,
     Returns a Dataset of (doc_id, n_tokens, shard_id).  Mirrors the
     ``sum(...) OVER (ORDER BY doc_id)`` window oracle exactly.
     """
-    import ray
-
-    from ray.data.aggregate import Sum
-
     tok = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         token_counts, fn_kwargs={"bucket_size": bucket_size},
         batch_format="pyarrow", zero_copy_batch=True)
-
-    # phase 1: per-bucket totals (tiny — one row per 4096 docs)
-    sums = tok.groupby("bucket").aggregate(
-        Sum("n_tokens", alias_name="bucket_tokens")).to_pandas()
-    sums = sums.sort_values("bucket").reset_index(drop=True)
-    totals = sums["bucket_tokens"].to_numpy(np.int64)
-    offsets = dict(zip(
-        sums["bucket"].to_numpy(np.int64).tolist(),
-        np.concatenate([[0], np.cumsum(totals)[:-1]]).tolist()))
-    off_ref = ray.put(offsets)
+    off_ref = _bucket_offsets(tok)
 
     # phase 2: finish each bucket locally (≤ bucket_size rows per group)
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(off_ref)[int(df["bucket"].iloc[0])]
-        df = df.sort_values("doc_id", kind="mergesort")
-        start = off + df["n_tokens"].cumsum() - df["n_tokens"]
-        df = df[["doc_id", "n_tokens"]].copy()
-        df["shard_id"] = (start // budget).astype(np.int64)
-        return df
+        df, shard = _bucket_starts(df, off_ref, budget)
+        out = df[["doc_id", "n_tokens"]].copy()
+        out["shard_id"] = shard
+        return out
 
     return tok.groupby("bucket").map_groups(finish, batch_format="pandas")
 
@@ -116,29 +130,15 @@ def pack_sequences(docs_ds, budget: int = 2000, bucket_size: int = 4096,
     inherent to packing; the first could be traded for a doc_id join
     at the cost of an extra shuffle of the same bytes.
     """
-    import ray
-    from ray.data.aggregate import Sum
-
     tok = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         token_counts_with_text, fn_kwargs={"bucket_size": bucket_size},
         batch_format="pyarrow", zero_copy_batch=True)
-
-    sums = tok.select_columns(["bucket", "n_tokens"]) \
-        .groupby("bucket").aggregate(
-            Sum("n_tokens", alias_name="bucket_tokens")).to_pandas()
-    sums = sums.sort_values("bucket").reset_index(drop=True)
-    totals = sums["bucket_tokens"].to_numpy(np.int64)
-    offsets = dict(zip(
-        sums["bucket"].to_numpy(np.int64).tolist(),
-        np.concatenate([[0], np.cumsum(totals)[:-1]]).tolist()))
-    off_ref = ray.put(offsets)
+    off_ref = _bucket_offsets(tok)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(off_ref)[int(df["bucket"].iloc[0])]
-        df = df.sort_values("doc_id", kind="mergesort")
-        start = off + df["n_tokens"].cumsum() - df["n_tokens"]
+        df, shard = _bucket_starts(df, off_ref, budget)
         out = df[["doc_id", "text", "n_tokens"]].copy()
-        out["shard_id"] = (start // budget).astype(np.int64)
+        out["shard_id"] = shard
         return out
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:

@@ -292,11 +292,15 @@ def zscore_by_source(ds, key: str = "source", value_col: str = "n_chars",
 
     scale = 10.0 ** digits
 
+    mean_map = {k: v[0] for k, v in stats.items()}
+    std_map = {k: v[1] for k, v in stats.items()}
+
     def normalize(t: pa.Table) -> pa.Table:
         keys = t[key].to_pandas()
         x = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        mean = keys.map(lambda s: stats[s][0]).to_numpy(np.float64)
-        std = keys.map(lambda s: stats[s][1]).to_numpy(np.float64)
+        # .map(dict) is the C-speed pandas path — no per-row lambda
+        mean = keys.map(mean_map).to_numpy(np.float64)
+        std = keys.map(std_map).to_numpy(np.float64)
         z = np.where(std > 0.0, (x - mean) / np.where(std == 0.0, 1.0, std),
                      0.0)
         z = np.copysign(np.floor(np.abs(z) * scale + 0.5), z) / scale

@@ -208,7 +208,7 @@ def fingerprints(batch: pa.Table) -> pa.Table:
 # tokens of [a-zà-ÿ]+ over lower(text), each with its char trigrams),
 # per-language intersection sizes against the inlined profiles, and the
 # same first-max-in-profile-order tie-break ('und' when all scores are 0).
-def _langid_sql() -> str:
+def _langid_sql(order_by: bool = True) -> str:
     score_cols, cases = [], []
     for lang, prof in _LANG_PROFILES.items():
         lst = "[" + ", ".join(f"'{w}'" for w in prof.split()) + "]"
@@ -229,7 +229,7 @@ m AS (SELECT *, greatest({', '.join('s_' + l for l in _LANG_PROFILES)}) AS m
       FROM s)
 SELECT doc_id,
        CASE WHEN m = 0 THEN 'und' {' '.join(cases)} END AS pred_lang
-FROM m ORDER BY doc_id
+FROM m{" ORDER BY doc_id" if order_by else ""}
 """
 
 
@@ -991,9 +991,10 @@ def langid_mismatch_by_source(docs_ds):
 
 
 def langid_mismatch_sql() -> str:
-    """DuckDB oracle: the LANGID_SQL prediction CTE joined back to the
-    declared lang, rolled up per source with the identical round."""
-    pred = LANGID_SQL.replace("ORDER BY doc_id", "")
+    """DuckDB oracle: the langid prediction query (emitted without its
+    ORDER BY via _langid_sql(order_by=False) — no string surgery) joined
+    back to the declared lang, rolled up per source."""
+    pred = _langid_sql(order_by=False)
     return f"""
 WITH pred AS ({pred})
 SELECT d.source, count(*) AS n_docs,

@@ -882,3 +882,24 @@ def test_value_deciles_reference(ray_session, vals):
     for v, b in zip(vals, out["bucket"]):
         c_lt = sum(1 for x in vals if x < v)
         assert b == (10 * c_lt) // n
+
+
+def test_event_query_wrappers_survive_empty_corpus(ray_session, tmp_path):
+    """Ray 2.49 drops schemas of all-empty datasets; the driver-gate
+    wrappers pin their columns so a degenerate corpus returns an empty
+    frame instead of KeyError."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string()),
+    }), tmp_path / "events.parquet")
+    for fn in (E._q_transitions, E._q_funnel, E._q_retention):
+        out = fn(str(tmp_path))
+        assert len(out) == 0, fn.__name__
