@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate,
         "langid_mismatch": _q_langid_mismatch,
         "zscore_by_source": _q_zscore,
+        "event_anomalies": _q_anomalies,
         "chunk_documents": _q_chunks,
         "bigram_counts": _q_bigrams,
         "simhash_near_dups": _q_simhash,
@@ -625,6 +626,14 @@ def _q_zscore(sf_dir):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_anomalies(sf_dir):
+    from kgruntime.ops.stats import event_anomalies
+
+    return _pin_cols(event_anomalies(_events_ds(sf_dir)).to_pandas(),
+                     ["event_id", "event_type", "value", "zscore"]) \
+        .sort_values("event_id").reset_index(drop=True)
+
+
 def _q_hll(sf_dir):
     from kgruntime.ops.sketch import hll_distinct
 
@@ -910,6 +919,12 @@ def _zscore_sql():
     return zscore_by_source_sql()
 
 
+def _anomalies_sql():
+    from kgruntime.ops.stats import event_anomalies_sql
+
+    return event_anomalies_sql()
+
+
 def _hll_sql():
     from kgruntime.ops.sketch import hll_distinct_sql
 
@@ -1014,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_rate_by_source": _dup_rate_sql(),
         "langid_mismatch": _langid_mismatch_sql(),
         "zscore_by_source": _zscore_sql(),
+        "event_anomalies": _anomalies_sql(),
         "chunk_documents": _chunks_sql(),
         "bigram_counts": _bigrams_sql(),
         "simhash_near_dups": _simhash_sql(),

@@ -332,3 +332,90 @@ SELECT d.{id_col}, d.{key}, d.{value_col},
 FROM {table} d JOIN s ON s.k = d.{key}
 ORDER BY d.{id_col}
 """
+
+
+def event_anomalies(events_ds, key: str = "event_type",
+                    value_col: str = "value", digits: int = 6,
+                    threshold: float = 3.0):
+    """Per-key outlier detection: events whose value sits more than
+    ``threshold`` sample standard deviations from the key mean —
+    (event_id, key, value, zscore).  The monitoring shape: tiny exact
+    stats pass, then a streamed filter that only materializes the
+    anomalies.
+
+    Same exact-sufficient-stats contract as ``zscore_by_source`` but on
+    fixed-point cents (the value column is float money): both sides
+    compute z from identical integers, so the flag boundary is
+    bit-deterministic.
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t[value_col], 100.0)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({key: t[key].to_pandas(), "x": c, "xx": c * c})
+        g = df.groupby(key, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = events_ds.select_columns([key, value_col]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096,
+                     zero_copy_batch=True).to_pandas()
+    mean_map, std_map = {}, {}
+    for k, g in parts.groupby(key, sort=True):
+        n = int(g["n"].astype(object).sum())
+        sx = int(g["sx"].astype(object).sum())
+        sxx = int(g["sxx"].astype(object).sum())
+        mean_map[k] = float(sx) / float(n)
+        std_map[k] = np.sqrt(float(n * sxx - sx * sx) / float(n * (n - 1))) \
+            if n > 1 and (n * sxx - sx * sx) > 0 else 0.0
+
+    scale = 10.0 ** digits
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys = t[key].to_pandas()
+        c = pc.cast(pc.round(pc.multiply(t[value_col], 100.0)), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = keys.map(mean_map).to_numpy(np.float64)
+        std = keys.map(std_map).to_numpy(np.float64)
+        z = np.where(std > 0.0, (c - mean) / np.where(std == 0.0, 1.0, std),
+                     0.0)
+        keep = np.abs(z) > threshold
+        z = np.copysign(np.floor(np.abs(z) * scale + 0.5), z) / scale
+        out = pa.Table.from_arrays(
+            [t["event_id"], t[key], t[value_col],
+             pa.array(z, pa.float64())],
+            names=["event_id", key, value_col, "zscore"])
+        return out.filter(pa.array(keep))
+
+    return events_ds.select_columns(["event_id", key, value_col]) \
+        .map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def event_anomalies_sql(key: str = "event_type", value_col: str = "value",
+                        digits: int = 6, threshold: float = 3.0,
+                        table: str = "events") -> str:
+    """DuckDB oracle: identical cents sufficient stats (HUGEINT sums),
+    identical IEEE z formula, filter BEFORE rounding like the op."""
+    return f"""
+WITH c AS (
+  SELECT event_id, {key} AS k, {value_col} AS v,
+         CAST(round({value_col} * 100) AS BIGINT) AS cents
+  FROM {table}),
+s AS (
+  SELECT k, count(*) AS n, sum(cents::HUGEINT) AS sx,
+         sum((cents::HUGEINT) * (cents::HUGEINT)) AS sxx
+  FROM c GROUP BY k),
+z AS (
+  SELECT c.event_id, c.k, c.v,
+         CASE WHEN s.n > 1 AND (s.n * s.sxx - s.sx * s.sx) > 0
+              THEN (c.cents - (s.sx::DOUBLE / s.n::DOUBLE))
+                   / sqrt((s.n * s.sxx - s.sx * s.sx)::DOUBLE
+                          / (s.n * (s.n - 1))::DOUBLE)
+              ELSE 0.0 END AS zraw
+  FROM c JOIN s ON s.k = c.k)
+SELECT event_id, k AS {key}, v AS {value_col},
+       round(zraw, {digits}) AS zscore
+FROM z WHERE abs(zraw) > {threshold}
+ORDER BY event_id
+"""

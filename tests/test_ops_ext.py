@@ -903,3 +903,19 @@ def test_event_query_wrappers_survive_empty_corpus(ray_session, tmp_path):
     for fn in (E._q_transitions, E._q_funnel, E._q_retention):
         out = fn(str(tmp_path))
         assert len(out) == 0, fn.__name__
+
+
+def test_event_anomalies_flags_outlier(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import event_anomalies
+
+    vals = [10.0] * 20 + [11.0] * 20 + [500.0]   # one wild outlier
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array(list(range(len(vals))), pa.int64()),
+        "event_type": ["x"] * len(vals),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    out = event_anomalies(ds).to_pandas()
+    assert out["event_id"].tolist() == [40]
+    assert out["zscore"].iloc[0] > 3.0
