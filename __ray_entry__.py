@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
+        "media_frame_features": _q_media_frame_features,
     }
     return q
 
@@ -722,6 +723,34 @@ def _q_media_frames(sf_dir):
 
     refs = [f"media://doc-{i:06d}/0" for i in range(100)]
     return sample_frames(rd.from_arrow(synth_media_table(refs)))
+
+
+def _q_media_frame_features(sf_dir):
+    """Composed media pipeline: video → sampled frames → per-frame
+    features (1-row-in-N-rows-out stage chained into the decode pool) —
+    the multi-stage media shape; rows-only (codec kernels stubbed)."""
+    import ray.data as rd
+
+    from kgruntime.ops.media import (MediaDecoder, sample_frames,
+                                     synth_media_table)
+
+    refs = [f"media://doc-{i:06d}/0" for i in range(100)]
+    frames = sample_frames(rd.from_arrow(synth_media_table(refs)))
+
+    def featurize(t):
+        import pyarrow as pa
+
+        dec = MediaDecoder(feat_dim=8)
+        feats = [dec._decode(p, "image")
+                 for p in t["frame_payload"].to_pylist()]
+        return pa.Table.from_arrays(
+            [t["media_ref"], t["frame_index"],
+             pa.array([f.tolist() for f in feats],
+                      pa.list_(pa.float32()))],
+            names=["media_ref", "frame_index", "features"])
+
+    return frames.map_batches(featurize, batch_format="pyarrow",
+                              batch_size=32)
 
 
 def _q_media_resize(sf_dir):
