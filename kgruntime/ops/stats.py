@@ -210,11 +210,12 @@ def value_deciles(ds, value_col: str = "n_chars", id_col: str = "doc_id",
     ``n_buckets · |{rows with value < v}| // N`` — a tie-stable,
     integer-exact definition every row with the same value shares.
 
-    Scale shape: ONE native value-histogram groupby (shuffle bounded by
-    |distinct values|, not corpus size), tiny driver cum-sum to map
-    value → bucket, then a broadcast vectorized assign (searchsorted per
-    batch) — the corpus itself streams through exactly once and is
-    never materialized.  Output: (id, value, bucket).
+    Scale shape: two streamed passes, nothing materialized — pass 1 is
+    a native value-histogram groupby (shuffle bounded by |distinct
+    values|, not corpus size) plus a tiny driver cum-sum mapping
+    value → bucket; pass 2 re-streams the corpus through a broadcast
+    vectorized assign (searchsorted per batch).  Output:
+    (id, value, bucket).
     """
     hist = ds.groupby(value_col).count().to_pandas() \
         .sort_values(value_col)
