@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll,
         "doc_rarity_scores": _q_rarity,
         "dup_rate_by_source": _q_dup_rate,
+        "prefix_overlap_pairs": _q_prefix_overlap,
         "langid_mismatch": _q_langid_mismatch,
         "zscore_by_source": _q_zscore,
         "event_anomalies": _q_anomalies,
@@ -655,6 +656,12 @@ def _q_dup_rate(sf_dir):
         .sort_values("source").reset_index(drop=True)
 
 
+def _q_prefix_overlap(sf_dir):
+    from kgruntime.ops.dedup import sorted_neighbor_overlap
+
+    return sorted_neighbor_overlap(_docs_ds(sf_dir), min_prefix=10)
+
+
 def _q_chunks(sf_dir):
     from kgruntime.ops.text import chunk_documents
 
@@ -972,6 +979,12 @@ def _dup_rate_sql():
     return DUP_RATE_BY_SOURCE_SQL
 
 
+def _prefix_overlap_sql():
+    from kgruntime.ops.dedup import sorted_neighbor_overlap_sql
+
+    return sorted_neighbor_overlap_sql(min_prefix=10)
+
+
 def _chunks_sql():
     from kgruntime.ops.text import chunk_documents_sql
 
@@ -1056,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": _hll_sql(),
         "doc_rarity_scores": _rarity_sql(),
         "dup_rate_by_source": _dup_rate_sql(),
+        "prefix_overlap_pairs": _prefix_overlap_sql(),
         "langid_mismatch": _langid_mismatch_sql(),
         "zscore_by_source": _zscore_sql(),
         "event_anomalies": _anomalies_sql(),

@@ -982,3 +982,105 @@ SELECT source, n_docs, n_distinct,
        round(1.0 - (n_distinct / n_docs::DOUBLE), 6) AS dup_rate
 FROM d ORDER BY source
 """
+
+
+def sorted_neighbor_overlap(docs_ds, min_prefix: int = 20):
+    """Prefix-overlap pairs from ONE distributed lexicographic sort —
+    the truncation-duplicate detector: adjacent docs in (text, doc_id)
+    order sharing a common prefix of ≥ ``min_prefix`` chars.  Returns
+    (doc_a, doc_b, common_prefix_len), mirroring a lead()-window oracle.
+
+    The distributed sorted-adjacency shape: after ``Dataset.sort`` the
+    batches are contiguous global ranges, so each batch emits its
+    internal adjacent pairs locally and only its FIRST and LAST rows
+    (2 rows × num_batches, the only driver-side data) travel to the
+    driver, where re-sorting the boundary rows reconstructs exactly the
+    cross-batch adjacent pairs.  Result is independent of block
+    boundaries / parallelism.
+    """
+    import os
+
+    import pandas as pd
+
+    def _cpl(a: str, b: str) -> int:
+        return len(os.path.commonprefix((a, b)))
+
+    # kind: 0 = internal pair row; boundary rows carry a first/last
+    # bitmask (1 = first-of-batch, 2 = last-of-batch, 3 = both)
+    def block_pairs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        rows_a, rows_b, cpl = [], [], []
+        for i in range(len(ids) - 1):
+            c = _cpl(texts[i], texts[i + 1])
+            if c >= min_prefix:
+                rows_a.append(ids[i]); rows_b.append(ids[i + 1])
+                cpl.append(c)
+        if len(ids) == 0:
+            bnd_idx, bnd_kind = [], []
+        elif len(ids) == 1:
+            bnd_idx, bnd_kind = [0], [3]
+        else:
+            bnd_idx, bnd_kind = [0, len(ids) - 1], [1, 2]
+        return pa.Table.from_arrays(
+            [pa.array(rows_a + [ids[i] for i in bnd_idx], pa.int64()),
+             pa.array(rows_b + [-1] * len(bnd_idx), pa.int64()),
+             pa.array(cpl + [-1] * len(bnd_idx), pa.int64()),
+             pa.array([""] * len(rows_a) + [texts[i] for i in bnd_idx],
+                      pa.string()),
+             pa.array([0] * len(rows_a) + bnd_kind, pa.int8())],
+            names=["doc_a", "doc_b", "common_prefix_len", "text", "kind"])
+
+    mixed = docs_ds.select_columns(["doc_id", "text"]) \
+        .sort(["text", "doc_id"]) \
+        .map_batches(block_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas()
+    pairs = mixed[mixed["kind"] == 0][
+        ["doc_a", "doc_b", "common_prefix_len"]]
+    bnd = mixed[mixed["kind"] > 0].sort_values(
+        ["text", "doc_a"], kind="mergesort").reset_index(drop=True)
+    extra = []
+    for i in range(len(bnd) - 1):
+        a, b = bnd.iloc[i], bnd.iloc[i + 1]
+        # only stitch (last-of-batch-i, first-of-batch-i+1): a batch's
+        # own first/last are NOT globally adjacent (its interior rows
+        # sit between them) and its internal pairs are already emitted
+        if not (int(a["kind"]) & 2 and int(b["kind"]) & 1):
+            continue
+        c = _cpl(a["text"], b["text"])
+        if c >= min_prefix:
+            extra.append({"doc_a": int(a["doc_a"]),
+                          "doc_b": int(b["doc_a"]),
+                          "common_prefix_len": c})
+    out = pd.concat([pairs, pd.DataFrame(
+        extra, columns=["doc_a", "doc_b", "common_prefix_len"])],
+        ignore_index=True)
+    out = out.drop_duplicates(["doc_a", "doc_b"])
+    return out.astype({"doc_a": "int64", "doc_b": "int64",
+                       "common_prefix_len": "int64"}) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def sorted_neighbor_overlap_sql(min_prefix: int = 20,
+                                table: str = "documents") -> str:
+    """DuckDB oracle: the identical lead()-window over (text, doc_id)
+    with a list-comprehension common-prefix length."""
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         lead(doc_id) OVER w AS nid, lead(text) OVER w AS ntext
+  FROM {table} WINDOW w AS (ORDER BY text, doc_id)),
+p AS (
+  SELECT doc_id AS doc_a, nid AS doc_b,
+         -- list_position yields 0 (not NULL) when no mismatch exists,
+         -- i.e. one text is a full prefix of the other: nullif maps
+         -- that to the shorter length
+         coalesce(nullif(list_position(list_transform(
+             range(1, least(length(text), length(ntext)) + 1),
+             i -> substr(text, i, 1) != substr(ntext, i, 1)), true), 0) - 1,
+           least(length(text), length(ntext))) AS common_prefix_len
+  FROM s WHERE nid IS NOT NULL)
+SELECT doc_a, doc_b, common_prefix_len::BIGINT AS common_prefix_len
+FROM p WHERE common_prefix_len >= {min_prefix}
+ORDER BY doc_a, doc_b
+"""

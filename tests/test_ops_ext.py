@@ -919,3 +919,24 @@ def test_event_anomalies_flags_outlier(ray_session):
     out = event_anomalies(ds).to_pandas()
     assert out["event_id"].tolist() == [40]
     assert out["zscore"].iloc[0] > 3.0
+
+
+def test_sorted_neighbor_overlap_boundaries_and_prefixes(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import sorted_neighbor_overlap
+
+    # "alpha beta gamma" run: d0 is a strict prefix of d1 (truncation
+    # dup); d2 diverges after 12 chars; d3/d4 unrelated
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": ["alpha beta gamma",
+                 "alpha beta gamma delta",
+                 "alpha beta zzz",
+                 "omega psi",
+                 "zulu"],
+    })).repartition(4)   # force multi-block sort -> boundary stitching
+    out = sorted_neighbor_overlap(ds, min_prefix=10)
+    got = {(a, b): c for a, b, c in
+           zip(out["doc_a"], out["doc_b"], out["common_prefix_len"])}
+    assert got == {(0, 1): 16, (1, 2): 11}
