@@ -659,7 +659,10 @@ def _q_dup_rate(sf_dir):
 def _q_prefix_overlap(sf_dir):
     from kgruntime.ops.dedup import sorted_neighbor_overlap
 
-    return sorted_neighbor_overlap(_docs_ds(sf_dir), min_prefix=10)
+    return _pin_cols(
+        sorted_neighbor_overlap(_docs_ds(sf_dir), min_prefix=10).to_pandas(),
+        ["doc_a", "doc_b", "common_prefix_len"]) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def _q_chunks(sf_dir):

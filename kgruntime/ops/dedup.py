@@ -1000,8 +1000,6 @@ def sorted_neighbor_overlap(docs_ds, min_prefix: int = 20):
     """
     import os
 
-    import pandas as pd
-
     def _cpl(a: str, b: str) -> int:
         return len(os.path.commonprefix((a, b)))
 
@@ -1031,13 +1029,17 @@ def sorted_neighbor_overlap(docs_ds, min_prefix: int = 20):
              pa.array([0] * len(rows_a) + bnd_kind, pa.int8())],
             names=["doc_a", "doc_b", "common_prefix_len", "text", "kind"])
 
+    # The mixed stream holds ONLY pair rows + 2 boundary rows per batch
+    # (never the corpus) — materializing it lets both consumers below
+    # run without re-executing the sort, and keeps the driver-side data
+    # to the boundary rows alone; the pair set itself stays distributed.
+    import ray.data as rd
+
     mixed = docs_ds.select_columns(["doc_id", "text"]) \
         .sort(["text", "doc_id"]) \
         .map_batches(block_pairs, batch_format="pyarrow",
-                     zero_copy_batch=True).to_pandas()
-    pairs = mixed[mixed["kind"] == 0][
-        ["doc_a", "doc_b", "common_prefix_len"]]
-    bnd = mixed[mixed["kind"] > 0].sort_values(
+                     zero_copy_batch=True).materialize()
+    bnd = mixed.filter(expr="kind > 0").to_pandas().sort_values(
         ["text", "doc_a"], kind="mergesort").reset_index(drop=True)
     extra = []
     for i in range(len(bnd) - 1):
@@ -1052,13 +1054,14 @@ def sorted_neighbor_overlap(docs_ds, min_prefix: int = 20):
             extra.append({"doc_a": int(a["doc_a"]),
                           "doc_b": int(b["doc_a"]),
                           "common_prefix_len": c})
-    out = pd.concat([pairs, pd.DataFrame(
-        extra, columns=["doc_a", "doc_b", "common_prefix_len"])],
-        ignore_index=True)
-    out = out.drop_duplicates(["doc_a", "doc_b"])
-    return out.astype({"doc_a": "int64", "doc_b": "int64",
-                       "common_prefix_len": "int64"}) \
-        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pairs = mixed.filter(expr="kind == 0") \
+        .select_columns(["doc_a", "doc_b", "common_prefix_len"])
+    if extra:
+        extra_t = pa.Table.from_pylist(extra).cast(pa.schema([
+            ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+            ("common_prefix_len", pa.int64())]))
+        pairs = pairs.union(rd.from_arrow(extra_t))
+    return pairs
 
 
 def sorted_neighbor_overlap_sql(min_prefix: int = 20,

@@ -936,7 +936,7 @@ def test_sorted_neighbor_overlap_boundaries_and_prefixes(ray_session):
                  "omega psi",
                  "zulu"],
     })).repartition(4)   # force multi-block sort -> boundary stitching
-    out = sorted_neighbor_overlap(ds, min_prefix=10)
+    out = sorted_neighbor_overlap(ds, min_prefix=10).to_pandas()
     got = {(a, b): c for a, b, c in
            zip(out["doc_a"], out["doc_b"], out["common_prefix_len"])}
     assert got == {(0, 1): 16, (1, 2): 11}
