@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity_scores": _q_rarity,
         "dup_rate_by_source": _q_dup_rate,
         "prefix_overlap_pairs": _q_prefix_overlap,
+        "suffix_overlap_pairs": _q_suffix_overlap,
         "langid_mismatch": _q_langid_mismatch,
         "zscore_by_source": _q_zscore,
         "event_anomalies": _q_anomalies,
@@ -665,6 +666,15 @@ def _q_prefix_overlap(sf_dir):
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_suffix_overlap(sf_dir):
+    from kgruntime.ops.dedup import suffix_overlap_pairs
+
+    return _pin_cols(
+        suffix_overlap_pairs(_docs_ds(sf_dir), min_suffix=10).to_pandas(),
+        ["doc_a", "doc_b", "common_prefix_len"]) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def _q_chunks(sf_dir):
     from kgruntime.ops.text import chunk_documents
 
@@ -988,6 +998,13 @@ def _prefix_overlap_sql():
     return sorted_neighbor_overlap_sql(min_prefix=10)
 
 
+def _suffix_overlap_sql():
+    from kgruntime.ops.dedup import sorted_neighbor_overlap_sql
+
+    return sorted_neighbor_overlap_sql(min_prefix=10,
+                                       text_expr="reverse(text)")
+
+
 def _chunks_sql():
     from kgruntime.ops.text import chunk_documents_sql
 
@@ -1073,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rarity_scores": _rarity_sql(),
         "dup_rate_by_source": _dup_rate_sql(),
         "prefix_overlap_pairs": _prefix_overlap_sql(),
+        "suffix_overlap_pairs": _suffix_overlap_sql(),
         "langid_mismatch": _langid_mismatch_sql(),
         "zscore_by_source": _zscore_sql(),
         "event_anomalies": _anomalies_sql(),

@@ -1064,15 +1064,36 @@ def sorted_neighbor_overlap(docs_ds, min_prefix: int = 20):
     return pairs
 
 
+def suffix_overlap_pairs(docs_ds, min_suffix: int = 10):
+    """Suffix-overlap pairs (footer / suffix-truncation duplicates):
+    the same sorted-adjacency machinery run on the codepoint-reversed
+    text, so a shared suffix becomes a shared prefix.  Returns
+    (doc_a, doc_b, common_prefix_len) where the length counts the
+    common SUFFIX of the original texts."""
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["doc_id"],
+             pa.array([x[::-1] for x in t["text"].to_pylist()],
+                      pa.string())],
+            names=["doc_id", "text"])
+
+    return sorted_neighbor_overlap(
+        docs_ds.select_columns(["doc_id", "text"]).map_batches(
+            rev, batch_format="pyarrow", zero_copy_batch=True),
+        min_prefix=min_suffix)
+
+
 def sorted_neighbor_overlap_sql(min_prefix: int = 20,
-                                table: str = "documents") -> str:
+                                table: str = "documents",
+                                text_expr: str = "text") -> str:
     """DuckDB oracle: the identical lead()-window over (text, doc_id)
-    with a list-comprehension common-prefix length."""
+    with a list-comprehension common-prefix length.  ``text_expr``
+    lets the suffix variant order by reverse(text)."""
     return f"""
 WITH s AS (
-  SELECT doc_id, text,
-         lead(doc_id) OVER w AS nid, lead(text) OVER w AS ntext
-  FROM {table} WINDOW w AS (ORDER BY text, doc_id)),
+  SELECT doc_id, {text_expr} AS text,
+         lead(doc_id) OVER w AS nid, lead({text_expr}) OVER w AS ntext
+  FROM {table} WINDOW w AS (ORDER BY {text_expr}, doc_id)),
 p AS (
   SELECT doc_id AS doc_a, nid AS doc_b,
          -- list_position yields 0 (not NULL) when no mismatch exists,
