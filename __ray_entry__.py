@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_transitions,
         "funnel_counts": _q_funnel,
         "retention_cohorts": _q_retention,
+        "cooccurrence_edges": _q_cooccur,
         # similarity search (SQL-backed baseline)
         "ann_topk": _q_ann_topk,
         "label_centroids": _q_label_centroids,
@@ -351,6 +352,14 @@ def _q_retention(sf_dir):
     return _pin_cols(retention_cohorts(_events_ds(sf_dir)).to_pandas(),
                      ["cohort_day", "day_offset", "n_users"]) \
         .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+def _q_cooccur(sf_dir):
+    from kgruntime.ops.sessions import cooccurrence_edges
+
+    return _pin_cols(cooccurrence_edges(_events_ds(sf_dir)).to_pandas(),
+                     ["user_a", "user_b", "n_shared"]) \
+        .sort_values(["user_a", "user_b"]).reset_index(drop=True)
 
 
 _ANN_N_QUERIES = 10
@@ -838,6 +847,12 @@ def _retention_sql():
     return RETENTION_COHORTS_SQL
 
 
+def _cooccur_sql():
+    from kgruntime.ops.sessions import cooccurrence_edges_sql
+
+    return cooccurrence_edges_sql()
+
+
 def _term_freqs_sql():
     from kgruntime.ops.text import TERM_FREQUENCIES_SQL
 
@@ -1154,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _transitions_sql(),
         "funnel_counts": _funnel_sql(),
         "retention_cohorts": _retention_sql(),
+        "cooccurrence_edges": _cooccur_sql(),
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang

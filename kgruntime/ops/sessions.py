@@ -418,15 +418,17 @@ def retention_cohorts(events_ds):
             names=["user_id", "day_idx"])
         return out.group_by(["user_id", "day_idx"]).aggregate([])
 
-    def _cohort_group(g: pd.DataFrame) -> pd.DataFrame:
+    def _cohort_group(g: pd.DataFrame):
         import numpy as np
 
-        # the batch-level dedup is per-block only; finish it per user
+        # the batch-level dedup is per-block only; finish it per user.
+        # Return ARROW: this feeds the (cohort, offset) groupby, and
+        # Ray's sort/aggregate over pandas blocks is ~20x slower.
         days = np.unique(g["day_idx"].to_numpy("int64"))
         cohort = int(days.min())
-        return pd.DataFrame({
-            "cohort_day": cohort,
-            "day_offset": days - cohort,
+        return pa.table({
+            "cohort_day": pa.array(np.full(len(days), cohort), pa.int64()),
+            "day_offset": pa.array(days - cohort, pa.int64()),
         })
 
     return events_ds.select_columns(["user_id", "ts"]) \
@@ -449,4 +451,127 @@ SELECT cohort_day, day_idx - cohort_day AS day_offset,
        count(*) AS n_users
 FROM c GROUP BY cohort_day, day_offset
 ORDER BY cohort_day, day_offset
+"""
+
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def cooccurrence_edges(events_ds, cap: int = 200):
+    """Co-occurrence edge construction — the log→graph shape: user
+    pairs active in the same (event_type, hour) bucket, with shared-
+    bucket counts.  Output (user_a, user_b, n_shared), user_a < user_b.
+
+    Scale shape: per-batch (bucket, user) dedup shrinks the exchange to
+    distinct memberships; per-bucket pair generation is O(members²) so
+    hot buckets are capped (smallest ``cap`` user ids, logged — the
+    same guard as the LSH buckets) and the cap is replicated in the
+    oracle with a row_number() window; the final edge rollup is one
+    native groupby carrying only pair rows.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .dedup import _cap_hot_bucket
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        hr = pc.divide(us, pa.scalar(_US_PER_HOUR, pa.int64()))
+        out = pa.Table.from_arrays(
+            [t["event_type"], hr, t["user_id"]],
+            names=["event_type", "hr", "user_id"])
+        return out.group_by(["event_type", "hr", "user_id"]).aggregate([])
+
+    # Per-bucket map_groups would pay Ray's per-group overhead on the
+    # (huge) number of tiny (type, hour) buckets; instead co-locate
+    # whole buckets into a few coarse hash partitions and generate the
+    # pairs with a numpy segment sweep inside each.
+    num_parts = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import zlib
+
+        keys = [f"{e}\x1f{h}" for e, h in
+                zip(t["event_type"].to_pylist(), t["hr"].to_pylist())]
+        part = pa.array([zlib.crc32(k.encode()) % num_parts for k in keys],
+                        pa.int64())
+        return t.append_column("part", part)
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "hr", "user_id"],
+                          kind="mergesort")
+        et = g["event_type"].to_numpy()
+        hr = g["hr"].to_numpy("int64")
+        uid = g["user_id"].to_numpy("int64")
+        # bucket segment starts: change in (event_type, hr)
+        change = np.ones(len(g), bool)
+        if len(g) > 1:
+            change[1:] = (et[1:] != et[:-1]) | (hr[1:] != hr[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(g))
+        outs = []
+        for s0, s1 in zip(starts, ends):
+            users = np.unique(uid[s0:s1])
+            users = np.asarray(_cap_hot_bucket(list(users), cap,
+                                               "cooccurrence"), np.int64)
+            if len(users) < 2:
+                continue
+            ia, ib = np.triu_indices(len(users), k=1)
+            # pack the (a, b) pair into ONE int64 shuffle key (user ids
+            # < 2^31 — CLAUDE.md lesson: never shuffle on multi-column
+            # keys when an int pack exists: measured 17x here) and
+            # pre-combine within the partition before the exchange
+            outs.append((users[ia] << np.int64(32)) | users[ib])
+        # return ARROW, not pandas: Ray's sort/aggregate over pandas
+        # blocks is ~20x slower (584 s vs 30 s measured on this rollup)
+        if not outs:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        uk, cnt = np.unique(np.concatenate(outs), return_counts=True)
+        return pa.table({"key": pa.array(uk, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(key >> np.int64(32), pa.int64()),
+             pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+             t["n_shared"]],
+            names=["user_a", "user_b", "n_shared"])
+
+    from ray.data.aggregate import Sum
+
+    return events_ds.select_columns(["event_type", "ts", "user_id"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(part_pairs, batch_format="pandas") \
+        .groupby("key") \
+        .aggregate(Sum("cnt", alias_name="n_shared")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+def cooccurrence_edges_sql(cap: int = 200, table: str = "events") -> str:
+    """DuckDB oracle: identical buckets, identical smallest-user-id cap
+    via row_number(), identical a<b pair rollup."""
+    return f"""
+WITH ub AS (
+  SELECT DISTINCT event_type, epoch_us(ts) // {_US_PER_HOUR} AS hr,
+         user_id
+  FROM {table}),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type, hr ORDER BY user_id) AS rn
+  FROM ub),
+c AS (SELECT * FROM r WHERE rn <= {cap}),
+p AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b
+  FROM c a JOIN c b
+    ON a.event_type = b.event_type AND a.hr = b.hr
+   AND a.user_id < b.user_id)
+SELECT user_a, user_b, count(*) AS n_shared
+FROM p GROUP BY user_a, user_b
+ORDER BY user_a, user_b
 """

@@ -940,3 +940,26 @@ def test_sorted_neighbor_overlap_boundaries_and_prefixes(ray_session):
     got = {(a, b): c for a, b, c in
            zip(out["doc_a"], out["doc_b"], out["common_prefix_len"])}
     assert got == {(0, 1): 16, (1, 2): 11}
+
+
+def test_cooccurrence_edges_pairs_and_counts(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import cooccurrence_edges
+
+    # hour bucket 0: users 1,2,3 (u1 twice -> dedup); bucket 1: users 1,2
+    ds = rd.from_arrow(pa.table({
+        "event_type": ["a"] * 5 + ["a"],
+        "user_id": pa.array([1, 1, 2, 3, 1, 2], pa.int64()),
+        "ts": pa.array([_ts("2024-01-01 00:05:00"),
+                        _ts("2024-01-01 00:10:00"),
+                        _ts("2024-01-01 00:20:00"),
+                        _ts("2024-01-01 00:30:00"),
+                        _ts("2024-01-01 01:05:00"),
+                        _ts("2024-01-01 01:10:00")]),
+    }))
+    out = cooccurrence_edges(ds).to_pandas() \
+        .sort_values(["user_a", "user_b"]).reset_index(drop=True)
+    got = {(a, b): n for a, b, n in
+           zip(out["user_a"], out["user_b"], out["n_shared"])}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
