@@ -135,11 +135,13 @@ def pack_sequences(docs_ds, budget: int = 2000, bucket_size: int = 4096,
         batch_format="pyarrow", zero_copy_batch=True)
     off_ref = _bucket_offsets(tok)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign(df: pd.DataFrame):
         df, shard = _bucket_starts(df, off_ref, budget)
         out = df[["doc_id", "text", "n_tokens"]].copy()
         out["shard_id"] = shard
-        return out
+        # Arrow out: feeds the groupby(shard_id) shuffle (pandas
+        # blocks sort ~20x slower)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id", kind="mergesort")

@@ -140,9 +140,12 @@ def grouped_topk(ds, key: str, val: str, k: int, tie_col: str,
     by = [key, val, tie_col]
     asc = [True, not descending, True]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.sort_values(by, ascending=asc, kind="mergesort")
-                  .groupby(key, sort=False).head(k))
+    def partial(df: pd.DataFrame):
+        out = (df.sort_values(by, ascending=asc, kind="mergesort")
+                 .groupby(key, sort=False).head(k))
+        # Arrow out: this partial feeds the groupby(key) shuffle, and
+        # Ray's sort over pandas blocks is ~20x slower than Arrow
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         out = df.sort_values(by, ascending=asc, kind="mergesort").head(k)
