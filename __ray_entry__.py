@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel,
         "retention_cohorts": _q_retention,
         "cooccurrence_edges": _q_cooccur,
+        "pagerank_users": _q_pagerank,
         # similarity search (SQL-backed baseline)
         "ann_topk": _q_ann_topk,
         "label_centroids": _q_label_centroids,
@@ -360,6 +361,28 @@ def _q_cooccur(sf_dir):
     return _pin_cols(cooccurrence_edges(_events_ds(sf_dir)).to_pandas(),
                      ["user_a", "user_b", "n_shared"]) \
         .sort_values(["user_a", "user_b"]).reset_index(drop=True)
+
+
+def _q_pagerank(sf_dir):
+    import pyarrow as pa
+
+    from kgruntime.ops.graph import pagerank
+    from kgruntime.ops.sessions import cooccurrence_edges
+
+    pairs = cooccurrence_edges(_events_ds(sf_dir)) \
+        .select_columns(["user_a", "user_b"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.Table.from_arrays([t["user_a"], t["user_b"]],
+                                 names=["src", "dst"]),
+            pa.Table.from_arrays([t["user_b"], t["user_a"]],
+                                 names=["src", "dst"])])
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    return _pin_cols(pagerank(edges).to_pandas(),
+                     ["user_id", "rank_scaled"]) \
+        .sort_values("user_id").reset_index(drop=True)
 
 
 _ANN_N_QUERIES = 10
@@ -853,6 +876,12 @@ def _cooccur_sql():
     return cooccurrence_edges_sql()
 
 
+def _pagerank_sql():
+    from kgruntime.ops.graph import pagerank_cooccurrence_sql
+
+    return pagerank_cooccurrence_sql()
+
+
 def _term_freqs_sql():
     from kgruntime.ops.text import TERM_FREQUENCIES_SQL
 
@@ -1170,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_counts": _funnel_sql(),
         "retention_cohorts": _retention_sql(),
         "cooccurrence_edges": _cooccur_sql(),
+        "pagerank_users": _pagerank_sql(),
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang

@@ -1,0 +1,121 @@
+"""Iterative graph algorithms on Ray Data: integer-exact PageRank.
+
+The iterative-shuffle shape (the same regime as the distributed
+union-find in stages/canon.py, but with weighted numeric state): a
+fixed number of synchronous rounds, each ONE bucketed hash join
+(ranks onto the out-edge list) plus ONE native groupby-sum.
+
+Determinism / SQL replayability: every quantity is an INTEGER —
+ranks live at a fixed scale, per-neighbor contributions use floor
+division ``r // deg``, and the damping update is
+``base + (damp · Σcontrib) // 100`` — so sums are order-free and a
+DuckDB oracle unrolling the same K rounds as a CTE chain reproduces
+the result bit-for-bit (no float accumulation anywhere).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pagerank(edges_ds, iters: int = 5, scale: int = 10 ** 9,
+             damp: int = 85, num_buckets: int = 32):
+    """PageRank over a DIRECTED edge list Dataset (src:int64,
+    dst:int64); returns (user_id, rank_scaled) with ranks at
+    ``scale`` fixed-point.  Nodes are the distinct sources (feed a
+    symmetrized edge list for undirected graphs — then every node also
+    receives mass, so the per-round inner join is total).
+
+    Scale shape: out-degrees are joined into the edge list ONCE
+    (per-round state is just (node, rank)); each round is one bucketed
+    hash join + one groupby-sum over edge-count rows; the edge list is
+    materialized once and re-read from the object store each round.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .join import bucketed_hash_join
+
+    deg = edges_ds.groupby("src").aggregate(Count(alias_name="deg")) \
+        .materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return deg.map_batches(
+            lambda t: pa.table({"user_id": pa.array([], pa.int64()),
+                                "rank_scaled": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    base = (scale * (100 - damp)) // (100 * n_nodes)
+    r0 = scale // n_nodes
+
+    # degree rides on the edges so per-round state is (u, r) only
+    e2 = bucketed_hash_join(
+        edges_ds, deg.rename_columns({"src": "u"}),
+        left_on="src", right_on="u",
+        num_buckets=num_buckets).materialize()
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["src"],
+                         "r": pa.array(np.full(t.num_rows, r0, np.int64),
+                                       pa.int64())})
+
+    ranks = deg.map_batches(init_ranks, batch_format="pyarrow") \
+        .materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        d = t["deg"].to_numpy(zero_copy_only=False)
+        return pa.table({"dst": t["dst"],
+                         "c": pa.array(r // d, pa.int64())})
+
+    def update(t: pa.Table) -> pa.Table:
+        s = t["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": t["dst"],
+                         "r": pa.array(base + (damp * s) // 100,
+                                       pa.int64())})
+
+    for _ in range(iters):
+        j = bucketed_hash_join(e2, ranks, left_on="src", right_on="u",
+                               num_buckets=num_buckets)
+        sums = j.map_batches(contrib, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .groupby("dst").aggregate(Sum("c", alias_name="c"))
+        ranks = sums.map_batches(update, batch_format="pyarrow") \
+            .materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([t["u"], t["r"]],
+                                    names=["user_id", "rank_scaled"])
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def pagerank_cooccurrence_sql(iters: int = 5, scale: int = 10 ** 9,
+                              damp: int = 85, cap: int = 200,
+                              table: str = "events") -> str:
+    """DuckDB oracle: the co-occurrence pair CTEs, symmetrized edges,
+    and the identical integer recurrence unrolled ``iters`` times."""
+    from .sessions import cooccur_cte_body
+
+    parts = [cooccur_cte_body(cap, table)]
+    parts.append("""ed AS (
+  SELECT DISTINCT user_a AS src, user_b AS dst FROM p
+  UNION
+  SELECT DISTINCT user_b AS src, user_a AS dst FROM p)""")
+    parts.append("dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src)")
+    parts.append("nn AS (SELECT count(*) AS n FROM dg)")
+    parts.append(
+        f"r0 AS (SELECT src AS u, (SELECT {scale}::BIGINT // n FROM nn)"
+        f"::BIGINT AS r FROM dg)")
+    for i in range(1, iters + 1):
+        parts.append(f"""r{i} AS (
+  SELECT e.dst AS u,
+         ((SELECT ({scale}::BIGINT * {100 - damp}) // (100 * n) FROM nn)
+          + ({damp}::BIGINT * sum(r.r // d.deg)) // 100)::BIGINT AS r
+  FROM ed e
+  JOIN r{i - 1} r ON r.u = e.src
+  JOIN dg d ON d.src = e.src
+  GROUP BY e.dst)""")
+    return f"""
+WITH {', '.join(parts)}
+SELECT u AS user_id, r AS rank_scaled FROM r{iters} ORDER BY u
+"""

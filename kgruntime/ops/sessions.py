@@ -553,11 +553,10 @@ def cooccurrence_edges(events_ds, cap: int = 200):
         .map_batches(finish, batch_format="pyarrow")
 
 
-def cooccurrence_edges_sql(cap: int = 200, table: str = "events") -> str:
-    """DuckDB oracle: identical buckets, identical smallest-user-id cap
-    via row_number(), identical a<b pair rollup."""
-    return f"""
-WITH ub AS (
+def cooccur_cte_body(cap: int = 200, table: str = "events") -> str:
+    """The shared CTE chain (buckets → capped members → pair rows) used
+    by both the co-occurrence oracle and the PageRank oracle."""
+    return f"""ub AS (
   SELECT DISTINCT event_type, epoch_us(ts) // {_US_PER_HOUR} AS hr,
          user_id
   FROM {table}),
@@ -570,7 +569,14 @@ p AS (
   SELECT a.user_id AS user_a, b.user_id AS user_b
   FROM c a JOIN c b
     ON a.event_type = b.event_type AND a.hr = b.hr
-   AND a.user_id < b.user_id)
+   AND a.user_id < b.user_id)"""
+
+
+def cooccurrence_edges_sql(cap: int = 200, table: str = "events") -> str:
+    """DuckDB oracle: identical buckets, identical smallest-user-id cap
+    via row_number(), identical a<b pair rollup."""
+    return f"""
+WITH {cooccur_cte_body(cap, table)}
 SELECT user_a, user_b, count(*) AS n_shared
 FROM p GROUP BY user_a, user_b
 ORDER BY user_a, user_b

@@ -963,3 +963,33 @@ def test_cooccurrence_edges_pairs_and_counts(ray_session):
     got = {(a, b): n for a, b, n in
            zip(out["user_a"], out["user_b"], out["n_shared"])}
     assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_pagerank_integer_recurrence(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.graph import pagerank
+
+    # triangle 1-2-3 plus pendant 4-1 (undirected, symmetrized)
+    und = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    }))
+    out = pagerank(ds, iters=3, scale=10 ** 6).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    # sequential integer reference
+    deg = {1: 3, 2: 2, 3: 2, 4: 1}
+    n, scale, damp = 4, 10 ** 6, 85
+    base = (scale * 15) // (100 * n)
+    r = {u: scale // n for u in deg}
+    for _ in range(3):
+        s = {u: 0 for u in deg}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {u: base + (damp * s[u]) // 100 for u in deg}
+    assert dict(zip(out["user_id"], out["rank_scaled"])) == r
+    # pendant node ranks lowest, hub ranks highest
+    assert r[4] < r[2] and r[1] == max(r.values())
