@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention,
         "cooccurrence_edges": _q_cooccur,
         "pagerank_users": _q_pagerank,
+        "windowed_event_dedup": _q_win_dedup,
         # similarity search (SQL-backed baseline)
         "ann_topk": _q_ann_topk,
         "label_centroids": _q_label_centroids,
@@ -353,6 +354,14 @@ def _q_retention(sf_dir):
     return _pin_cols(retention_cohorts(_events_ds(sf_dir)).to_pandas(),
                      ["cohort_day", "day_offset", "n_users"]) \
         .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+def _q_win_dedup(sf_dir):
+    from kgruntime.ops.sessions import windowed_event_dedup
+
+    return _pin_cols(windowed_event_dedup(_events_ds(sf_dir)).to_pandas(),
+                     ["event_id", "user_id", "event_type", "ts"]) \
+        .sort_values("event_id").reset_index(drop=True)
 
 
 def _q_cooccur(sf_dir):
@@ -870,6 +879,12 @@ def _retention_sql():
     return RETENTION_COHORTS_SQL
 
 
+def _win_dedup_sql():
+    from kgruntime.ops.sessions import windowed_event_dedup_sql
+
+    return windowed_event_dedup_sql()
+
+
 def _cooccur_sql():
     from kgruntime.ops.sessions import cooccurrence_edges_sql
 
@@ -1200,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": _retention_sql(),
         "cooccurrence_edges": _cooccur_sql(),
         "pagerank_users": _pagerank_sql(),
+        "windowed_event_dedup": _win_dedup_sql(),
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang

@@ -581,3 +581,73 @@ SELECT user_a, user_b, count(*) AS n_shared
 FROM p GROUP BY user_a, user_b
 ORDER BY user_a, user_b
 """
+
+
+def windowed_event_dedup(events_ds, window_min: int = 5):
+    """Stream-style deduplication: drop an event when the same
+    (user_id, event_type) occurred within the previous ``window_min``
+    minutes — the at-most-once-per-window gate a clickstream pipeline
+    applies before counting.  Returns the surviving events
+    (event_id, user_id, event_type, ts).
+
+    Scale shape: partition by (user, type) — bounded groups, same idiom
+    as sessionize — sort within the group, and keep rows whose gap to
+    the PREVIOUS KEPT row is ≥ the window (a cummax-style scan, exact
+    integer microseconds).  Note the kept-row semantics: a burst
+    t=0,3,6 min with a 5-min window keeps 0 and 6 (3 suppressed, and a
+    suppressed row does NOT extend the window).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def _group(g: pd.DataFrame):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        win = window_min * 60_000_000
+        keep = np.zeros(len(g), bool)
+        last = None
+        for i, t in enumerate(us):
+            if last is None or t - last >= win:
+                keep[i] = True
+                last = t
+        out = g[keep]
+        return pa.table({
+            "event_id": pa.array(out["event_id"].to_numpy("int64")),
+            "user_id": pa.array(out["user_id"].to_numpy("int64")),
+            "event_type": pa.array(out["event_type"].to_numpy(), pa.string()),
+            "ts": pa.array(out["ts"].to_numpy().astype("datetime64[us]")),
+        })
+
+    return events_ds.select_columns(
+        ["event_id", "user_id", "event_type", "ts"]) \
+        .groupby(["user_id", "event_type"]) \
+        .map_groups(_group, batch_format="pandas")
+
+
+def windowed_event_dedup_sql(window_min: int = 5,
+                             table: str = "events") -> str:
+    """DuckDB oracle: kept-row semantics need the last KEPT timestamp,
+    not lag() — replayed with a recursive CTE walking each
+    (user, type) partition in (ts, event_id) order."""
+    win_us = window_min * 60_000_000
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT event_id, user_id, event_type, ts,
+         epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM {table}),
+walk(user_id, event_type, rn, us, event_id, ts, last_kept, keep) AS (
+  SELECT user_id, event_type, rn, us, event_id, ts, us, true
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_type, o.rn, o.us, o.event_id, o.ts,
+         CASE WHEN o.us - w.last_kept >= {win_us}
+              THEN o.us ELSE w.last_kept END,
+         o.us - w.last_kept >= {win_us}
+  FROM ordered o
+  JOIN walk w ON w.user_id = o.user_id
+             AND w.event_type = o.event_type AND o.rn = w.rn + 1)
+SELECT event_id, user_id, event_type, ts
+FROM walk WHERE keep ORDER BY event_id
+"""

@@ -993,3 +993,24 @@ def test_pagerank_integer_recurrence(ray_session):
     assert dict(zip(out["user_id"], out["rank_scaled"])) == r
     # pendant node ranks lowest, hub ranks highest
     assert r[4] < r[2] and r[1] == max(r.values())
+
+
+def test_windowed_event_dedup_burst_semantics(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import windowed_event_dedup
+
+    # burst at t=0,3,6 min with a 5-min window: keep 0 and 6 — the
+    # suppressed t=3 row must NOT extend the window
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+        "event_type": ["click"] * 3 + ["view"],
+        "ts": pa.array([_ts("2024-01-01 00:00:00"),
+                        _ts("2024-01-01 00:03:00"),
+                        _ts("2024-01-01 00:06:00"),
+                        _ts("2024-01-01 00:00:00")]),
+    }))
+    out = windowed_event_dedup(ds, window_min=5).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == [1, 3, 4]
