@@ -390,6 +390,12 @@ def label_centroids(emb_ds, label_col: str = "label",
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                label_col: pa.array([], t.schema.field(label_col).type),
+                "n": pa.array([], pa.int64()),
+                "sums": pa.array([], pa.list_(pa.int64())),
+            })
         labels = t[label_col].to_numpy(zero_copy_only=False)
         flat = t[vec_col].combine_chunks()
         dim = len(flat[0])

@@ -14,6 +14,7 @@ run under the driver's value-hash gate.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 SESSION_GAP_MIN = 30
 
@@ -27,7 +28,10 @@ def _sessionize_group(g: pd.DataFrame) -> pd.DataFrame:
     # sum exact integer cents, not floats: float sums are summation-
     # order-dependent in the last ulp, which breaks the value-hash gate
     # (the oracle SQL mirrors the cents formula)
-    g = g.assign(cents=np.rint(g["value"].to_numpy() * 100).astype(np.int64))
+    # half-away-from-zero like DuckDB round() — np.rint is banker's
+    v = g["value"].to_numpy() * 100
+    g = g.assign(cents=np.copysign(np.floor(np.abs(v) + 0.5), v)
+                 .astype(np.int64))
     out = g.groupby(new_session).agg(
         user_id=("user_id", "first"),
         session_start=("ts", "min"),
@@ -85,7 +89,9 @@ def tumbling_hourly(events_ds):
                     pa.timestamp("us"))
         # exact integer cents: distributed float sums are summation-
         # order-dependent in the last ulp (oracle mirrors the formula)
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
         return pa.Table.from_arrays(
             [t["event_type"], w, cents],
             names=["event_type", "window_start", "cents"])
@@ -133,7 +139,9 @@ def hopping_windows(events_ds, size_hours: int = 2, hop_hours: int = 1):
     def explode(t: pa.Table) -> pa.Table:
         base = pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
                        pa.timestamp("us"))
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
         parts = []
         for i in range(n_copies):
             w = pc.subtract(base, pa.scalar(i * hop_hours * 3_600_000_000,
@@ -237,7 +245,8 @@ def running_user_totals(events_ds):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
                         pa.int64())
         return pa.Table.from_arrays(
             [t["user_id"], t["event_id"], t["ts"], cents],
@@ -263,16 +272,19 @@ ORDER BY user_id, event_id
 
 # --- event-sequence analytics: transitions, funnels, retention ---
 
-def _transition_group(g: pd.DataFrame) -> pd.DataFrame:
+def _transition_group(g: pd.DataFrame) -> pa.Table:
+    # Return ARROW: this feeds the (from, to) groupby rollup, and Ray's
+    # sort/aggregate over pandas blocks is ~20x slower (CLAUDE.md lesson)
     g = g.sort_values(["ts", "event_id"], kind="mergesort")
     et = g["event_type"].to_numpy()
     if len(et) < 2:
-        return pd.DataFrame({"from_type": pd.Series([], dtype=object),
-                             "to_type": pd.Series([], dtype=object),
-                             "n_pairs": pd.Series([], dtype="int64")})
+        return pa.table({"from_type": pa.array([], pa.string()),
+                         "to_type": pa.array([], pa.string()),
+                         "n_pairs": pa.array([], pa.int64())})
     pairs = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
-    return pairs.groupby(["from_type", "to_type"], sort=False) \
+    counts = pairs.groupby(["from_type", "to_type"], sort=False) \
         .size().rename("n_pairs").reset_index()
+    return pa.Table.from_pandas(counts, preserve_index=False)
 
 
 def event_transitions(events_ds):
@@ -337,7 +349,8 @@ def funnel_counts(events_ds, stages: tuple[str, ...] = FUNNEL_STAGES):
             [t["user_id"], t["event_type"], us],
             names=["user_id", "event_type", "ts_us"])
 
-    def _depth_group(g: pd.DataFrame) -> pd.DataFrame:
+    def _depth_group(g: pd.DataFrame) -> pa.Table:
+        # Arrow out: feeds the (stage_idx, stage) groupby rollup
         first = dict(zip(g["event_type"], g["first_us"]))
         last = None
         reached = []
@@ -347,11 +360,10 @@ def funnel_counts(events_ds, stages: tuple[str, ...] = FUNNEL_STAGES):
                 break
             reached.append((i, s))
             last = t
-        if not reached:
-            return pd.DataFrame({"stage_idx": pd.Series([], dtype="int64"),
-                                 "stage": pd.Series([], dtype=object)})
-        return pd.DataFrame({"stage_idx": [i for i, _ in reached],
-                             "stage": [s for _, s in reached]})
+        return pa.table({
+            "stage_idx": pa.array([i for i, _ in reached], pa.int64()),
+            "stage": pa.array([s for _, s in reached], pa.string()),
+        })
 
     mins = events_ds.select_columns(["user_id", "event_type", "ts"]) \
         .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \

@@ -55,7 +55,8 @@ def grouped_quantiles(ds, key: str, value_col: str,
     |keys| × value-range × scale regardless of corpus size.
     """
     def prep(t: pa.Table) -> pa.Table:
-        units = pc.cast(pc.round(pc.multiply(t[value_col], float(scale))),
+        units = pc.cast(pc.round(pc.multiply(t[value_col], float(scale)),
+                                 round_mode="half_towards_infinity"),
                         pa.int64())
         return pa.Table.from_arrays([t[key], units], names=[key, "units"])
 
@@ -174,9 +175,11 @@ def grouped_corr(ds, key: str, x_col: str, y_col: str,
     bit-deterministic regardless of summation order.
     """
     def partial(t: pa.Table) -> pa.Table:
-        x = pc.cast(pc.round(pc.multiply(t[x_col], float(x_scale))),
+        x = pc.cast(pc.round(pc.multiply(t[x_col], float(x_scale)),
+                             round_mode="half_towards_infinity"),
                     pa.int64()).to_numpy(zero_copy_only=False)
-        y = pc.cast(pc.round(pc.multiply(t[y_col], float(y_scale))),
+        y = pc.cast(pc.round(pc.multiply(t[y_col], float(y_scale)),
+                             round_mode="half_towards_infinity"),
                     pa.int64()).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({key: t[key].to_pandas(), "x": x, "y": y,
                            "xy": x * y, "xx": x * x, "yy": y * y})
@@ -355,7 +358,9 @@ def event_anomalies(events_ds, key: str = "event_type",
     import pandas as pd
 
     def partial(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.round(pc.multiply(t[value_col], 100.0)), pa.int64()) \
+        c = pc.cast(pc.round(pc.multiply(t[value_col], 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()) \
             .to_numpy(zero_copy_only=False)
         df = pd.DataFrame({key: t[key].to_pandas(), "x": c, "xx": c * c})
         g = df.groupby(key, sort=False).agg(
@@ -378,7 +383,9 @@ def event_anomalies(events_ds, key: str = "event_type",
 
     def flag(t: pa.Table) -> pa.Table:
         keys = t[key].to_pandas()
-        c = pc.cast(pc.round(pc.multiply(t[value_col], 100.0)), pa.int64()) \
+        c = pc.cast(pc.round(pc.multiply(t[value_col], 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()) \
             .to_numpy(zero_copy_only=False).astype(np.float64)
         mean = keys.map(mean_map).to_numpy(np.float64)
         std = keys.map(std_map).to_numpy(np.float64)

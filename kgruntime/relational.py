@@ -54,7 +54,8 @@ def _to_int64(col, scale: int) -> pa.Array:
     """round(col * scale) as exact int64 (money→cents etc.).  Makes
     distributed sums order-independent; the oracle SQL mirrors it."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))),
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale))),
+                            round_mode="half_towards_infinity"),
                    pa.int64())
 
 
