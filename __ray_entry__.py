@@ -56,10 +56,67 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Registry ORDER matters: the driver's correctness gate evaluates the
+    # first 50 entries only (CORRECTNESS_r02 covered the long-green
+    # relational/text/window suite). Flagship + previously-unchecked
+    # pipelines now lead; the long-green suite (green rows in r1+r2)
+    # trails. Keep new queries inside the first 50.
     from kgruntime import relational as R
 
     q: dict[str, Callable[[str], Any]] = {
-        # relational suite (SQL-backed)
+        # KG pipeline (non-SQL-expressible → rows-only; exactness is
+        # covered by the golden-parity pytest suite)
+        "kg_triples": _q_kg_triples,
+        "kg_quarantine": _q_kg_quarantine,
+        "kg_mentions": _q_kg_mentions,
+        "kg_link_edges": _q_kg_link_edges,
+        "kg_assignment": _q_kg_assignment,
+        "kg_canonical_store": _q_kg_canonical,
+        "kg_canonical_staged": _q_kg_staged,
+        "kg_canonical_fused": _q_kg_fused,
+        # training-data LSH dedup (SQL-backed: md5-60/fixed-point
+        # primitives make the full LSH pipelines DuckDB-replayable)
+        "minhash_near_dups": _q_minhash,
+        "minhash_dup_clusters": _q_minhash_clusters,
+        "near_dedup_corpus": _q_near_dedup_corpus,
+        "simhash_near_dups": _q_simhash,
+        "embedding_near_dups": _q_emb_near_dups,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
+        "label_centroids": _q_label_centroids,
+        "knn_label_vote": _q_knn_label_vote,
+        "clean_corpus": _q_clean_corpus,
+        # graph / event-sequence ops
+        "cooccurrence_edges": _q_cooccur,
+        "pagerank_users": _q_pagerank,
+        "windowed_event_dedup": _q_win_dedup,
+        "event_anomalies": _q_anomalies,
+        # corpus-shaping ops
+        "split_assign": _q_split_assign,
+        "source_mix_weights": _q_source_mix,
+        "blocklist_filter": _q_blocklist,
+        "redact_terms": _q_redact,
+        "length_deciles": _q_deciles,
+        "pack_sequences": _q_pack,
+        "hll_distinct_users": _q_hll,
+        "doc_rarity_scores": _q_rarity,
+        "dup_rate_by_source": _q_dup_rate,
+        "prefix_overlap_pairs": _q_prefix_overlap,
+        "suffix_overlap_pairs": _q_suffix_overlap,
+        "langid_mismatch": _q_langid_mismatch,
+        "zscore_by_source": _q_zscore,
+        "chunk_documents": _q_chunks,
+        "bigram_counts": _q_bigrams,
+        # media plumbing (codec kernels stubbed → rows-only)
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
+        "media_frame_features": _q_media_frame_features,
+        # --- end of the 42 previously-unchecked; new round-3 ops go
+        # here (driver window closes at entry 50) ---
+        # long-green suite (driver-verified green in rounds 1 and 2)
         "pricing_summary": R.q_pricing_summary,
         "orders_by_status": R.q_orders_by_status,
         "top_customers": R.q_top_customers,
@@ -87,7 +144,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "long_docs_p90": R.q_long_docs_p90,
         "events_dow_hour": R.q_events_dow_hour,
         "orders_priority_share": R.q_orders_priority_share,
-        # text analysis (SQL-backed)
         "doc_stats": _q_doc_stats,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
@@ -103,7 +159,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "langid_pred": _q_langid,
         "doc_fingerprints": _q_fingerprints,
-        # streaming-shaped windows (SQL-backed via window functions)
         "sessionize": _q_sessionize,
         "tumbling_hourly": _q_tumbling,
         "hopping_2h_1h": _q_hopping,
@@ -112,53 +167,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_transitions,
         "funnel_counts": _q_funnel,
         "retention_cohorts": _q_retention,
-        "cooccurrence_edges": _q_cooccur,
-        "pagerank_users": _q_pagerank,
-        "windowed_event_dedup": _q_win_dedup,
-        # similarity search (SQL-backed baseline)
-        "ann_topk": _q_ann_topk,
-        "label_centroids": _q_label_centroids,
-        "knn_label_vote": _q_knn_label_vote,
-        "clean_corpus": _q_clean_corpus,
-        # KG pipeline (non-SQL-expressible → rows-only; exactness is
-        # covered by the golden-parity pytest suite)
-        "kg_triples": _q_kg_triples,
-        "kg_quarantine": _q_kg_quarantine,
-        "kg_mentions": _q_kg_mentions,
-        "kg_link_edges": _q_kg_link_edges,
-        "kg_assignment": _q_kg_assignment,
-        "kg_canonical_store": _q_kg_canonical,
-        "kg_canonical_staged": _q_kg_staged,
-        "kg_canonical_fused": _q_kg_fused,
-        # training-data LSH ops (SQL-backed: md5-60/fixed-point
-        # primitives make the full LSH pipelines DuckDB-replayable)
-        "minhash_near_dups": _q_minhash,
-        "minhash_dup_clusters": _q_minhash_clusters,
-        "near_dedup_corpus": _q_near_dedup_corpus,
-        "split_assign": _q_split_assign,
-        "source_mix_weights": _q_source_mix,
-        "blocklist_filter": _q_blocklist,
-        "redact_terms": _q_redact,
-        "length_deciles": _q_deciles,
-        "pack_sequences": _q_pack,
-        "hll_distinct_users": _q_hll,
-        "doc_rarity_scores": _q_rarity,
-        "dup_rate_by_source": _q_dup_rate,
-        "prefix_overlap_pairs": _q_prefix_overlap,
-        "suffix_overlap_pairs": _q_suffix_overlap,
-        "langid_mismatch": _q_langid_mismatch,
-        "zscore_by_source": _q_zscore,
-        "event_anomalies": _q_anomalies,
-        "chunk_documents": _q_chunks,
-        "bigram_counts": _q_bigrams,
-        "simhash_near_dups": _q_simhash,
-        "embedding_near_dups": _q_emb_near_dups,
-        "ann_topk_lsh": _q_ann_lsh,
-        "ann_topk_ivf": _q_ann_ivf,
-        "media_features": _q_media_features,
-        "media_frames": _q_media_frames,
-        "media_resize": _q_media_resize,
-        "media_frame_features": _q_media_frame_features,
     }
     return q
 
