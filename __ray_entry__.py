@@ -1103,6 +1103,12 @@ def _ann_lsh_sql():
     return lsh_topk_sql(dim=_EMB_DIM, k=_ANN_K, n_queries=_ANN_N_QUERIES)
 
 
+def _ann_ivf_sql():
+    from kgruntime.ops.ann import ivf_topk_sql
+
+    return ivf_topk_sql(k=_ANN_K, n_queries=_ANN_N_QUERIES)
+
+
 def oracle_sql() -> dict[str, str]:
     from kgruntime import relational as R
 
@@ -1166,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         "embedding_near_dups": _emb_near_dups_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
+        "ann_topk_ivf": _ann_ivf_sql(),
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,

@@ -266,75 +266,118 @@ def lsh_topk_sql(dim: int, k: int = 5, n_planes: int = 8,
 
 # --- IVF (inverted-file) ANN: coarse k-means quantizer + probed buckets ---
 
-def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
-    """Deterministic spherical k-means: init = first k rows of the
-    (pre-sorted) sample, fixed iteration count, empty clusters keep
-    their previous centroid.  Returns L2-normalized centroids."""
-    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
-                            1e-12)
-    c = x[:k].copy()
+_UNIT_SCALE = 1_000_000
+
+
+def _units_matrix(v: np.ndarray, scale: int = _UNIT_SCALE) -> np.ndarray:
+    """Fixed-point int64 units, half-away-from-zero — the exact value
+    DuckDB's ``CAST(round(x * scale) AS BIGINT)`` produces."""
+    v = np.asarray(v, np.float64)
+    return np.copysign(np.floor(np.abs(v) * scale + 0.5), v).astype(np.int64)
+
+
+def _div_half_away(s: np.ndarray, n: int) -> np.ndarray:
+    """round(s / n) half-away-from-zero on exact integers (n > 0)."""
+    s = s.astype(np.int64)
+    return np.where(s >= 0, (2 * s + n) // (2 * n),
+                    -((-2 * s + n) // (2 * n))).astype(np.int64)
+
+
+def _kmeans_fit_int(units: np.ndarray, k: int,
+                    iters: int = 5) -> np.ndarray:
+    """Deterministic INTEGER k-means over fixed-point units: init = first
+    k rows of the (pre-sorted) sample, fixed iteration count, assignment
+    by exact integer distance ``|c|² − 2·u·c`` (ties → smallest cid),
+    centroid update = half-away integer division of member sums, empty
+    clusters keep their previous centroid.  Every step is exact int64
+    arithmetic, so a DuckDB CTE replays the centroids bit-for-bit
+    (see ``ivf_topk_sql``) — the same treatment that made the
+    hyperplane-LSH pipelines oracle-checkable."""
+    c = units[:k].copy()
     for _ in range(iters):
-        assign = np.argmax(x @ c.T, axis=1)
+        assign = _assign_int(units, c)
+        newc = c.copy()
         for j in range(k):
-            members = x[assign == j]
+            members = units[assign == j]
             if len(members):
-                m = members.sum(axis=0)
-                c[j] = m / max(np.linalg.norm(m), 1e-12)
+                newc[j] = _div_half_away(members.sum(axis=0), len(members))
+        c = newc
     return c
+
+
+def _assign_int(units: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_j (|c_j|² − 2·u·c_j) per row — exact int64; np.argmin
+    returns the FIRST minimum, matching the SQL ``ORDER BY dist, cid``
+    tie-break."""
+    cc = np.sum(cents * cents, axis=1)
+    return np.argmin(cc[None, :] - 2 * (units @ cents.T), axis=1)
 
 
 def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
              k: int = 5, n_centroids: int = 16, n_probe: int = 4,
-             sample_mod: int = 7, train_size: int = 4096,
-             exclude_self: bool = True):
-    """IVF ANN: a coarse quantizer (spherical k-means over a
-    deterministic hash-sample of the corpus) splits vectors into
-    ``n_centroids`` inverted lists; each query scans only its
-    ``n_probe`` nearest lists.  Compute scales by ~n_probe/n_centroids
-    vs brute force; recall measured against brute force in tests.
+             sample_mod: int | None = None, train_size: int = 4096,
+             iters: int = 5, exclude_self: bool = True):
+    """IVF ANN: a coarse quantizer (integer k-means over a deterministic
+    hash-sample of the corpus) splits vectors into ``n_centroids``
+    inverted lists; each query scans only its ``n_probe`` nearest lists.
+    Compute scales by ~n_probe/n_centroids vs brute force; recall
+    measured against brute force in tests.
 
-    The training sample is vectors with ``crc32(vec_id) % sample_mod ==
-    0``, sorted by vec_id — block-order independent, so centroids (and
-    results) are reproducible on any cluster layout.  The sample and the
-    centroid matrix are the only driver-side data.
+    The training sample is vectors with ``md5_60(vec_id) % mod == 0``
+    where ``mod`` defaults to ``max(1, count // train_size)`` — the
+    filtered collect is therefore O(train_size) rows at ANY corpus size,
+    block-order independent, and SQL-replayable.  Quantization,
+    centroids, assignment and probing are all exact fixed-point integer
+    arithmetic (``_kmeans_fit_int``), so ``ivf_topk_sql`` replays the
+    whole index build; only the final within-list cosine ranking is
+    float (identical op sequence on both sides).
     """
-    import zlib
-
     import ray
+
+    from .dedup import _md5_60
+
+    if sample_mod is None:
+        sample_mod = max(1, emb_ds.count() // train_size)
 
     def sample_batch(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_pylist()
-        keep = [zlib.crc32(str(i).encode()) % sample_mod == 0 for i in ids]
+        keep = [_md5_60(str(i).encode()) % sample_mod == 0 for i in ids]
         return t.filter(pa.array(keep))
 
     sample_rows = sorted(
         emb_ds.map_batches(sample_batch, batch_format="pyarrow").take_all(),
         key=lambda r: r["vec_id"])[:train_size]
     sample = np.array([r["embedding"] for r in sample_rows], np.float64)
-    cents = _kmeans_fit(sample, min(n_centroids, len(sample)))
+    cents_u = _kmeans_fit_int(_units_matrix(sample),
+                              min(n_centroids, len(sample)), iters)
 
     q = np.asarray(queries, np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    qu = _units_matrix(q)
+    qcc = np.sum(cents_u * cents_u, axis=1)
+    qdist = qcc[None, :] - 2 * (qu @ cents_u.T)
+    # stable ascending argsort: ties resolve to the smaller cid, same as
+    # the SQL ORDER BY dist, cid
+    probe = np.argsort(qdist, axis=1, kind="stable")[:, :n_probe]
     by_list: dict[int, list[int]] = {}
     for qi in range(len(qn)):
         for cid in probe[qi]:
             by_list.setdefault(int(cid), []).append(qi)
-    ref = ray.put((qn, list(query_ids), cents, by_list))
+    ref = ray.put((qn, list(query_ids), cents_u, by_list))
 
     class ListScorer:
         def __init__(self, r=None):
-            self.qn, self.query_ids, self.cents, self.by_list = \
+            self.qn, self.query_ids, self.cents_u, self.by_list = \
                 ray.get(r if r is not None else ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0 or len(self.query_ids) == 0:
                 return _EMPTY_TOPK
             ids = _ids_vector(batch)
-            emb = _emb_matrix(batch)
-            emb = emb / np.maximum(
-                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-            assign = np.argmax(emb @ self.cents.T, axis=1)
+            raw = _emb_matrix(batch)
+            emb = raw / np.maximum(
+                np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+            assign = _assign_int(_units_matrix(raw), self.cents_u)
             qid_arr = np.asarray(self.query_ids, np.int64)
             parts_q, parts_n, parts_s = [], [], []
             for cid, q_idx in self.by_list.items():
@@ -369,6 +412,101 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
         partials = partials.filter(expr="query_id != neighbor_id")
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pyarrow")
+
+
+def ivf_topk_sql(k: int = 5, n_centroids: int = 16,
+                 n_probe: int = 4, train_size: int = 4096,
+                 iters: int = 5, n_queries: int = 10,
+                 scale: int = _UNIT_SCALE) -> str:
+    """SQL twin of ``ivf_topk``: replays the ENTIRE index build in
+    exact integer arithmetic — md5-60 hash sample, fixed-point
+    quantization, ``iters`` unrolled k-means rounds (assignment by
+    ``|c|² − 2·u·c`` with cid tie-breaks, centroid update by half-away
+    integer division, empty clusters carried over), probe lists, and the
+    final float cosine ranking with vec_id tie-breaks (the same ranking
+    convention as the passing ``ann_topk`` oracle)."""
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+        d{r} AS (
+          SELECT se.vec_id, c.cid,
+                 sum(c.cu * c.cu - 2 * se.u * c.cu) AS dist
+          FROM se JOIN c{r - 1} c ON c.i = se.i
+          GROUP BY se.vec_id, c.cid),
+        a{r} AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+            FROM d{r}) WHERE rn = 1),
+        s{r} AS (
+          SELECT a.cid, se.i, sum(se.u) AS s, count(*) AS n
+          FROM a{r} a JOIN se ON se.vec_id = a.vec_id
+          GROUP BY a.cid, se.i),
+        c{r} AS (
+          SELECT p.cid, p.i,
+                 CAST(coalesce(
+                   CASE WHEN s.s >= 0 THEN (2 * s.s + s.n) // (2 * s.n)
+                        ELSE -((-2 * s.s + s.n) // (2 * s.n)) END,
+                   p.cu) AS BIGINT) AS cu
+          FROM c{r - 1} p
+          LEFT JOIN s{r} s ON s.cid = p.cid AND s.i = p.i)""")
+    rounds_sql = ",".join(rounds)
+    return rf"""
+        WITH e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                            * {scale}) AS BIGINT) AS u
+          FROM embeddings),
+        samp AS (
+          SELECT vec_id FROM embeddings
+          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  ::BIGINT
+                % greatest(1, (SELECT count(*) FROM embeddings)
+                              // {train_size}) = 0
+          ORDER BY vec_id LIMIT {train_size}),
+        se AS (SELECT e.* FROM e JOIN samp USING (vec_id)),
+        init_ids AS (
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM samp ORDER BY vec_id LIMIT {n_centroids}),
+        c0 AS (
+          SELECT ii.cid, e.i, e.u AS cu
+          FROM init_ids ii JOIN e ON e.vec_id = ii.vec_id),
+        {rounds_sql},
+        dall AS (
+          SELECT e.vec_id, c.cid,
+                 sum(c.cu * c.cu - 2 * e.u * c.cu) AS dist
+          FROM e JOIN c{iters} c ON c.i = e.i
+          GROUP BY e.vec_id, c.cid),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+            FROM dall) WHERE rn = 1),
+        q AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+              LIMIT {n_queries}),
+        probe AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT d.vec_id, d.cid, row_number() OVER (
+              PARTITION BY d.vec_id ORDER BY d.dist ASC, d.cid ASC) AS rn
+            FROM dall d JOIN q ON q.vec_id = d.vec_id)
+          WHERE rn <= {n_probe}),
+        cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          FROM probe p JOIN assign a ON a.cid = p.cid
+          WHERE a.vec_id != p.query_id),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY list_cosine_similarity(
+                     qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+                     c.neighbor_id ASC) AS rnk
+          FROM cand c
+          JOIN embeddings qe ON qe.vec_id = c.query_id
+          JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+        SELECT query_id, neighbor_id FROM scored WHERE rnk <= {k}
+        ORDER BY query_id, neighbor_id
+    """
 
 
 def label_centroids(emb_ds, label_col: str = "label",
