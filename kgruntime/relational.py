@@ -164,11 +164,6 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 def q_top_customers(sf_dir: str):
     from ray.data.aggregate import Sum
 
-    cust = pq.read_table(_path(sf_dir, "customer"),
-                         columns=["c_custkey", "c_name"])  # small side
-    names = dict(zip(cust["c_custkey"].to_pylist(),
-                     cust["c_name"].to_pylist()))
-
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -176,15 +171,22 @@ def q_top_customers(sf_dir: str):
             [t["o_custkey"], _money_cents(t["o_totalprice"])],
             names=["o_custkey", "cents"])
 
-    agg = orders.map_batches(prep, batch_format="pyarrow",
+    # aggregate first; sort + limit stay distributed; only the 10
+    # winning rows ever reach the driver.  The names come from a
+    # predicate-pushdown parquet read over just those 10 keys — never a
+    # whole-dimension driver dict (at 100x, customer is ~15M rows).
+    top = orders.map_batches(prep, batch_format="pyarrow",
                              zero_copy_batch=True) \
         .groupby("o_custkey").aggregate(Sum("cents", alias_name="cents")) \
+        .sort(["cents", "o_custkey"], descending=[True, False]) \
+        .limit(10).to_pandas()
+    top["revenue"] = top.pop("cents") / 100.0
+    top = top.rename(columns={"o_custkey": "c_custkey"})
+    names = pq.read_table(
+        _path(sf_dir, "customer"), columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", top["c_custkey"].tolist())]) \
         .to_pandas()
-    agg["revenue"] = agg.pop("cents") / 100.0
-    agg["c_name"] = agg["o_custkey"].map(names)
-    agg = agg.rename(columns={"o_custkey": "c_custkey"})
-    top = agg.sort_values(["revenue", "c_custkey"],
-                          ascending=[False, True]).head(10)
+    top = top.merge(names, on="c_custkey", how="left")
     return top[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 
@@ -797,12 +799,12 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
-# Q5-style local-supplier revenue: the two FACT tables (lineitem ⋈
-# orders) meet in ONE bucketed hash-join shuffle; customer/supplier/
-# nation/region ride along as broadcast key→nation maps.  (At extreme
-# scale the customer map outgrows broadcast — the same bucketed join
-# then applies to orders ⋈ customer first; the lineitem-side shape is
-# unchanged.)
+# Q5-style local-supplier revenue: lineitem ⋈ orders AND orders ⋈
+# customer both go through bucketed hash-join shuffles (customer is a
+# scaling dimension — at 100x it's ~15M rows, too big to broadcast into
+# every map task).  Supplier (10x smaller than customer, key+nation
+# only) and nation/region (25/5 rows) stay broadcast; at extreme scale
+# the same bucketed join applies to the supplier leg unchanged.
 # ---------------------------------------------------------------------------
 
 def q_local_supplier_revenue(sf_dir: str):
@@ -822,10 +824,6 @@ def q_local_supplier_revenue(sf_dir: str):
     nkeys = nation["n_nationkey"].combine_chunks()
     nvals = nation["n_name"].combine_chunks()
 
-    cust = pq.read_table(_path(sf_dir, "customer"),
-                         columns=["c_custkey", "c_nationkey"])
-    ckeys = cust["c_custkey"].combine_chunks()
-    cnat = cust["c_nationkey"].combine_chunks()
     supp = pq.read_table(_path(sf_dir, "supplier"),
                          columns=["s_suppkey", "s_nationkey"])
     skeys = supp["s_suppkey"].combine_chunks()
@@ -834,19 +832,30 @@ def q_local_supplier_revenue(sf_dir: str):
     lo = pa.scalar("1996-01-01").cast(pa.timestamp("us"))
     hi = pa.scalar("1998-01-01").cast(pa.timestamp("us"))
 
+    def c_prep(t: pa.Table) -> pa.Table:
+        # ASIA-only customers (~20% selectivity) enter the join shuffle
+        t = t.filter(pc.is_valid(pc.index_in(t["c_nationkey"],
+                                             value_set=asia_arr)))
+        return pa.Table.from_arrays(
+            [t["c_custkey"], t["c_nationkey"]],
+            names=["c_custkey", "cust_nation"])
+
+    c_sel = _read(sf_dir, "customer",
+                  columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(c_prep, batch_format="pyarrow", zero_copy_batch=True)
+
     def o_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
                              pc.less(t["o_orderdate"], hi)))
-        t = t.append_column(
-            "cust_nation",
-            pc.take(cnat, pc.index_in(t["o_custkey"], value_set=ckeys)))
-        t = t.filter(pc.is_valid(pc.index_in(t["cust_nation"],
-                                             value_set=asia_arr)))
-        return t.select(["o_orderkey", "cust_nation"])
+        return t.select(["o_orderkey", "o_custkey"])
 
-    o_sel = _read(sf_dir, "orders",
-                  columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+    o_dates = _read(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    o_sel = bucketed_hash_join(o_dates, c_sel,
+                               "o_custkey", "c_custkey") \
+        .select_columns(["o_orderkey", "cust_nation"])
 
     def l_prep(t: pa.Table) -> pa.Table:
         cents = _money_cents(t["l_extendedprice"])
