@@ -123,25 +123,70 @@ def pack_sequences(docs_ds, budget: int = 2000, bucket_size: int = 4096,
     every shard's docs concatenated in doc_id order —
     (shard_id, n_docs, n_tokens, packed).
 
-    Same two-phase prefix scan as ``token_budget_shards``, but text
-    rides along so each shard group (bounded by ``budget`` tokens +
-    one doc) can emit its packed sequence locally.  The text crosses
-    two exchanges (bucket scan, then shard grouping) — the second is
-    inherent to packing; the first could be traded for a doc_id join
-    at the cost of an extra shuffle of the same bytes.
+    Text crosses exactly ONE exchange.  The prefix scan runs text-free
+    (ints only): phase 1 broadcasts per-bucket offsets, phase 2's bucket
+    groups emit only their shard BOUNDARY docs.  Shard assignment is a
+    monotone step function of doc_id, so the collected boundary table —
+    one (shard_id, start_doc) row per shard — lets every map task tag
+    its text rows locally (binary search over the broadcast array), and
+    the tagged text goes straight into the single ``groupby(shard_id)``
+    packing shuffle.
+
+    Broadcast state is one int pair per shard (total_tokens / budget
+    entries — ~8 bytes where each shard's text is ~budget tokens, a
+    1000x smaller object than the text bytes the second exchange used
+    to move).  Escape hatch at 10^11+ shards: range-partition the
+    boundary array by doc_id and look up per-block slices.
     """
+    import ray
+
+    from .ann import _cached_state
+
     tok = docs_ds.select_columns(["doc_id", "text"]).map_batches(
-        token_counts_with_text, fn_kwargs={"bucket_size": bucket_size},
+        token_counts, fn_kwargs={"bucket_size": bucket_size},
         batch_format="pyarrow", zero_copy_batch=True)
     off_ref = _bucket_offsets(tok)
 
-    def assign(df: pd.DataFrame):
+    def boundaries(df: pd.DataFrame) -> pa.Table:
+        # first doc of the bucket too: it may continue the previous
+        # bucket's shard — the driver min()s duplicates away
         df, shard = _bucket_starts(df, off_ref, budget)
-        out = df[["doc_id", "text", "n_tokens"]].copy()
-        out["shard_id"] = shard
-        # Arrow out: feeds the groupby(shard_id) shuffle (pandas
-        # blocks sort ~20x slower)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        s = shard.to_numpy()
+        d = df["doc_id"].to_numpy(np.int64)
+        first = np.ones(len(s), bool)
+        first[1:] = s[1:] != s[:-1]
+        return pa.table({"shard_id": pa.array(s[first], pa.int64()),
+                         "start_doc": pa.array(d[first], pa.int64())})
+
+    bnd = tok.groupby("bucket").map_groups(
+        boundaries, batch_format="pandas").to_pandas()
+    if bnd.empty:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "shard_id": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "packed": pa.array([], pa.string())}))
+    starts = bnd.groupby("shard_id", sort=True)["start_doc"].min()
+    # shard ids increase with doc ids, so both arrays are ascending
+    bnd_ref = ray.put((starts.to_numpy(np.int64),
+                       starts.index.to_numpy(np.int64)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        start_docs, shard_ids = _cached_state(bnd_ref, lambda: __import__(
+            "ray").get(bnd_ref))
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        n_tokens = pc.if_else(
+            pc.equal(trimmed, ""), pa.scalar(0, pa.int64()),
+            pc.cast(pc.count_substring_regex(trimmed, _TOKEN_RE),
+                    pa.int64()))
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(start_docs, d, side="right") - 1
+        return pa.Table.from_arrays(
+            [pa.array(shard_ids[idx], pa.int64()), t["doc_id"], n_tokens,
+             t["text"]],
+            names=["shard_id", "doc_id", "n_tokens", "text"])
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id", kind="mergesort")
@@ -152,13 +197,9 @@ def pack_sequences(docs_ds, budget: int = 2000, bucket_size: int = 4096,
             "packed": [sep.join(df["text"])],
         })
 
-    return tok.groupby("bucket").map_groups(assign, batch_format="pandas") \
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("shard_id").map_groups(pack, batch_format="pandas")
-
-
-def token_counts_with_text(batch: pa.Table, bucket_size: int) -> pa.Table:
-    t = token_counts(batch, bucket_size)
-    return t.append_column("text", batch["text"])
 
 
 def pack_sequences_sql(budget: int = 2000, sep: str = " ",
