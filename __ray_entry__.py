@@ -762,9 +762,11 @@ def _q_emb_near_dups(sf_dir):
 
 def _q_langid(sf_dir):
     from kgruntime.ops.text import LangId
+    from kgruntime.runtime import pool_range
 
     return _docs_ds(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1) \
+        LangId, batch_format="pyarrow",
+        concurrency=pool_range(frac=0.25, lo=1), num_cpus=1) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 

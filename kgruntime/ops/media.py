@@ -119,20 +119,27 @@ class FrameSampler:
             names=["media_ref", "frame_index", "frame_payload"])
 
 
-def decode_features(media_ds, feat_dim: int = 16, concurrency=(1, 4),
+def decode_features(media_ds, feat_dim: int = 16, concurrency=None,
                     batch_size: int = 64):
     """Media Dataset → feature Dataset (actor pool; small batches because
-    payload rows are wide)."""
+    payload rows are wide).  Pool bounds scale with the cluster
+    (``runtime.pool_range``), never a host constant."""
+    from ..runtime import pool_range
+
     return media_ds.map_batches(
         MediaDecoder, fn_constructor_kwargs={"feat_dim": feat_dim},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=concurrency or pool_range(frac=0.25, lo=1),
+        num_cpus=1)
 
 
-def sample_frames(media_ds, concurrency=(1, 4), batch_size: int = 32):
+def sample_frames(media_ds, concurrency=None, batch_size: int = 32):
+    from ..runtime import pool_range
+
     return media_ds.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=concurrency or pool_range(frac=0.25, lo=1),
+        num_cpus=1)
 
 
 # --- raw-RGB kernels: REAL compute, no codec needed -----------------------
@@ -241,11 +248,14 @@ class RawImageOps:
 
 
 def resize_raw_images(media_ds, out_w: int = 16, out_h: int = 16,
-                      concurrency=(1, 4), batch_size: int = 64):
+                      concurrency=None, batch_size: int = 64):
     """Raw-RGB resize + features (actor pool, small batches — payload
     rows are wide).  Real kernel: only compressed-codec decode is
     stubbed in this container."""
+    from ..runtime import pool_range
+
     return media_ds.map_batches(
         RawImageOps, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=concurrency or pool_range(frac=0.25, lo=1),
+        num_cpus=1)

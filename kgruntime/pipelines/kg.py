@@ -303,8 +303,9 @@ def build_kg_fused(docs_ds, alias_table: dict, link_threshold: float = 0.85,
         # a pool of exactly `cpus` deadlocks the upstream read, and the
         # staging write + read tasks need real headroom (sweep at 32
         # CPUs: 24 actors 7.7 s, 28 actors 10.1 s, 31 actors 17.3 s)
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, cpus - max(2, cpus // 4))
+        from ..runtime import fixed_pool
+
+        concurrency = fixed_pool()
     ref = ray.put(alias_table)
     # batch_size 4096: larger batches amortize the per-batch vectorized
     # setup (measured 7.7 s vs 9.8 s @1024 for the parse+stage phase at

@@ -441,7 +441,7 @@ class _Remap:
 
 def canonicalize_triples(triples_ds, labels_ds=None, mapping=None,
                          via: str = "broadcast", num_partitions: int = 16,
-                         concurrency=(2, 8)):
+                         concurrency=None):
     """Rewrite subj/obj to canonical component labels.
 
     via="broadcast": ``ray.put`` the mapping once (a dict or a

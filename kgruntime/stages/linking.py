@@ -236,10 +236,13 @@ def link_edges_dataset(mentions_ds, alias_table: dict, threshold: float = 0.85,
     import ray
 
     if concurrency is None:
-        # memoized scoring is cheap per batch — a small pool saturates it
-        # and avoids paying startup for actors that would sit idle
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (2, max(4, min(8, cpus // 2)))
+        # memoized scoring is cheap per batch — a modest pool saturates
+        # it and avoids paying startup for actors that would sit idle;
+        # the bound still scales with the cluster (pool_range), only the
+        # fraction is small
+        from ..runtime import pool_range
+
+        concurrency = pool_range(frac=0.25, lo=2)
     ref = ray.put(alias_table)
     edges = mentions_ds.map_batches(
         LinkScorer,
