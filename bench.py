@@ -160,6 +160,12 @@ def main() -> None:
     if "--calibrate-leg" in sys.argv:
         calibration_leg(ncpu)
         return
+    if "--resume-drill" in sys.argv:
+        run_resume_drill(sf_dir)
+        return
+    if "--resume-drill-leg" in sys.argv:
+        resume_drill_leg(ncpu)
+        return
 
     import ray
 
@@ -267,6 +273,114 @@ def run_scaling(sf_dir: str) -> None:
         "normalized_pair_efficiencies": [round(p[5], 3) for p in results],
         "sf": sf_dir,
     }))
+
+
+def run_resume_drill(sf_dir: str) -> None:
+    """Checkpoint/resume drill at bench scale (N7's most load-bearing
+    100-TB claim): start the fragment-committed runner, SIGKILL the
+    process after the first fragment commits (mid-round — harsher than a
+    clean round boundary), resume to completion in a fresh process, and
+    verify the resumed store matches a fresh one-shot run row-for-row
+    (order-independent count + hash via DuckDB).  Prints one JSON line
+    with phase timings."""
+    import shutil
+    import signal
+
+    import pyarrow.parquet as pq
+
+    mult = int(os.environ.get("KG_BENCH_DRILL_MULT", "96"))
+    n_docs = mult * pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    resumed_dir = f"/tmp/kgbench/drill-resumed-{os.getpid()}"
+    fresh_dir = f"/tmp/kgbench/drill-fresh-{os.getpid()}"
+    for d in (resumed_dir, fresh_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def leg(out_dir: str) -> subprocess.Popen:
+        env = dict(os.environ, KG_DRILL_OUT=out_dir,
+                   KG_DRILL_DOCS=str(n_docs))
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--resume-drill-leg"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+
+    # phase 1: run until the first fragment manifest lands, then SIGKILL
+    manifest = os.path.join(resumed_dir, "_manifest")
+    t0 = time.perf_counter()
+    p = leg(resumed_dir)
+    while p.poll() is None:
+        if os.path.isdir(manifest) and len(os.listdir(manifest)) >= 1:
+            p.send_signal(signal.SIGKILL)
+            p.wait()
+            break
+        time.sleep(0.25)
+    kill_sec = time.perf_counter() - t0
+    was_killed = p.returncode != 0
+
+    # phase 2: resume the same store to completion
+    t1 = time.perf_counter()
+    p = leg(resumed_dir)
+    out, _ = p.communicate()
+    assert p.returncode == 0, "resume leg failed"
+    resumed = json.loads(out.strip().splitlines()[-1])
+    resume_sec = time.perf_counter() - t1
+
+    # phase 3: fresh one-shot for the equivalence check
+    t2 = time.perf_counter()
+    p = leg(fresh_dir)
+    out, _ = p.communicate()
+    assert p.returncode == 0, "fresh leg failed"
+    fresh_sec = time.perf_counter() - t2
+
+    import duckdb
+
+    def store_sig(d: str):
+        return duckdb.sql(
+            "SELECT count(*), "
+            "sum(hash(subj, pred, obj, obj_datatype, obj_lang)) "
+            f"FROM read_parquet('{d}/data/**/*.parquet')").fetchone()
+
+    sig_resumed, sig_fresh = store_sig(resumed_dir), store_sig(fresh_dir)
+    for d in (resumed_dir, fresh_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps({
+        "metric": "kg_resume_drill",
+        "docs": n_docs,
+        "killed_mid_run": was_killed,
+        "kill_after_sec": round(kill_sec, 3),
+        "resume_sec": round(resume_sec, 3),
+        "fresh_sec": round(fresh_sec, 3),
+        "resumed_skipped_fragments": resumed["skipped"],
+        "store_rows": sig_resumed[0],
+        "stores_identical": list(sig_resumed) == list(sig_fresh),
+    }))
+    assert list(sig_resumed) == list(sig_fresh), \
+        f"resume diverged: {sig_resumed} != {sig_fresh}"
+
+
+def resume_drill_leg(ncpu: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.use_push_based_shuffle = True
+
+    from kgruntime.pipelines.kg import run_checkpointed
+
+    out_dir = os.environ["KG_DRILL_OUT"]
+    corpus = ensure_corpus(int(os.environ["KG_DRILL_DOCS"]))
+    n_frags = sum(1 for f in os.listdir(corpus) if f.endswith(".parquet"))
+    per_round = max(1, (n_frags + 5) // 6)      # ~6 commit rounds
+    res = run_checkpointed(corpus, out_dir, epoch=0,
+                           fragments_per_round=per_round)
+    print(json.dumps({"processed": len(res["processed"]),
+                      "skipped": len(res["skipped"])}))
+    ray.shutdown()
 
 
 def calibration_leg(ncpu: int) -> None:
