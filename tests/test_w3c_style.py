@@ -38,6 +38,15 @@ GOOD = {
     "crlf_short_string": '@prefix : <http://a/> .\n:s :p "a\nb" .',  # reference-permissive
     "pn_local_colon": "@prefix : <http://a/> .\n:s :p :o:o2 .",
     "bare_anon_subject": "@prefix : <http://a/> .\n[ :p :o ] .",
+    # reference quirk (lexing.rs next_name_or_keyword): a bare name at a
+    # whitespace boundary that isn't a keyword falls through as a
+    # namespace token, so `@prefix p <iri> .` (no colon) is accepted
+    "prefix_no_colon": "@prefix p <http://a/> .\np:s p:p p:o .",
+    # reference-permissive: raw newline / CR inside SHORT strings
+    "short_string_newline_single": "@prefix : <http://a/> .\n:s :p 'a\nb' .",
+    "short_string_bare_cr": '@prefix : <http://a/> .\n:s :p "a\rb" .',
+    # PN_LOCAL_ESC: \~ is a legal local-name escape (W3C + reference)
+    "pn_local_tilde_escape": "@prefix : <http://a/> .\n:s :p :o\\~x .",
 }
 
 
@@ -87,13 +96,160 @@ BAD = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(BAD))
+# --- turtle-syntax-bad, full-breadth sweep (W3C turtle-syntax-bad
+# analogues re-authored against the reference's semantics; cases the
+# reference deliberately ACCEPTS — PN_LOCAL dots, newline-in-short-
+# string, bare-name prefix — live in GOOD above instead) ---
+
+_P = "@prefix : <http://a/> .\n"
+
+BAD2 = {
+    # base/prefix directive errors
+    "base_no_iri": ("@base .", ParseError),
+    "base_missing_dot": (
+        "@base <http://a/> <http://a/s> <http://a/p> <http://a/o> .",
+        ParseError),
+    "base_pname": ("@base :x .", ParseError),
+    "prefix_no_iri": ("@prefix p: .", ParseError),
+    "prefix_missing_dot": ("@prefix p: <http://a/> p:s p:p p:o .",
+                           ParseError),
+    "sparql_base_trailing_dot": ("BASE <http://a/> .", ParseError),
+    "sparql_prefix_no_iri": ("PREFIX p:", ParseError),
+    "directive_mid_statement": (_P + ":s @prefix q: <http://b/> .",
+                                ParseError),
+    # keyword misuse
+    "kw_a_as_subject": (_P + "a :p :o .", ParseError),
+    "kw_a_as_object": (_P + ":s :p a .", ParseError),
+    "kw_true_as_subject": (_P + "true :p :o .", ParseError),
+    "kw_true_as_predicate": (_P + ":s true :o .", ParseError),
+    "kw_false_as_predicate": (_P + ":s false :o .", ParseError),
+    # N3-only syntax rejected by Turtle
+    "n3_equals": (_P + ":s = :o .", LexError),
+    "n3_implies": (_P + ":s => :o .", LexError),
+    "n3_reverse_implies": (_P + ":s <= :o .", LexError),
+    "n3_formula": (_P + "{ :s :p :o } :q :r .", LexError),
+    "n3_forall": ("@forAll <http://a/x> .", ParseError),
+    "n3_forsome": ("@forSome <http://a/x> .", ParseError),
+    "n3_keywords": ("@keywords a .", ParseError),
+    "n3_path": (_P + ":s!:p :o :q .", LexError),
+    "n3_is_of": (_P + ":s is :p of :o .", ParseError),
+    # structural errors
+    "struct_two_subjects": (_P + ":s :t :p :o .", ParseError),
+    "struct_object_list_no_comma": (_P + ":s :p :o :o2 .", ParseError),
+    "struct_leading_dot": (_P + ". :s :p :o .", ParseError),
+    "struct_double_dot": (_P + ":s :p :o . .", ParseError),
+    "struct_lone_semicolon": (_P + ":s :p :o . ; .", ParseError),
+    "struct_comma_no_object": (_P + ":s :p :o , .", ParseError),
+    "struct_comma_start": (_P + ":s :p , :o .", ParseError),
+    "struct_semicolon_start": (_P + ":s ; :p :o .", ParseError),
+    "struct_predicate_only": (_P + ":s :p .", ParseError),
+    "struct_dot_after_subject": (_P + ":s .", ParseError),
+    "struct_verb_dot": (_P + ":s :p . :o .", ParseError),
+    "struct_eof_mid_statement": (_P + ":s :p", ParseError),
+    "struct_eof_in_anon": (_P + ":s :p [ :q ", ParseError),
+    "struct_eof_in_collection": (_P + ":s :p ( :o ", ParseError),
+    "struct_unmatched_close_bracket": (_P + ":s :p :o ] .", ParseError),
+    "struct_unmatched_close_paren": (_P + ":s :p :o ) .", ParseError),
+    "struct_anon_predicate": (_P + ":s [ :p :o ] :o2 .", ParseError),
+    "struct_collection_predicate": (_P + ":s ( :p ) :o .", ParseError),
+    "struct_literal_subject": (_P + '"lit" :p :o .', ParseError),
+    "struct_literal_predicate": (_P + ':s "lit" :o .', ParseError),
+    "struct_numeric_predicate": (_P + ":s 5 :o .", ParseError),
+    "struct_blank_predicate": (_P + ":s _:b :o .", ParseError),
+    "struct_graph_brace": (_P + ":g { :s :p :o . } .", LexError),
+    # string errors
+    "string_mismatched_quotes": (_P + ':s :p "abc\' .', LexError),
+    "string_unclosed_long": (_P + ':s :p """abc .', LexError),
+    "string_unclosed_long_single": (_P + ":s :p '''abc .", LexError),
+    "string_bad_escape_x": (_P + ':s :p "\\x41" .', LexError),
+    "string_dangling_backslash": (_P + ':s :p "abc\\', LexError),
+    "string_lang_then_datatype": (_P + ':s :p "x"@en^^:t .', ParseError),
+    "string_datatype_then_lang": (_P + ':s :p "x"^^:t@en .', ParseError),
+    "string_double_lang": (_P + ':s :p "x"@en@fr .', ParseError),
+    "string_lang_digit_start": (_P + ':s :p "x"@1en .', LexError),
+    "string_lang_empty": (_P + ':s :p "x"@ .', LexError),
+    "string_lang_subtag_empty": (_P + ':s :p "x"@en- .', LexError),
+    "string_datatype_literal": (_P + ':s :p "x"^^"y" .', ParseError),
+    "string_caret_single": (_P + ':s :p "x"^:t .', LexError),
+    # numeric errors
+    "num_double_no_exp_digits": (_P + ":s :p 1.0E .", LexError),
+    "num_exp_sign_only": (_P + ":s :p 1E+ .", LexError),
+    "num_double_dot": (_P + ":s :p 1..5 .", LexError),
+    "num_trailing_dot_exp": (_P + ":s :p 1.E .", LexError),
+    "num_plus_only": (_P + ":s :p + .", LexError),
+    "num_minus_only": (_P + ":s :p - .", LexError),
+    # IRI errors (IRIREF charset + RFC 3987 grammar)
+    "uri_newline": ("<http://a/\ns> <http://a/p> <http://a/o> .", LexError),
+    "uri_tab": ("<http://a/\ts> <http://a/p> <http://a/o> .", LexError),
+    "uri_lt": ("<http://a/<b> <http://a/p> <http://a/o> .", LexError),
+    "uri_quote": ('<http://a/"b"> <http://a/p> <http://a/o> .', LexError),
+    "uri_backslash_path": ("<http://a/\\b> <http://a/p> <http://a/o> .",
+                           LexError),
+    "uri_bad_uchar": ("<http://a/\\u00Z9> <http://a/p> <http://a/o> .",
+                      LexError),
+    "uri_curly": ("<http://a/{x}> <http://a/p> <http://a/o> .", LexError),
+    "uri_pipe": ("<http://a/x|y> <http://a/p> <http://a/o> .", LexError),
+    "uri_caret": ("<http://a/x^y> <http://a/p> <http://a/o> .", LexError),
+    "uri_backtick": ("<http://a/x`y> <http://a/p> <http://a/o> .", LexError),
+    "uri_space_only": ("< > <http://a/p> <http://a/o> .", LexError),
+    "relative_predicate_no_base": ("<http://a/s> <p> <http://a/o> .",
+                                   BuildError),
+    "relative_object_no_base": ("<http://a/s> <http://a/p> <o> .",
+                                BuildError),
+    # prefixed-name errors
+    "pname_undeclared_in_object": (_P + ":s :p q:o .", BuildError),
+    "pname_ns_digit_start": ("@prefix 1p: <http://a/> .\n1p:s 1p:p 1p:o .",
+                             ParseError),
+    "pname_local_bad_char": (_P + ":s :p :o~x .", LexError),
+    "pname_local_unescaped_paren": (_P + ":s :p :o(x) .", LexError),
+    # blank-node errors
+    "blank_no_label": (_P + "_: :p :o .", LexError),
+    "blank_label_dash_start": (_P + "_:-a :p :o .", LexError),
+    "blank_bad_char": (_P + "_:a~b :p :o .", LexError),
+    "anon_with_content": (_P + "[ ] :p [ :q ] :r .", ParseError),
+    "collection_bad_close": (_P + ":s :p ( :a ] .", ParseError),
+}
+
+ALL_BAD = {**BAD, **BAD2}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_BAD))
 def test_syntax_bad(name):
-    src, exc = BAD[name]
+    src, exc = ALL_BAD[name]
     with pytest.raises(exc) as ei:
         parse_turtle(src)
     assert ei.value.start >= 0 and ei.value.end >= ei.value.start
     assert ei.value.layer in ("lex", "parse", "build")
+
+
+def test_all_bad_cases_quarantine_not_raise(ray_session):
+    """Pipeline semantics for every bad case: the extract stage must
+    QUARANTINE the doc (one error record, zero triples) — never raise
+    out of the batch and never poison sibling docs in the same batch."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from kgruntime.stages.extract import extract_triples
+    from kgruntime.synth import SPAN_STRUCT
+
+    names = sorted(ALL_BAD)
+    good_doc = "@prefix : <http://g/> .\n:s :p :o ."
+    doc_ids = [f"bad-{n}" for n in names] + ["good-sibling"]
+    texts = [ALL_BAD[n][0] for n in names] + [good_doc]
+    spans = [[{"kind": "text", "text": t, "media_ref": "", "offset": 0}]
+             for t in texts]
+    docs = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(doc_ids, pa.string()),
+         pa.array(spans, pa.list_(SPAN_STRUCT))],
+        names=["doc_id", "spans"]))
+
+    rows = extract_triples(docs).take_all()
+    errors = {r["doc_id"] for r in rows if r["record_kind"] == 1}
+    triples = {r["doc_id"] for r in rows if r["record_kind"] == 0}
+    assert errors == set(doc_ids) - {"good-sibling"}
+    assert triples == {"good-sibling"}
+    layers = {r["error_layer"] for r in rows if r["record_kind"] == 1}
+    assert layers <= {"lex", "parse", "build"}
 
 
 # --- turtle-eval: triples must equal expected N-Quads exactly ---
