@@ -116,6 +116,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_features": _q_media_frame_features,
         # --- end of the 42 previously-unchecked; new round-3 ops go
         # here (driver window closes at entry 50) ---
+        "kmeans_clusters": _q_kmeans_clusters,
+        "pii_scan": _q_pii_scan,
+        "normalized_dup_docs": _q_normalized_dups,
+        "rare_token_pairs": _q_rare_token_pairs,
+        "event_path_trigrams": _q_event_trigrams,
+        "session_conversion_by_dow": _q_session_conversion,
+        "decayed_user_value": _q_decayed_value,
+        "top_terms_per_source": _q_top_terms_source,
         # long-green suite (driver-verified green in rounds 1 and 2)
         "pricing_summary": R.q_pricing_summary,
         "orders_by_status": R.q_orders_by_status,
@@ -455,6 +463,71 @@ def _q_ann_ivf(sf_dir):
     out = ivf_topk(emb, q, ids, dim=dim, k=_ANN_K).to_pandas()
     return out[["query_id", "neighbor_id"]] \
         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+
+
+def _q_pii_scan(sf_dir):
+    from kgruntime.ops.text import pii_scan
+
+    return pii_scan(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_normalized_dups(sf_dir):
+    from kgruntime.ops.text import normalized_dup_docs
+
+    return normalized_dup_docs(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("keep_id").reset_index(drop=True)
+
+
+def _q_rare_token_pairs(sf_dir):
+    from kgruntime.ops.dedup import rare_token_pairs
+
+    return _pin_cols(rare_token_pairs(_docs_ds(sf_dir)).to_pandas(),
+                     ["doc_a", "doc_b", "n_shared_rare"]) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _q_event_trigrams(sf_dir):
+    from kgruntime.ops.sessions import event_path_trigrams
+
+    return _pin_cols(event_path_trigrams(_events_ds(sf_dir)).to_pandas(),
+                     ["t1", "t2", "t3", "n_paths"]) \
+        .sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+def _q_session_conversion(sf_dir):
+    from kgruntime.ops.sessions import session_conversion_by_dow
+
+    return _pin_cols(
+        session_conversion_by_dow(_events_ds(sf_dir)).to_pandas(),
+        ["dow", "n_sessions", "n_converted", "conversion_rate"]) \
+        .sort_values("dow").reset_index(drop=True)
+
+
+def _q_decayed_value(sf_dir):
+    from kgruntime.ops.sessions import decayed_user_value
+
+    return decayed_user_value(_events_ds(sf_dir)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+
+def _q_top_terms_source(sf_dir):
+    from kgruntime.ops.text import top_terms_per_source
+
+    return _pin_cols(top_terms_per_source(_docs_ds(sf_dir)).to_pandas(),
+                     ["source", "rnk", "word", "cnt"]) \
+        .sort_values(["source", "rnk"]).reset_index(drop=True)
+
+
+def _q_kmeans_clusters(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import kmeans_clusters
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return kmeans_clusters(emb, dim=_EMB_DIM).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
 
 
 def _q_clean_corpus(sf_dir):
@@ -1111,6 +1184,54 @@ def _ann_ivf_sql():
     return ivf_topk_sql(k=_ANN_K, n_queries=_ANN_N_QUERIES)
 
 
+def _kmeans_clusters_sql():
+    from kgruntime.ops.ann import kmeans_clusters_sql
+
+    return kmeans_clusters_sql()
+
+
+def _pii_scan_sql():
+    from kgruntime.ops.text import pii_scan_sql
+
+    return pii_scan_sql()
+
+
+def _normalized_dups_sql():
+    from kgruntime.ops.text import normalized_dup_docs_sql
+
+    return normalized_dup_docs_sql()
+
+
+def _rare_token_pairs_sql():
+    from kgruntime.ops.dedup import rare_token_pairs_sql
+
+    return rare_token_pairs_sql()
+
+
+def _event_trigrams_sql():
+    from kgruntime.ops.sessions import EVENT_PATH_TRIGRAMS_SQL
+
+    return EVENT_PATH_TRIGRAMS_SQL
+
+
+def _session_conversion_sql():
+    from kgruntime.ops.sessions import SESSION_CONVERSION_BY_DOW_SQL
+
+    return SESSION_CONVERSION_BY_DOW_SQL
+
+
+def _decayed_value_sql():
+    from kgruntime.ops.sessions import decayed_user_value_sql
+
+    return decayed_user_value_sql()
+
+
+def _top_terms_source_sql():
+    from kgruntime.ops.text import top_terms_per_source_sql
+
+    return top_terms_per_source_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from kgruntime import relational as R
 
@@ -1175,6 +1296,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _emb_near_dups_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),
+        "kmeans_clusters": _kmeans_clusters_sql(),
+        "pii_scan": _pii_scan_sql(),
+        "normalized_dup_docs": _normalized_dups_sql(),
+        "rare_token_pairs": _rare_token_pairs_sql(),
+        "event_path_trigrams": _event_trigrams_sql(),
+        "session_conversion_by_dow": _session_conversion_sql(),
+        "decayed_user_value": _decayed_value_sql(),
+        "top_terms_per_source": _top_terms_source_sql(),
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,

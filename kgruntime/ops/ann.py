@@ -509,6 +509,83 @@ def ivf_topk_sql(k: int = 5, n_centroids: int = 16,
     """
 
 
+def kmeans_clusters(emb_ds, dim: int, n_centroids: int = 16,
+                    train_size: int = 4096, iters: int = 5,
+                    sample_mod: int | None = None):
+    """Corpus clustering as a first-class op: fit the exact integer
+    k-means quantizer (``_kmeans_fit_int`` — the IVF coarse index) and
+    assign EVERY vector to its cluster, returning (vec_id, cid,
+    cluster_n) with the cluster's population joined on.
+
+    Scale shape: one bounded sample collect (O(train_size) rows at any
+    corpus size), one broadcast of the integer centroid matrix, one
+    streaming assignment pass, and one tiny per-cid count groupby whose
+    result is broadcast back — the corpus crosses zero shuffles.
+    Bit-exact SQL twin: ``kmeans_clusters_sql``."""
+    import ray
+
+    from .dedup import _md5_60
+
+    if sample_mod is None:
+        sample_mod = max(1, emb_ds.count() // train_size)
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        keep = [_md5_60(str(i).encode()) % sample_mod == 0 for i in ids]
+        return t.filter(pa.array(keep))
+
+    sample_rows = sorted(
+        emb_ds.map_batches(sample_batch, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"])[:train_size]
+    sample = np.array([r["embedding"] for r in sample_rows], np.float64)
+    cents_u = _kmeans_fit_int(_units_matrix(sample),
+                              min(n_centroids, len(sample)), iters)
+    ref = ray.put(cents_u)
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _cached_state(ref, lambda: _ray.get(ref))
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cid": pa.array([], pa.int64())})
+        cid = _assign_int(_units_matrix(_emb_matrix(t)), c)
+        return pa.table({"vec_id": t["vec_id"],
+                         "cid": pa.array(cid.astype(np.int64), pa.int64())})
+
+    assigned = emb_ds.map_batches(assign_batch, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    counts = dict(map(tuple, assigned.groupby("cid").count()
+                      .to_pandas().to_numpy()))  # ≤ n_centroids rows
+    cref = ray.put(counts)
+
+    def attach_n(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cn = _cached_state(cref, lambda: _ray.get(cref))
+        n = [int(cn.get(c, 0)) for c in t["cid"].to_pylist()]
+        return t.append_column("cluster_n", pa.array(n, pa.int64()))
+
+    return assigned.map_batches(attach_n, batch_format="pyarrow")
+
+
+def kmeans_clusters_sql(n_centroids: int = 16, train_size: int = 4096,
+                        iters: int = 5, scale: int = _UNIT_SCALE) -> str:
+    """SQL twin of ``kmeans_clusters`` — the shared index-build CTE from
+    ``ivf_topk_sql`` up to the full-corpus assignment, plus the cluster
+    population join."""
+    # reuse ivf_topk_sql's prefix by regenerating the identical CTEs
+    full = ivf_topk_sql(n_centroids=n_centroids, train_size=train_size,
+                        iters=iters, scale=scale)
+    prefix = full[:full.index("q AS (SELECT vec_id FROM embeddings")]
+    return prefix + """
+        n AS (SELECT cid, count(*) AS cluster_n FROM assign GROUP BY cid)
+        SELECT a.vec_id, a.cid, n.cluster_n
+        FROM assign a JOIN n ON n.cid = a.cid
+        ORDER BY a.vec_id
+    """
+
+
 def label_centroids(emb_ds, label_col: str = "label",
                     vec_col: str = "embedding", scale: int = 1_000_000,
                     digits: int = 6):

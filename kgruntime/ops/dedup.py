@@ -1108,3 +1108,97 @@ SELECT doc_a, doc_b, common_prefix_len::BIGINT AS common_prefix_len
 FROM p WHERE common_prefix_len >= {min_prefix}
 ORDER BY doc_a, doc_b
 """
+
+
+# --- rare-token blocking: inverted-index candidate pair generation --------
+
+def rare_token_pairs(docs_ds, max_df: int = 3):
+    """Entity-resolution-style blocking: pair up documents that share a
+    RARE word bigram (document frequency ≤ ``max_df``), returning
+    (doc_a, doc_b, n_shared_rare) — the classic inverted-index
+    candidate generator that complements MinHash (a handful of shared
+    distinctive shingles beats banding for short docs).
+
+    Scale shape: the per-batch combiner collapses each shingle to ONE
+    row per block — a ≤ ``max_df``-element doc list, or an overflow
+    marker the moment the block-local df exceeds ``max_df`` (local df >
+    max_df ⇒ global df > max_df, so hot shingles never ship their
+    posting lists; a hot shingle costs one marker row per block,
+    bounding every group by n_blocks, not n_docs).  Shingle groups
+    then emit pairs only when the total df stays ≤ max_df, and the
+    final (doc_a, doc_b) rollup is pre-combined per group.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def explode_rare(t: pa.Table) -> pa.Table:
+        # distinct (bigram, doc) per batch, then the local-df gate;
+        # single-space split mirrors the oracle's str_split(text, ' ')
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        words, docs = [], []
+        for i, txt in enumerate(t["text"].to_pylist()):
+            toks = txt.split(" ")
+            for w in {a + " " + b for a, b in zip(toks[:-1], toks[1:])}:
+                words.append(w)
+                docs.append(doc[i])
+        df = pd.DataFrame({"w": words, "d": docs})
+        g = df.groupby("w", sort=False)["d"].agg(list)
+        out_w, out_docs, out_over = [], [], []
+        for w, ds_ in g.items():
+            over = len(ds_) > max_df
+            out_w.append(w)
+            out_docs.append([] if over else sorted(int(x) for x in ds_))
+            out_over.append(over)
+        return pa.table({"w": pa.array(out_w, pa.string()),
+                         "docs": pa.array(out_docs,
+                                          pa.list_(pa.int64())),
+                         "over": pa.array(out_over, pa.bool_())})
+
+    def pairs_for_word(g: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "n_shared_rare": pa.array([], pa.int64())})
+        if pc.any(g["over"]).as_py():
+            return empty
+        members = sorted({d for lst in g["docs"].to_pylist() for d in lst})
+        if not (2 <= len(members) <= max_df):
+            return empty
+        a, b = [], []
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a.append(members[i])
+                b.append(members[j])
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64()),
+                         "n_shared_rare": pa.array([1] * len(a),
+                                                   pa.int64())})
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(explode_rare, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("w").map_groups(pairs_for_word, batch_format="pyarrow") \
+        .groupby(["doc_a", "doc_b"]) \
+        .aggregate(Sum("n_shared_rare", alias_name="n_shared_rare"))
+
+
+def rare_token_pairs_sql(max_df: int = 3,
+                         table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM {table}),
+tk2 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS w
+  FROM toks),
+rare AS (
+  SELECT w FROM tk2 GROUP BY w
+  HAVING count(*) BETWEEN 2 AND {max_df})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_shared_rare
+FROM tk2 a
+JOIN rare r ON r.w = a.w
+JOIN tk2 b ON b.w = a.w AND b.doc_id > a.doc_id
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""

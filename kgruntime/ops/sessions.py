@@ -663,3 +663,198 @@ walk(user_id, event_type, rn, us, event_id, ts, last_kept, keep) AS (
 SELECT event_id, user_id, event_type, ts
 FROM walk WHERE keep ORDER BY event_id
 """
+
+
+# --- event-sequence mining: per-user event-type trigram paths --------------
+
+def _trigram_group(g: pd.DataFrame) -> pa.Table:
+    # Arrow out: feeds the (t1,t2,t3) rollup groupby
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    et = g["event_type"].to_numpy()
+    if len(et) < 3:
+        return pa.table({"t1": pa.array([], pa.string()),
+                         "t2": pa.array([], pa.string()),
+                         "t3": pa.array([], pa.string()),
+                         "n_paths": pa.array([], pa.int64())})
+    tri = pd.DataFrame({"t1": et[:-2], "t2": et[1:-1], "t3": et[2:]})
+    counts = tri.groupby(["t1", "t2", "t3"], sort=False) \
+        .size().rename("n_paths").reset_index()
+    return pa.Table.from_pandas(counts, preserve_index=False)
+
+
+def event_path_trigrams(events_ds):
+    """Sequence mining: counts of consecutive event-type TRIPLES per
+    user, rolled up corpus-wide — (t1, t2, t3, n_paths), the
+    double-lead() window shape.
+
+    Scale shape mirrors event_transitions: bounded per-user groups emit
+    ≤ |types|³ pre-combined rows; the rollup shuffle carries counts,
+    never events."""
+    from ray.data.aggregate import Sum
+
+    return events_ds.select_columns(["user_id", "ts", "event_id",
+                                     "event_type"]) \
+        .groupby("user_id").map_groups(_trigram_group,
+                                       batch_format="pandas") \
+        .groupby(["t1", "t2", "t3"]) \
+        .aggregate(Sum("n_paths", alias_name="n_paths"))
+
+
+EVENT_PATH_TRIGRAMS_SQL = """
+WITH nxt AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, count(*) AS n_paths
+FROM nxt WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY t1, t2, t3
+"""
+
+
+# --- session conversion by day-of-week -------------------------------------
+
+_US_PER_DAY_I = 86_400_000_000
+
+
+def _conversion_group(g: pd.DataFrame) -> pa.Table:
+    import numpy as np
+
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    gap = g["ts"].diff().dt.total_seconds().div(60)
+    sid = (gap.isna() | (gap > SESSION_GAP_MIN)).cumsum()
+    conv = g["event_type"].eq("purchase").groupby(sid).any()
+    start_us = g["ts"].astype("int64").groupby(sid).min()
+    # epoch-day arithmetic on BOTH sides (no engine dow() semantics):
+    # (day_idx + 4) % 7 with 0 = Sunday (1970-01-01 was a Thursday)
+    dow = ((start_us.to_numpy() // _US_PER_DAY_I + 4) % 7)
+    df = pd.DataFrame({"dow": dow,
+                       "conv": conv.to_numpy().astype(np.int64)})
+    counts = df.groupby("dow", sort=False).agg(
+        n_sessions=("conv", "size"), n_converted=("conv", "sum"))
+    return pa.Table.from_pandas(counts.reset_index(), preserve_index=False)
+
+
+def session_conversion_by_dow(events_ds):
+    """30-minute-gap sessions (sessionize semantics) → fraction of
+    sessions containing a purchase, per day-of-week of session start:
+    (dow, n_sessions, n_converted, conversion_rate).
+
+    Per-user groups are bounded; each emits ≤ 7 pre-combined rows; the
+    final rollup is 7 rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    agg = events_ds.select_columns(["user_id", "ts", "event_id",
+                                    "event_type"]) \
+        .groupby("user_id").map_groups(_conversion_group,
+                                       batch_format="pandas") \
+        .groupby("dow") \
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                   Sum("n_converted", alias_name="n_converted"))
+
+    def rate(t: pa.Table) -> pa.Table:
+        r = [round(c / s, 6) if s else 0.0 for c, s in
+             zip(t["n_converted"].to_pylist(), t["n_sessions"].to_pylist())]
+        return t.append_column("conversion_rate", pa.array(r, pa.float64()))
+
+    return agg.map_batches(rate, batch_format="pyarrow")
+
+
+SESSION_CONVERSION_BY_DOW_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS session_id
+  FROM marked),
+per_session AS (
+  SELECT user_id, session_id,
+         (epoch_us(min(ts)) // {_US_PER_DAY_I} + 4) % 7 AS dow,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM sessions GROUP BY user_id, session_id)
+SELECT dow, count(*) AS n_sessions, sum(conv)::BIGINT AS n_converted,
+       round(sum(conv)::DOUBLE / count(*), 6) AS conversion_rate
+FROM per_session GROUP BY dow ORDER BY dow
+"""
+
+
+# --- time-decayed user value: exact dyadic half-life weighting -------------
+
+_DECAY_HORIZON_DAYS = 30
+
+
+def decayed_user_value(events_ds, horizon: int = _DECAY_HORIZON_DAYS):
+    """Per-user recency-weighted value: sum of value·2^-(days_ago) with
+    a one-day half-life and a ``horizon``-day cutoff, anchored at the
+    corpus's max event day — (user_id, decayed_cents_x, decayed_value).
+
+    Exactness trick: 2^-d weights are dyadic, so each event contributes
+    the INTEGER cents << (horizon - d); the int64 sum is order-
+    independent under any distributed accumulation, and the final
+    ``sum / 2^horizon`` rounds identically on both engines.  (Bound:
+    cents·2^30 ≈ 1e15/event — int64 holds ~9e3 such events per user;
+    beyond that, split the sum by day first.)"""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    days = events_ds.select_columns(["ts"]).map_batches(
+        lambda t: pa.table({"day": pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(_US_PER_DAY_I, pa.int64()))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ref_day = days.aggregate(Max("day"))["max(day)"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        d = pc.subtract(
+            pa.scalar(ref_day, pa.int64()),
+            pc.divide(us, pa.scalar(_US_PER_DAY_I, pa.int64()))) \
+            .to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        w = np.where((d >= 0) & (d <= horizon),
+                     np.int64(1) << np.maximum(horizon - d, 0), 0)
+        return pa.table({"user_id": t["user_id"],
+                         "wcents": pa.array(cents * w, pa.int64())})
+
+    agg = events_ds.select_columns(["user_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("user_id") \
+        .aggregate(Sum("wcents", alias_name="decayed_cents_x"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        scale = float(1 << horizon) * 100.0
+        v = [round(x / scale, 6) for x in t["decayed_cents_x"].to_pylist()]
+        return t.append_column("decayed_value", pa.array(v, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def decayed_user_value_sql(horizon: int = _DECAY_HORIZON_DAYS) -> str:
+    return f"""
+WITH ref AS (
+  SELECT max(epoch_us(ts) // {_US_PER_DAY_I}) AS ref_day FROM events),
+w AS (
+  SELECT user_id,
+         CASE WHEN ref.ref_day - epoch_us(ts) // {_US_PER_DAY_I}
+                   BETWEEN 0 AND {horizon}
+              THEN CAST(round(value * 100) AS BIGINT)
+                   * (1::BIGINT << ({horizon} - (ref.ref_day
+                        - epoch_us(ts) // {_US_PER_DAY_I})))
+              ELSE 0 END AS wcents
+  FROM events, ref)
+SELECT user_id, sum(wcents)::BIGINT AS decayed_cents_x,
+       round(sum(wcents)::DOUBLE / {float((1 << horizon) * 100)}, 6)
+         AS decayed_value
+FROM w GROUP BY user_id ORDER BY user_id
+"""

@@ -1079,3 +1079,155 @@ SELECT doc_id, n_tokens, sum_freq,
        round(sum_freq::DOUBLE / n_tokens::DOUBLE, 6) AS mean_token_freq
 FROM d ORDER BY doc_id
 """
+
+
+# --- PII scan: email / URL / phone detection per doc -----------------------
+
+# RE2-safe patterns, shared verbatim with the SQL twin; counts are
+# non-overlapping leftmost matches on BOTH engines because they derive
+# from regex SPLIT list lengths (split consumes each match exactly once,
+# unlike count_substring_regex's overlap on adjacent repeats)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^\s]+"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def pii_scan(docs_ds):
+    """Per-doc PII/link inventory — (doc_id, n_emails, n_urls, n_phones,
+    has_pii) — the pre-redaction scan a training corpus runs before
+    release.  One vectorized RE2 split per pattern per batch; no per-row
+    Python; no shuffle (embarrassingly parallel scan)."""
+    def scan(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        counts = {}
+        for name, pat in (("n_emails", PII_EMAIL_RE),
+                          ("n_urls", PII_URL_RE),
+                          ("n_phones", PII_PHONE_RE)):
+            parts = pc.split_pattern_regex(text, pat)
+            counts[name] = pc.cast(
+                pc.subtract(pc.list_value_length(parts), 1), pa.int64())
+        has = pc.greater(
+            pc.add(counts["n_emails"],
+                   pc.add(counts["n_urls"], counts["n_phones"])), 0)
+        return pa.Table.from_arrays(
+            [t["doc_id"], counts["n_emails"], counts["n_urls"],
+             counts["n_phones"], has],
+            names=["doc_id", "n_emails", "n_urls", "n_phones", "has_pii"])
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pii_scan_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_URL_RE}')) AS n_urls,
+       len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phones,
+       (len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+        + len(regexp_extract_all(text, '{PII_URL_RE}'))
+        + len(regexp_extract_all(text, '{PII_PHONE_RE}'))) > 0 AS has_pii
+FROM {table} ORDER BY doc_id
+"""
+
+
+# --- normalized exact dedup: casefold + punctuation/whitespace collapse ----
+
+def normalized_dup_docs(docs_ds):
+    """Exact dedup AFTER text normalization (casefold, strip
+    non-alphanumerics to spaces, collapse whitespace) — catches the
+    trivial near-dups ("Hello, World!" vs "hello world") that raw exact
+    dedup misses and MinHash wastes banding on.  Same 128-bit-hash
+    group shape as exact_dedup_groups: the shuffle key is the blake2b
+    of the NORMALIZED text, groups verify the normalized text exactly.
+    Returns (keep_id, n_copies) per normalized-distinct text."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, r"[^a-z0-9]+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        h = pa.array([hashlib.blake2b(x.encode(), digest_size=16).digest()
+                      for x in s.to_pylist()], pa.binary(16))
+        return pa.Table.from_arrays([t["doc_id"], h],
+                                    names=["doc_id", "h"])
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(norm, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("h") \
+        .aggregate(Min("doc_id", alias_name="keep_id"),
+                   Count(alias_name="n_copies")) \
+        .drop_columns(["h"])
+
+
+def normalized_dup_docs_sql(table: str = "documents") -> str:
+    # the oracle groups by the normalized TEXT itself — equality of the
+    # 128-bit blake2b group key and equality of the normalized string
+    # coincide (collision probability ~2^-128)
+    return rf"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM {table})
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM n GROUP BY nt ORDER BY keep_id
+"""
+
+
+# --- per-source top-k vocabulary profile -----------------------------------
+
+def top_terms_per_source(docs_ds, k: int = 10):
+    """Per-source top-``k`` words by count — (source, rnk, word, cnt),
+    ranked (cnt DESC, word ASC).  The grouped-top-k shape over text:
+    the explode shuffle carries pre-combined (source, word) partial
+    counts; the ranking groups are vocabulary-bounded (never
+    corpus-bounded)."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["source", "text"]))
+        ex = df.with_columns(pl.col("text").str.split(" ").alias("word")) \
+            .drop("text").explode("word").filter(pl.col("word") != "")
+        g = ex.group_by(["source", "word"]).agg(
+            pl.len().cast(pl.Int64).alias("cnt"))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("word", pa.string()),
+            ("cnt", pa.int64())]))
+
+    counts = docs_ds.select_columns(["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["source", "word"]) \
+        .aggregate(Sum("cnt", alias_name="cnt"))
+
+    def topk(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().sort_values(
+            ["cnt", "word"], ascending=[False, True], kind="mergesort") \
+            .head(k).reset_index(drop=True)
+        df.insert(1, "rnk", pd.RangeIndex(1, len(df) + 1).astype("int64"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return counts.groupby("source").map_groups(topk,
+                                               batch_format="pyarrow")
+
+
+def top_terms_per_source_sql(k: int = 10,
+                             table: str = "documents") -> str:
+    return f"""
+WITH tk AS (
+  SELECT source, unnest(str_split(text, ' ')) AS word FROM {table}),
+tk2 AS (SELECT * FROM tk WHERE word <> ''),
+c AS (SELECT source, word, count(*) AS cnt FROM tk2
+      GROUP BY source, word),
+r AS (
+  SELECT source, word, cnt, row_number() OVER (
+    PARTITION BY source ORDER BY cnt DESC, word ASC) AS rnk
+  FROM c)
+SELECT source, rnk, word, cnt FROM r WHERE rnk <= {k}
+ORDER BY source, rnk
+"""

@@ -1,0 +1,178 @@
+"""Round-3 operators: rare-shingle blocking, PII scan, normalized
+dedup, sequence trigrams, session conversion, dyadic decay, per-source
+top terms, integer k-means clustering."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def _ts(s):
+    return pd.Timestamp(s).to_datetime64()
+
+
+def test_rare_token_pairs_blocking_and_overflow(ray_session):
+    from kgruntime.ops.dedup import rare_token_pairs
+
+    # "alpha beta" bigram shared by docs 1,2 (df=2 → pair); the
+    # "common x" bigram appears in 6 docs (df>3 → suppressed by the
+    # overflow gate); docs 1,2 also share "beta gamma" → n_shared_rare=2
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+            (3, "solo unique words")] + \
+           [(10 + i, f"common x tail{i}") for i in range(6)]
+    out = rare_token_pairs(_docs(rows).repartition(3), max_df=3) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert out["n_shared_rare"].tolist() == [2]
+
+
+def test_rare_token_pairs_repartition_invariant(ray_session):
+    from kgruntime.ops.dedup import rare_token_pairs
+
+    # docs 2k and 2k+1 share the df=2 bigram "p{k} m{k}"
+    rows = [(i, f"p{i // 2} m{i // 2} tok{i}") for i in range(20)]
+    a = rare_token_pairs(_docs(rows).repartition(1), max_df=3).to_pandas()
+    b = rare_token_pairs(_docs(rows).repartition(7), max_df=3).to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert sorted(map(tuple, a[key].values.tolist())) == \
+        sorted(map(tuple, b[key].values.tolist()))
+
+
+def test_pii_scan_counts(ray_session):
+    from kgruntime.ops.text import pii_scan
+
+    rows = [(1, "mail a@b.com and c@d.org plus http://x.y/z"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "clean text only"),
+            (4, "")]
+    out = pii_scan(_docs(rows)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_emails"].tolist() == [2, 0, 0, 0]
+    assert out["n_urls"].tolist() == [1, 0, 0, 0]
+    assert out["n_phones"].tolist() == [0, 1, 0, 0]
+    assert out["has_pii"].tolist() == [True, True, False, False]
+
+
+def test_normalized_dup_docs(ray_session):
+    from kgruntime.ops.text import normalized_dup_docs
+
+    rows = [(1, "Hello, World!"), (2, "hello   world"), (3, "HELLO WORLD."),
+            (4, "different text")]
+    out = normalized_dup_docs(_docs(rows)).to_pandas() \
+        .sort_values("keep_id").reset_index(drop=True)
+    assert out["keep_id"].tolist() == [1, 4]
+    assert out["n_copies"].tolist() == [3, 1]
+
+
+def test_event_path_trigrams(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import event_path_trigrams
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "event_type": ["view", "click", "purchase", "view",
+                       "view", "click"],
+        "ts": pa.array([_ts(f"2024-01-01 00:0{i}:00") for i in
+                        [0, 1, 2, 3, 0, 1]]),
+    }))
+    out = event_path_trigrams(ds).to_pandas() \
+        .sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+    # user 1: (view,click,purchase), (click,purchase,view); user 2 < 3
+    assert out[["t1", "t2", "t3"]].values.tolist() == \
+        [["click", "purchase", "view"], ["view", "click", "purchase"]]
+    assert out["n_paths"].tolist() == [1, 1]
+
+
+def test_session_conversion_by_dow(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import session_conversion_by_dow
+
+    # 1970-01-01 is a Thursday → dow 4 in the shared epoch-day formula.
+    # user 1: two sessions (90-min gap), first converts; user 2: one
+    # session, no purchase
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 1, 2],
+        "event_id": [1, 2, 3, 4],
+        "event_type": ["view", "purchase", "view", "view"],
+        "ts": pa.array([_ts("1970-01-01 10:00:00"),
+                        _ts("1970-01-01 10:10:00"),
+                        _ts("1970-01-01 12:00:00"),
+                        _ts("1970-01-01 09:00:00")]),
+    }))
+    out = session_conversion_by_dow(ds).to_pandas()
+    assert out["dow"].tolist() == [4]
+    assert out["n_sessions"].tolist() == [3]
+    assert out["n_converted"].tolist() == [1]
+    assert out["conversion_rate"].tolist() == [round(1 / 3, 6)]
+
+
+def test_decayed_user_value_exact_dyadic(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import decayed_user_value
+
+    # ref day = 1970-01-10; event ages 0, 1, 40 days (beyond horizon)
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 2],
+        "ts": pa.array([_ts("1970-01-10 05:00:00"),
+                        _ts("1970-01-09 05:00:00"),
+                        _ts("1969-12-01 05:00:00")]),
+        "value": [2.0, 4.0, 100.0],
+    }))
+    out = decayed_user_value(ds).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    # user 1: 200¢·2^30 + 400¢·2^29 → /(2^30·100) = 2 + 2 = 4.0
+    assert out["decayed_value"].tolist() == [4.0, 0.0]
+    assert out["decayed_cents_x"].tolist() == [
+        200 * (1 << 30) + 400 * (1 << 29), 0]
+
+
+def test_top_terms_per_source(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import top_terms_per_source
+
+    ds = rd.from_arrow(pa.table({
+        "source": ["a", "a", "b"],
+        "text": ["x x y", "y z", "w w w"],
+    }))
+    out = top_terms_per_source(ds, k=2).to_pandas() \
+        .sort_values(["source", "rnk"]).reset_index(drop=True)
+    assert out.values.tolist() == [
+        ["a", 1, "x", 2], ["a", 2, "y", 2], ["b", 1, "w", 3]]
+
+
+def test_kmeans_clusters_deterministic_and_complete(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import kmeans_clusters
+
+    rng = np.random.RandomState(5)
+    n, dim = 300, 8
+    emb = rng.randn(n, dim)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(emb),
+    })).repartition(4)
+    a = kmeans_clusters(ds, dim=dim, n_centroids=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(a) == n and a["cid"].nunique() > 1
+    # population column agrees with the assignment itself
+    pop = a.groupby("cid")["vec_id"].count()
+    assert all(pop[c] == k for c, k in zip(a["cid"], a["cluster_n"]))
+    b = kmeans_clusters(ds.repartition(2), dim=dim, n_centroids=4) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert a["cid"].tolist() == b["cid"].tolist()
