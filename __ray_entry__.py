@@ -526,7 +526,7 @@ def _q_kmeans_clusters(sf_dir):
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
-    return kmeans_clusters(emb, dim=_EMB_DIM).to_pandas() \
+    return kmeans_clusters(emb).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
 
 

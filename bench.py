@@ -309,14 +309,21 @@ def run_resume_drill(sf_dir: str) -> None:
     manifest = os.path.join(resumed_dir, "_manifest")
     t0 = time.perf_counter()
     p = leg(resumed_dir)
+    sent_kill = False
     while p.poll() is None:
         if os.path.isdir(manifest) and len(os.listdir(manifest)) >= 1:
             p.send_signal(signal.SIGKILL)
             p.wait()
+            sent_kill = True
             break
         time.sleep(0.25)
     kill_sec = time.perf_counter() - t0
-    was_killed = p.returncode != 0
+    # only a DELIBERATE SIGKILL counts as a mid-run kill — a leg that
+    # crashed on its own before any commit would otherwise masquerade as
+    # a successful drill while never exercising the resume path
+    was_killed = sent_kill
+    assert sent_kill or p.returncode == 0, \
+        f"first leg failed before any fragment commit (rc={p.returncode})"
 
     # phase 2: resume the same store to completion
     t1 = time.perf_counter()

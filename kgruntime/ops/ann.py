@@ -313,27 +313,14 @@ def _assign_int(units: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(cc[None, :] - 2 * (units @ cents.T), axis=1)
 
 
-def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
-             k: int = 5, n_centroids: int = 16, n_probe: int = 4,
-             sample_mod: int | None = None, train_size: int = 4096,
-             iters: int = 5, exclude_self: bool = True):
-    """IVF ANN: a coarse quantizer (integer k-means over a deterministic
-    hash-sample of the corpus) splits vectors into ``n_centroids``
-    inverted lists; each query scans only its ``n_probe`` nearest lists.
-    Compute scales by ~n_probe/n_centroids vs brute force; recall
-    measured against brute force in tests.
-
-    The training sample is vectors with ``md5_60(vec_id) % mod == 0``
-    where ``mod`` defaults to ``max(1, count // train_size)`` — the
-    filtered collect is therefore O(train_size) rows at ANY corpus size,
-    block-order independent, and SQL-replayable.  Quantization,
-    centroids, assignment and probing are all exact fixed-point integer
-    arithmetic (``_kmeans_fit_int``), so ``ivf_topk_sql`` replays the
-    whole index build; only the final within-list cosine ranking is
-    float (identical op sequence on both sides).
-    """
-    import ray
-
+def _fit_quantizer(emb_ds, n_centroids: int, train_size: int, iters: int,
+                   sample_mod: int | None = None) -> np.ndarray:
+    """Shared index-build recipe for ``ivf_topk`` and
+    ``kmeans_clusters`` (and mirrored CTE-for-CTE by
+    ``_kmeans_index_cte_sql``): md5-60 hash sample with a corpus-size-
+    derived modulus (the filtered collect is O(train_size) rows at ANY
+    corpus size, block-order independent), sorted + truncated, then
+    exact integer k-means.  Returns the int64 centroid matrix."""
     from .dedup import _md5_60
 
     if sample_mod is None:
@@ -348,8 +335,30 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
         emb_ds.map_batches(sample_batch, batch_format="pyarrow").take_all(),
         key=lambda r: r["vec_id"])[:train_size]
     sample = np.array([r["embedding"] for r in sample_rows], np.float64)
-    cents_u = _kmeans_fit_int(_units_matrix(sample),
-                              min(n_centroids, len(sample)), iters)
+    return _kmeans_fit_int(_units_matrix(sample),
+                           min(n_centroids, len(sample)), iters)
+
+
+def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
+             k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+             sample_mod: int | None = None, train_size: int = 4096,
+             iters: int = 5, exclude_self: bool = True):
+    """IVF ANN: a coarse quantizer (integer k-means over a deterministic
+    hash-sample of the corpus) splits vectors into ``n_centroids``
+    inverted lists; each query scans only its ``n_probe`` nearest lists.
+    Compute scales by ~n_probe/n_centroids vs brute force; recall
+    measured against brute force in tests.
+
+    Quantization, centroids, assignment and probing are all exact
+    fixed-point integer arithmetic (``_fit_quantizer``), so
+    ``ivf_topk_sql`` replays the whole index build; only the final
+    within-list cosine ranking is float (identical op sequence on both
+    sides).
+    """
+    import ray
+
+    cents_u = _fit_quantizer(emb_ds, n_centroids, train_size, iters,
+                             sample_mod)
 
     q = np.asarray(queries, np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
@@ -414,17 +423,16 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
         lambda g: _merge_topk(g, k), batch_format="pyarrow")
 
 
-def ivf_topk_sql(k: int = 5, n_centroids: int = 16,
-                 n_probe: int = 4, train_size: int = 4096,
-                 iters: int = 5, n_queries: int = 10,
-                 scale: int = _UNIT_SCALE) -> str:
-    """SQL twin of ``ivf_topk``: replays the ENTIRE index build in
-    exact integer arithmetic — md5-60 hash sample, fixed-point
-    quantization, ``iters`` unrolled k-means rounds (assignment by
-    ``|c|² − 2·u·c`` with cid tie-breaks, centroid update by half-away
-    integer division, empty clusters carried over), probe lists, and the
-    final float cosine ranking with vec_id tie-breaks (the same ranking
-    convention as the passing ``ann_topk`` oracle)."""
+def _kmeans_index_cte_sql(n_centroids: int, train_size: int, iters: int,
+                          scale: int) -> str:
+    """Chained-CTE fragment replaying ``_fit_quantizer`` + full-corpus
+    assignment in exact integer arithmetic: md5-60 hash sample (same
+    corpus-size-derived modulus), fixed-point quantization, ``iters``
+    unrolled k-means rounds (assignment by ``|c|² − 2·u·c`` with cid
+    tie-breaks, centroid update by half-away integer division, empty
+    clusters carried over).  Defines ``e(vec_id, i, u)``, ``dall`` and
+    ``assign(vec_id, cid)`` for the caller; shared by ``ivf_topk_sql``
+    and ``kmeans_clusters_sql``."""
     rounds = []
     for r in range(1, iters + 1):
         rounds.append(f"""
@@ -451,8 +459,7 @@ def ivf_topk_sql(k: int = 5, n_centroids: int = 16,
           FROM c{r - 1} p
           LEFT JOIN s{r} s ON s.cid = p.cid AND s.i = p.i)""")
     rounds_sql = ",".join(rounds)
-    return rf"""
-        WITH e AS (
+    return rf"""e AS (
           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                  CAST(round(CAST(unnest(embedding) AS DOUBLE)
                             * {scale}) AS BIGINT) AS u
@@ -481,7 +488,19 @@ def ivf_topk_sql(k: int = 5, n_centroids: int = 16,
           SELECT vec_id, cid FROM (
             SELECT vec_id, cid, row_number() OVER (
               PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
-            FROM dall) WHERE rn = 1),
+            FROM dall) WHERE rn = 1)"""
+
+
+def ivf_topk_sql(k: int = 5, n_centroids: int = 16,
+                 n_probe: int = 4, train_size: int = 4096,
+                 iters: int = 5, n_queries: int = 10,
+                 scale: int = _UNIT_SCALE) -> str:
+    """SQL twin of ``ivf_topk``: the shared integer index-build CTE
+    (``_kmeans_index_cte_sql``), probe lists, and the final float
+    cosine ranking with vec_id tie-breaks (the same ranking convention
+    as the passing ``ann_topk`` oracle)."""
+    return rf"""
+        WITH {_kmeans_index_cte_sql(n_centroids, train_size, iters, scale)},
         q AS (SELECT vec_id FROM embeddings ORDER BY vec_id
               LIMIT {n_queries}),
         probe AS (
@@ -509,37 +528,24 @@ def ivf_topk_sql(k: int = 5, n_centroids: int = 16,
     """
 
 
-def kmeans_clusters(emb_ds, dim: int, n_centroids: int = 16,
+def kmeans_clusters(emb_ds, n_centroids: int = 16,
                     train_size: int = 4096, iters: int = 5,
                     sample_mod: int | None = None):
     """Corpus clustering as a first-class op: fit the exact integer
-    k-means quantizer (``_kmeans_fit_int`` — the IVF coarse index) and
+    k-means quantizer (``_fit_quantizer`` — the IVF coarse index) and
     assign EVERY vector to its cluster, returning (vec_id, cid,
     cluster_n) with the cluster's population joined on.
 
     Scale shape: one bounded sample collect (O(train_size) rows at any
-    corpus size), one broadcast of the integer centroid matrix, one
-    streaming assignment pass, and one tiny per-cid count groupby whose
-    result is broadcast back — the corpus crosses zero shuffles.
-    Bit-exact SQL twin: ``kmeans_clusters_sql``."""
+    corpus size), one broadcast of the integer centroid matrix, ONE
+    streaming assignment pass (materialized before the count so the
+    scan+assignment never re-executes), and one tiny per-cid count
+    groupby whose result is broadcast back — the corpus crosses zero
+    shuffles.  Bit-exact SQL twin: ``kmeans_clusters_sql``."""
     import ray
 
-    from .dedup import _md5_60
-
-    if sample_mod is None:
-        sample_mod = max(1, emb_ds.count() // train_size)
-
-    def sample_batch(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_pylist()
-        keep = [_md5_60(str(i).encode()) % sample_mod == 0 for i in ids]
-        return t.filter(pa.array(keep))
-
-    sample_rows = sorted(
-        emb_ds.map_batches(sample_batch, batch_format="pyarrow").take_all(),
-        key=lambda r: r["vec_id"])[:train_size]
-    sample = np.array([r["embedding"] for r in sample_rows], np.float64)
-    cents_u = _kmeans_fit_int(_units_matrix(sample),
-                              min(n_centroids, len(sample)), iters)
+    cents_u = _fit_quantizer(emb_ds, n_centroids, train_size, iters,
+                             sample_mod)
     ref = ray.put(cents_u)
 
     def assign_batch(t: pa.Table) -> pa.Table:
@@ -553,8 +559,11 @@ def kmeans_clusters(emb_ds, dim: int, n_centroids: int = 16,
         return pa.table({"vec_id": t["vec_id"],
                          "cid": pa.array(cid.astype(np.int64), pa.int64())})
 
+    # materialize: the assignment feeds BOTH the count and the output —
+    # without pinning, the lazy plan (scan + quantize + matmul) would
+    # execute twice
     assigned = emb_ds.map_batches(assign_batch, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+                                  zero_copy_batch=True).materialize()
     counts = dict(map(tuple, assigned.groupby("cid").count()
                       .to_pandas().to_numpy()))  # ≤ n_centroids rows
     cref = ray.put(counts)
@@ -571,14 +580,10 @@ def kmeans_clusters(emb_ds, dim: int, n_centroids: int = 16,
 
 def kmeans_clusters_sql(n_centroids: int = 16, train_size: int = 4096,
                         iters: int = 5, scale: int = _UNIT_SCALE) -> str:
-    """SQL twin of ``kmeans_clusters`` — the shared index-build CTE from
-    ``ivf_topk_sql`` up to the full-corpus assignment, plus the cluster
-    population join."""
-    # reuse ivf_topk_sql's prefix by regenerating the identical CTEs
-    full = ivf_topk_sql(n_centroids=n_centroids, train_size=train_size,
-                        iters=iters, scale=scale)
-    prefix = full[:full.index("q AS (SELECT vec_id FROM embeddings")]
-    return prefix + """
+    """SQL twin of ``kmeans_clusters`` — the shared integer index-build
+    CTE plus the cluster population join."""
+    return rf"""
+        WITH {_kmeans_index_cte_sql(n_centroids, train_size, iters, scale)},
         n AS (SELECT cid, count(*) AS cluster_n FROM assign GROUP BY cid)
         SELECT a.vec_id, a.cid, n.cluster_n
         FROM assign a JOIN n ON n.cid = a.cid

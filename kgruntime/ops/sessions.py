@@ -728,8 +728,13 @@ def _conversion_group(g: pd.DataFrame) -> pa.Table:
     conv = g["event_type"].eq("purchase").groupby(sid).any()
     start_us = g["ts"].astype("int64").groupby(sid).min()
     # epoch-day arithmetic on BOTH sides (no engine dow() semantics):
-    # (day_idx + 4) % 7 with 0 = Sunday (1970-01-01 was a Thursday)
-    dow = ((start_us.to_numpy() // _US_PER_DAY_I + 4) % 7)
+    # (day_idx + 4) % 7 with 0 = Sunday (1970-01-01 was a Thursday).
+    # DuckDB's // TRUNCATES toward zero while numpy's floors — mirror
+    # trunc explicitly, and canonicalize the modulo to non-negative on
+    # both sides so pre-epoch timestamps agree too
+    a = start_us.to_numpy()
+    tdiv = np.sign(a) * (np.abs(a) // _US_PER_DAY_I)
+    dow = ((tdiv + 4) % 7 + 7) % 7
     df = pd.DataFrame({"dow": dow,
                        "conv": conv.to_numpy().astype(np.int64)})
     counts = df.groupby("dow", sort=False).agg(
@@ -756,7 +761,11 @@ def session_conversion_by_dow(events_ds):
                    Sum("n_converted", alias_name="n_converted"))
 
     def rate(t: pa.Table) -> pa.Table:
-        r = [round(c / s, 6) if s else 0.0 for c, s in
+        from .text import _round6
+
+        # _round6, NOT builtin round: Python round is banker's, the
+        # oracle's round() is half-away (CLAUDE.md hard rule)
+        r = [_round6(c / s) if s else 0.0 for c, s in
              zip(t["n_converted"].to_pylist(), t["n_sessions"].to_pylist())]
         return t.append_column("conversion_rate", pa.array(r, pa.float64()))
 
@@ -776,7 +785,7 @@ sessions AS (
   FROM marked),
 per_session AS (
   SELECT user_id, session_id,
-         (epoch_us(min(ts)) // {_US_PER_DAY_I} + 4) % 7 AS dow,
+         ((epoch_us(min(ts)) // {_US_PER_DAY_I} + 4) % 7 + 7) % 7 AS dow,
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
   FROM sessions GROUP BY user_id, session_id)
 SELECT dow, count(*) AS n_sessions, sum(conv)::BIGINT AS n_converted,
@@ -833,8 +842,11 @@ def decayed_user_value(events_ds, horizon: int = _DECAY_HORIZON_DAYS):
         .aggregate(Sum("wcents", alias_name="decayed_cents_x"))
 
     def finish(t: pa.Table) -> pa.Table:
+        from .text import _round6
+
+        # _round6, NOT builtin round (banker's) — CLAUDE.md hard rule
         scale = float(1 << horizon) * 100.0
-        v = [round(x / scale, 6) for x in t["decayed_cents_x"].to_pylist()]
+        v = [_round6(x / scale) for x in t["decayed_cents_x"].to_pylist()]
         return t.append_column("decayed_value", pa.array(v, pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")

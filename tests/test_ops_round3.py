@@ -167,12 +167,12 @@ def test_kmeans_clusters_deterministic_and_complete(ray_session):
         "vec_id": np.arange(n, dtype=np.int64),
         "embedding": list(emb),
     })).repartition(4)
-    a = kmeans_clusters(ds, dim=dim, n_centroids=4).to_pandas() \
+    a = kmeans_clusters(ds, n_centroids=4).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert len(a) == n and a["cid"].nunique() > 1
     # population column agrees with the assignment itself
     pop = a.groupby("cid")["vec_id"].count()
     assert all(pop[c] == k for c, k in zip(a["cid"], a["cluster_n"]))
-    b = kmeans_clusters(ds.repartition(2), dim=dim, n_centroids=4) \
+    b = kmeans_clusters(ds.repartition(2), n_centroids=4) \
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert a["cid"].tolist() == b["cid"].tolist()
