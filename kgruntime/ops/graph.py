@@ -119,3 +119,58 @@ def pagerank_cooccurrence_sql(iters: int = 5, scale: int = 10 ** 9,
 WITH {', '.join(parts)}
 SELECT u AS user_id, r AS rank_scaled FROM r{iters} ORDER BY u
 """
+
+
+def user_components(events_ds):
+    """Generic connected components over the user co-occurrence graph —
+    (user_id, component) with ``component`` = the min user id reachable.
+
+    Reuses the KG pipeline's ``stages/canon.connected_components``
+    (driver union-find under DRIVER_CC_MAX_EDGES, distributed min-label
+    rounds beyond) on zero-padded string node ids so its rank-minimum
+    label IS the numeric minimum.  The oracle is a TRUE reachability
+    closure (recursive CTE), so the query also proves the union-find
+    labels correct, not merely reproducible."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.canon import connected_components
+    from .sessions import cooccurrence_edges
+
+    pairs = cooccurrence_edges(events_ds).select_columns(
+        ["user_a", "user_b"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        # zero-pad so lexicographic min == numeric min
+        a = pc.utf8_lpad(pc.cast(t["user_a"], pa.string()), 12, "0")
+        b = pc.utf8_lpad(pc.cast(t["user_b"], pa.string()), 12, "0")
+        return pa.table({"src": a, "dst": b})
+
+    asn = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["node"], pa.int64()),
+            "component": pc.cast(t["label"], pa.int64()),
+        })
+
+    return asn.map_batches(back, batch_format="pyarrow")
+
+
+def user_components_sql() -> str:
+    from .sessions import cooccurrence_edges_sql
+
+    co = cooccurrence_edges_sql().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE co AS ({co}),
+e AS (SELECT user_a AS s, user_b AS d FROM co
+      UNION ALL SELECT user_b, user_a FROM co),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+reach AS (
+  SELECT node, node AS cand FROM nodes
+  UNION
+  SELECT e.d AS node, reach.cand FROM reach JOIN e ON e.s = reach.node)
+SELECT node AS user_id, min(cand)::BIGINT AS component
+FROM reach GROUP BY node ORDER BY user_id
+"""

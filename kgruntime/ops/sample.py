@@ -136,3 +136,55 @@ WITH h AS (
 SELECT doc_id, lang, CASE {case} ELSE '{names[-1]}' END AS split
 FROM h ORDER BY doc_id
 """
+
+
+def reservoir_per_group(docs_ds, group: str = "lang", k: int = 20):
+    """Deterministic distributed 'reservoir': the k docs with the
+    SMALLEST md5-60(doc_id) per group — (group, doc_id).  Hash order is
+    a uniform random order that every retry/cluster layout agrees on,
+    so this is reservoir sampling without coordination.
+
+    Scale shape: each batch keeps its local per-group top-k (combiner),
+    so the group shuffle carries ≤ k rows per group per block; the
+    final per-group merge is k·n_blocks-bounded.
+    """
+    import pandas as pd
+
+    from .dedup import _md5_60
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group: t[group].to_pylist(),
+            "doc_id": t["doc_id"].to_pylist(),
+        })
+        df["h"] = [_md5_60(str(i).encode()) for i in df["doc_id"]]
+        df = df.sort_values(["h", "doc_id"], kind="mergesort") \
+            .groupby(group, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["h", "doc_id"], kind="mergesort") \
+            .head(k)
+        return pa.Table.from_pandas(
+            df[[group, "doc_id"]], preserve_index=False)
+
+    return docs_ds.select_columns([group, "doc_id"]) \
+        .map_batches(local_topk, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(group).map_groups(merge_topk, batch_format="pyarrow")
+
+
+def reservoir_per_group_sql(group: str = "lang", k: int = 20,
+                            table: str = "documents") -> str:
+    return f"""
+WITH h AS (
+  SELECT {group}, doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h60
+  FROM {table}),
+r AS (
+  SELECT {group}, doc_id, row_number() OVER (
+    PARTITION BY {group} ORDER BY h60, doc_id) AS rn
+  FROM h)
+SELECT {group}, doc_id FROM r WHERE rn <= {k}
+ORDER BY {group}, doc_id
+"""

@@ -115,3 +115,75 @@ SELECT grp AS {group}, {m} AS n_registers, reg_sum_scaled,
   AS est_distinct
 FROM s ORDER BY {group}
 """
+
+
+# --- Bloom-filter distinct sketch ------------------------------------------
+
+_BLOOM_M = 1 << 15          # bits
+_BLOOM_K = 4                # hash functions (four 15-bit slices of md5-60)
+
+
+def bloom_distinct_user_days(events_ds, m: int = _BLOOM_M,
+                             k: int = _BLOOM_K):
+    """Mergeable Bloom sketch of distinct (user, activity-day) pairs —
+    (m, k, n_set_bits, est_distinct).
+
+    The k indexes are disjoint 15-bit slices of the md5-60 of
+    ``"{user}-{day}"`` — SQL-replayable, and the set-bit union is
+    merge-order-independent (a Bloom OR), so ``n_set_bits`` is exact on
+    both engines; the float estimator ``-m/k · ln(1 − X/m)`` is derived
+    from it (kept out of the hash-checked projection — libm ln is not
+    cross-engine-guaranteed in the last ulp).
+
+    Scale shape: each batch emits its DISTINCT bit indexes (≤ m rows —
+    the sketch, never the pairs); one tiny groupby dedups them.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .dedup import _md5_60
+
+    assert m == 1 << 15 and k <= 4, "indexes are 15-bit md5-60 slices"
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        users = t["user_id"].to_pylist()
+        idx = set()
+        for u, d in zip(users, day.to_pylist()):
+            h = _md5_60(f"{u}-{d}".encode())
+            for i in range(k):
+                idx.add((h >> (15 * i)) & (m - 1))
+        return pa.table({"idx": pa.array(sorted(idx), pa.int64())})
+
+    bits = events_ds.select_columns(["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("idx").count()
+    n_set = bits.count()
+    est = -m / k * float(np.log1p(-n_set / m))
+    return pd.DataFrame({
+        "m": [m], "k": [k], "n_set_bits": [int(n_set)],
+        "est_distinct": [float(np.copysign(
+            np.floor(abs(est) * 1e4 + 0.5), est) / 1e4)],
+    })
+
+
+def bloom_distinct_sql(m: int = _BLOOM_M, k: int = _BLOOM_K,
+                       table: str = "events") -> str:
+    """Oracle for the EXACT part of the sketch (m, k, n_set_bits); the
+    float estimator stays out of the checked projection."""
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM {table}),
+h AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR || '-' || day::VARCHAR),
+                         1, 15))::BIGINT AS h60
+  FROM pairs),
+idx AS (
+  SELECT DISTINCT (h60 >> (15 * t.i)) & {m - 1} AS idx
+  FROM h CROSS JOIN range(0, {k}) AS t(i))
+SELECT {m} AS m, {k} AS k, count(*) AS n_set_bits FROM idx
+"""

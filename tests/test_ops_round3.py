@@ -176,3 +176,67 @@ def test_kmeans_clusters_deterministic_and_complete(ray_session):
     b = kmeans_clusters(ds.repartition(2), n_centroids=4) \
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert a["cid"].tolist() == b["cid"].tolist()
+
+
+def test_user_components_vs_networkless_reference(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.graph import user_components
+
+    # components {1,2,3} via chained co-sessions, {4,5}; user 6 isolated
+    # (no co-occurrence → absent, matching the SQL's edge-derived nodes)
+    rows = []
+    eid = 0
+    for u, b in [(1, "a"), (2, "a"), (2, "b"), (3, "b"),
+                 (4, "c"), (5, "c"), (6, "d")]:
+        eid += 1
+        rows.append((u, eid, b))
+    ds = rd.from_arrow(pa.table({
+        "user_id": [r[0] for r in rows],
+        "event_id": [r[1] for r in rows],
+        "event_type": ["view"] * len(rows),
+        # same bucket hour → co-occurrence within the bucket
+        "ts": pa.array([_ts(f"2024-01-01 0{ord(r[2]) - 96}:30:00")
+                        for r in rows]),
+    }))
+    out = user_components(ds).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    got = dict(zip(out["user_id"], out["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_bloom_distinct_user_days_merge_invariance(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sketch import bloom_distinct_user_days
+
+    rows = [(u, f"2024-01-{d:02d} 12:00:00")
+            for u in range(40) for d in range(1, 11)]
+    t = pa.table({
+        "user_id": [r[0] for r in rows],
+        "event_id": list(range(len(rows))),
+        "ts": pa.array([_ts(r[1]) for r in rows]),
+    })
+    a = bloom_distinct_user_days(rd.from_arrow(t).repartition(1))
+    b = bloom_distinct_user_days(rd.from_arrow(t).repartition(9))
+    assert a["n_set_bits"].iloc[0] == b["n_set_bits"].iloc[0]
+    # 400 distinct pairs, m=32768: estimator within 10%
+    assert abs(a["est_distinct"].iloc[0] - 400) < 40
+
+
+def test_reservoir_per_group_deterministic_topk(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import _md5_60
+    from kgruntime.ops.sample import reservoir_per_group
+
+    ds = rd.from_arrow(pa.table({
+        "lang": ["en"] * 50 + ["de"] * 5,
+        "doc_id": pa.array(list(range(55)), pa.int64()),
+    })).repartition(6)
+    out = reservoir_per_group(ds, k=10).to_pandas()
+    en = sorted(out[out["lang"] == "en"]["doc_id"])
+    expect = sorted(sorted(range(50),
+                           key=lambda i: (_md5_60(str(i).encode()), i))[:10])
+    assert en == expect
+    assert sorted(out[out["lang"] == "de"]["doc_id"]) == list(range(50, 55))
