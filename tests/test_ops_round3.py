@@ -240,3 +240,36 @@ def test_reservoir_per_group_deterministic_topk(ray_session):
                            key=lambda i: (_md5_60(str(i).encode()), i))[:10])
     assert en == expect
     assert sorted(out[out["lang"] == "de"]["doc_id"]) == list(range(50, 55))
+
+
+def test_div_half_away_matches_fraction_rounding():
+    from fractions import Fraction
+
+    from kgruntime.ops.ann import _div_half_away
+
+    rng = np.random.RandomState(11)
+    s = rng.randint(-10**12, 10**12, size=500)
+    for n in (1, 2, 3, 7, 4096):
+        got = _div_half_away(s, n)
+        for si, gi in zip(s.tolist(), got.tolist()):
+            f = Fraction(si, n)
+            frac = f - int(f)
+            # half-away-from-zero reference via exact rationals
+            if f >= 0:
+                want = int(f) + (1 if frac >= Fraction(1, 2) else 0)
+            else:
+                want = int(f) - (1 if -frac >= Fraction(1, 2) else 0)
+            assert gi == want, (si, n, gi, want)
+
+
+def test_units_matrix_matches_duckdb_round():
+    import duckdb
+
+    from kgruntime.ops.ann import _units_matrix
+
+    vals = [0.0000005, -0.0000005, 1.5e-6, -1.5e-6, 0.1234565,
+            -0.9999995, 3.25, 0.0]
+    got = _units_matrix(np.array([vals])).ravel().tolist()
+    want = [duckdb.sql("SELECT CAST(round(? * 1000000) AS BIGINT)",
+                       params=[v]).fetchone()[0] for v in vals]
+    assert got == want
