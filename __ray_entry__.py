@@ -463,8 +463,7 @@ def _q_ann_ivf(sf_dir):
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     q, ids = _load_queries(sf_dir)
-    dim = len(q[0])
-    out = ivf_topk(emb, q, ids, dim=dim, k=_ANN_K).to_pandas()
+    out = ivf_topk(emb, q, ids, k=_ANN_K).to_pandas()
     return out[["query_id", "neighbor_id"]] \
         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
 

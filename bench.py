@@ -318,12 +318,14 @@ def run_resume_drill(sf_dir: str) -> None:
             break
         time.sleep(0.25)
     kill_sec = time.perf_counter() - t0
-    # only a DELIBERATE SIGKILL counts as a mid-run kill — a leg that
-    # crashed on its own before any commit would otherwise masquerade as
-    # a successful drill while never exercising the resume path
+    # only a DELIBERATE SIGKILL exercises the resume path: a leg that
+    # crashed on its own, or finished between polls, must fail the
+    # drill loudly rather than masquerade as a successful kill+resume
     was_killed = sent_kill
-    assert sent_kill or p.returncode == 0, \
-        f"first leg failed before any fragment commit (rc={p.returncode})"
+    assert sent_kill, (
+        "drill leg ended before the SIGKILL "
+        f"(rc={p.returncode}); raise KG_BENCH_DRILL_MULT so the run "
+        "outlives the first fragment commit")
 
     # phase 2: resume the same store to completion
     t1 = time.perf_counter()

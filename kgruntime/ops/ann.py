@@ -339,7 +339,7 @@ def _fit_quantizer(emb_ds, n_centroids: int, train_size: int, iters: int,
                            min(n_centroids, len(sample)), iters)
 
 
-def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int], dim: int,
+def ivf_topk(emb_ds, queries: np.ndarray, query_ids: list[int],
              k: int = 5, n_centroids: int = 16, n_probe: int = 4,
              sample_mod: int | None = None, train_size: int = 4096,
              iters: int = 5, exclude_self: bool = True):

@@ -141,9 +141,17 @@ def user_components(events_ds):
         ["user_a", "user_b"])
 
     def to_edges(t: pa.Table) -> pa.Table:
-        # zero-pad so lexicographic min == numeric min
-        a = pc.utf8_lpad(pc.cast(t["user_a"], pa.string()), 12, "0")
-        b = pc.utf8_lpad(pc.cast(t["user_b"], pa.string()), 12, "0")
+        # zero-pad to full int64 width (19 digits) so lexicographic min
+        # == numeric min for ANY non-negative id; negative ids would
+        # scramble the ordering, so refuse them loudly
+        if t.num_rows:
+            lo = min(pc.min(t["user_a"]).as_py(),
+                     pc.min(t["user_b"]).as_py())
+            if lo < 0:
+                raise ValueError("user_components requires non-negative "
+                                 f"user ids (saw {lo})")
+        a = pc.utf8_lpad(pc.cast(t["user_a"], pa.string()), 19, "0")
+        b = pc.utf8_lpad(pc.cast(t["user_b"], pa.string()), 19, "0")
         return pa.table({"src": a, "dst": b})
 
     asn = connected_components(

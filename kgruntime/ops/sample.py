@@ -160,13 +160,25 @@ def reservoir_per_group(docs_ds, group: str = "lang", k: int = 20):
         df["h"] = [_md5_60(str(i).encode()) for i in df["doc_id"]]
         df = df.sort_values(["h", "doc_id"], kind="mergesort") \
             .groupby(group, sort=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # explicit pa.table, not from_pandas: pandas metadata defeats
+        # Ray's block-schema dedup and empty frames drop the schema
+        # (CLAUDE.md gotcha)
+        return pa.table({
+            group: pa.array(df[group].tolist(), pa.string()),
+            "doc_id": pa.array(df["doc_id"].tolist(), pa.int64()),
+            "h": pa.array(df["h"].tolist(), pa.int64()),
+        })
 
     def merge_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({group: pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
         df = g.to_pandas().sort_values(["h", "doc_id"], kind="mergesort") \
             .head(k)
-        return pa.Table.from_pandas(
-            df[[group, "doc_id"]], preserve_index=False)
+        return pa.table({
+            group: pa.array(df[group].tolist(), pa.string()),
+            "doc_id": pa.array(df["doc_id"].tolist(), pa.int64()),
+        })
 
     return docs_ds.select_columns([group, "doc_id"]) \
         .map_batches(local_topk, batch_format="pyarrow",

@@ -842,11 +842,15 @@ def decayed_user_value(events_ds, horizon: int = _DECAY_HORIZON_DAYS):
         .aggregate(Sum("wcents", alias_name="decayed_cents_x"))
 
     def finish(t: pa.Table) -> pa.Table:
-        from .text import _round6
+        import numpy as np
 
-        # _round6, NOT builtin round (banker's) — CLAUDE.md hard rule
+        # half-away-from-zero for EITHER sign (decayed cents can go
+        # negative on refund rows; _round6 is floor-based and only
+        # half-away for non-negative inputs)
         scale = float(1 << horizon) * 100.0
-        v = [_round6(x / scale) for x in t["decayed_cents_x"].to_pylist()]
+        v = [float(np.copysign(np.floor(abs(x / scale) * 1e6 + 0.5),
+                               x) / 1e6)
+             for x in t["decayed_cents_x"].to_pylist()]
         return t.append_column("decayed_value", pa.array(v, pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")

@@ -170,14 +170,14 @@ def test_ivf_topk_recall(ray_session):
     q_ids = list(range(8))
     q = emb[:8]
     exact = brute_force_topk(ds, q, q_ids, k=5).to_pandas()
-    approx = ivf_topk(ds, q, q_ids, dim=dim, k=5,
+    approx = ivf_topk(ds, q, q_ids, k=5,
                       n_centroids=8, n_probe=4).to_pandas()
     exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
     approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5, recall
     # determinism: a second run reproduces the same result exactly
-    again = ivf_topk(ds, q, q_ids, dim=dim, k=5,
+    again = ivf_topk(ds, q, q_ids, k=5,
                      n_centroids=8, n_probe=4).to_pandas()
     assert approx_pairs == set(zip(again["query_id"], again["neighbor_id"]))
 
