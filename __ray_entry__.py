@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_distinct_user_days": _q_bloom_user_days,
         "reservoir_per_lang": _q_reservoir_lang,
         # --- entries below are outside the driver's 50-query window ---
+        "events_profile": _q_events_profile,
+        "value_percentile_ranks": _q_pct_ranks,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "media_frame_features": _q_media_frame_features,
@@ -466,6 +468,22 @@ def _q_ann_ivf(sf_dir):
     out = ivf_topk(emb, q, ids, k=_ANN_K).to_pandas()
     return out[["query_id", "neighbor_id"]] \
         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
+
+
+def _q_events_profile(sf_dir):
+    from kgruntime.ops.stats import table_profile
+
+    return table_profile(_events_ds(sf_dir), _PROFILE_COLS)
+
+
+def _q_pct_ranks(sf_dir):
+    from kgruntime.ops.stats import value_percentile_ranks
+
+    return value_percentile_ranks(_events_ds(sf_dir)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
 
 
 def _q_user_components(sf_dir):
@@ -1258,6 +1276,18 @@ def _top_terms_source_sql():
     return top_terms_per_source_sql()
 
 
+def _events_profile_sql():
+    from kgruntime.ops.stats import table_profile_sql
+
+    return table_profile_sql(_PROFILE_COLS, "events")
+
+
+def _pct_ranks_sql():
+    from kgruntime.ops.stats import value_percentile_ranks_sql
+
+    return value_percentile_ranks_sql()
+
+
 def _user_components_sql():
     from kgruntime.ops.graph import user_components_sql
 
@@ -1349,6 +1379,8 @@ def oracle_sql() -> dict[str, str]:
         "decayed_user_value": _decayed_value_sql(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
+        "events_profile": _events_profile_sql(),
+        "value_percentile_ranks": _pct_ranks_sql(),
         "bloom_distinct_user_days": _bloom_user_days_sql(),
         "reservoir_per_lang": _reservoir_lang_sql(),
         "doc_stats": """

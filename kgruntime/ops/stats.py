@@ -430,3 +430,134 @@ SELECT event_id, k AS {key}, v AS {value_col},
 FROM z WHERE abs(zraw) > {threshold}
 ORDER BY event_id
 """
+
+
+# --- schema/quality profiling ---------------------------------------------
+
+def table_profile(ds, columns: list[str]):
+    """Column-level data-quality profile — one row per column:
+    (column, n_rows, n_nulls, n_distinct).  All counts exact integers,
+    so the profile is hash-checkable for ANY column dtype.
+
+    Scale shape: null counts for every column come from ONE vectorized
+    pass (a per-batch partial summed natively); each distinct count is
+    a single-column hash groupby whose shuffle carries pre-combined
+    per-block distinct values, never rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def null_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "column": pa.array(columns, pa.string()),
+            "n_rows": pa.array([t.num_rows] * len(columns), pa.int64()),
+            "n_nulls": pa.array(
+                [t[c].null_count for c in columns], pa.int64()),
+        })
+
+    nulls = ds.select_columns(columns) \
+        .map_batches(null_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("column") \
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_nulls", alias_name="n_nulls")) \
+        .to_pandas()
+
+    def drop_nulls(c):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.drop_null()
+        return fn
+
+    distinct = {}
+    for c in columns:
+        # nulls are dropped BEFORE the groupby: DuckDB's
+        # count(DISTINCT c) excludes them, and Ray's groupby can't sort
+        # a null key against strings anyway
+        distinct[c] = ds.select_columns([c]) \
+            .map_batches(drop_nulls(c), batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby(c).count().count()
+    nulls["n_distinct"] = nulls["column"].map(distinct).astype("int64")
+    return nulls.sort_values("column").reset_index(drop=True)
+
+
+def table_profile_sql(columns: list[str], table: str) -> str:
+    parts = [
+        f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+        f"count(*) - count({c}) AS n_nulls, "
+        f"count(DISTINCT {c}) AS n_distinct FROM {table}"
+        for c in columns]
+    return " UNION ALL ".join(parts) + " ORDER BY \"column\""
+
+
+# --- per-group percentile rank --------------------------------------------
+
+def value_percentile_ranks(events_ds, key: str = "event_type",
+                           value_col: str = "value", digits: int = 6):
+    """cume_dist of each event's value within its ``key`` group —
+    (event_id, key, pct_rank) — without a per-group sort: the
+    distributed shape is a per-(key, cents) histogram (bounded by
+    |keys| × value-range × 100, corpus-size-independent) broadcast back
+    over one streaming lookup pass.  Exact: ranks are ratios of exact
+    integer counts, rounded half-away like the oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t[value_col], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.Table.from_arrays(
+            [t["event_id"], t[key], cents],
+            names=["event_id", key, "cents"])
+
+    prepped = events_ds.select_columns(["event_id", key, value_col]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    hist = prepped.select_columns([key, "cents"]) \
+        .groupby([key, "cents"]).count().to_pandas() \
+        .sort_values([key, "cents"], kind="mergesort")
+
+    # per key: sorted cents -> cumulative count (cume_dist numerator)
+    lut = {}
+    for k, g in hist.groupby(key, sort=False):
+        cents = g["cents"].to_numpy(np.int64)
+        cum = g["count()"].to_numpy(np.int64).cumsum()
+        lut[k] = (cents, cum, int(cum[-1]))
+    ref = ray.put(lut)
+
+    from .ann import _cached_state
+
+    def rank(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _cached_state(ref, lambda: _ray.get(ref))
+        keys = t[key].to_pylist()
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        out = np.empty(len(keys), np.float64)
+        for i, (kk, cc) in enumerate(zip(keys, cents)):
+            cs, cum, n = m[kk]
+            j = np.searchsorted(cs, cc, side="right") - 1
+            v = cum[j] / n
+            out[i] = np.copysign(
+                np.floor(abs(v) * 10.0 ** digits + 0.5), v) / 10.0 ** digits
+        return pa.Table.from_arrays(
+            [t["event_id"], t[key], pa.array(out, pa.float64())],
+            names=["event_id", key, "pct_rank"])
+
+    return prepped.map_batches(rank, batch_format="pyarrow")
+
+
+def value_percentile_ranks_sql(key: str = "event_type",
+                               value_col: str = "value",
+                               table: str = "events") -> str:
+    return f"""
+SELECT event_id, {key},
+       round(cume_dist() OVER (
+         PARTITION BY {key}
+         ORDER BY CAST(round({value_col} * 100) AS BIGINT)), 6)
+         AS pct_rank
+FROM {table} ORDER BY event_id
+"""

@@ -273,3 +273,36 @@ def test_units_matrix_matches_duckdb_round():
     want = [duckdb.sql("SELECT CAST(round(? * 1000000) AS BIGINT)",
                        params=[v]).fetchone()[0] for v in vals]
     assert got == want
+
+
+def test_table_profile_counts(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import table_profile
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([1, 1, 2, None], pa.int64()),
+        "b": pa.array(["x", None, None, "y"], pa.string()),
+    })).repartition(2)
+    out = table_profile(ds, ["a", "b"])
+    assert out["column"].tolist() == ["a", "b"]
+    assert out["n_rows"].tolist() == [4, 4]
+    assert out["n_nulls"].tolist() == [1, 2]
+    # count(DISTINCT) semantics: nulls excluded on both engines
+    assert out["n_distinct"].tolist() == [2, 2]
+
+
+def test_value_percentile_ranks_cume_dist(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import value_percentile_ranks
+
+    ds = rd.from_arrow(pa.table({
+        "event_id": [1, 2, 3, 4, 5],
+        "event_type": ["a"] * 4 + ["b"],
+        "value": [1.0, 2.0, 2.0, 3.0, 9.0],
+    })).repartition(2)
+    out = value_percentile_ranks(ds).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # cume_dist: 1.0→0.25, 2.0→0.75 (both), 3.0→1.0; solo group → 1.0
+    assert out["pct_rank"].tolist() == [0.25, 0.75, 0.75, 1.0, 1.0]
