@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "knn_label_vote": _q_knn_label_vote,
         "clean_corpus": _q_clean_corpus,
+        "curate_corpus": _q_curate_corpus,
         # graph / event-sequence ops
         "cooccurrence_edges": _q_cooccur,
         "pagerank_users": _q_pagerank,
@@ -123,8 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_source": _q_top_terms_source,
         "user_components": _q_user_components,
         "bloom_distinct_user_days": _q_bloom_user_days,
-        "reservoir_per_lang": _q_reservoir_lang,
         # --- entries below are outside the driver's 50-query window ---
+        "reservoir_per_lang": _q_reservoir_lang,
         "events_profile": _q_events_profile,
         "value_percentile_ranks": _q_pct_ranks,
         "media_frames": _q_media_frames,
@@ -471,6 +472,13 @@ def _q_ann_ivf(sf_dir):
 
 
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
+
+
+def _q_curate_corpus(sf_dir):
+    from kgruntime.ops.text import curate_corpus
+
+    return curate_corpus(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_events_profile(sf_dir):
@@ -1276,6 +1284,12 @@ def _top_terms_source_sql():
     return top_terms_per_source_sql()
 
 
+def _curate_corpus_sql():
+    from kgruntime.ops.text import curate_corpus_sql
+
+    return curate_corpus_sql()
+
+
 def _events_profile_sql():
     from kgruntime.ops.stats import table_profile_sql
 
@@ -1379,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_user_value": _decayed_value_sql(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
+        "curate_corpus": _curate_corpus_sql(),
         "events_profile": _events_profile_sql(),
         "value_percentile_ranks": _pct_ranks_sql(),
         "bloom_distinct_user_days": _bloom_user_days_sql(),

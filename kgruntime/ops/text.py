@@ -1231,3 +1231,107 @@ r AS (
 SELECT source, rnk, word, cnt FROM r WHERE rnk <= {k}
 ORDER BY source, rnk
 """
+
+
+# --- flagship curation composition -----------------------------------------
+
+def curate_corpus(docs_ds, min_quality: float = 0.5, min_chars: int = 20,
+                  budget: int = 2000):
+    """End-to-end corpus curation — the pipeline a training-data user
+    actually runs, composed from the proven pieces: PII gate (zero
+    emails/URLs/phones) → quality/length gate → normalized exact dedup
+    keep-first → token-budget shard assignment over the survivors.
+    Returns (doc_id, n_tokens, shard_id) for the curated corpus.
+
+    Scale shape: both gates are ONE vectorized pass; the dedup keep-set
+    shuffle carries 16-byte hashes; survivors meet their keep ids in a
+    bucketed semi-join (the only exchange the text crosses); the shard
+    assignment is the text-free two-phase prefix scan.  The gated
+    stream is materialized because two branches consume it (hash +
+    join side) — at extreme scale point this at a parquet staging dir
+    instead (the ``build_kg_staged`` pattern).
+    """
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    from .join import bucketed_hash_join
+    from .shard import token_budget_shards
+
+    def gate(t: pa.Table) -> pa.Table:
+        total = None
+        for pat in (PII_EMAIL_RE, PII_URL_RE, PII_PHONE_RE):
+            parts = pc.split_pattern_regex(t["text"], pat)
+            c = pc.subtract(pc.list_value_length(parts), 1)
+            total = c if total is None else pc.add(total, c)
+        q = quality_scores(t)["quality"]
+        keep = pc.and_(
+            pc.equal(total, 0),
+            pc.and_(pc.greater_equal(q, pa.scalar(min_quality)),
+                    pc.greater_equal(t["n_chars"], pa.scalar(min_chars))))
+        return t.select(["doc_id", "text"]).filter(keep)
+
+    gated = docs_ds.select_columns(["doc_id", "text", "n_chars"]) \
+        .map_batches(gate, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    def norm_hash(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, r"[^a-z0-9]+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        h = pa.array([hashlib.blake2b(x.encode(), digest_size=16).digest()
+                      for x in s.to_pylist()], pa.binary(16))
+        return pa.table({"doc_id": t["doc_id"], "h": h})
+
+    keep = gated.map_batches(norm_hash, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("h").aggregate(Min("doc_id", alias_name="keep_id")) \
+        .select_columns(["keep_id"])
+    surv = bucketed_hash_join(gated, keep, "doc_id", "keep_id")
+    return token_budget_shards(surv, budget=budget)
+
+
+def curate_corpus_sql(min_quality: float = 0.5, min_chars: int = 20,
+                      budget: int = 2000, table: str = "documents") -> str:
+    sw = "[" + ",".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, text, n_chars,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM {table}),
+gated AS (
+  SELECT doc_id, text FROM toks
+  WHERE len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+        + len(regexp_extract_all(text, '{PII_URL_RE}'))
+        + len(regexp_extract_all(text, '{PII_PHONE_RE}')) = 0
+    AND n_chars >= {min_chars}
+    AND (CASE WHEN len(t) = 0 THEN 0.0 ELSE
+           round(least(1.0, len(t) / 50.0)
+             * (0.5 + 0.5 * (len(list_filter(t, x ->
+                  regexp_matches(x, '^[A-Za-z]+$')))::DOUBLE / len(t)))
+             * (1.0 - 0.5 * (len(list_filter(t, x ->
+                  list_contains({sw}, lower(x))))::DOUBLE / len(t))), 6)
+         END) >= {min_quality}),
+norm AS (
+  SELECT min(doc_id) AS keep_id
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                 AS nt
+        FROM gated)
+  GROUP BY nt),
+surv AS (
+  SELECT g.doc_id, g.text FROM gated g
+  JOIN norm k ON k.keep_id = g.doc_id),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens
+  FROM surv)
+SELECT doc_id, n_tokens,
+       ((sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens) // {budget})::BIGINT AS shard_id
+FROM tok ORDER BY doc_id
+"""

@@ -306,3 +306,31 @@ def test_value_percentile_ranks_cume_dist(ray_session):
         .sort_values("event_id").reset_index(drop=True)
     # cume_dist: 1.0→0.25, 2.0→0.75 (both), 3.0→1.0; solo group → 1.0
     assert out["pct_rank"].tolist() == [0.25, 0.75, 0.75, 1.0, 1.0]
+
+
+def test_curate_corpus_composition(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import curate_corpus
+
+    good = ("the quick brown fox jumps over a lazy dog and keeps on "
+            "running through fields of green grass every single day " * 2)
+    rows = [
+        (1, good),                       # survives
+        (2, good),                       # normalized dup of 1 → dropped
+        (3, good + " mail me a@b.com"),  # PII → dropped
+        (4, "short"),                    # n_chars < 20 → dropped
+        (5, good.upper()),               # normalized dup of 1 → dropped
+        (6, good + " extra distinct tail words here"),   # survives
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })).repartition(3)
+    out = curate_corpus(ds, budget=30).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 6]
+    # shard ids follow the doc_id-ordered token prefix scan
+    assert out["shard_id"].iloc[0] == 0
+    assert (out["shard_id"].diff().fillna(0) >= 0).all()
