@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_distinct_user_days": _q_bloom_user_days,
         # --- entries below are outside the driver's 50-query window ---
         "reservoir_per_lang": _q_reservoir_lang,
+        "asof_purchase_next_click": R.q_asof_purchase_next_click,
         "events_profile": _q_events_profile,
         "value_percentile_ranks": _q_pct_ranks,
         "media_frames": _q_media_frames,
@@ -1394,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
+        "asof_purchase_next_click": R.Q_ASOF_PURCHASE_NEXT_CLICK_SQL,
         "events_profile": _events_profile_sql(),
         "value_percentile_ranks": _pct_ranks_sql(),
         "bloom_distinct_user_days": _bloom_user_days_sql(),

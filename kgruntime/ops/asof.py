@@ -39,10 +39,14 @@ _SIDE = "__asof_side"
 
 
 def asof_join(left, right, by: str, on: str, how: str = "left",
-              num_buckets: int = 32, unique_right: bool = True):
+              num_buckets: int = 32, unique_right: bool = True,
+              direction: str = "backward"):
     """As-of join: for each left row, attach the right row with the
-    greatest ``on`` value ≤ the left row's ``on`` (direction=backward),
-    matching on the ``by`` key.
+    greatest ``on`` value ≤ the left row's ``on`` (the default
+    direction="backward"); direction="forward" takes the smallest ``on``
+    ≥ instead, and "nearest" the closest in either direction (ties →
+    the backward side, pandas semantics).  Matching is on the ``by``
+    key.
 
     ``left`` / ``right`` are Datasets sharing the ``by`` and ``on``
     column names; every other column name must be disjoint.  Output =
@@ -97,7 +101,7 @@ def asof_join(left, right, by: str, on: str, how: str = "left",
             rt = rt.sort_values([on, by] + r_extras, kind="mergesort") \
                 .drop_duplicates([by, on], keep="last")
         rt = rt.sort_values(on, kind="mergesort")
-        out = pd.merge_asof(lt, rt, on=on, by=by, direction="backward",
+        out = pd.merge_asof(lt, rt, on=on, by=by, direction=direction,
                             allow_exact_matches=True)
         if how == "inner" and r_extras:
             out = out[out[r_extras[0]].notna()]

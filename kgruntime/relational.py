@@ -1275,3 +1275,62 @@ SELECT o_orderpriority, count(*) AS n_orders,
        round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS pct_orders
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# forward as-of: each purchase → the NEXT click at-or-after it
+# (direction="forward" through the same co-partitioned merge_asof; the
+# oracle is DuckDB's ASOF JOIN with the <= inequality)
+# ---------------------------------------------------------------------------
+
+def q_asof_purchase_next_click(sf_dir: str):
+    import numpy as np
+
+    from .ops.asof import asof_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def purch_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return t.select(["event_id", "user_id", "ts"])
+
+    def clicks_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        # exact ints carried as float64 so every block's schema matches
+        # under a left-join bucket with unmatched rows (same trick as
+        # q_asof_click_purchase)
+        eid = pc.cast(t["event_id"], pa.float64())
+        return pa.Table.from_arrays(
+            [t["user_id"], t["ts"], t["ts"], eid],
+            names=["user_id", "ts", "click_ts", "click_eid"])
+
+    purch = ev.map_batches(purch_prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    clicks = ev.map_batches(clicks_prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    df = asof_join(purch, clicks, by="user_id", on="ts", how="inner",
+                   direction="forward").to_pandas()
+
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    c_us = df["click_ts"].to_numpy().astype("datetime64[us]") \
+        .astype(np.int64)
+    df["lead_sec"] = (c_us - ts_us) / 1e6
+    df["click_eid"] = df["click_eid"].astype(np.int64)
+    return df[["event_id", "user_id", "click_ts", "click_eid",
+               "lead_sec"]].sort_values("event_id").reset_index(drop=True)
+
+
+Q_ASOF_PURCHASE_NEXT_CLICK_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, ts AS click_ts, max(event_id) AS click_eid
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+purch AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, c.click_ts, c.click_eid,
+       (epoch_us(c.click_ts) - epoch_us(p.ts)) / 1000000.0 AS lead_sec
+FROM purch p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+ORDER BY p.event_id
+"""
