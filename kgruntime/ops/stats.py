@@ -464,21 +464,37 @@ def table_profile(ds, columns: list[str]):
                    Sum("n_nulls", alias_name="n_nulls")) \
         .to_pandas()
 
-    def drop_nulls(c):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.drop_null()
-        return fn
+    # ALL distinct counts in ONE pipeline: every batch explodes to its
+    # LOCAL-distinct (column, value-string) rows (nulls dropped first —
+    # count(DISTINCT) semantics, and Ray's groupby can't sort null
+    # keys; Arrow's float→string is shortest-round-trip, so the cast is
+    # injective within the engine), then a single (column, v) groupby
+    # dedups globally and a tiny per-column rollup counts survivors —
+    # one shuffle of pre-deduped values instead of |columns| serial
+    # groupby pipelines.
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in columns:
+            v = pc.cast(t[c].combine_chunks().drop_null(), pa.string())
+            u = pc.unique(v)
+            names.extend([c] * len(u))
+            vals.append(u)
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "v": pa.concat_arrays(vals) if vals else
+                 pa.array([], pa.string()),
+        })
 
-    distinct = {}
-    for c in columns:
-        # nulls are dropped BEFORE the groupby: DuckDB's
-        # count(DISTINCT c) excludes them, and Ray's groupby can't sort
-        # a null key against strings anyway
-        distinct[c] = ds.select_columns([c]) \
-            .map_batches(drop_nulls(c), batch_format="pyarrow",
-                         zero_copy_batch=True) \
-            .groupby(c).count().count()
-    nulls["n_distinct"] = nulls["column"].map(distinct).astype("int64")
+    from ray.data.aggregate import Count
+
+    dist = ds.select_columns(columns) \
+        .map_batches(explode_distinct, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["column", "v"]).count() \
+        .groupby("column").aggregate(Count(alias_name="n_distinct")) \
+        .to_pandas()
+    nulls = nulls.merge(dist, on="column", how="left")
+    nulls["n_distinct"] = nulls["n_distinct"].fillna(0).astype("int64")
     return nulls.sort_values("column").reset_index(drop=True)
 
 
