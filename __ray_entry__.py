@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- entries below are outside the driver's 50-query window ---
         "reservoir_per_lang": _q_reservoir_lang,
         "asof_purchase_next_click": R.q_asof_purchase_next_click,
+        "split_leakage": _q_split_leakage,
+        "embedding_dup_clusters": _q_emb_dup_clusters,
         "events_profile": _q_events_profile,
         "value_percentile_ranks": _q_pct_ranks,
         "media_frames": _q_media_frames,
@@ -473,6 +475,28 @@ def _q_ann_ivf(sf_dir):
 
 
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
+
+
+def _q_split_leakage(sf_dir):
+    from kgruntime.ops.sample import split_leakage
+
+    return _pin_cols(split_leakage(_docs_ds(sf_dir)).to_pandas(),
+                     ["keep_id", "n_docs", "n_splits"]) \
+        .sort_values("keep_id").reset_index(drop=True)
+
+
+def _q_emb_dup_clusters(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import embedding_dup_clusters
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return _pin_cols(
+        embedding_dup_clusters(emb, dim=_EMB_DIM, threshold=0.35,
+                               n_planes=6, n_tables=8).to_pandas(),
+        ["vec_id", "cluster"]) \
+        .sort_values("vec_id").reset_index(drop=True)
 
 
 def _q_curate_corpus(sf_dir):
@@ -1285,6 +1309,19 @@ def _top_terms_source_sql():
     return top_terms_per_source_sql()
 
 
+def _split_leakage_sql():
+    from kgruntime.ops.sample import split_leakage_sql
+
+    return split_leakage_sql()
+
+
+def _emb_dup_clusters_sql():
+    from kgruntime.ops.dedup import embedding_dup_clusters_sql
+
+    return embedding_dup_clusters_sql(dim=_EMB_DIM, threshold=0.35,
+                                      n_planes=6, n_tables=8)
+
+
 def _curate_corpus_sql():
     from kgruntime.ops.text import curate_corpus_sql
 
@@ -1396,6 +1433,8 @@ def oracle_sql() -> dict[str, str]:
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
         "asof_purchase_next_click": R.Q_ASOF_PURCHASE_NEXT_CLICK_SQL,
+        "split_leakage": _split_leakage_sql(),
+        "embedding_dup_clusters": _emb_dup_clusters_sql(),
         "events_profile": _events_profile_sql(),
         "value_percentile_ranks": _pct_ranks_sql(),
         "bloom_distinct_user_days": _bloom_user_days_sql(),

@@ -200,3 +200,89 @@ r AS (
 SELECT {group}, doc_id FROM r WHERE rn <= {k}
 ORDER BY {group}, doc_id
 """
+
+
+def split_leakage(docs_ds, fractions: dict[str, float] | None = None):
+    """Cross-split contamination audit — the check every train/val/test
+    pipeline needs: normalized-identical texts that land in MORE THAN
+    ONE split — (keep_id, n_docs, n_splits).
+
+    The split is recomputed inline from doc_id (the same pure Knuth
+    hash as ``split_assign``), so no join is needed; the shuffle key is
+    the 16-byte normalized-text hash, and each hash group is bounded by
+    that text's duplicate multiplicity.
+    """
+    import hashlib
+
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = sorted(fractions)
+    cuts, acc = [], 0.0
+    for s in names[:-1]:
+        acc += fractions[s]
+        cuts.append(int(acc * _M32))
+
+    def prep(t: pa.Table) -> pa.Table:
+        col = t["doc_id"].combine_chunks()
+        h = pc.bit_wise_and(
+            pc.multiply_checked(pc.cast(col, pa.int64()),
+                                pa.scalar(_KNUTH, pa.int64())),
+            pa.scalar(_M32 - 1, pa.int64()))
+        split = pa.nulls(t.num_rows, pa.string())
+        lo = None
+        for s, hi in zip(names, cuts + [None]):
+            m = pc.greater_equal(h, lo) if lo is not None else None
+            if hi is not None:
+                lt = pc.less(h, hi)
+                m = lt if m is None else pc.and_(m, lt)
+            split = pc.if_else(m, pa.scalar(s), split) if m is not None \
+                else pc.if_else(pc.is_valid(split), split, pa.scalar(s))
+            lo = hi
+        nt = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t["text"]), r"[^a-z0-9]+", " "))
+        th = pa.array([hashlib.blake2b(x.encode(), digest_size=16).digest()
+                       for x in nt.to_pylist()], pa.binary(16))
+        return pa.table({"doc_id": t["doc_id"], "th": th, "split": split})
+
+    def audit(g: pa.Table) -> pa.Table:
+        splits = set(g["split"].to_pylist())
+        if len(splits) < 2:
+            return pa.table({"keep_id": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_splits": pa.array([], pa.int64())})
+        return pa.table({
+            "keep_id": pa.array([min(g["doc_id"].to_pylist())], pa.int64()),
+            "n_docs": pa.array([g.num_rows], pa.int64()),
+            "n_splits": pa.array([len(splits)], pa.int64()),
+        })
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("th").map_groups(audit, batch_format="pyarrow")
+
+
+def split_leakage_sql(fractions: dict[str, float] | None = None,
+                      table: str = "documents") -> str:
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = sorted(fractions)
+    cuts, acc = [], 0.0
+    for s in names[:-1]:
+        acc += fractions[s]
+        cuts.append(int(acc * _M32))
+    case = " ".join(f"WHEN h < {hi} THEN '{s}'"
+                    for s, hi in zip(names[:-1], cuts))
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt,
+         CASE {case} ELSE '{names[-1]}' END AS split
+  FROM (SELECT doc_id, text,
+               (doc_id * {_KNUTH}) % {_M32} AS h FROM {table})),
+g AS (
+  SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
+         count(DISTINCT split) AS n_splits
+  FROM s GROUP BY nt)
+SELECT keep_id, n_docs, n_splits FROM g
+WHERE n_splits >= 2 ORDER BY keep_id
+"""

@@ -334,3 +334,51 @@ def test_curate_corpus_composition(ray_session):
     # shard ids follow the doc_id-ordered token prefix scan
     assert out["shard_id"].iloc[0] == 0
     assert (out["shard_id"].diff().fillna(0) >= 0).all()
+
+
+def test_split_leakage_detects_cross_split_dups(ray_session):
+    from kgruntime.ops.sample import _KNUTH, _M32, split_leakage
+
+    def split_of(i):
+        h = (i * _KNUTH) % _M32
+        # sorted names: test [0,0.1), train [0.1,0.9), val [0.9,1)
+        if h < int(0.1 * _M32):
+            return "test"
+        if h < int(0.9 * _M32):
+            return "train"
+        return "val"
+
+    ids = list(range(200))
+    a = next(i for i in ids if split_of(i) == "train")
+    b = next(i for i in ids if split_of(i) == "test")
+    c, d = [i for i in ids if split_of(i) == "train"][:2]
+    rows = [(a, "Leaky DOC one!"), (b, "leaky doc ONE"),    # cross-split
+            (c, "same split twice"), (d, "Same Split TWICE"),  # same split
+            (99, "unique text")]
+    out = split_leakage(_docs(rows)).to_pandas()
+    assert out["keep_id"].tolist() == [min(a, b)]
+    assert out["n_docs"].tolist() == [2]
+    assert out["n_splits"].tolist() == [2]
+
+
+def test_embedding_dup_clusters_groups_duplicates(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import embedding_dup_clusters
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(6, 16)
+    # vectors 0,1,2 near-identical; 3,4 near-identical; 5 alone
+    emb = np.vstack([base[0], base[0] * 1.001, base[0] * 0.999,
+                     base[3], base[3] * 1.002, base[5]])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(6, dtype=np.int64),
+        "embedding": list(emb),
+    })).repartition(2)
+    out = embedding_dup_clusters(ds, dim=16, threshold=0.99,
+                                 n_planes=4, n_tables=8).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    got = dict(zip(out["vec_id"], out["cluster"]))
+    assert got.get(0) == 0 and got.get(1) == 0 and got.get(2) == 0
+    assert got.get(3) == 3 and got.get(4) == 3
+    assert 5 not in got  # singleton → implicit
