@@ -1209,57 +1209,24 @@ def embedding_dup_clusters(emb_ds, dim: int, threshold: float = 0.95,
     """Semantic-dedup clusters: hyperplane-LSH near-dup PAIRS →
     connected components — (vec_id, cluster) with ``cluster`` = the min
     vec id reachable through cosine-≥-threshold edges.  Vectors with no
-    near-dup don't appear (singleton clusters are implicit).
-
-    Reuses the KG union-find exactly like ``ops/graph.user_components``
-    (zero-padded ids so rank-min == numeric min); the oracle closes the
-    pair set with a TRUE recursive reachability CTE."""
-    import pyarrow.compute as pc
-
-    from ..stages.canon import connected_components
+    near-dup don't appear (singleton clusters are implicit).  Machinery
+    and oracle scaffold are shared with ``ops/graph.user_components``."""
+    from .graph import int_pairs_components
 
     pairs = embedding_near_dups(emb_ds, dim=dim, threshold=threshold,
                                 n_planes=n_planes, n_tables=n_tables) \
         .select_columns(["vec_a", "vec_b"])
-
-    def to_edges(t: pa.Table) -> pa.Table:
-        if t.num_rows:
-            lo = min(pc.min(t["vec_a"]).as_py(),
-                     pc.min(t["vec_b"]).as_py())
-            if lo < 0:
-                raise ValueError("embedding_dup_clusters requires "
-                                 f"non-negative vec ids (saw {lo})")
-        a = pc.utf8_lpad(pc.cast(t["vec_a"], pa.string()), 19, "0")
-        b = pc.utf8_lpad(pc.cast(t["vec_b"], pa.string()), 19, "0")
-        return pa.table({"src": a, "dst": b})
-
-    asn = connected_components(
-        pairs.map_batches(to_edges, batch_format="pyarrow"))
-
-    def back(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "vec_id": pc.cast(t["node"], pa.int64()),
-            "cluster": pc.cast(t["label"], pa.int64()),
-        })
-
-    return asn.map_batches(back, batch_format="pyarrow")
+    return int_pairs_components(pairs, "vec_a", "vec_b",
+                                "vec_id", "cluster")
 
 
 def embedding_dup_clusters_sql(dim: int, threshold: float = 0.95,
                                n_planes: int = 10, seed: int = 23,
                                n_tables: int = 1) -> str:
-    nd = embedding_near_dups_sql(dim=dim, threshold=threshold,
-                                 n_planes=n_planes, seed=seed,
-                                 n_tables=n_tables).strip().rstrip(";")
-    return f"""
-WITH RECURSIVE nd AS ({nd}),
-ed AS (SELECT vec_a AS s, vec_b AS d FROM nd
-       UNION ALL SELECT vec_b, vec_a FROM nd),
-nodes AS (SELECT DISTINCT s AS node FROM ed),
-reach AS (
-  SELECT node, node AS cand FROM nodes
-  UNION
-  SELECT ed.d AS node, reach.cand FROM reach JOIN ed ON ed.s = reach.node)
-SELECT node AS vec_id, min(cand)::BIGINT AS cluster
-FROM reach GROUP BY node ORDER BY vec_id
-"""
+    from .graph import reachability_closure_sql
+
+    return reachability_closure_sql(
+        embedding_near_dups_sql(dim=dim, threshold=threshold,
+                                n_planes=n_planes, seed=seed,
+                                n_tables=n_tables),
+        "vec_a", "vec_b", "vec_id", "cluster")

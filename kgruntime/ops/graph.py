@@ -121,64 +121,82 @@ SELECT u AS user_id, r AS rank_scaled FROM r{iters} ORDER BY u
 """
 
 
-def user_components(events_ds):
-    """Generic connected components over the user co-occurrence graph —
-    (user_id, component) with ``component`` = the min user id reachable.
-
-    Reuses the KG pipeline's ``stages/canon.connected_components``
-    (driver union-find under DRIVER_CC_MAX_EDGES, distributed min-label
-    rounds beyond) on zero-padded string node ids so its rank-minimum
-    label IS the numeric minimum.  The oracle is a TRUE reachability
-    closure (recursive CTE), so the query also proves the union-find
-    labels correct, not merely reproducible."""
+def int_pairs_components(pairs_ds, col_a: str, col_b: str,
+                         out_id: str, out_label: str):
+    """Shared int-pairs → connected-components helper (used by
+    ``user_components`` and ``ops/dedup.embedding_dup_clusters``):
+    zero-pads ids to full int64 width (19 digits) so the KG union-find's
+    rank-minimum STRING label is the numeric minimum (negative ids would
+    scramble the ordering and are refused loudly), runs
+    ``stages/canon.connected_components`` (driver union-find under
+    DRIVER_CC_MAX_EDGES, distributed min-label rounds beyond), and casts
+    the assignment back to ints as (out_id, out_label)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from ..stages.canon import connected_components
-    from .sessions import cooccurrence_edges
-
-    pairs = cooccurrence_edges(events_ds).select_columns(
-        ["user_a", "user_b"])
 
     def to_edges(t: pa.Table) -> pa.Table:
-        # zero-pad to full int64 width (19 digits) so lexicographic min
-        # == numeric min for ANY non-negative id; negative ids would
-        # scramble the ordering, so refuse them loudly
         if t.num_rows:
-            lo = min(pc.min(t["user_a"]).as_py(),
-                     pc.min(t["user_b"]).as_py())
+            lo = min(pc.min(t[col_a]).as_py(), pc.min(t[col_b]).as_py())
             if lo < 0:
-                raise ValueError("user_components requires non-negative "
-                                 f"user ids (saw {lo})")
-        a = pc.utf8_lpad(pc.cast(t["user_a"], pa.string()), 19, "0")
-        b = pc.utf8_lpad(pc.cast(t["user_b"], pa.string()), 19, "0")
+                raise ValueError("components require non-negative ids "
+                                 f"(saw {lo})")
+        a = pc.utf8_lpad(pc.cast(t[col_a], pa.string()), 19, "0")
+        b = pc.utf8_lpad(pc.cast(t[col_b], pa.string()), 19, "0")
         return pa.table({"src": a, "dst": b})
 
     asn = connected_components(
-        pairs.map_batches(to_edges, batch_format="pyarrow"))
+        pairs_ds.map_batches(to_edges, batch_format="pyarrow"))
 
     def back(t: pa.Table) -> pa.Table:
         return pa.table({
-            "user_id": pc.cast(t["node"], pa.int64()),
-            "component": pc.cast(t["label"], pa.int64()),
+            out_id: pc.cast(t["node"], pa.int64()),
+            out_label: pc.cast(t["label"], pa.int64()),
         })
 
     return asn.map_batches(back, batch_format="pyarrow")
 
 
+def reachability_closure_sql(pairs_sql: str, col_a: str, col_b: str,
+                             out_id: str, out_label: str) -> str:
+    """Shared TRUE-reachability oracle scaffold: closes a pair CTE into
+    min-reachable-id component labels via a recursive CTE — proves the
+    union-find labels, not merely replays them."""
+    # cc_-prefixed CTE names: outer CTEs are visible INSIDE the nested
+    # pairs query under WITH RECURSIVE scoping, so a generic name like
+    # "e" would capture the pairs SQL's own CTE references
+    return f"""
+WITH RECURSIVE cc_pairs AS ({pairs_sql.strip().rstrip(";")}),
+cc_e AS (SELECT {col_a} AS s, {col_b} AS d FROM cc_pairs
+         UNION ALL SELECT {col_b}, {col_a} FROM cc_pairs),
+cc_nodes AS (SELECT DISTINCT s AS node FROM cc_e),
+cc_reach AS (
+  SELECT node, node AS cand FROM cc_nodes
+  UNION
+  SELECT cc_e.d AS node, cc_reach.cand
+  FROM cc_reach JOIN cc_e ON cc_e.s = cc_reach.node)
+SELECT node AS {out_id}, min(cand)::BIGINT AS {out_label}
+FROM cc_reach GROUP BY node ORDER BY {out_id}
+"""
+
+
+def user_components(events_ds):
+    """Generic connected components over the user co-occurrence graph —
+    (user_id, component) with ``component`` = the min user id reachable.
+    Machinery: ``int_pairs_components``; oracle: the shared TRUE
+    reachability closure."""
+    from .sessions import cooccurrence_edges
+
+    pairs = cooccurrence_edges(events_ds).select_columns(
+        ["user_a", "user_b"])
+    return int_pairs_components(pairs, "user_a", "user_b",
+                                "user_id", "component")
+
+
 def user_components_sql() -> str:
     from .sessions import cooccurrence_edges_sql
 
-    co = cooccurrence_edges_sql().strip().rstrip(";")
-    return f"""
-WITH RECURSIVE co AS ({co}),
-e AS (SELECT user_a AS s, user_b AS d FROM co
-      UNION ALL SELECT user_b, user_a FROM co),
-nodes AS (SELECT DISTINCT s AS node FROM e),
-reach AS (
-  SELECT node, node AS cand FROM nodes
-  UNION
-  SELECT e.d AS node, reach.cand FROM reach JOIN e ON e.s = reach.node)
-SELECT node AS user_id, min(cand)::BIGINT AS component
-FROM reach GROUP BY node ORDER BY user_id
-"""
+    return reachability_closure_sql(cooccurrence_edges_sql(),
+                                    "user_a", "user_b",
+                                    "user_id", "component")

@@ -30,6 +30,45 @@ def hash_fraction(key_col, rate: float) -> pa.Array:
     return pc.less(h, pa.scalar(int(rate * _M32), pa.int64()))
 
 
+def _split_cuts(fractions: dict[str, float] | None):
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = sorted(fractions)
+    cuts, acc = [], 0.0
+    for s in names[:-1]:
+        acc += fractions[s]
+        cuts.append(int(acc * _M32))
+    return names, cuts
+
+
+def split_array(key_col, fractions: dict[str, float] | None = None):
+    """THE split-assignment function — one definition shared by
+    ``split_assign`` and ``split_leakage`` so the leakage audit can
+    never desynchronize from the splits users actually get.  Pure Knuth
+    hash of the integer key against sorted-name cut points; returns a
+    string array of split names."""
+    names, cuts = _split_cuts(fractions)
+    col = key_col.combine_chunks() if isinstance(key_col, pa.ChunkedArray) \
+        else key_col
+    h = pc.bit_wise_and(
+        pc.multiply_checked(pc.cast(col, pa.int64()),
+                            pa.scalar(_KNUTH, pa.int64())),
+        pa.scalar(_M32 - 1, pa.int64()))
+    split = pa.nulls(len(col), pa.string())
+    lo = None
+    for s, hi in zip(names, cuts + [None]):
+        m = pc.greater_equal(h, lo) if lo is not None else None
+        if hi is not None:
+            lt = pc.less(h, hi)
+            m = lt if m is None else pc.and_(m, lt)
+        if m is not None:
+            split = pc.if_else(m, pa.scalar(s), split)
+        else:
+            split = pa.array([s] * len(col), pa.string())
+        lo = hi
+    return split
+
+
 def stratified_sample(docs_ds, rates: dict[str, float],
                       strata_col: str = "lang", key_col: str = "doc_id"):
     """Per-stratum deterministic sample: each batch applies its
@@ -82,32 +121,9 @@ def split_assign(docs_ds, fractions: dict[str, float] | None = None,
     splits partition the hash space in sorted-name cut order.  Returns
     (doc_id, lang, split) rows.
     """
-    if fractions is None:
-        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
-    names = sorted(fractions)
-    cuts, acc = [], 0.0
-    for s in names[:-1]:
-        acc += fractions[s]
-        cuts.append(int(acc * _M32))
-
     def assign(t: pa.Table) -> pa.Table:
-        col = t[key_col].combine_chunks()
-        h = pc.bit_wise_and(
-            pc.multiply_checked(pc.cast(col, pa.int64()),
-                                pa.scalar(_KNUTH, pa.int64())),
-            pa.scalar(_M32 - 1, pa.int64()))
-        split = pa.nulls(t.num_rows, pa.string())
-        lo = None
-        for s, hi in zip(names, cuts + [None]):
-            m = pc.greater_equal(h, lo) if lo is not None else None
-            if hi is not None:
-                lt = pc.less(h, hi)
-                m = lt if m is None else pc.and_(m, lt)
-            split = pc.if_else(m, pa.scalar(s), split) if m is not None \
-                else pa.array([s] * t.num_rows, pa.string())
-            lo = hi
         return pa.Table.from_arrays(
-            [t[key_col], t["lang"], split],
+            [t[key_col], t["lang"], split_array(t[key_col], fractions)],
             names=["doc_id", "lang", "split"])
 
     return docs_ds.select_columns([key_col, "lang"]).map_batches(
@@ -119,13 +135,7 @@ def split_assign_sql(fractions: dict[str, float] | None = None,
                      table: str = "documents") -> str:
     """DuckDB oracle for ``split_assign`` — identical integer hash and
     cut points."""
-    if fractions is None:
-        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
-    names = sorted(fractions)
-    cuts, acc = [], 0.0
-    for s in names[:-1]:
-        acc += fractions[s]
-        cuts.append(int(acc * _M32))
+    names, cuts = _split_cuts(fractions)
     case = " ".join(f"WHEN h < {hi} THEN '{s}'"
                     for s, hi in zip(names[:-1], cuts))
     return f"""
@@ -212,37 +222,12 @@ def split_leakage(docs_ds, fractions: dict[str, float] | None = None):
     the 16-byte normalized-text hash, and each hash group is bounded by
     that text's duplicate multiplicity.
     """
-    import hashlib
-
-    if fractions is None:
-        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
-    names = sorted(fractions)
-    cuts, acc = [], 0.0
-    for s in names[:-1]:
-        acc += fractions[s]
-        cuts.append(int(acc * _M32))
-
     def prep(t: pa.Table) -> pa.Table:
-        col = t["doc_id"].combine_chunks()
-        h = pc.bit_wise_and(
-            pc.multiply_checked(pc.cast(col, pa.int64()),
-                                pa.scalar(_KNUTH, pa.int64())),
-            pa.scalar(_M32 - 1, pa.int64()))
-        split = pa.nulls(t.num_rows, pa.string())
-        lo = None
-        for s, hi in zip(names, cuts + [None]):
-            m = pc.greater_equal(h, lo) if lo is not None else None
-            if hi is not None:
-                lt = pc.less(h, hi)
-                m = lt if m is None else pc.and_(m, lt)
-            split = pc.if_else(m, pa.scalar(s), split) if m is not None \
-                else pc.if_else(pc.is_valid(split), split, pa.scalar(s))
-            lo = hi
-        nt = pc.utf8_trim_whitespace(pc.replace_substring_regex(
-            pc.utf8_lower(t["text"]), r"[^a-z0-9]+", " "))
-        th = pa.array([hashlib.blake2b(x.encode(), digest_size=16).digest()
-                       for x in nt.to_pylist()], pa.binary(16))
-        return pa.table({"doc_id": t["doc_id"], "th": th, "split": split})
+        from .text import normalized_text_hash
+
+        return pa.table({"doc_id": t["doc_id"],
+                         "th": normalized_text_hash(t["text"]),
+                         "split": split_array(t["doc_id"], fractions)})
 
     def audit(g: pa.Table) -> pa.Table:
         splits = set(g["split"].to_pylist())
@@ -263,13 +248,7 @@ def split_leakage(docs_ds, fractions: dict[str, float] | None = None):
 
 def split_leakage_sql(fractions: dict[str, float] | None = None,
                       table: str = "documents") -> str:
-    if fractions is None:
-        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
-    names = sorted(fractions)
-    cuts, acc = [], 0.0
-    for s in names[:-1]:
-        acc += fractions[s]
-        cuts.append(int(acc * _M32))
+    names, cuts = _split_cuts(fractions)
     case = " ".join(f"WHEN h < {hi} THEN '{s}'"
                     for s, hi in zip(names[:-1], cuts))
     return f"""

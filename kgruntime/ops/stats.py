@@ -439,57 +439,63 @@ def table_profile(ds, columns: list[str]):
     (column, n_rows, n_nulls, n_distinct).  All counts exact integers,
     so the profile is hash-checkable for ANY column dtype.
 
-    Scale shape: null counts for every column come from ONE vectorized
-    pass (a per-batch partial summed natively); each distinct count is
-    a single-column hash groupby whose shuffle carries pre-combined
-    per-block distinct values, never rows.
+    Scale shape: ONE source scan.  Every batch explodes to its
+    LOCAL-distinct (column, value-string) rows plus one stats sentinel
+    row per column carrying (n_rows, n_nulls); the exploded stream is
+    materialized (it is pre-deduped per batch, never bigger than the
+    source) and feeds two tiny aggregations — a (column, v) global
+    dedup → per-column distinct count, and a per-column null/row-count
+    rollup.  Nulls are dropped before the value explode —
+    ``count(DISTINCT)`` semantics, and Ray's groupby can't sort null
+    keys.  Floats are normalized with ``+0.0`` first so -0.0 and 0.0
+    count as ONE value (SQL DISTINCT semantics); beyond that Arrow's
+    float→string is shortest-round-trip, so the cast is injective
+    within the engine.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Sum
 
-    def null_partial(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "column": pa.array(columns, pa.string()),
-            "n_rows": pa.array([t.num_rows] * len(columns), pa.int64()),
-            "n_nulls": pa.array(
-                [t[c].null_count for c in columns], pa.int64()),
-        })
-
-    nulls = ds.select_columns(columns) \
-        .map_batches(null_partial, batch_format="pyarrow",
-                     zero_copy_batch=True) \
-        .groupby("column") \
-        .aggregate(Sum("n_rows", alias_name="n_rows"),
-                   Sum("n_nulls", alias_name="n_nulls")) \
-        .to_pandas()
-
-    # ALL distinct counts in ONE pipeline: every batch explodes to its
-    # LOCAL-distinct (column, value-string) rows (nulls dropped first —
-    # count(DISTINCT) semantics, and Ray's groupby can't sort null
-    # keys; Arrow's float→string is shortest-round-trip, so the cast is
-    # injective within the engine), then a single (column, v) groupby
-    # dedups globally and a tiny per-column rollup counts survivors —
-    # one shuffle of pre-deduped values instead of |columns| serial
-    # groupby pipelines.
-    def explode_distinct(t: pa.Table) -> pa.Table:
-        names, vals = [], []
+    def explode(t: pa.Table) -> pa.Table:
+        names, vals, nrows, nnulls = [], [], [], []
         for c in columns:
-            v = pc.cast(t[c].combine_chunks().drop_null(), pa.string())
-            u = pc.unique(v)
+            col = t[c].combine_chunks()
+            if pa.types.is_floating(col.type):
+                col = pc.add(col, 0.0)      # -0.0 → 0.0 (SQL DISTINCT)
+            u = pc.unique(pc.cast(col.drop_null(), pa.string()))
             names.extend([c] * len(u))
             vals.append(u)
+            # stats sentinel (v = null marks it; real values are non-null
+            # by construction since nulls were dropped)
+            names.append(c)
+            vals.append(pa.array([None], pa.string()))
+            nrows.extend([0] * len(u) + [t.num_rows])
+            nnulls.extend([0] * len(u) + [t[c].null_count])
         return pa.table({
             "column": pa.array(names, pa.string()),
             "v": pa.concat_arrays(vals) if vals else
                  pa.array([], pa.string()),
+            "n_rows": pa.array(nrows, pa.int64()),
+            "n_nulls": pa.array(nnulls, pa.int64()),
         })
 
-    from ray.data.aggregate import Count
+    exploded = ds.select_columns(columns) \
+        .map_batches(explode, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
 
-    dist = ds.select_columns(columns) \
-        .map_batches(explode_distinct, batch_format="pyarrow",
-                     zero_copy_batch=True) \
+    def only_stats(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["v"])) \
+            .select(["column", "n_rows", "n_nulls"])
+
+    def only_values(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["v"])).select(["column", "v"])
+
+    nulls = exploded.map_batches(only_stats, batch_format="pyarrow") \
+        .groupby("column") \
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_nulls", alias_name="n_nulls")) \
+        .to_pandas()
+    dist = exploded.map_batches(only_values, batch_format="pyarrow") \
         .groupby(["column", "v"]).count() \
         .groupby("column").aggregate(Count(alias_name="n_distinct")) \
         .to_pandas()
@@ -530,8 +536,13 @@ def value_percentile_ranks(events_ds, key: str = "event_type",
             [t["event_id"], t[key], cents],
             names=["event_id", key, "cents"])
 
+    # materialize: the prepped rows feed BOTH the histogram and the
+    # rank pass — without pinning, the source scan + cents computation
+    # would execute twice (the double-lazy-plan bug class fixed across
+    # the repo this round)
     prepped = events_ds.select_columns(["event_id", key, value_col]) \
-        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
     hist = prepped.select_columns([key, "cents"]) \
         .groupby([key, "cents"]).count().to_pandas() \
         .sort_values([key, "cents"], kind="mergesort")
@@ -550,15 +561,17 @@ def value_percentile_ranks(events_ds, key: str = "event_type",
         import ray as _ray
 
         m = _cached_state(ref, lambda: _ray.get(ref))
-        keys = t[key].to_pylist()
+        keys = np.asarray(t[key].to_pylist(), dtype=object)
         cents = t["cents"].to_numpy(zero_copy_only=False)
         out = np.empty(len(keys), np.float64)
-        for i, (kk, cc) in enumerate(zip(keys, cents)):
+        # vectorized per key (≤ |event types| iterations), not per row
+        for kk in np.unique(keys):
+            mask = keys == kk
             cs, cum, n = m[kk]
-            j = np.searchsorted(cs, cc, side="right") - 1
-            v = cum[j] / n
-            out[i] = np.copysign(
-                np.floor(abs(v) * 10.0 ** digits + 0.5), v) / 10.0 ** digits
+            j = np.searchsorted(cs, cents[mask], side="right") - 1
+            out[mask] = cum[j] / n
+        scale = 10.0 ** digits
+        out = np.copysign(np.floor(np.abs(out) * scale + 0.5), out) / scale
         return pa.Table.from_arrays(
             [t["event_id"], t[key], pa.array(out, pa.float64())],
             names=["event_id", key, "pct_rank"])

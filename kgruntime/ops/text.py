@@ -1133,6 +1133,22 @@ FROM {table} ORDER BY doc_id
 
 # --- normalized exact dedup: casefold + punctuation/whitespace collapse ----
 
+def normalized_text_hash(text_col) -> pa.Array:
+    """Canonical normalize-and-hash used by normalized_dup_docs,
+    curate_corpus, and ops/sample.split_leakage (ONE definition — a
+    drift here would silently desynchronize the three audits): casefold,
+    strip non-alphanumerics to spaces, collapse whitespace, blake2b-128.
+    The SQL twins all use the matching
+    ``trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))``."""
+    import hashlib
+
+    s = pc.utf8_lower(text_col)
+    s = pc.replace_substring_regex(s, r"[^a-z0-9]+", " ")
+    s = pc.utf8_trim_whitespace(s)
+    return pa.array([hashlib.blake2b(x.encode(), digest_size=16).digest()
+                     for x in s.to_pylist()], pa.binary(16))
+
+
 def normalized_dup_docs(docs_ds):
     """Exact dedup AFTER text normalization (casefold, strip
     non-alphanumerics to spaces, collapse whitespace) — catches the
@@ -1141,18 +1157,12 @@ def normalized_dup_docs(docs_ds):
     group shape as exact_dedup_groups: the shuffle key is the blake2b
     of the NORMALIZED text, groups verify the normalized text exactly.
     Returns (keep_id, n_copies) per normalized-distinct text."""
-    import hashlib
-
     from ray.data.aggregate import Count, Min
 
     def norm(t: pa.Table) -> pa.Table:
-        s = pc.utf8_lower(t["text"])
-        s = pc.replace_substring_regex(s, r"[^a-z0-9]+", " ")
-        s = pc.utf8_trim_whitespace(s)
-        h = pa.array([hashlib.blake2b(x.encode(), digest_size=16).digest()
-                      for x in s.to_pylist()], pa.binary(16))
-        return pa.Table.from_arrays([t["doc_id"], h],
-                                    names=["doc_id", "h"])
+        return pa.Table.from_arrays(
+            [t["doc_id"], normalized_text_hash(t["text"])],
+            names=["doc_id", "h"])
 
     return docs_ds.select_columns(["doc_id", "text"]) \
         .map_batches(norm, batch_format="pyarrow", zero_copy_batch=True) \
@@ -1251,8 +1261,6 @@ def curate_corpus(docs_ds, min_quality: float = 0.5, min_chars: int = 20,
     join side) — at extreme scale point this at a parquet staging dir
     instead (the ``build_kg_staged`` pattern).
     """
-    import hashlib
-
     from ray.data.aggregate import Min
 
     from .join import bucketed_hash_join
@@ -1276,12 +1284,8 @@ def curate_corpus(docs_ds, min_quality: float = 0.5, min_chars: int = 20,
                      zero_copy_batch=True).materialize()
 
     def norm_hash(t: pa.Table) -> pa.Table:
-        s = pc.utf8_lower(t["text"])
-        s = pc.replace_substring_regex(s, r"[^a-z0-9]+", " ")
-        s = pc.utf8_trim_whitespace(s)
-        h = pa.array([hashlib.blake2b(x.encode(), digest_size=16).digest()
-                      for x in s.to_pylist()], pa.binary(16))
-        return pa.table({"doc_id": t["doc_id"], "h": h})
+        return pa.table({"doc_id": t["doc_id"],
+                         "h": normalized_text_hash(t["text"])})
 
     keep = gated.map_batches(norm_hash, batch_format="pyarrow",
                              zero_copy_batch=True) \
