@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_per_lang": _q_reservoir_lang,
         "asof_purchase_next_click": R.q_asof_purchase_next_click,
         "split_leakage": _q_split_leakage,
+        "nation_trade_volume": R.q_nation_trade_volume,
         "embedding_dup_clusters": _q_emb_dup_clusters,
         "events_profile": _q_events_profile,
         "value_percentile_ranks": _q_pct_ranks,
@@ -1434,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate_corpus_sql(),
         "asof_purchase_next_click": R.Q_ASOF_PURCHASE_NEXT_CLICK_SQL,
         "split_leakage": _split_leakage_sql(),
+        "nation_trade_volume": R.Q_NATION_TRADE_VOLUME_SQL,
         "embedding_dup_clusters": _emb_dup_clusters_sql(),
         "events_profile": _events_profile_sql(),
         "value_percentile_ranks": _pct_ranks_sql(),

@@ -1334,3 +1334,97 @@ FROM purch p ASOF JOIN clicks c
   ON p.user_id = c.user_id AND p.ts <= c.ts
 ORDER BY p.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Q7-style cross-nation trade volume: BOTH fact joins bucketed
+# (lineitem ⋈ orders and orders ⋈ customer), supplier + nation broadcast,
+# grouped by (supplier nation, customer nation, ship year)
+# ---------------------------------------------------------------------------
+
+def q_nation_trade_volume(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .ops.join import bucketed_hash_join
+
+    nation = pq.read_table(_path(sf_dir, "nation"))
+    nkeys = nation["n_nationkey"].combine_chunks()
+    nvals = nation["n_name"].combine_chunks()
+    supp = pq.read_table(_path(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    skeys = supp["s_suppkey"].combine_chunks()
+    snat = supp["s_nationkey"].combine_chunks()
+
+    lo = pa.scalar("1996-01-01").cast(pa.timestamp("us"))
+    hi = pa.scalar("1998-01-01").cast(pa.timestamp("us"))
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["c_custkey"], t["c_nationkey"]],
+            names=["c_custkey", "cust_nation"])
+
+    c_sel = _read(sf_dir, "customer",
+                  columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(c_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    o_dates = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    o_sel = bucketed_hash_join(o_dates, c_sel, "o_custkey", "c_custkey") \
+        .select_columns(["o_orderkey", "cust_nation"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        cents = _money_cents(t["l_extendedprice"])
+        bp = _to_int64(t["l_discount"], 10_000)
+        disc_n = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))
+        snation = pc.take(snat, pc.index_in(t["l_suppkey"],
+                                            value_set=skeys))
+        year = pc.year(t["l_shipdate"])
+        return pa.Table.from_arrays(
+            [t["l_orderkey"], snation, pc.cast(year, pa.int64()), disc_n],
+            names=["l_orderkey", "supp_nation", "ship_year", "disc_n"])
+
+    l_sel = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount", "l_shipdate"]) \
+        .map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = bucketed_hash_join(l_sel, o_sel, "l_orderkey", "o_orderkey")
+
+    def cross_nation(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["supp_nation"], t["cust_nation"]))
+        sn = pc.take(nvals, pc.index_in(t["supp_nation"], value_set=nkeys))
+        cn = pc.take(nvals, pc.index_in(t["cust_nation"], value_set=nkeys))
+        return pa.Table.from_arrays(
+            [sn, cn, t["ship_year"], t["disc_n"]],
+            names=["supp_nation", "cust_nation", "ship_year", "disc_n"])
+
+    df = j.map_batches(cross_nation, batch_format="pyarrow") \
+        .groupby(["supp_nation", "cust_nation", "ship_year"]) \
+        .aggregate(Sum("disc_n", alias_name="disc_n")) \
+        .to_pandas() \
+        .sort_values(["supp_nation", "cust_nation", "ship_year"]) \
+        .reset_index(drop=True)
+    df["revenue"] = df.pop("disc_n") / 1_000_000.0
+    return _round_cols(df, ["revenue"], 4)
+
+
+Q_NATION_TRADE_VOLUME_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS ship_year,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+             / 1000000.0, 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE s_nationkey != c_nationkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
