@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_next_click": R.q_asof_purchase_next_click,
         "split_leakage": _q_split_leakage,
         "nation_trade_volume": R.q_nation_trade_volume,
+        "incremental_dup_check": _q_incremental_dups,
         "embedding_dup_clusters": _q_emb_dup_clusters,
         "events_profile": _q_events_profile,
         "value_percentile_ranks": _q_pct_ranks,
@@ -476,6 +477,13 @@ def _q_ann_ivf(sf_dir):
 
 
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
+
+
+def _q_incremental_dups(sf_dir):
+    from kgruntime.ops.dedup import incremental_dup_check
+
+    return incremental_dup_check(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_split_leakage(sf_dir):
@@ -1310,6 +1318,12 @@ def _top_terms_source_sql():
     return top_terms_per_source_sql()
 
 
+def _incremental_dups_sql():
+    from kgruntime.ops.dedup import incremental_dup_check_sql
+
+    return incremental_dup_check_sql()
+
+
 def _split_leakage_sql():
     from kgruntime.ops.sample import split_leakage_sql
 
@@ -1436,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_next_click": R.Q_ASOF_PURCHASE_NEXT_CLICK_SQL,
         "split_leakage": _split_leakage_sql(),
         "nation_trade_volume": R.Q_NATION_TRADE_VOLUME_SQL,
+        "incremental_dup_check": _incremental_dups_sql(),
         "embedding_dup_clusters": _emb_dup_clusters_sql(),
         "events_profile": _events_profile_sql(),
         "value_percentile_ranks": _pct_ranks_sql(),

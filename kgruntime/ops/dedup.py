@@ -1230,3 +1230,86 @@ def embedding_dup_clusters_sql(dim: int, threshold: float = 0.95,
                                 n_planes=n_planes, seed=seed,
                                 n_tables=n_tables),
         "vec_a", "vec_b", "vec_id", "cluster")
+
+
+def incremental_dup_check(docs_ds, cutoff: int | None = None):
+    """Incremental-ingest dedup: flag NEW docs (doc_id ≥ cutoff) whose
+    normalized text already exists in the PRIOR corpus (doc_id <
+    cutoff) — (doc_id, dup_of_prior).  The default cutoff is
+    ``max(doc_id) // 2`` so the check is self-contained on one table;
+    in production the prior side is the previous snapshot's hash index.
+
+    Scale shape: the corpus is hashed ONCE (materialized — both sides
+    read it); the prior side reduces to DISTINCT 16-byte normalized
+    hashes carrying a match marker; new docs meet it in ONE bucketed
+    left-outer join keyed on the hash; text never crosses an exchange.
+    """
+    from ray.data.aggregate import Count
+
+    from .join import bucketed_hash_join
+    from .text import normalized_text_hash
+
+    if cutoff is None:
+        cutoff = docs_ds.max("doc_id") // 2
+
+    def hash_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "h": normalized_text_hash(t["text"])})
+
+    hashed = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(hash_prep, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    def prior_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], pa.scalar(cutoff, pa.int64())))
+        # batch-local dedup before the distinct groupby
+        return t.select(["h"]).group_by("h", use_threads=False) \
+            .aggregate([]).rename_columns(["ph"])
+
+    def add_marker(t: pa.Table) -> pa.Table:
+        # the join consumes the right key itself, so matches surface
+        # through this marker column.  Arrow group_by degrades the
+        # fixed_size_binary[16] key to variable binary — cast back so
+        # the acero join keys type-match.
+        ph = pc.cast(t["ph"].combine_chunks(), pa.binary(16))
+        return pa.table({
+            "ph": ph,
+            "dup_of_prior_i": pa.array([1] * t.num_rows, pa.int64()),
+        })
+
+    prior = hashed.map_batches(prior_side, batch_format="pyarrow") \
+        .groupby("ph").aggregate(Count(alias_name="_n")) \
+        .map_batches(add_marker, batch_format="pyarrow")
+
+    def new_side(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["doc_id"],
+                                         pa.scalar(cutoff, pa.int64())))
+
+    new = hashed.map_batches(new_side, batch_format="pyarrow") \
+        .select_columns(["doc_id", "h"])
+
+    j = bucketed_hash_join(new, prior, "h", "ph", how="left outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "dup_of_prior": pc.fill_null(
+                pc.greater(t["dup_of_prior_i"],
+                           pa.scalar(0, pa.int64())), False),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def incremental_dup_check_sql(table: str = "documents") -> str:
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    return f"""
+WITH cut AS (SELECT max(doc_id) // 2 AS c FROM {table}),
+prior AS (
+  SELECT DISTINCT {norm} AS nt FROM {table}, cut WHERE doc_id < c),
+nw AS (
+  SELECT doc_id, {norm} AS nt FROM {table}, cut WHERE doc_id >= c)
+SELECT n.doc_id, (p.nt IS NOT NULL) AS dup_of_prior
+FROM nw n LEFT JOIN prior p ON p.nt = n.nt
+ORDER BY n.doc_id
+"""

@@ -382,3 +382,15 @@ def test_embedding_dup_clusters_groups_duplicates(ray_session):
     assert got.get(0) == 0 and got.get(1) == 0 and got.get(2) == 0
     assert got.get(3) == 3 and got.get(4) == 3
     assert 5 not in got  # singleton → implicit
+
+
+def test_incremental_dup_check(ray_session):
+    from kgruntime.ops.dedup import incremental_dup_check
+
+    rows = [(1, "Shared Text!"), (2, "prior only"), (3, "another prior"),
+            (10, "shared   text"),     # normalized dup of prior doc 1
+            (11, "genuinely new")]
+    out = incremental_dup_check(_docs(rows), cutoff=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [10, 11]
+    assert out["dup_of_prior"].tolist() == [True, False]
