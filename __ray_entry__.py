@@ -482,7 +482,8 @@ _PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
 def _q_incremental_dups(sf_dir):
     from kgruntime.ops.dedup import incremental_dup_check
 
-    return incremental_dup_check(_docs_ds(sf_dir)).to_pandas() \
+    return _pin_cols(incremental_dup_check(_docs_ds(sf_dir)).to_pandas(),
+                     ["doc_id", "dup_of_prior"]) \
         .sort_values("doc_id").reset_index(drop=True)
 
 

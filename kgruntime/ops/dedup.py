@@ -1249,9 +1249,6 @@ def incremental_dup_check(docs_ds, cutoff: int | None = None):
     from .join import bucketed_hash_join
     from .text import normalized_text_hash
 
-    if cutoff is None:
-        cutoff = docs_ds.max("doc_id") // 2
-
     def hash_prep(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"],
                          "h": normalized_text_hash(t["text"])})
@@ -1259,6 +1256,35 @@ def incremental_dup_check(docs_ds, cutoff: int | None = None):
     hashed = docs_ds.select_columns(["doc_id", "text"]) \
         .map_batches(hash_prep, batch_format="pyarrow",
                      zero_copy_batch=True).materialize()
+    # bounds from the materialized hashes — no second corpus read for
+    # the default cutoff, and they drive the empty-side guards below
+    # (Ray 2.49 drops the schema of an all-empty dataset, which would
+    # crash the join / the caller's sort)
+    mx = hashed.max("doc_id")
+    if mx is None:                                   # empty corpus
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "dup_of_prior": pa.array([], pa.bool_())}))
+    if cutoff is None:
+        cutoff = mx // 2
+    mn = hashed.min("doc_id")
+
+    if mx < cutoff:                                  # no new docs
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "dup_of_prior": pa.array([], pa.bool_())}))
+    if mn >= cutoff:                                 # no prior side
+        def all_new(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "dup_of_prior": pa.array([False] * t.num_rows,
+                                         pa.bool_())})
+
+        return hashed.map_batches(all_new, batch_format="pyarrow")
 
     def prior_side(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["doc_id"], pa.scalar(cutoff, pa.int64())))

@@ -394,3 +394,22 @@ def test_incremental_dup_check(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert out["doc_id"].tolist() == [10, 11]
     assert out["dup_of_prior"].tolist() == [True, False]
+
+
+def test_incremental_dup_check_empty_sides(ray_session):
+    from kgruntime.ops.dedup import incremental_dup_check
+
+    # no prior side (all ids >= cutoff): every new doc is non-dup
+    out = incremental_dup_check(
+        _docs([(60, "a text"), (61, "b text")]), cutoff=5).to_pandas()
+    assert sorted(out["doc_id"]) == [60, 61]
+    assert out["dup_of_prior"].tolist() == [False, False]
+    # no new side: empty result, no crash (Ray drops even a pinned
+    # empty schema on to_pandas — the registry wrapper reindexes)
+    out2 = incremental_dup_check(
+        _docs([(1, "a"), (2, "b")]), cutoff=100).to_pandas()
+    assert len(out2) == 0
+    # default cutoff on an ingest-shaped table (min >= max//2)
+    out3 = incremental_dup_check(
+        _docs([(60, "x"), (100, "y")])).to_pandas()
+    assert len(out3) == 2 and not out3["dup_of_prior"].any()
