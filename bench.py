@@ -136,7 +136,12 @@ def run_queries(sf_dir: str) -> dict:
               "token_stats", "exact_dup_docs", "ann_topk",
               "minhash_near_dups", "kg_triples", "term_frequencies",
               "corr_qty_price", "running_user_totals", "clean_corpus",
-              "near_dedup_corpus", "chunk_documents"]
+              "near_dedup_corpus", "chunk_documents",
+              # round-3 flagship ops (pagerank excluded: its 5 join
+              # rounds are pure fixed Ray overhead at bench scale and
+              # would dominate the query section without informing perf)
+              "ann_topk_ivf", "kmeans_clusters", "curate_corpus",
+              "incremental_dup_check"]
     out = {}
     for name in picked:
         t0 = time.perf_counter()
