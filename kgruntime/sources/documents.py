@@ -119,3 +119,45 @@ def write_nquads(triples_ds, path: str):
     triples_ds.map_batches(to_nquad_lines, batch_format="pyarrow") \
         .write_csv(path, arrow_csv_args_fn=_opts)
     return path
+
+
+# --- JSONL corpus interop (the de-facto LLM training-data format) ---------
+
+_FLAT_DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def read_documents_jsonl(path: str, columns=_FLAT_DOC_COLS):
+    """Read a flat documents corpus from line-delimited JSON (one object
+    per line, the standard LLM-corpus interchange format).  Missing
+    optional columns are filled with typed nulls; n_chars is derived
+    from the text when absent, so any {"doc_id", "text"} JSONL ingests
+    directly into every documents-table operator."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    types = {"doc_id": pa.int64(), "text": pa.string(),
+             "lang": pa.string(), "source": pa.string(),
+             "n_chars": pa.int64()}
+
+    def normalize(t: pa.Table) -> pa.Table:
+        arrays = []
+        for c in columns:
+            if c in t.schema.names:
+                arrays.append(pc.cast(t[c].combine_chunks(), types[c]))
+            elif c == "n_chars" and "text" in t.schema.names:
+                arrays.append(pc.cast(pc.utf8_length(t["text"]),
+                                      pa.int64()))
+            else:
+                arrays.append(pa.nulls(t.num_rows, types[c]))
+        return pa.Table.from_arrays(arrays, names=list(columns))
+
+    return rd.read_json(path).map_batches(
+        normalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_documents_jsonl(docs_ds, path: str):
+    """Write a documents Dataset as partitioned line-delimited JSON —
+    one file per block (resumable-output convention: never one giant
+    file)."""
+    docs_ds.write_json(path)
+    return path

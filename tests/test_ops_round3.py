@@ -413,3 +413,33 @@ def test_incremental_dup_check_empty_sides(ray_session):
     out3 = incremental_dup_check(
         _docs([(60, "x"), (100, "y")])).to_pandas()
     assert len(out3) == 2 and not out3["dup_of_prior"].any()
+
+
+def test_jsonl_corpus_round_trip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kgruntime.ops.text import pii_scan
+    from kgruntime.sources.documents import (read_documents_jsonl,
+                                             write_documents_jsonl)
+
+    src = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["alpha beta", "mail x@y.zz", "plain"],
+        "lang": ["en", "en", "de"],
+        "source": ["s1", "s1", "s2"],
+        "n_chars": pa.array([10, 11, 5], pa.int64()),
+    }))
+    out_dir = str(tmp_path / "jsonl")
+    write_documents_jsonl(src, out_dir)
+    back = read_documents_jsonl(out_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert back["text"].tolist() == ["alpha beta", "mail x@y.zz", "plain"]
+    assert back["n_chars"].tolist() == [10, 11, 5]
+    # minimal {"doc_id","text"} JSONL ingests directly into text ops
+    minimal = str(tmp_path / "min.jsonl")
+    with open(minimal, "w") as f:
+        f.write('{"doc_id": 7, "text": "short one"}\n')
+    ds = read_documents_jsonl(minimal)
+    got = pii_scan(ds).to_pandas()
+    assert got["doc_id"].tolist() == [7]
+    assert not got["has_pii"].iloc[0]
