@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": _q_split_leakage,
         "nation_trade_volume": R.q_nation_trade_volume,
         "incremental_dup_check": _q_incremental_dups,
+        "capped_duplicate_sample": _q_capped_dups,
         "embedding_dup_clusters": _q_emb_dup_clusters,
         "events_profile": _q_events_profile,
         "value_percentile_ranks": _q_pct_ranks,
@@ -477,6 +478,13 @@ def _q_ann_ivf(sf_dir):
 
 
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
+
+
+def _q_capped_dups(sf_dir):
+    from kgruntime.ops.text import capped_duplicate_sample
+
+    return capped_duplicate_sample(_docs_ds(sf_dir)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_incremental_dups(sf_dir):
@@ -1319,6 +1327,12 @@ def _top_terms_source_sql():
     return top_terms_per_source_sql()
 
 
+def _capped_dups_sql():
+    from kgruntime.ops.text import capped_duplicate_sample_sql
+
+    return capped_duplicate_sample_sql()
+
+
 def _incremental_dups_sql():
     from kgruntime.ops.dedup import incremental_dup_check_sql
 
@@ -1452,6 +1466,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _split_leakage_sql(),
         "nation_trade_volume": R.Q_NATION_TRADE_VOLUME_SQL,
         "incremental_dup_check": _incremental_dups_sql(),
+        "capped_duplicate_sample": _capped_dups_sql(),
         "embedding_dup_clusters": _emb_dup_clusters_sql(),
         "events_profile": _events_profile_sql(),
         "value_percentile_ranks": _pct_ranks_sql(),

@@ -1339,3 +1339,42 @@ SELECT doc_id, n_tokens,
          - n_tokens) // {budget})::BIGINT AS shard_id
 FROM tok ORDER BY doc_id
 """
+
+
+def capped_duplicate_sample(docs_ds, k: int = 2):
+    """Duplication-aware retention: keep at most ``k`` copies of each
+    normalized-distinct text (smallest doc_ids win) — (doc_id,
+    copy_rank).  The middle ground between keep-all and keep-first
+    dedup: repeated documents stay represented (bounded) so frequency
+    still carries signal, but no dup cluster can dominate a shard.
+
+    Shuffle key is the 16-byte normalized hash; each hash group is
+    bounded by that text's duplicate multiplicity."""
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "h": normalized_text_hash(t["text"])})
+
+    def cap(g: pa.Table) -> pa.Table:
+        ids = sorted(g["doc_id"].to_pylist())[:k]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "copy_rank": pa.array(list(range(1, len(ids) + 1)),
+                                  pa.int64()),
+        })
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(norm, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("h").map_groups(cap, batch_format="pyarrow")
+
+
+def capped_duplicate_sample_sql(k: int = 2,
+                                table: str = "documents") -> str:
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    return f"""
+WITH r AS (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY {norm} ORDER BY doc_id) AS copy_rank
+  FROM {table})
+SELECT doc_id, copy_rank FROM r WHERE copy_rank <= {k}
+ORDER BY doc_id
+"""

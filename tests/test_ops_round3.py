@@ -443,3 +443,15 @@ def test_jsonl_corpus_round_trip(ray_session, tmp_path):
     got = pii_scan(ds).to_pandas()
     assert got["doc_id"].tolist() == [7]
     assert not got["has_pii"].iloc[0]
+
+
+def test_capped_duplicate_sample(ray_session):
+    from kgruntime.ops.text import capped_duplicate_sample
+
+    rows = [(1, "Dup Text!"), (2, "dup text"), (3, "DUP, text."),
+            (4, "unique")]
+    out = capped_duplicate_sample(_docs(rows), k=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # 3 copies of the dup group → smallest two kept; doc 3 dropped
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["copy_rank"].tolist() == [1, 2, 1]
