@@ -161,3 +161,31 @@ def write_documents_jsonl(docs_ds, path: str):
     file)."""
     docs_ds.write_json(path)
     return path
+
+
+def read_documents_csv(path: str, columns=_FLAT_DOC_COLS):
+    """Read a flat documents corpus from CSV (header row expected) with
+    the same schema normalization as ``read_documents_jsonl`` — any
+    {doc_id, text} CSV ingests directly into the documents-table
+    operators."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    types = {"doc_id": pa.int64(), "text": pa.string(),
+             "lang": pa.string(), "source": pa.string(),
+             "n_chars": pa.int64()}
+
+    def normalize(t: pa.Table) -> pa.Table:
+        arrays = []
+        for c in columns:
+            if c in t.schema.names:
+                arrays.append(pc.cast(t[c].combine_chunks(), types[c]))
+            elif c == "n_chars" and "text" in t.schema.names:
+                arrays.append(pc.cast(pc.utf8_length(t["text"]),
+                                      pa.int64()))
+            else:
+                arrays.append(pa.nulls(t.num_rows, types[c]))
+        return pa.Table.from_arrays(arrays, names=list(columns))
+
+    return rd.read_csv(path).map_batches(
+        normalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -455,3 +455,17 @@ def test_capped_duplicate_sample(ray_session):
     # 3 copies of the dup group → smallest two kept; doc 3 dropped
     assert out["doc_id"].tolist() == [1, 2, 4]
     assert out["copy_rank"].tolist() == [1, 2, 1]
+
+
+def test_csv_corpus_ingest(ray_session, tmp_path):
+    from kgruntime.ops.text import token_stats
+    from kgruntime.sources.documents import read_documents_csv
+
+    p = str(tmp_path / "docs.csv")
+    with open(p, "w") as f:
+        f.write("doc_id,text\n5,alpha beta gamma\n6,one two\n")
+    ds = read_documents_csv(p)
+    out = ds.map_batches(token_stats, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [5, 6]
+    assert out["n_tokens"].tolist() == [3, 2]
