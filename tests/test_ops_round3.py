@@ -469,3 +469,28 @@ def test_csv_corpus_ingest(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert out["doc_id"].tolist() == [5, 6]
     assert out["n_tokens"].tolist() == [3, 2]
+
+
+def test_registry_contract_invariants():
+    """Driver-contract guards: every oracle key resolves to a query, no
+    duplicate names, and the first-50 gate window keeps its composition
+    (flagship pipelines, mostly SQL-checked)."""
+    import __ray_entry__ as E
+
+    q = list(E.queries())
+    o = E.oracle_sql()
+    assert len(q) == len(set(q))
+    assert set(o) <= set(q)
+    window = q[:50]
+    rows_only = [k for k in window if k not in o]
+    # only the KG parser pipelines (golden-parity-tested) and the media
+    # representative may be rows-only inside the gate window
+    assert set(rows_only) <= {
+        "kg_triples", "kg_quarantine", "kg_mentions", "kg_link_edges",
+        "kg_assignment", "kg_canonical_store", "kg_canonical_staged",
+        "kg_canonical_fused", "media_features"}
+    # flagship entries must stay inside the window
+    for name in ("kg_canonical_fused", "minhash_near_dups",
+                 "near_dedup_corpus", "ann_topk_ivf", "kmeans_clusters",
+                 "curate_corpus", "user_components"):
+        assert name in window, name
