@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_clusters": _q_emb_dup_clusters,
         "events_profile": _q_events_profile,
         "value_percentile_ranks": _q_pct_ranks,
+        "media_png_features": _q_media_png,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "media_frame_features": _q_media_frame_features,
@@ -953,6 +954,18 @@ def _q_media_features(sf_dir):
 
     refs = [f"media://doc-{i:06d}/0" for i in range(100)]
     return decode_features(rd.from_arrow(synth_media_table(refs)))
+
+
+def _q_media_png(sf_dir):
+    """REAL codec path: payloads are actual PNG bytes (stdlib zlib +
+    numpy filter decode, ops/png.py); features derive from true pixels
+    — rows-only (binary inputs are synthesized, not SQL-visible)."""
+    import ray.data as rd
+
+    from kgruntime.ops.media import decode_features, synth_png_table
+
+    refs = [f"media://doc-{i:06d}/png" for i in range(100)]
+    return decode_features(rd.from_arrow(synth_png_table(refs)))
 
 
 def _q_media_frames(sf_dir):

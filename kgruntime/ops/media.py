@@ -65,11 +65,43 @@ class MediaDecoder:
         self.feat_dim = feat_dim
         self.fake = fake
 
+    def _png_features(self, payload: bytes) -> np.ndarray:
+        """REAL decode path: PNG payloads (container + zlib + filters,
+        all stdlib/numpy — see ops/png.py) → pixel-derived features:
+        per-channel mean/std then coarse luminance-grid means, padded
+        to feat_dim."""
+        from .png import decode_png
+
+        img = decode_png(payload).astype(np.float32)
+        c = img.shape[2]
+        feats = []
+        for ch in range(min(c, 3)):
+            feats.append(float(img[:, :, ch].mean()) / 255.0)
+            feats.append(float(img[:, :, ch].std()) / 255.0)
+        lum = img[:, :, :3].mean(axis=2)
+        g = max(1, int(np.sqrt(max(0, self.feat_dim - len(feats)))))
+        h_, w_ = lum.shape
+        for gy in range(g):
+            for gx in range(g):
+                cell = lum[gy * h_ // g:(gy + 1) * h_ // g or 1,
+                           gx * w_ // g:(gx + 1) * w_ // g or 1]
+                feats.append(float(cell.mean()) / 255.0
+                             if cell.size else 0.0)
+        out = np.zeros(self.feat_dim, np.float32)
+        out[:min(len(feats), self.feat_dim)] = \
+            feats[:self.feat_dim]
+        return out
+
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        from .png import PNG_MAGIC
+
+        if payload[:8] == PNG_MAGIC:
+            return self._png_features(payload)      # REAL codec path
         if not self.fake:
             raise NotImplementedError(
-                "real image/audio decode needs PIL/ffmpeg — not available "
-                "in this container; run with fake=True or override _decode")
+                "non-PNG compressed decode needs PIL/ffmpeg — not "
+                "available in this container; PNG payloads decode for "
+                "real (ops/png.py), others need fake=True")
         # deterministic fake: bytes → seeded feature vector
         h = hashlib.sha256(payload).digest()
         seed = int.from_bytes(h[:4], "little")
@@ -259,3 +291,27 @@ def resize_raw_images(media_ds, out_w: int = 16, out_h: int = 16,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or pool_range(frac=0.25, lo=1),
         num_cpus=1)
+
+
+def synth_png_table(refs: list[str], w: int = 32, h: int = 24,
+                    seed: int = 7) -> pa.Table:
+    """Media table whose payloads are REAL PNG bytes (per-ref seeded
+    pixels, encoded by ops/png.py) — exercises the genuine codec path
+    end-to-end in this container."""
+    from .png import encode_png
+
+    payloads = []
+    for r in refs:
+        rseed = int.from_bytes(
+            hashlib.sha256(f"{seed}:{r}".encode()).digest()[:4], "little")
+        rng = np.random.RandomState(rseed)
+        payloads.append(encode_png(
+            rng.randint(0, 256, (h, w, 3)).astype(np.uint8)))
+    return pa.Table.from_arrays(
+        [pa.array(refs, pa.string()),
+         pa.array(["image"] * len(refs), pa.string()),
+         pa.array(payloads, pa.binary()),
+         pa.array([w] * len(refs), pa.int32()),
+         pa.array([h] * len(refs), pa.int32()),
+         pa.array([-1] * len(refs), pa.int32())],
+        schema=MEDIA_SCHEMA)
