@@ -57,50 +57,58 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters: the driver's correctness gate evaluates the
-    # first 50 entries only (CORRECTNESS_r02 covered the long-green
-    # relational/text/window suite). Flagship + previously-unchecked
-    # pipelines now lead; the long-green suite (green rows in r1+r2)
-    # trails. Keep new queries inside the first 50.
+    # first 50 entries only.  Round-4 rotation (VERDICT r3 item 1): the
+    # 13 late-round-3 registrations that never had a driver CORRECTNESS
+    # row lead, then this round's new ops, then a representative slice of
+    # r3-green flagship/dedup/ANN entries; everything below slot 50 has a
+    # green driver row from r1–r3 AND is re-checked every round by
+    # scripts/check_oracle.py over the FULL registry.
     from kgruntime import relational as R
 
     q: dict[str, Callable[[str], Any]] = {
-        # KG pipeline (non-SQL-expressible → rows-only; exactness is
-        # covered by the golden-parity pytest suite)
-        "kg_triples": _q_kg_triples,
-        "kg_quarantine": _q_kg_quarantine,
-        "kg_mentions": _q_kg_mentions,
-        "kg_link_edges": _q_kg_link_edges,
-        "kg_assignment": _q_kg_assignment,
-        "kg_canonical_store": _q_kg_canonical,
-        "kg_canonical_staged": _q_kg_staged,
+        # --- never driver-checked (late r3 registrations) ---
+        "incremental_dup_check": _q_incremental_dups,
+        "split_leakage": _q_split_leakage,
+        "embedding_dup_clusters": _q_emb_dup_clusters,
+        "value_percentile_ranks": _q_pct_ranks,
+        "events_profile": _q_events_profile,
+        "capped_duplicate_sample": _q_capped_dups,
+        "reservoir_per_lang": _q_reservoir_lang,
+        "asof_purchase_next_click": R.q_asof_purchase_next_click,
+        "nation_trade_volume": R.q_nation_trade_volume,
+        "media_png_features": _q_media_png,
+        "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
+        "media_frame_features": _q_media_frame_features,
+        # --- r3-green entries kept inside the window (flagship KG,
+        # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
-        # training-data LSH dedup (SQL-backed: md5-60/fixed-point
-        # primitives make the full LSH pipelines DuckDB-replayable)
+        "kg_canonical_staged": _q_kg_staged,
+        "kg_triples": _q_kg_triples,
+        "curate_corpus": _q_curate_corpus,
+        "near_dedup_corpus": _q_near_dedup_corpus,
         "minhash_near_dups": _q_minhash,
         "minhash_dup_clusters": _q_minhash_clusters,
-        "near_dedup_corpus": _q_near_dedup_corpus,
         "simhash_near_dups": _q_simhash,
         "embedding_near_dups": _q_emb_near_dups,
-        # similarity search
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
+        "kmeans_clusters": _q_kmeans_clusters,
         "label_centroids": _q_label_centroids,
         "knn_label_vote": _q_knn_label_vote,
         "clean_corpus": _q_clean_corpus,
-        "curate_corpus": _q_curate_corpus,
-        # graph / event-sequence ops
-        "cooccurrence_edges": _q_cooccur,
-        "pagerank_users": _q_pagerank,
-        "windowed_event_dedup": _q_win_dedup,
-        "event_anomalies": _q_anomalies,
-        # corpus-shaping ops
-        "split_assign": _q_split_assign,
-        "source_mix_weights": _q_source_mix,
-        "blocklist_filter": _q_blocklist,
-        "redact_terms": _q_redact,
-        "length_deciles": _q_deciles,
+        "pii_scan": _q_pii_scan,
+        "normalized_dup_docs": _q_normalized_dups,
+        "rare_token_pairs": _q_rare_token_pairs,
         "pack_sequences": _q_pack,
+        "user_components": _q_user_components,
+        "pagerank_users": _q_pagerank,
+        "decayed_user_value": _q_decayed_value,
+        "event_path_trigrams": _q_event_trigrams,
+        "session_conversion_by_dow": _q_session_conversion,
+        "top_terms_per_source": _q_top_terms_source,
+        "bloom_distinct_user_days": _q_bloom_user_days,
         "hll_distinct_users": _q_hll,
         "doc_rarity_scores": _q_rarity,
         "dup_rate_by_source": _q_dup_rate,
@@ -110,34 +118,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_by_source": _q_zscore,
         "chunk_documents": _q_chunks,
         "bigram_counts": _q_bigrams,
-        # media plumbing representative (codec kernels stubbed →
-        # rows-only; the other three media queries sit after the window)
+        "redact_terms": _q_redact,
+        # --- entries below are outside the driver's 50-query window
+        # (every one has a green driver row from r1–r3) ---
+        "length_deciles": _q_deciles,
+        "kg_quarantine": _q_kg_quarantine,
+        "kg_mentions": _q_kg_mentions,
+        "kg_link_edges": _q_kg_link_edges,
+        "kg_assignment": _q_kg_assignment,
+        "kg_canonical_store": _q_kg_canonical,
         "media_features": _q_media_features,
-        # --- round-3 ops (driver window closes at entry 50) ---
-        "kmeans_clusters": _q_kmeans_clusters,
-        "pii_scan": _q_pii_scan,
-        "normalized_dup_docs": _q_normalized_dups,
-        "rare_token_pairs": _q_rare_token_pairs,
-        "event_path_trigrams": _q_event_trigrams,
-        "session_conversion_by_dow": _q_session_conversion,
-        "decayed_user_value": _q_decayed_value,
-        "top_terms_per_source": _q_top_terms_source,
-        "user_components": _q_user_components,
-        "bloom_distinct_user_days": _q_bloom_user_days,
-        # --- entries below are outside the driver's 50-query window ---
-        "reservoir_per_lang": _q_reservoir_lang,
-        "asof_purchase_next_click": R.q_asof_purchase_next_click,
-        "split_leakage": _q_split_leakage,
-        "nation_trade_volume": R.q_nation_trade_volume,
-        "incremental_dup_check": _q_incremental_dups,
-        "capped_duplicate_sample": _q_capped_dups,
-        "embedding_dup_clusters": _q_emb_dup_clusters,
-        "events_profile": _q_events_profile,
-        "value_percentile_ranks": _q_pct_ranks,
-        "media_png_features": _q_media_png,
-        "media_frames": _q_media_frames,
-        "media_resize": _q_media_resize,
-        "media_frame_features": _q_media_frame_features,
+        "cooccurrence_edges": _q_cooccur,
+        "windowed_event_dedup": _q_win_dedup,
+        "event_anomalies": _q_anomalies,
+        "split_assign": _q_split_assign,
+        "source_mix_weights": _q_source_mix,
+        "blocklist_filter": _q_blocklist,
         # long-green suite (driver-verified green in rounds 1 and 2)
         "pricing_summary": R.q_pricing_summary,
         "orders_by_status": R.q_orders_by_status,
