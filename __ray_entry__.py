@@ -425,12 +425,21 @@ _ANN_K = 5
 
 
 def _load_queries(sf_dir):
-    # sort before slicing: the oracle selects ORDER BY vec_id LIMIT N,
-    # and parquet file order is not guaranteed to match
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    t = t.sort_by("vec_id")
-    ids = t["vec_id"].to_pylist()[:_ANN_N_QUERIES]
-    q = np.array(t["embedding"].to_pylist()[:_ANN_N_QUERIES], np.float64)
+    # ORDER BY vec_id LIMIT N as a DuckDB streaming top-k over the
+    # parquet: only the N query rows ever reach the driver.  (The r3
+    # version read + sorted the WHOLE embeddings table driver-side — a
+    # full-corpus materialization at 100x.)  Vectors go list<float> →
+    # matrix via flatten().to_numpy().reshape, never to_pylist.
+    import duckdb
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{path}') "
+        f"ORDER BY vec_id LIMIT {_ANN_N_QUERIES}").arrow()
+    ids = t["vec_id"].to_pylist()
+    emb = t["embedding"].combine_chunks()
+    q = emb.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.float64, copy=False).reshape(len(ids), -1)
     return q, ids
 
 
@@ -682,11 +691,16 @@ def _q_knn_label_vote(sf_dir):
     q, ids = _load_queries(sf_dir)
     out = brute_force_topk(emb, q, ids, k=_ANN_K).to_pandas()
 
-    labels = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "label"])  # small side
-    lab = dict(zip(labels["vec_id"].to_pylist(),
-                   labels["label"].to_pylist()))
-    out["label"] = out["neighbor_id"].map(lab)
+    # labels for ONLY the ≤ queries×k neighbor ids, via a
+    # predicate-pushdown parquet read (pattern: relational.py
+    # q_top_customers) — never a whole-table driver dict
+    labels = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"],
+        filters=[("vec_id", "in",
+                  sorted(set(out["neighbor_id"].tolist())))]).to_pandas()
+    out = out.merge(labels.rename(columns={"vec_id": "neighbor_id"}),
+                    on="neighbor_id", how="left")
     votes = out.groupby(["query_id", "label"]).size() \
         .reset_index(name="n_votes") \
         .sort_values(["query_id", "n_votes", "label"],
