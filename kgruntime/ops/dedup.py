@@ -611,20 +611,17 @@ class HyperplaneLSH:
             for t in range(self.n_tables)])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        # list<float> → matrix via flatten().to_numpy().reshape — the
+        # zero-copy ingest idiom (ops/ann.py), never to_pylist
+        ids = batch["vec_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        emb_list = batch["embedding"].combine_chunks()
+        emb = emb_list.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False).reshape(len(ids), -1)
         all_keys = self.keys_for(emb)
-        out_id, out_bucket = [], []
-        emb_list = batch["embedding"]
-        for t in range(self.n_tables):
-            out_id.append(ids)
-            out_bucket.append(all_keys[t])
-        id_arr = pa.array(np.concatenate(out_id), pa.int64())
-        bucket_arr = pa.array(np.concatenate(out_bucket), pa.int64())
-        emb_rep = pa.concat_arrays(
-            [emb_list.combine_chunks()] * self.n_tables) \
-            if isinstance(emb_list, pa.ChunkedArray) else pa.concat_arrays(
-            [emb_list] * self.n_tables)
+        id_arr = pa.array(np.tile(ids, self.n_tables), pa.int64())
+        bucket_arr = pa.array(all_keys.reshape(-1), pa.int64())
+        emb_rep = pa.concat_arrays([emb_list] * self.n_tables)
         return pa.Table.from_arrays([id_arr, bucket_arr, emb_rep],
                                     names=["vec_id", "bucket", "embedding"])
 
@@ -632,8 +629,11 @@ class HyperplaneLSH:
 def _cos_pairs(group: pa.Table, threshold: float) -> pa.Table:
     # sort by vec_id BEFORE the cap so the capped membership is
     # deterministic regardless of shuffle arrival order
-    ids = np.asarray(group["vec_id"].to_pylist(), np.int64)
-    emb = np.array(group["embedding"].to_pylist(), dtype=np.float64)
+    ids = group["vec_id"].combine_chunks() \
+        .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    emb = group["embedding"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).astype(np.float64, copy=False) \
+        .reshape(len(ids), -1)
     order = np.argsort(ids, kind="stable")
     ids, emb = ids[order], emb[order]
     keep = len(_cap_hot_bucket(ids.tolist(), 256, "embedding_lsh"))
@@ -644,27 +644,23 @@ def _cos_pairs(group: pa.Table, threshold: float) -> pa.Table:
              pa.array([], pa.float64())],
             names=["vec_a", "vec_b", "cosine"])
     # exact-integer cosine: fixed-point dot / (√n2a · √n2b), each float
-    # op a single IEEE round — bit-identical to the SQL twin
+    # op a single IEEE round — bit-identical to the SQL twin.  Pair
+    # extraction via triu_indices over the already-computed dot matrix
+    # (bounded by the 256-row bucket cap), no Python pair loop.
     q = quantize_fp6(emb)
     dot = q @ q.T
     n2 = np.diag(dot).astype(np.float64)
     root = np.sqrt(n2)
-    denom = root[:, None] * root[None, :]
-    a_col, b_col, cos = [], [], []
-    for i in range(len(ids)):
-        if n2[i] == 0:
-            continue
-        for j in range(i + 1, len(ids)):
-            if n2[j] == 0 or ids[i] == ids[j]:
-                continue
-            sim = dot[i, j] / denom[i, j]
-            if sim >= threshold:
-                a, b = sorted((int(ids[i]), int(ids[j])))
-                a_col.append(a); b_col.append(b)
-                cos.append(np.floor(sim * 1e6 + 0.5) / 1e6)  # half-away
+    iu, ju = np.triu_indices(len(ids), k=1)
+    valid = (n2[iu] != 0) & (n2[ju] != 0) & (ids[iu] != ids[ju])
+    iu, ju = iu[valid], ju[valid]
+    sim = dot[iu, ju] / (root[iu] * root[ju])
+    hit = sim >= threshold
+    iu, ju, sim = iu[hit], ju[hit], sim[hit]
     return pa.Table.from_arrays(
-        [pa.array(a_col, pa.int64()), pa.array(b_col, pa.int64()),
-         pa.array(cos, pa.float64())],
+        [pa.array(np.minimum(ids[iu], ids[ju]), pa.int64()),
+         pa.array(np.maximum(ids[iu], ids[ju]), pa.int64()),
+         pa.array(np.floor(sim * 1e6 + 0.5) / 1e6, pa.float64())],
         names=["vec_a", "vec_b", "cosine"])
 
 
