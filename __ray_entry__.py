@@ -989,30 +989,17 @@ def _q_media_frames(sf_dir):
 
 def _q_media_frame_features(sf_dir):
     """Composed media pipeline: video → sampled frames → per-frame
-    features (1-row-in-N-rows-out stage chained into the decode pool) —
-    the multi-stage media shape; rows-only (codec kernels stubbed)."""
+    features.  Both stages are actor pools whose decoder state is built
+    once per actor (ops/media.py FrameFeaturizer) — the multi-stage
+    media shape; rows-only (codec kernels stubbed)."""
     import ray.data as rd
 
-    from kgruntime.ops.media import (MediaDecoder, sample_frames,
+    from kgruntime.ops.media import (frame_features, sample_frames,
                                      synth_media_table)
 
     refs = [f"media://doc-{i:06d}/0" for i in range(100)]
     frames = sample_frames(rd.from_arrow(synth_media_table(refs)))
-
-    def featurize(t):
-        import pyarrow as pa
-
-        dec = MediaDecoder(feat_dim=8)
-        feats = [dec._decode(p, "image")
-                 for p in t["frame_payload"].to_pylist()]
-        return pa.Table.from_arrays(
-            [t["media_ref"], t["frame_index"],
-             pa.array([f.tolist() for f in feats],
-                      pa.list_(pa.float32()))],
-            names=["media_ref", "frame_index", "features"])
-
-    return frames.map_batches(featurize, batch_format="pyarrow",
-                              batch_size=32)
+    return frame_features(frames, feat_dim=8)
 
 
 def _q_media_resize(sf_dir):

@@ -165,6 +165,33 @@ def decode_features(media_ds, feat_dim: int = 16, concurrency=None,
         num_cpus=1)
 
 
+class FrameFeaturizer(MediaDecoder):
+    """Actor-pool stage over sampled frame payloads.  Decoder state is
+    built ONCE per actor in ``__init__`` (inherited) — never inside the
+    batch function, so a real model load stays a per-actor cost."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        feats = [self._decode(p, "image")
+                 for p in batch["frame_payload"].to_pylist()]
+        return pa.Table.from_arrays(
+            [batch["media_ref"], batch["frame_index"],
+             pa.array([f.tolist() for f in feats],
+                      pa.list_(pa.float32()))],
+            names=["media_ref", "frame_index", "features"])
+
+
+def frame_features(frames_ds, feat_dim: int = 8, concurrency=None,
+                   batch_size: int = 32):
+    """Sampled frames → per-frame feature vectors (actor pool)."""
+    from ..runtime import pool_range
+
+    return frames_ds.map_batches(
+        FrameFeaturizer, fn_constructor_kwargs={"feat_dim": feat_dim},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or pool_range(frac=0.25, lo=1),
+        num_cpus=1)
+
+
 def sample_frames(media_ds, concurrency=None, batch_size: int = 32):
     from ..runtime import pool_range
 

