@@ -1124,31 +1124,37 @@ def rare_token_pairs(docs_ds, max_df: int = 3):
     then emit pairs only when the total df stays ≤ max_df, and the
     final (doc_a, doc_b) rollup is pre-combined per group.
     """
-    import pandas as pd
     from ray.data.aggregate import Sum
 
+    _explode_schema = pa.schema([("w", pa.string()),
+                                 ("docs", pa.list_(pa.int64())),
+                                 ("over", pa.bool_())])
+
     def explode_rare(t: pa.Table) -> pa.Table:
-        # distinct (bigram, doc) per batch, then the local-df gate;
-        # single-space split mirrors the oracle's str_split(text, ' ')
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        words, docs = [], []
-        for i, txt in enumerate(t["text"].to_pylist()):
-            toks = txt.split(" ")
-            for w in {a + " " + b for a, b in zip(toks[:-1], toks[1:])}:
-                words.append(w)
-                docs.append(doc[i])
-        df = pd.DataFrame({"w": words, "d": docs})
-        g = df.groupby("w", sort=False)["d"].agg(list)
-        out_w, out_docs, out_over = [], [], []
-        for w, ds_ in g.items():
-            over = len(ds_) > max_df
-            out_w.append(w)
-            out_docs.append([] if over else sorted(int(x) for x in ds_))
-            out_over.append(over)
-        return pa.table({"w": pa.array(out_w, pa.string()),
-                         "docs": pa.array(out_docs,
-                                          pa.list_(pa.int64())),
-                         "over": pa.array(out_over, pa.bool_())})
+        # distinct (bigram, doc) per batch, then the local-df gate —
+        # all in polars (split → explode → shifted concat → unique →
+        # group_by), no per-row Python; single-space split mirrors the
+        # oracle's str_split(text, ' ')
+        import polars as pl
+
+        toks = pl.from_arrow(t.select(["doc_id", "text"])) \
+            .with_columns(pl.col("text").str.split(" ").alias("t")) \
+            .drop("text").explode("t")
+        bi = toks.with_columns(
+            pl.col("t").shift(-1).over("doc_id").alias("t2")) \
+            .drop_nulls("t2") \
+            .select(pl.col("doc_id"),
+                    (pl.col("t") + " " + pl.col("t2")).alias("w")) \
+            .unique()
+        g = bi.group_by("w").agg(
+            pl.col("doc_id").sort().alias("docs"),
+            pl.len().alias("n"))
+        g = g.with_columns((pl.col("n") > max_df).alias("over")) \
+            .with_columns(pl.when(pl.col("over"))
+                          .then(pl.col("docs").list.head(0))
+                          .otherwise(pl.col("docs")).alias("docs"))
+        return g.select(["w", "docs", "over"]).to_arrow() \
+            .cast(_explode_schema)
 
     def pairs_for_word(g: pa.Table) -> pa.Table:
         empty = pa.table({"doc_a": pa.array([], pa.int64()),

@@ -833,6 +833,15 @@ def decayed_user_value(events_ds, horizon: int = _DECAY_HORIZON_DAYS):
                         pa.int64()).to_numpy(zero_copy_only=False)
         w = np.where((d >= 0) & (d <= horizon),
                      np.int64(1) << np.maximum(horizon - d, 0), 0)
+        # enforce the documented exact-int64 bound: cents·2^horizon must
+        # stay ≤ 2^62 per event (sum headroom), else the product wraps
+        # silently while the DuckDB twin sums into HUGEINT — raise loud
+        lim = np.int64(1) << (62 - horizon)
+        if np.abs(cents[w > 0]).max(initial=0) > lim:
+            raise ValueError(
+                "decayed_user_value: |value| exceeds the exact-int64 "
+                f"bound (~${float(lim) / 100:.3g} at d=0); split the "
+                "sum by day first (see docstring)")
         return pa.table({"user_id": t["user_id"],
                          "wcents": pa.array(cents * w, pa.int64())})
 

@@ -30,8 +30,13 @@ def pool_range(frac: float = 0.25, lo: int = 2,
                floor: int = 4) -> tuple[int, int]:
     """Autoscaling actor-pool bounds ``(lo, max(floor, frac·cpus))`` —
     grows with the cluster, reproduces the measured single-node tunings
-    at 32 CPUs (frac=0.25 → (lo, 8))."""
-    hi = max(floor, int(cluster_cpus() * frac))
+    at 32 CPUs (frac=0.25 → (lo, 8)).  The upper bound is additionally
+    capped at ``cpus - cpus//4`` so the headroom invariant holds on
+    small hosts too (``floor=4`` used to hand a 4-core box its every
+    CPU and starve the upstream read)."""
+    cpus = cluster_cpus()
+    hi = max(floor, int(cpus * frac))
+    hi = min(hi, max(lo + 1, cpus - max(1, cpus // 4)))
     return (lo, max(hi, lo + 1))
 
 

@@ -92,6 +92,10 @@ def test_pool_sizers_scale_with_cluster(ray_session):
     cpus = cluster_cpus()
     assert cpus >= 1
     lo, hi = pool_range(frac=0.25, lo=2)
-    assert lo == 2 and hi >= max(4, int(cpus * 0.25)) and hi > lo
+    # hi grows with the cluster but never claims every CPU (headroom
+    # invariant, capped at cpus - cpus//4 on small hosts)
+    want_hi = min(max(4, int(cpus * 0.25)),
+                  max(lo + 1, cpus - max(1, cpus // 4)))
+    assert lo == 2 and hi == max(want_hi, lo + 1) and hi > lo
     fp = fixed_pool()
     assert 2 <= fp < cpus or cpus <= 2
