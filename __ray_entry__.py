@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "media_frame_features": _q_media_frame_features,
+        # --- new round-4 ops (must be inside the window) ---
+        "media_jpeg_features": _q_media_jpeg,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -118,9 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_by_source": _q_zscore,
         "chunk_documents": _q_chunks,
         "bigram_counts": _q_bigrams,
-        "redact_terms": _q_redact,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
+        "redact_terms": _q_redact,
         "length_deciles": _q_deciles,
         "kg_quarantine": _q_kg_quarantine,
         "kg_mentions": _q_kg_mentions,
@@ -976,6 +978,19 @@ def _q_media_png(sf_dir):
 
     refs = [f"media://doc-{i:06d}/png" for i in range(100)]
     return decode_features(rd.from_arrow(synth_png_table(refs)))
+
+
+def _q_media_jpeg(sf_dir):
+    """REAL lossy codec path: payloads are actual baseline JPEG bytes
+    (stdlib struct + numpy Huffman/IDCT decode, ops/jpeg.py; sampling
+    cycles 4:4:4 / 4:2:0 / 4:2:2); features derive from true pixels —
+    rows-only (binary inputs are synthesized, not SQL-visible)."""
+    import ray.data as rd
+
+    from kgruntime.ops.media import decode_features, synth_jpeg_table
+
+    refs = [f"media://doc-{i:06d}/jpg" for i in range(100)]
+    return decode_features(rd.from_arrow(synth_jpeg_table(refs)))
 
 
 def _q_media_frames(sf_dir):

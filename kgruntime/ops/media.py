@@ -67,12 +67,22 @@ class MediaDecoder:
 
     def _png_features(self, payload: bytes) -> np.ndarray:
         """REAL decode path: PNG payloads (container + zlib + filters,
-        all stdlib/numpy — see ops/png.py) → pixel-derived features:
-        per-channel mean/std then coarse luminance-grid means, padded
-        to feat_dim."""
+        all stdlib/numpy — see ops/png.py) → pixel-derived features."""
         from .png import decode_png
 
-        img = decode_png(payload).astype(np.float32)
+        return self._pixel_features(decode_png(payload))
+
+    def _jpeg_features(self, payload: bytes) -> np.ndarray:
+        """REAL decode path: baseline JPEG payloads (markers + Huffman +
+        IDCT, all stdlib/numpy — see ops/jpeg.py) → pixel features."""
+        from .jpeg import decode_jpeg
+
+        return self._pixel_features(decode_jpeg(payload))
+
+    def _pixel_features(self, img: np.ndarray) -> np.ndarray:
+        """(h, w, c) uint8 pixels → per-channel mean/std then coarse
+        luminance-grid means, padded to feat_dim."""
+        img = img.astype(np.float32)
         c = img.shape[2]
         feats = []
         for ch in range(min(c, 3)):
@@ -93,15 +103,19 @@ class MediaDecoder:
         return out
 
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        from .jpeg import JPEG_MAGIC
         from .png import PNG_MAGIC
 
         if payload[:8] == PNG_MAGIC:
             return self._png_features(payload)      # REAL codec path
+        if payload[:2] == JPEG_MAGIC:
+            return self._jpeg_features(payload)     # REAL codec path
         if not self.fake:
             raise NotImplementedError(
-                "non-PNG compressed decode needs PIL/ffmpeg — not "
-                "available in this container; PNG payloads decode for "
-                "real (ops/png.py), others need fake=True")
+                "non-PNG/JPEG compressed decode needs PIL/ffmpeg — not "
+                "available in this container; PNG (ops/png.py) and "
+                "baseline JPEG (ops/jpeg.py) payloads decode for real, "
+                "others need fake=True")
         # deterministic fake: bytes → seeded feature vector
         h = hashlib.sha256(payload).digest()
         seed = int.from_bytes(h[:4], "little")
@@ -334,6 +348,40 @@ def synth_png_table(refs: list[str], w: int = 32, h: int = 24,
         rng = np.random.RandomState(rseed)
         payloads.append(encode_png(
             rng.randint(0, 256, (h, w, 3)).astype(np.uint8)))
+    return pa.Table.from_arrays(
+        [pa.array(refs, pa.string()),
+         pa.array(["image"] * len(refs), pa.string()),
+         pa.array(payloads, pa.binary()),
+         pa.array([w] * len(refs), pa.int32()),
+         pa.array([h] * len(refs), pa.int32()),
+         pa.array([-1] * len(refs), pa.int32())],
+        schema=MEDIA_SCHEMA)
+
+
+def synth_jpeg_table(refs: list[str], w: int = 32, h: int = 24,
+                     seed: int = 9) -> pa.Table:
+    """Media table whose payloads are REAL baseline JPEG bytes (per-ref
+    seeded smooth images, encoded by ops/jpeg.py; sampling mode cycles
+    4:4:4 / 4:2:0 / 4:2:2 per ref) — exercises the genuine lossy codec
+    path end-to-end in this container."""
+    from .jpeg import encode_jpeg
+
+    modes = [False, "420", "422"]
+    payloads = []
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    for i, r in enumerate(refs):
+        rseed = int.from_bytes(
+            hashlib.sha256(f"{seed}:{r}".encode()).digest()[:4], "little")
+        rng = np.random.RandomState(rseed)
+        f = rng.uniform(4.0, 12.0, 6)
+        img = np.stack([
+            128 + 100 * np.sin(xx / f[0]) * np.cos(yy / f[1]),
+            128 + 90 * np.cos(xx / f[2] + yy / f[3]),
+            128 + 80 * np.sin((xx + yy) / f[4]) * np.cos(yy / f[5]),
+        ], axis=2)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        payloads.append(encode_jpeg(img, quality=88,
+                                    subsample=modes[i % 3]))
     return pa.Table.from_arrays(
         [pa.array(refs, pa.string()),
          pa.array(["image"] * len(refs), pa.string()),

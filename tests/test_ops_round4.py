@@ -145,3 +145,192 @@ def test_frame_features_pool_stage(ray_session):
         feat_dim=8).take_all()
     key = lambda r: (r["media_ref"], r["frame_index"])  # noqa: E731
     assert sorted(out, key=key) == sorted(out2, key=key)
+
+
+# ---------------------------------------------------------------- JPEG
+
+def _smooth_img(h=40, w=56, seed=3):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    f = rng.uniform(5.0, 13.0, 6)
+    img = np.stack([
+        128 + 100 * np.sin(xx / f[0]) * np.cos(yy / f[1]),
+        128 + 90 * np.cos(xx / f[2] + yy / f[3]),
+        128 + 80 * np.sin((xx + yy) / f[4]) * np.cos(yy / f[5])], axis=2)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_error_bounds():
+    from kgruntime.ops.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_img()
+    for q, sub, tol in [(95, False, 6), (85, False, 10), (90, "420", 24),
+                        (90, "422", 20)]:
+        out = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= tol, (q, sub, err.max())
+
+
+def test_jpeg_constant_block_exact():
+    from kgruntime.ops.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 24, 3), 77, np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_decode_matches_independent_reconstruction():
+    """Decode must equal (±1 for float-order effects) the expected lossy
+    reconstruction computed with an INDEPENDENT double-loop DCT: forward
+    transform + quantize exactly as the encoder specifies, dequantize,
+    inverse transform — bypassing the codec's Huffman and matmul paths
+    entirely.  Grayscale isolates the DCT path from color conversion."""
+    from kgruntime.ops.jpeg import (ZIGZAG, _quality_tables, decode_jpeg,
+                                    encode_jpeg)
+
+    rng = np.random.RandomState(21)
+    g = rng.randint(0, 256, (16, 16), np.int64).astype(np.uint8)
+    quality = 80
+    data = encode_jpeg(g, quality=quality)
+    out = decode_jpeg(data)[:, :, 0]
+
+    # independent 8x8 DCT-II (textbook definition, explicit loops)
+    def dct2(block):
+        F = np.zeros((8, 8))
+        for u in range(8):
+            for v in range(8):
+                cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                s = 0.0
+                for x in range(8):
+                    for y in range(8):
+                        s += (block[x, y]
+                              * np.cos((2 * x + 1) * u * np.pi / 16)
+                              * np.cos((2 * y + 1) * v * np.pi / 16))
+                F[u, v] = cu * cv * s / 4.0
+        return F
+
+    def idct2(F):
+        b = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (cu * cv * F[u, v]
+                              * np.cos((2 * x + 1) * u * np.pi / 16)
+                              * np.cos((2 * y + 1) * v * np.pi / 16))
+                b[x, y] = s / 4.0
+        return b
+
+    qy, _ = _quality_tables(quality)
+    qt = qy.reshape(8, 8).astype(np.float64)
+    expect = np.zeros((16, 16))
+    for by in range(2):
+        for bx in range(2):
+            blk = g[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(
+                np.float64) - 128.0
+            F = dct2(blk)
+            Q = np.trunc(F / qt + np.copysign(0.5, F))
+            expect[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                idct2(Q * qt) + 128.0
+    expect = np.clip(np.round(expect), 0, 255)
+    assert np.abs(out.astype(float) - expect).max() <= 1
+    assert ZIGZAG[1] == 1 and ZIGZAG[2] == 8  # scan-order sanity
+
+
+def test_jpeg_restart_interval_identical():
+    from kgruntime.ops.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_img(40, 56, seed=5)
+    plain = decode_jpeg(encode_jpeg(img, quality=85))
+    for ri in (1, 3, 7):
+        with_rst = decode_jpeg(
+            encode_jpeg(img, quality=85, restart_interval=ri))
+        assert np.array_equal(plain, with_rst), ri
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    from kgruntime.ops.jpeg import decode_jpeg, encode_jpeg
+
+    g = _smooth_img(37, 51, seed=7)[:, :, 0]
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == (37, 51, 1)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 8
+    c = _smooth_img(37, 51, seed=8)
+    for sub in ("420", "422"):
+        out = decode_jpeg(encode_jpeg(c, quality=90, subsample=sub))
+        assert out.shape == c.shape, sub
+
+
+def test_jpeg_progressive_raises():
+    from kgruntime.ops.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(_smooth_img(16, 16), quality=85))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2                  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00garbage")
+
+
+def test_jpeg_media_decoder_path(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.media import decode_features, synth_jpeg_table
+
+    refs = [f"media://doc-{i:04d}/jpg" for i in range(12)]
+    out = decode_features(
+        rd.from_arrow(synth_jpeg_table(refs)), feat_dim=16).take_all()
+    assert len(out) == 12
+    # features derive from real pixels: channel means of the smooth
+    # synthetic images sit well inside (0, 1) and vary across refs
+    m = np.array([r["features"][0] for r in out])
+    assert (m > 0.1).all() and (m < 0.9).all() and m.std() > 0.0
+    out2 = decode_features(
+        rd.from_arrow(synth_jpeg_table(refs)), feat_dim=16).take_all()
+    key = lambda r: r["media_ref"]  # noqa: E731
+    assert sorted(out, key=key) == sorted(out2, key=key)
+
+
+# ------------------------------------------------------- registry hygiene
+
+def test_readme_query_count_matches_registry():
+    """README's advertised query count must track len(queries()) — the
+    r3 verdict caught a drift (112 vs 113); this pins them together."""
+    import re
+    from pathlib import Path
+
+    import __ray_entry__ as E
+
+    readme = Path(__file__).resolve().parents[1].joinpath(
+        "README.md").read_text()
+    m = re.search(r"`queries\(\)` \((\d+) operator pipelines\)", readme)
+    assert m, "README query-count sentence missing"
+    assert int(m.group(1)) == len(E.queries()), \
+        f"README says {m.group(1)}, registry has {len(E.queries())}"
+
+
+def test_window_rotation_covers_unchecked_queries():
+    """Driver-gate rotation contract (ADVICE r3, medium): every registry
+    entry that has never had a driver CORRECTNESS row must sit inside
+    the 50-entry gate window, so gated coverage can't silently exclude
+    new queries."""
+    import json
+    from pathlib import Path
+
+    import __ray_entry__ as E
+
+    root = Path(__file__).resolve().parents[1]
+    seen = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        seen |= set(json.loads(f.read_text()))
+    q = list(E.queries())
+    never = [k for k in q if k not in seen]
+    outside = [k for k in never if q.index(k) >= 50]
+    assert not outside, f"never-driver-checked queries outside the " \
+        f"gate window: {outside}"
