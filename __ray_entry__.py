@@ -82,6 +82,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_features": _q_media_frame_features,
         # --- new round-4 ops (must be inside the window) ---
         "media_jpeg_features": _q_media_jpeg,
+        "char_entropy": _q_char_entropy,
+        "bigram_lm_scores": _q_bigram_lm,
+        "embedding_outliers": _q_embedding_outliers,
+        "purchase_click_window": _q_purchase_click_window,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -116,12 +120,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate,
         "prefix_overlap_pairs": _q_prefix_overlap,
         "suffix_overlap_pairs": _q_suffix_overlap,
+        # --- entries below are outside the driver's 50-query window
+        # (every one has a green driver row from r1–r3) ---
         "langid_mismatch": _q_langid_mismatch,
         "zscore_by_source": _q_zscore,
         "chunk_documents": _q_chunks,
         "bigram_counts": _q_bigrams,
-        # --- entries below are outside the driver's 50-query window
-        # (every one has a green driver row from r1–r3) ---
         "redact_terms": _q_redact,
         "length_deciles": _q_deciles,
         "kg_quarantine": _q_kg_quarantine,
@@ -316,6 +320,34 @@ def _events_ds(sf_dir):
     import ray.data as rd
 
     return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_char_entropy(sf_dir):
+    from kgruntime.ops.quality import char_entropy_scores
+
+    return char_entropy_scores(_docs_ds(sf_dir))
+
+
+def _q_bigram_lm(sf_dir):
+    from kgruntime.ops.quality import bigram_lm_scores
+
+    return bigram_lm_scores(_docs_ds(sf_dir))
+
+
+def _q_embedding_outliers(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import embedding_outliers
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "label", "embedding"])
+    return embedding_outliers(emb)
+
+
+def _q_purchase_click_window(sf_dir):
+    from kgruntime.ops.sessions import purchase_click_window
+
+    return purchase_click_window(_events_ds(sf_dir))
 
 
 def _q_sessionize(sf_dir):
@@ -1484,6 +1516,10 @@ def oracle_sql() -> dict[str, str]:
         "event_path_trigrams": _event_trigrams_sql(),
         "session_conversion_by_dow": _session_conversion_sql(),
         "decayed_user_value": _decayed_value_sql(),
+        "char_entropy": _char_entropy_oracle(),
+        "bigram_lm_scores": _bigram_lm_oracle(),
+        "embedding_outliers": _embedding_outliers_oracle(),
+        "purchase_click_window": _purchase_click_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -1641,3 +1677,27 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 ORDER BY query_id
         """,
     }
+
+
+def _char_entropy_oracle() -> str:
+    from kgruntime.ops.quality import char_entropy_sql
+
+    return char_entropy_sql()
+
+
+def _bigram_lm_oracle() -> str:
+    from kgruntime.ops.quality import bigram_lm_sql
+
+    return bigram_lm_sql()
+
+
+def _embedding_outliers_oracle() -> str:
+    from kgruntime.ops.ann import embedding_outliers_sql
+
+    return embedding_outliers_sql()
+
+
+def _purchase_click_oracle() -> str:
+    from kgruntime.ops.sessions import purchase_click_window_sql
+
+    return purchase_click_window_sql()

@@ -591,6 +591,41 @@ def kmeans_clusters_sql(n_centroids: int = 16, train_size: int = 4096,
     """
 
 
+def _units_of(vals: np.ndarray, scale: int) -> np.ndarray:
+    """float64 matrix → fixed-point int64 units (round half away)."""
+    return np.copysign(np.floor(np.abs(vals) * scale + 0.5),
+                       vals).astype(np.int64)
+
+
+def _label_sum_partial(t: pa.Table, label_col: str, vec_col: str,
+                       scale: int) -> pa.Table:
+    """One (label, n, Σunits[dim]) row per label in the batch — the
+    vector-aggregate combiner shared by label_centroids and
+    embedding_outliers."""
+    if t.num_rows == 0:
+        return pa.table({
+            label_col: pa.array([], t.schema.field(label_col).type),
+            "n": pa.array([], pa.int64()),
+            "sums": pa.array([], pa.list_(pa.int64())),
+        })
+    labels = t[label_col].to_numpy(zero_copy_only=False)
+    flat = t[vec_col].combine_chunks()
+    dim = len(flat[0])
+    vals = np.asarray(flat.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.float64).reshape(len(labels), dim)
+    units = _units_of(vals, scale)
+    uniq, inv = np.unique(labels, return_inverse=True)
+    onehot = np.zeros((len(uniq), len(labels)), np.int64)
+    onehot[inv, np.arange(len(labels))] = 1
+    sums = onehot @ units                     # (|labels|, dim)
+    n = onehot.sum(axis=1)
+    return pa.table({
+        label_col: uniq,
+        "n": n,
+        "sums": list(sums),
+    })
+
+
 def label_centroids(emb_ds, label_col: str = "label",
                     vec_col: str = "embedding", scale: int = 1_000_000,
                     digits: int = 6):
@@ -607,32 +642,9 @@ def label_centroids(emb_ds, label_col: str = "label",
     sides).
     """
     import pandas as pd
-    import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({
-                label_col: pa.array([], t.schema.field(label_col).type),
-                "n": pa.array([], pa.int64()),
-                "sums": pa.array([], pa.list_(pa.int64())),
-            })
-        labels = t[label_col].to_numpy(zero_copy_only=False)
-        flat = t[vec_col].combine_chunks()
-        dim = len(flat[0])
-        vals = np.asarray(flat.flatten().to_numpy(zero_copy_only=False),
-                          dtype=np.float64).reshape(len(labels), dim)
-        units = np.copysign(np.floor(np.abs(vals) * scale + 0.5),
-                            vals).astype(np.int64)
-        uniq, inv = np.unique(labels, return_inverse=True)
-        onehot = np.zeros((len(uniq), len(labels)), np.int64)
-        onehot[inv, np.arange(len(labels))] = 1
-        sums = onehot @ units                     # (|labels|, dim)
-        n = onehot.sum(axis=1)
-        return pa.table({
-            label_col: uniq,
-            "n": n,
-            "sums": list(sums),
-        })
+        return _label_sum_partial(t, label_col, vec_col, scale)
 
     parts = emb_ds.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True).to_pandas()
@@ -650,3 +662,108 @@ def label_centroids(emb_ds, label_col: str = "label",
     df[label_col] = df[label_col].astype(parts[label_col].dtype)
     df["i"] = df["i"].astype(np.int64)
     return df.reset_index(drop=True)
+
+
+def embedding_outliers(emb_ds, k: int = 5, label_col: str = "label",
+                       vec_col: str = "embedding",
+                       scale: int = _UNIT_SCALE):
+    """Top-``k`` farthest-from-centroid vectors per label — the
+    embedding-space mislabel/outlier detector: (label, vec_id, dist2,
+    rnk) with ``dist2`` = squared L2 distance to the label's mean
+    vector, rounded half-away at 6 digits.
+
+    Two streamed passes, both corpus-size-independent on the driver:
+    (1) the ``_label_sum_partial`` combiner reduces every batch to one
+    exact fixed-point (n, Σunits) row per label, so only
+    |labels| × |blocks| tiny partials reach the driver; the float64
+    centroid matrix (KB at any corpus size for a bounded label space)
+    broadcasts via ``ray.put``.  (2) distances are a vectorized
+    ``(batch − mu[idx])²`` row-sum with a per-batch local top-k prune —
+    the final ``groupby(label)`` shuffle carries at most k rows per
+    (label, block), never vectors.  The strict (dist2 DESC, vec_id ASC)
+    total order makes local pruning lossless and the DuckDB
+    ``row_number()`` oracle replayable.
+    """
+    import pandas as pd
+    import ray
+
+    parts = emb_ds.map_batches(
+        lambda t: _label_sum_partial(t, label_col, vec_col, scale),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    labs, mus = [], []
+    for lab, g in parts.groupby(label_col, sort=True):
+        n = int(g["n"].sum())
+        tot = np.sum(np.stack(g["sums"].to_numpy()), axis=0,
+                     dtype=object)             # Python ints: no overflow
+        # float(exact int) / (n·scale): the identical double DuckDB
+        # computes for sum(u) / (count(*) * scale.0)
+        mus.append(np.array([float(int(s)) for s in tot], np.float64)
+                   / (n * float(scale)))
+        labs.append(lab)
+    labs = np.asarray(labs)
+    state_ref = ray.put((labs, np.stack(mus)))
+
+    empty = pa.table({
+        label_col: pa.array([], pa.int32()),
+        "vec_id": pa.array([], pa.int64()),
+        "dist2": pa.array([], pa.float64()),
+    })
+
+    def dist_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        labels_arr, mu = ray.get(state_ref)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        flat = t[vec_col].combine_chunks()
+        dim = len(flat[0])
+        vals = np.asarray(flat.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.float64).reshape(len(lab), dim)
+        x = _units_of(vals, scale).astype(np.float64) / float(scale)
+        d = x - mu[np.searchsorted(labels_arr, lab)]
+        dist2 = np.einsum("ij,ij->i", d, d)
+        dist2 = np.floor(dist2 * 1e6 + 0.5) / 1e6   # non-negative
+        df = pd.DataFrame({
+            label_col: lab,
+            "vec_id": t["vec_id"].to_numpy(zero_copy_only=False),
+            "dist2": dist2,
+        }).sort_values([label_col, "dist2", "vec_id"],
+                       ascending=[True, False, True], kind="mergesort")
+        df = df.groupby(label_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .cast(empty.schema)
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(
+            ["dist2", "vec_id"], ascending=[False, True],
+            kind="mergesort").head(k)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return emb_ds.map_batches(dist_part, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby(label_col).map_groups(final_topk, batch_format="pyarrow")
+
+
+def embedding_outliers_sql(k: int = 5,
+                           scale: int = _UNIT_SCALE) -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                            * {scale}) AS BIGINT) AS u
+          FROM embeddings),
+        mu AS (SELECT label, i,
+                      sum(u) / (count(*) * {scale}.0) AS m
+               FROM e GROUP BY label, i),
+        d AS (SELECT e.vec_id, e.label,
+                     round(sum(pow(e.u / {scale}.0 - mu.m, 2)), 6)
+                       AS dist2
+              FROM e JOIN mu ON e.label = mu.label AND e.i = mu.i
+              GROUP BY e.vec_id, e.label)
+        SELECT label, vec_id, dist2, rnk FROM (
+          SELECT label, vec_id, dist2,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY dist2 DESC, vec_id) AS rnk
+          FROM d)
+        WHERE rnk <= {k} ORDER BY label, rnk
+    """

@@ -883,3 +883,62 @@ SELECT user_id, sum(wcents)::BIGINT AS decayed_cents_x,
          AS decayed_value
 FROM w GROUP BY user_id ORDER BY user_id
 """
+
+
+def purchase_click_window(events_ds, days: int = 7):
+    """RANGE JOIN: for every purchase event, how many clicks the same
+    user made in the half-open window ``[ts - days, ts)`` — the
+    attribution shape (events × events on user + time band).
+
+    Never materializes the pair blow-up: partition by user, then one
+    vectorized two-pointer (``np.searchsorted`` of purchase timestamps
+    into the user's sorted click timestamps) per group — O(n log n) per
+    user vs the O(clicks × purchases) join the SQL oracle runs.  The
+    per-user-groups-are-small assumption matches sessionize (module
+    docstring); a hot-user skew fix would salt the groupby key and
+    merge counts.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    win_us = days * 86_400_000_000
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "n_recent_clicks": pa.array([], pa.int64())})
+
+    def group(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        is_click = pc.equal(g["event_type"], "click") \
+            .to_numpy(zero_copy_only=False)
+        is_p = pc.equal(g["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        if not is_p.any():
+            return empty
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        cts = np.sort(ts[is_click])
+        pts = ts[is_p]
+        lo = np.searchsorted(cts, pts - win_us, side="left")
+        hi = np.searchsorted(cts, pts, side="left")
+        return pa.table({
+            "event_id": pa.array(ids[is_p], pa.int64()),
+            "user_id": pa.array(g["user_id"].to_numpy(
+                zero_copy_only=False)[is_p], pa.int64()),
+            "n_recent_clicks": pa.array(hi - lo, pa.int64()),
+        })
+
+    return events_ds.select_columns(
+        ["user_id", "ts", "event_type", "event_id"]) \
+        .groupby("user_id").map_groups(group, batch_format="pyarrow")
+
+
+def purchase_click_window_sql(days: int = 7) -> str:
+    return f"""
+        SELECT p.event_id, p.user_id,
+               count(c.event_id) AS n_recent_clicks
+        FROM events p LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL {days} DAY AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id ORDER BY p.event_id
+    """

@@ -334,3 +334,114 @@ def test_window_rotation_covers_unchecked_queries():
     outside = [k for k in never if q.index(k) >= 50]
     assert not outside, f"never-driver-checked queries outside the " \
         f"gate window: {outside}"
+
+
+# ----------------------------------------------------- round-4 new ops
+
+def _mini_docs():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["aab", "abab", "x", ""],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": pa.array([3, 4, 1, 0], pa.int64()),
+    }))
+
+
+def test_char_entropy_known_values(ray_session):
+    from kgruntime.ops.quality import char_entropy_scores
+
+    out = {r["doc_id"]: r for r in
+           char_entropy_scores(_mini_docs()).take_all()}
+    # "aab": p = (2/3, 1/3) → H = log2(3) - (2·log2 2)/3 ≈ 0.918296
+    assert out[1]["char_entropy"] == pytest.approx(0.918296, abs=1e-6)
+    assert out[2]["char_entropy"] == 1.0          # "abab": uniform 2
+    assert out[3]["char_entropy"] == 0.0          # single char
+    assert 4 not in out                           # empty doc: no row
+    assert out[1]["n_chars_used"] == 3
+
+
+def test_bigram_lm_scores_hand_computed(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from kgruntime.ops.quality import bigram_lm_scores
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b a b", "a b", "c"],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": pa.array([7, 3, 1], pa.int64()),
+    }))
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).take_all()}
+    # corpus: c1(a)=3, c1(b)=3, c1(c)=1, V=3; cb(a,b)=3, cb(b,a)=1
+    p_ab = math.log2((3 + 1) / (3 + 3))
+    p_ba = math.log2((1 + 1) / (3 + 3))
+    exp1 = (2 * p_ab + p_ba) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["lm_score"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["lm_score"] == pytest.approx(p_ab, abs=1e-6)
+    assert 3 not in out                           # <2 tokens: no row
+
+
+def test_embedding_outliers_planted(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import embedding_outliers
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(20, 4)) * 0.01
+    base[7] += 5.0                                # planted outlier, label 0
+    base[12] -= 4.0                               # planted outlier, label 1
+    t = pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "label": pa.array([i % 2 for i in range(20)], pa.int32()),
+        "embedding": pa.array([list(map(float, v)) for v in base],
+                              pa.list_(pa.float32())),
+    })
+    out = embedding_outliers(rd.from_arrow(t), k=3).take_all()
+    assert len(out) == 6                          # 3 per label
+    top = {r["label"]: r["vec_id"] for r in out if r["rnk"] == 1}
+    assert top[0] == 12 or top[1] == 12
+    assert top[0] == 7 or top[1] == 7
+    for r in out:
+        assert r["dist2"] >= 0.0
+
+
+def test_purchase_click_window_two_pointer(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import purchase_click_window
+
+    day = 86_400_000_000
+    base = 1_700_000_000_000_000
+    rows = [
+        # user 1: clicks at d0, d3, d6.5; purchase at d7 → window
+        # [d0, d7) counts all three; purchase at d0 → zero (strict <)
+        (1, 1, "click", base),
+        (2, 1, "click", base + 3 * day),
+        (3, 1, "click", base + day * 13 // 2),
+        (4, 1, "purchase", base + 7 * day),
+        (5, 1, "purchase", base),
+        # user 2: click exactly 7d before purchase → included (>=)
+        (6, 2, "click", base),
+        (7, 2, "purchase", base + 7 * day),
+        # user 3: click AT purchase ts → excluded (strict <)
+        (8, 3, "click", base),
+        (9, 3, "purchase", base),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    out = {r["event_id"]: r["n_recent_clicks"] for r in
+           purchase_click_window(rd.from_arrow(t)).take_all()}
+    assert out == {4: 3, 5: 0, 7: 1, 9: 0}
