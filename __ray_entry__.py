@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_scores": _q_bigram_lm,
         "embedding_outliers": _q_embedding_outliers,
         "purchase_click_window": _q_purchase_click_window,
+        "knn_graph": _q_knn_graph,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -342,6 +343,16 @@ def _q_embedding_outliers(sf_dir):
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "label", "embedding"])
     return embedding_outliers(emb)
+
+
+def _q_knn_graph(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import knn_graph
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return knn_graph(emb, dim=_EMB_DIM, k=5, n_planes=6, n_tables=2)
 
 
 def _q_purchase_click_window(sf_dir):
@@ -1520,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_scores": _bigram_lm_oracle(),
         "embedding_outliers": _embedding_outliers_oracle(),
         "purchase_click_window": _purchase_click_oracle(),
+        "knn_graph": _knn_graph_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -1695,6 +1707,12 @@ def _embedding_outliers_oracle() -> str:
     from kgruntime.ops.ann import embedding_outliers_sql
 
     return embedding_outliers_sql()
+
+
+def _knn_graph_oracle() -> str:
+    from kgruntime.ops.ann import knn_graph_sql
+
+    return knn_graph_sql(dim=_EMB_DIM, k=5, n_planes=6, n_tables=2)
 
 
 def _purchase_click_oracle() -> str:

@@ -767,3 +767,161 @@ def embedding_outliers_sql(k: int = 5,
           FROM d)
         WHERE rnk <= {k} ORDER BY label, rnk
     """
+
+
+# --- kNN similarity graph: per-vector top-k neighbor edges (self-join) ---
+
+_EMPTY_KNN = pa.table({
+    "vec_id": pa.array([], pa.int64()),
+    "neighbor_id": pa.array([], pa.int64()),
+    "cosine": pa.array([], pa.float64()),
+})
+
+
+def _round6_signed(x: np.ndarray) -> np.ndarray:
+    """Vectorized half-away-from-zero rounding at 6 digits — the value
+    DuckDB's ``round(x, 6)`` produces for positive AND negative x
+    (np.floor(x*1e6+0.5) alone would round negative halves UP)."""
+    return np.where(x >= 0, np.floor(x * 1e6 + 0.5),
+                    -np.floor(-x * 1e6 + 0.5)) / 1e6
+
+
+def _knn_bucket_topk(group: pa.Table, k: int, cap: int) -> pa.Table:
+    """Directed local top-k inside one LSH bucket.
+
+    Exact-integer cosine (``quantize_fp6`` dot / √n2a·√n2b — each float
+    op a single IEEE round, bit-identical to the SQL twin); the strict
+    (cosine DESC, neighbor_id ASC) total order makes per-bucket top-k
+    pruning LOSSLESS under the global merge: a neighbor dropped locally
+    is preceded by ≥k bucket-mates that also reach the global rank.
+    Deterministic 256-cap as in ``_cos_pairs`` (sort by vec_id first).
+    """
+    from .dedup import _cap_hot_bucket, quantize_fp6
+
+    ids = group["vec_id"].combine_chunks() \
+        .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    emb = group["embedding"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).astype(np.float64, copy=False) \
+        .reshape(len(ids), -1)
+    order = np.argsort(ids, kind="stable")
+    ids, emb = ids[order], emb[order]
+    keep = len(_cap_hot_bucket(ids.tolist(), cap, "knn_graph"))
+    ids, emb = ids[:keep], emb[:keep]
+    if len(ids) < 2:
+        return _EMPTY_KNN
+    q = quantize_fp6(emb)
+    dot = q @ q.T
+    n2 = np.diag(dot).astype(np.float64)
+    root = np.sqrt(n2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = dot / (root[:, None] * root[None, :])
+    # mask self-pairs and zero-norm rows/cols out of the ranking
+    np.fill_diagonal(sim, -np.inf)
+    sim[n2 == 0, :] = -np.inf
+    sim[:, n2 == 0] = -np.inf
+    top = min(k, sim.shape[1] - 1)
+    # columns are ascending-vec_id, so a STABLE argsort of -sim yields
+    # exactly (cosine DESC, neighbor_id ASC) — the SQL row_number order
+    sel = np.argsort(-sim, axis=1, kind="stable")[:, :top]
+    rows = np.repeat(np.arange(len(ids)), top)
+    cols = sel.ravel()
+    s = sim[rows, cols]
+    ok = np.isfinite(s)
+    if not ok.any():
+        return _EMPTY_KNN
+    return pa.Table.from_arrays(
+        [pa.array(ids[rows[ok]], pa.int64()),
+         pa.array(ids[cols[ok]], pa.int64()),
+         pa.array(s[ok], pa.float64())],
+        names=["vec_id", "neighbor_id", "cosine"])
+
+
+def knn_graph(emb_ds, dim: int, k: int = 5, n_planes: int = 6,
+              n_tables: int = 2, cap: int = 256):
+    """Approximate kNN GRAPH over the whole embeddings table: for every
+    vector, its top-``k`` most-cosine-similar bucket-mates across
+    ``n_tables`` seeded Rademacher-LSH tables — the self-join analogue
+    of ``lsh_topk`` (no broadcast query side; candidates come from a
+    ``groupby(bucket)`` shuffle, so the shape is all-data-scalable:
+    signatures+vectors shuffle once, no N² pair materialization).
+
+    Three stages: explode to (table, bucket) rows → per-bucket directed
+    local top-k (lossless prune, see ``_knn_bucket_topk``) → dedup
+    cross-table repeats (identical exact scores → ``max``) → per-vector
+    global top-k.  Output: (vec_id, neighbor_id, cosine, rnk) with
+    cosine rounded half-away at 6 digits AFTER ranking on the exact
+    value.  Fully replayed by ``knn_graph_sql``.
+    """
+    import pandas as pd
+
+    from .dedup import hyperplane_explode
+
+    bucketed = emb_ds.map_batches(
+        hyperplane_explode,
+        fn_kwargs={"dim": dim, "n_planes": n_planes,
+                   "n_tables": n_tables},
+        batch_format="pyarrow", zero_copy_batch=True)
+    local = bucketed.groupby("bucket").map_groups(
+        lambda g: _knn_bucket_topk(g, k, cap), batch_format="pyarrow")
+    deduped = local.groupby(["vec_id", "neighbor_id"]).max("cosine") \
+        .rename_columns({"max(cosine)": "cosine"})
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True],
+            kind="mergesort").head(k)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["cosine"] = _round6_signed(df["cosine"].to_numpy())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return deduped.groupby("vec_id").map_groups(
+        final_topk, batch_format="pyarrow")
+
+
+def knn_graph_sql(dim: int, k: int = 5, n_planes: int = 6,
+                  n_tables: int = 2, cap: int = 256,
+                  seed: int = 23) -> str:
+    """SQL twin of ``knn_graph``: buckets replayed via
+    ``lsh_keys_cte_sql`` (exact integer projections), candidates = all
+    DIRECTED pairs sharing any bucket (both under the per-bucket
+    vec_id-ordered cap), exact-integer cosine, row_number ranking on
+    the pre-rounded value with neighbor_id tie-break."""
+    from .dedup import lsh_keys_cte_sql
+
+    return rf"""
+        WITH {lsh_keys_cte_sql(dim, n_planes, seed, n_tables)},
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY bucket ORDER BY vec_id) AS rn
+          FROM keys),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+          FROM ranked a JOIN ranked b
+            ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+          WHERE a.rn <= {cap} AND b.rn <= {cap}),
+        n2 AS (SELECT vec_id, sum(u * u) AS n2 FROM e GROUP BY vec_id),
+        dots AS (
+          SELECT c.vec_id, c.neighbor_id, sum(ea.u * eb.u) AS dot
+          FROM cand c
+          JOIN e ea ON ea.vec_id = c.vec_id
+          JOIN e eb ON eb.vec_id = c.neighbor_id AND eb.i = ea.i
+          GROUP BY c.vec_id, c.neighbor_id),
+        cos AS (
+          SELECT d.vec_id, d.neighbor_id,
+                 CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(na.n2 AS DOUBLE))
+                      * sqrt(CAST(nb.n2 AS DOUBLE))) AS cs
+          FROM dots d
+          JOIN n2 na ON na.vec_id = d.vec_id
+          JOIN n2 nb ON nb.vec_id = d.neighbor_id
+          WHERE na.n2 > 0 AND nb.n2 > 0),
+        rk AS (
+          SELECT vec_id, neighbor_id, cs,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM cos)
+        SELECT vec_id, neighbor_id, round(cs, 6) AS cosine, rnk
+        FROM rk WHERE rnk <= {k}
+        ORDER BY vec_id, rnk
+    """

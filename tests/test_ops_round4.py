@@ -445,3 +445,62 @@ def test_purchase_click_window_two_pointer(ray_session):
     out = {r["event_id"]: r["n_recent_clicks"] for r in
            purchase_click_window(rd.from_arrow(t)).take_all()}
     assert out == {4: 3, 5: 0, 7: 1, 9: 0}
+
+
+def test_knn_graph_matches_numpy_reference(ray_session):
+    """knn_graph (bucketed local top-k → global merge) must equal a
+    direct reference: union of bucket-mate candidates, exact-integer
+    cosine, (cosine DESC, neighbor_id ASC) top-k — proving the local
+    prune is lossless and the ranking order replayable."""
+    import ray.data as rd
+
+    from kgruntime.ops.ann import knn_graph
+    from kgruntime.ops.dedup import HyperplaneLSH, quantize_fp6
+
+    rng = np.random.RandomState(7)
+    n, dim, k = 120, 8, 3
+    emb = rng.randn(n, dim)
+    emb[11] = emb[10]            # exact duplicate → cosine tie
+    emb[12] = 0.0                # zero-norm row → excluded
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(
+                      [list(map(float, r)) for r in emb],
+                      pa.list_(pa.float32()))})
+    # reference: same planes, brute candidates from shared buckets
+    emb64 = t["embedding"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, dim)
+    lsh = HyperplaneLSH(dim, n_planes=4, n_tables=2)
+    keys = lsh.keys_for(emb64)   # (tables, n)
+    q = quantize_fp6(emb64)
+    dot = q @ q.T
+    n2 = np.diag(dot).astype(np.float64)
+    root = np.sqrt(n2)
+    expect = {}
+    for i in range(n):
+        if n2[i] == 0:
+            continue
+        cand = set()
+        for tt in range(keys.shape[0]):
+            cand |= set(np.nonzero(keys[tt] == keys[tt, i])[0].tolist())
+        cand -= {i}
+        cand = [j for j in sorted(cand) if n2[j] > 0]
+        if not cand:
+            continue
+        sims = [(-(dot[i, j] / (root[i] * root[j])), ids[j]) for j in cand]
+        sims.sort()
+        expect[ids[i]] = [(int(nid), r + 1)
+                          for r, (_, nid) in enumerate(sims[:k])]
+    out = knn_graph(rd.from_arrow(t), dim=dim, k=k, n_planes=4,
+                    n_tables=2).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["vec_id"], []).append(
+            (r["neighbor_id"], r["rnk"]))
+    got = {v: sorted(lst, key=lambda x: x[1]) for v, lst in got.items()}
+    assert got == expect
+    # the duplicate pair must rank each other first with cosine 1.0
+    top = {(r["vec_id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+           for r in out}
+    assert top[(110, 1)] == (111, 1.0)
+    assert top[(111, 1)] == (110, 1.0)
