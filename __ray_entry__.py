@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_features": _q_media_frame_features,
         # --- new round-4 ops (must be inside the window) ---
         "media_jpeg_features": _q_media_jpeg,
+        "media_wav_features": _q_media_wav,
         "char_entropy": _q_char_entropy,
         "bigram_lm_scores": _q_bigram_lm,
         "embedding_outliers": _q_embedding_outliers,
@@ -343,6 +344,20 @@ def _q_embedding_outliers(sf_dir):
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "label", "embedding"])
     return embedding_outliers(emb)
+
+
+def _q_media_wav(sf_dir):
+    """REAL audio codec path: payloads are actual PCM WAV bytes (RIFF
+    container + numpy sample decode, ops/wav.py; per-ref seeded sine
+    mixtures at ragged durations); features derive from true waveforms
+    (framed RMS, ZCR, rFFT band energies) — rows-only (binary inputs
+    are synthesized, not SQL-visible)."""
+    import ray.data as rd
+
+    from kgruntime.ops.media import decode_features, synth_wav_table
+
+    refs = [f"media://doc-{i:06d}/wav" for i in range(100)]
+    return decode_features(rd.from_arrow(synth_wav_table(refs)))
 
 
 def _q_knn_graph(sf_dir):

@@ -102,20 +102,31 @@ class MediaDecoder:
             feats[:self.feat_dim]
         return out
 
+    def _wav_features(self, payload: bytes) -> np.ndarray:
+        """REAL decode path: PCM WAV payloads (RIFF chunks + numpy
+        sample decode — see ops/wav.py) → waveform-derived features."""
+        from .wav import decode_wav, wav_features
+
+        samples, rate = decode_wav(payload)
+        return wav_features(samples, rate, feat_dim=self.feat_dim)
+
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
         from .jpeg import JPEG_MAGIC
         from .png import PNG_MAGIC
+        from .wav import WAV_MAGIC
 
         if payload[:8] == PNG_MAGIC:
             return self._png_features(payload)      # REAL codec path
         if payload[:2] == JPEG_MAGIC:
             return self._jpeg_features(payload)     # REAL codec path
+        if payload[:4] == WAV_MAGIC:
+            return self._wav_features(payload)      # REAL codec path
         if not self.fake:
             raise NotImplementedError(
-                "non-PNG/JPEG compressed decode needs PIL/ffmpeg — not "
-                "available in this container; PNG (ops/png.py) and "
-                "baseline JPEG (ops/jpeg.py) payloads decode for real, "
-                "others need fake=True")
+                "non-PNG/JPEG/WAV compressed decode needs PIL/ffmpeg — "
+                "not available in this container; PNG (ops/png.py), "
+                "baseline JPEG (ops/jpeg.py) and PCM WAV (ops/wav.py) "
+                "payloads decode for real, others need fake=True")
         # deterministic fake: bytes → seeded feature vector
         h = hashlib.sha256(payload).digest()
         seed = int.from_bytes(h[:4], "little")
@@ -389,4 +400,28 @@ def synth_jpeg_table(refs: list[str], w: int = 32, h: int = 24,
          pa.array([w] * len(refs), pa.int32()),
          pa.array([h] * len(refs), pa.int32()),
          pa.array([-1] * len(refs), pa.int32())],
+        schema=MEDIA_SCHEMA)
+
+
+def synth_wav_table(refs: list[str], rate: int = 8000,
+                    seed: int = 11) -> pa.Table:
+    """Media table whose payloads are REAL PCM WAV bytes (per-ref seeded
+    sine mixtures, encoded by ops/wav.py) — exercises the genuine audio
+    codec path end-to-end in this container.  Durations vary per ref so
+    the frame math sees ragged clip lengths."""
+    from .wav import synth_wav
+
+    payloads, durs = [], []
+    for i, r in enumerate(refs):
+        dur_ms = 150 + 40 * (i % 5)
+        payloads.append(synth_wav(r, seed=seed, rate=rate,
+                                  dur_ms=dur_ms))
+        durs.append(dur_ms)
+    return pa.Table.from_arrays(
+        [pa.array(refs, pa.string()),
+         pa.array(["audio"] * len(refs), pa.string()),
+         pa.array(payloads, pa.binary()),
+         pa.array([-1] * len(refs), pa.int32()),
+         pa.array([-1] * len(refs), pa.int32()),
+         pa.array(durs, pa.int32())],
         schema=MEDIA_SCHEMA)

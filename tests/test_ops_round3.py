@@ -491,7 +491,7 @@ def test_registry_contract_invariants():
         "kg_assignment", "kg_canonical_store", "kg_canonical_staged",
         "kg_canonical_fused", "media_features", "media_png_features",
         "media_frames", "media_resize", "media_frame_features",
-        "media_jpeg_features"}
+        "media_jpeg_features", "media_wav_features"}
     # flagship entries must stay inside the window
     for name in ("kg_canonical_fused", "minhash_near_dups",
                  "near_dedup_corpus", "ann_topk_ivf", "kmeans_clusters",
