@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": _q_embedding_outliers,
         "purchase_click_window": _q_purchase_click_window,
         "knn_graph": _q_knn_graph,
+        "cms_heavy_bigrams": _q_cms_heavy_bigrams,
+        "kmv_distinct_users": _q_kmv_distinct,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -368,6 +370,26 @@ def _q_knn_graph(sf_dir):
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     return knn_graph(emb, dim=_EMB_DIM, k=5, n_planes=6, n_tables=2)
+
+
+def _q_cms_heavy_bigrams(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.sketch import cms_heavy_bigrams
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return cms_heavy_bigrams(docs)
+
+
+def _q_kmv_distinct(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.sketch import kmv_distinct
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return kmv_distinct(ev)
 
 
 def _q_purchase_click_window(sf_dir):
@@ -1547,6 +1569,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": _embedding_outliers_oracle(),
         "purchase_click_window": _purchase_click_oracle(),
         "knn_graph": _knn_graph_oracle(),
+        "cms_heavy_bigrams": _cms_oracle(),
+        "kmv_distinct_users": _kmv_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -1728,6 +1752,18 @@ def _knn_graph_oracle() -> str:
     from kgruntime.ops.ann import knn_graph_sql
 
     return knn_graph_sql(dim=_EMB_DIM, k=5, n_planes=6, n_tables=2)
+
+
+def _cms_oracle() -> str:
+    from kgruntime.ops.sketch import cms_heavy_bigrams_sql
+
+    return cms_heavy_bigrams_sql()
+
+
+def _kmv_oracle() -> str:
+    from kgruntime.ops.sketch import kmv_distinct_sql
+
+    return kmv_distinct_sql()
 
 
 def _purchase_click_oracle() -> str:

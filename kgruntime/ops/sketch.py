@@ -187,3 +187,229 @@ idx AS (
   FROM h CROSS JOIN range(0, {k}) AS t(i))
 SELECT {m} AS m, {k} AS k, count(*) AS n_set_bits FROM idx
 """
+
+
+# --- Count-Min sketch heavy hitters ----------------------------------------
+
+_CMS_D = 3                  # depth: three 20-bit slices of md5-60
+_CMS_W = 1024               # width per row
+_CMS_SHARE = 700            # heavy = est ≥ total/_CMS_SHARE (top ~7% on the synthetic 31-word-vocab bigram tail)
+
+
+def cms_heavy_bigrams(docs_ds, d: int = _CMS_D, w: int = _CMS_W,
+                      share: int = _CMS_SHARE):
+    """Heavy-hitter word bigrams via a Count-Min sketch —
+    (bigram, est_count) for every bigram whose CMS estimate is at least
+    ``total_bigrams / share``.
+
+    The classic two-streamed-pass CMS shape, all exchanges
+    corpus-size-INDEPENDENT:
+
+    1. each batch explodes to bigrams in polars and pre-aggregates its
+       own (row, bucket, cnt) sketch increments — the global ``groupby``
+       carries at most d·w tiny int rows per batch, never the bigram
+       tail; the merged d×w counter table (d·w ints — KB at ANY corpus
+       size) broadcasts via ``ray.put``;
+    2. a second streamed pass probes each batch-distinct bigram against
+       the broadcast sketch (``min`` over the d rows — vectorized
+       gather) and emits survivors; cross-batch repeats dedup in one
+       tiny ``groupby(bigram)`` (estimates are identical ints).
+
+    Every count is an exact integer and the bucket indexes are md5-60
+    slices, so ``cms_heavy_bigrams_sql`` replays the sketch — including
+    its collision overestimates — bit-for-bit.  The threshold is
+    RELATIVE (share of the exact total, read off the sketch's row-0
+    sum), so the same parameters work at every scale factor.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def tok_bigrams(t: pa.Table):
+        import polars as pl
+
+        # single-space split, no empty filter — mirrors the oracle's
+        # str_split(text, ' ') exactly (rare_token_pairs precedent)
+        toks = pl.from_arrow(t.select(["doc_id", "text"])) \
+            .with_columns(pl.col("text").str.split(" ").alias("t")) \
+            .drop("text").explode("t")
+        return toks.with_columns(
+            pl.col("t").shift(-1).over("doc_id").alias("t2")) \
+            .drop_nulls("t2") \
+            .select((pl.col("t") + " " + pl.col("t2")).alias("w"))
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        bg = tok_bigrams(t).group_by("w") \
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        ws = bg["w"].to_list()
+        cnts = bg["cnt"].to_numpy()
+        h = np.array([_md5_60(x.encode()) for x in ws], dtype=np.uint64)
+        rows_i, rows_b, rows_c = [], [], []
+        for i in range(d):
+            rows_i.append(np.full(len(ws), i, np.int64))
+            rows_b.append(((h >> np.uint64(20 * i))
+                           % np.uint64(w)).astype(np.int64))
+            rows_c.append(cnts)
+        df = pa.table({"i": pa.array(np.concatenate(rows_i) if ws else
+                                     np.array([], np.int64)),
+                       "bucket": pa.array(np.concatenate(rows_b) if ws
+                                          else np.array([], np.int64)),
+                       "cnt": pa.array(np.concatenate(rows_c).astype(
+                           np.int64) if ws else np.array([], np.int64))})
+        import pandas as pd
+
+        g = df.to_pandas().groupby(["i", "bucket"], sort=False)["cnt"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(sketch_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["i", "bucket"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    cms = np.zeros((d, w), np.int64)
+    cms[merged["i"].to_numpy(), merged["bucket"].to_numpy()] = \
+        merged["cnt"].to_numpy()
+    total = int(cms[0].sum())          # row sums all equal the total
+    threshold = max(1, total // share)
+    cms_ref = ray.put(cms)
+
+    empty = pa.table({"bigram": pa.array([], pa.string()),
+                      "est_count": pa.array([], pa.int64())})
+
+    def probe(t: pa.Table) -> pa.Table:
+        sk = ray.get(cms_ref)
+        ws = tok_bigrams(t).unique()["w"].to_list()
+        if not ws:
+            return empty
+        h = np.array([_md5_60(x.encode()) for x in ws], dtype=np.uint64)
+        est = np.full(len(ws), np.iinfo(np.int64).max, np.int64)
+        for i in range(d):
+            b = ((h >> np.uint64(20 * i)) % np.uint64(w)).astype(np.int64)
+            est = np.minimum(est, sk[i, b])
+        hit = est >= threshold
+        if not hit.any():
+            return empty
+        return pa.table({
+            "bigram": pa.array([ws[j] for j in np.nonzero(hit)[0]],
+                               pa.string()),
+            "est_count": pa.array(est[hit], pa.int64())})
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(probe, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bigram").max("est_count") \
+        .rename_columns({"max(est_count)": "est_count"}) \
+        .sort(["est_count", "bigram"], descending=[True, False])
+
+
+def cms_heavy_bigrams_sql(d: int = _CMS_D, w: int = _CMS_W,
+                          share: int = _CMS_SHARE) -> str:
+    """SQL twin: the identical sketch — same md5-60 bucket slices, same
+    integer counter sums, same min-over-rows probe, same relative
+    threshold — so collision overestimates reproduce exactly."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT t[i] || ' ' || t[i+1] AS w, count(*) AS cnt
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2)
+  GROUP BY t[i] || ' ' || t[i+1]),
+h AS (
+  SELECT w, cnt,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h60
+  FROM bg),
+cms AS (
+  SELECT r.i, (h60 >> (20 * r.i)) % {w} AS bucket, sum(cnt) AS c
+  FROM h CROSS JOIN range(0, {d}) AS r(i)
+  GROUP BY r.i, (h60 >> (20 * r.i)) % {w}),
+total AS (SELECT sum(cnt) AS n FROM bg),
+est AS (
+  SELECT h.w, min(cms.c) AS est_count
+  FROM h CROSS JOIN range(0, {d}) AS r(i)
+  JOIN cms ON cms.i = r.i
+          AND cms.bucket = (h.h60 >> (20 * r.i)) % {w}
+  GROUP BY h.w)
+SELECT w AS bigram, est_count::BIGINT AS est_count
+FROM est, total
+WHERE est_count >= greatest(1, total.n // {share})
+ORDER BY est_count DESC, bigram
+"""
+
+
+# --- KMV (k-minimum-values) distinct sketch --------------------------------
+
+_KMV_K = 32
+
+
+def kmv_distinct(events_ds, group: str = "event_type",
+                 key: str = "user_id", k: int = _KMV_K):
+    """Distinct ``key`` count per ``group`` via the k-minimum-values
+    sketch — (group, n_kept, kth_min, est_distinct), all EXACT integers.
+
+    Mergeable shape: each batch keeps its k smallest DISTINCT md5-60
+    key hashes per group (≤ |groups|·k tiny rows), a single
+    ``groupby(group)`` merge dedups and re-takes the k smallest.
+    Estimator: exact count when fewer than k distinct hashes exist,
+    else the classic (k−1)·2^60 // kth_min — integer division, so the
+    SQL twin reproduces it bit-for-bit (no float estimator at all,
+    unlike HLL's α·m²/S).
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group].to_pylist()
+        h = [_md5_60(str(x).encode()) for x in t[key].to_pylist()]
+        df = pd.DataFrame({group: g, "h": np.array(h, np.int64)}) \
+            .drop_duplicates() \
+            .sort_values([group, "h"], kind="mergesort") \
+            .groupby(group, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(gt: pa.Table) -> pa.Table:
+        df = gt.to_pandas().drop_duplicates("h").sort_values(
+            "h", kind="mergesort").head(k)
+        hs = df["h"].to_numpy()
+        n_kept = len(hs)
+        if n_kept < k:
+            kth, est = 0, n_kept
+        else:
+            kth = int(hs[-1])
+            est = ((k - 1) << 60) // kth
+        return pa.table({
+            group: pa.array([gt[group][0].as_py()], gt[group].type),
+            "n_kept": pa.array([n_kept], pa.int64()),
+            "kth_min": pa.array([kth], pa.int64()),
+            "est_distinct": pa.array([int(est)], pa.int64())})
+
+    return events_ds.select_columns([group, key]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(group).map_groups(merge, batch_format="pyarrow")
+
+
+def kmv_distinct_sql(group: str = "event_type", key: str = "user_id",
+                     k: int = _KMV_K, table: str = "events") -> str:
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {group} AS grp,
+         ('0x' || substr(md5({key}::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM {table}),
+rk AS (
+  SELECT grp, hv,
+         row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n_distinct
+  FROM h)
+SELECT grp AS {group},
+       least(n_distinct, {k})::BIGINT AS n_kept,
+       CASE WHEN n_distinct >= {k} THEN hv ELSE 0 END AS kth_min,
+       CASE WHEN n_distinct >= {k}
+            THEN ((({k} - 1)::HUGEINT << 60) // hv)::BIGINT
+            ELSE least(n_distinct, {k})::BIGINT
+       END AS est_distinct
+FROM rk
+WHERE rn = least(n_distinct, {k})
+ORDER BY {group}
+"""
