@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "cms_heavy_bigrams": _q_cms_heavy_bigrams,
         "kmv_distinct_users": _q_kmv_distinct,
+        "temperature_mix_sample": _q_temp_mix,
+        "corpus_diff": _q_corpus_diff,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -390,6 +392,26 @@ def _q_kmv_distinct(sf_dir):
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "user_id"])
     return kmv_distinct(ev)
+
+
+def _q_temp_mix(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.sample import temperature_mix_sample
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "doc_id"])
+    return temperature_mix_sample(docs)
+
+
+def _q_corpus_diff(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import corpus_diff, synth_prior_snapshot
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return corpus_diff(docs, synth_prior_snapshot(docs))
 
 
 def _q_purchase_click_window(sf_dir):
@@ -1571,6 +1593,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _knn_graph_oracle(),
         "cms_heavy_bigrams": _cms_oracle(),
         "kmv_distinct_users": _kmv_oracle(),
+        "temperature_mix_sample": _temp_mix_oracle(),
+        "corpus_diff": _corpus_diff_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -1764,6 +1788,18 @@ def _kmv_oracle() -> str:
     from kgruntime.ops.sketch import kmv_distinct_sql
 
     return kmv_distinct_sql()
+
+
+def _temp_mix_oracle() -> str:
+    from kgruntime.ops.sample import temperature_mix_sample_sql
+
+    return temperature_mix_sample_sql()
+
+
+def _corpus_diff_oracle() -> str:
+    from kgruntime.ops.dedup import corpus_diff_sql
+
+    return corpus_diff_sql()
 
 
 def _purchase_click_oracle() -> str:

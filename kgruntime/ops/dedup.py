@@ -1341,3 +1341,125 @@ SELECT n.doc_id, (p.nt IS NOT NULL) AS dup_of_prior
 FROM nw n LEFT JOIN prior p ON p.nt = n.nt
 ORDER BY n.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (dataset-versioning audit)
+# ---------------------------------------------------------------------------
+
+def corpus_diff(cur_ds, prior_ds):
+    """Snapshot diff between two corpus versions — (doc_id, status)
+    with status ∈ {added, removed, changed} (unchanged rows are
+    dropped: at 100 TB they are ~all the data and carry no signal).
+
+    Scale shape: each side reduces per batch to (doc_id, text-hash,
+    side-flag) — text never crosses an exchange — then ONE
+    ``groupby(doc_id)`` with native Count/Sum/Min/Max aggregates
+    classifies every id without a per-group Python call:
+    n=1 ∧ side=cur → added; n=1 ∧ side=prior → removed;
+    n=2 ∧ min(h)≠max(h) → changed.  (A doc_id appears at most once per
+    snapshot — the classifier is total on 1-or-2-row groups.)
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def prep(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            h = np.array([_md5_60(x.encode())
+                          for x in t["text"].to_pylist()], np.int64)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "h": pa.array(h, pa.int64()),
+                "side": pa.array([side] * t.num_rows, pa.int64())})
+        return fn
+
+    both = cur_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(prep(1), batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(prior_ds.select_columns(["doc_id", "text"])
+               .map_batches(prep(0), batch_format="pyarrow",
+                            zero_copy_batch=True))
+    agg = both.groupby("doc_id").aggregate(
+        Count(alias_name="n"), Sum("side", alias_name="side_sum"),
+        Min("h", alias_name="h_min"), Max("h", alias_name="h_max"))
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "status": pa.array([], pa.string())})
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].to_numpy(zero_copy_only=False)
+        ss = t["side_sum"].to_numpy(zero_copy_only=False)
+        hmin = t["h_min"].to_numpy(zero_copy_only=False)
+        hmax = t["h_max"].to_numpy(zero_copy_only=False)
+        status = np.where(
+            n == 1, np.where(ss == 1, "added", "removed"),
+            np.where(hmin != hmax, "changed", ""))
+        keep = status != ""
+        if not keep.any():
+            return empty
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "status": pa.array(status[keep], pa.string())})
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
+def synth_prior_snapshot(docs_ds):
+    """Deterministic 'previous snapshot' of the documents table, used by
+    the corpus_diff query/oracle pair (production feeds a real prior
+    version): docs with id%11==0 are absent (→ added), id%7==0 carry a
+    ' legacy' text suffix (→ changed), and for id%13==0 a prior-only
+    twin exists at id+1_000_000_000 (→ removed)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_id, out_tx = [], []
+        for i, tx in zip(ids, texts):
+            i = int(i)
+            if i % 11 != 0:
+                out_id.append(i)
+                out_tx.append(tx + " legacy" if i % 7 == 0 else tx)
+            if i % 13 == 0:
+                out_id.append(i + 1_000_000_000)
+                out_tx.append(tx)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def corpus_diff_sql(table: str = "documents") -> str:
+    """SQL twin: the same prior-snapshot construction and the same
+    union + per-id aggregate classification."""
+    return f"""
+WITH cur AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h, 1 AS side
+  FROM {table}),
+prior_base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' legacy' ELSE text END
+           AS text
+  FROM {table} WHERE doc_id % 11 != 0),
+prior_extra AS (
+  SELECT doc_id + 1000000000 AS doc_id, text
+  FROM {table} WHERE doc_id % 13 = 0),
+prior AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h, 0 AS side
+  FROM (SELECT * FROM prior_base UNION ALL SELECT * FROM prior_extra)),
+agg AS (
+  SELECT doc_id, count(*) AS n, sum(side) AS ss,
+         min(h) AS hmin, max(h) AS hmax
+  FROM (SELECT * FROM cur UNION ALL SELECT * FROM prior)
+  GROUP BY doc_id)
+SELECT doc_id,
+       CASE WHEN n = 1 AND ss = 1 THEN 'added'
+            WHEN n = 1 THEN 'removed'
+            ELSE 'changed' END AS status
+FROM agg
+WHERE n = 1 OR hmin != hmax
+ORDER BY doc_id
+"""

@@ -11,6 +11,7 @@ predicate runs vectorized in Arrow here and in the DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -264,4 +265,101 @@ g AS (
   FROM s GROUP BY nt)
 SELECT keep_id, n_docs, n_splits FROM g
 WHERE n_splits >= 2 ORDER BY keep_id
+"""
+
+
+def temperature_mix_sample(docs_ds, temperature_half: bool = True,
+                           share: int = 4):
+    """Temperature-scaled source mixing (the multilingual-corpus
+    rebalance move, α = 0.5): sample a ``1/share`` slice of the corpus
+    with per-source quotas ∝ √count instead of ∝ count, so small
+    sources are upweighted — (source, doc_id, pick_rank).
+
+    EXACT integer arithmetic end-to-end (``math.isqrt`` weights,
+    floor-division quotas capped at the source size, md5-60 hash-order
+    picks with doc_id tie-break), so the DuckDB twin reproduces the
+    sample membership bit-for-bit — no RNG, re-runs and resumes agree.
+
+    Scale shape: per-source counts are ONE tiny native groupby; the
+    quota dict (|sources| ints) broadcasts; each batch keeps its local
+    q smallest hashes per source, and one ``groupby(source)`` merge of
+    ≤ q rows per (source, block) finalizes — doc text never moves.
+    """
+    import math
+
+    import pandas as pd
+
+    from .dedup import _md5_60
+
+    counts = docs_ds.groupby("source").count().to_pandas()
+    n_by_src = dict(zip(counts["source"], counts["count()"]))
+    total = int(sum(n_by_src.values()))
+    if total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "pick_rank": pa.array([], pa.int64())}))
+    w = {s: (math.isqrt(int(n)) if temperature_half else int(n))
+         for s, n in n_by_src.items()}
+    wsum = sum(w.values())
+    target = total // share
+    quota = {s: min(int(n_by_src[s]), target * w[s] // wsum)
+             for s in n_by_src}
+
+    def local_pick(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        ids = t["doc_id"].to_pylist()
+        h = np.array([_md5_60(str(d).encode()) for d in ids], np.int64)
+        df = pd.DataFrame({"source": src, "doc_id": ids, "h": h}) \
+            .sort_values(["source", "h", "doc_id"], kind="mergesort")
+        df = df.groupby("source", sort=False) \
+            .head(max(quota.values()) if quota else 0)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge_pick(g: pa.Table) -> pa.Table:
+        s = g["source"][0].as_py()
+        q = quota.get(s, 0)
+        df = g.to_pandas().sort_values(["h", "doc_id"],
+                                       kind="mergesort").head(q)
+        df["pick_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(
+            df[["source", "doc_id", "pick_rank"]], preserve_index=False)
+
+    return docs_ds.select_columns(["source", "doc_id"]) \
+        .map_batches(local_pick, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("source").map_groups(merge_pick, batch_format="pyarrow")
+
+
+def temperature_mix_sample_sql(share: int = 4,
+                               table: str = "documents") -> str:
+    """SQL twin: exact integer isqrt (float sqrt + ±1 correction),
+    identical floor-division quotas, identical hash-order picks."""
+    return f"""
+WITH n AS (
+  SELECT source, count(*) AS cnt FROM {table} GROUP BY source),
+w AS (
+  SELECT source, cnt,
+         CASE WHEN (r0 + 1) * (r0 + 1) <= cnt THEN r0 + 1
+              WHEN r0 * r0 > cnt THEN r0 - 1 ELSE r0 END AS wt
+  FROM (SELECT source, cnt,
+               CAST(floor(sqrt(cnt::DOUBLE)) AS BIGINT) AS r0 FROM n)),
+tot AS (SELECT sum(cnt) AS total, sum(wt) AS wsum FROM w),
+q AS (
+  SELECT w.source,
+         least(w.cnt, (tot.total // {share}) * w.wt // tot.wsum) AS quota
+  FROM w, tot),
+rk AS (
+  SELECT d.source, d.doc_id,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))
+                      ::BIGINT, d.doc_id) AS pick_rank
+  FROM {table} d)
+SELECT rk.source, rk.doc_id, rk.pick_rank
+FROM rk JOIN q ON q.source = rk.source
+WHERE rk.pick_rank <= q.quota
+ORDER BY rk.source, rk.pick_rank
 """

@@ -614,3 +614,57 @@ def test_kmv_distinct_exact_small_and_sketched_large(ray_session):
     # fixed md5 draw happens to sit ~4σ high: 858 vs 500 — KMV with
     # k=32 has ~18% relative std, and there is no seed to re-roll)
     assert 500 / 3 < out2["est_distinct"] < 500 * 3
+
+
+def test_temperature_mix_quotas_and_determinism(ray_session):
+    """√count quotas must upweight small sources relative to
+    proportional sampling, quotas never exceed the source size, and
+    membership is a pure function of the ids (re-run identical)."""
+    import math
+
+    import ray.data as rd
+
+    from kgruntime.ops.sample import temperature_mix_sample
+
+    sizes = {"big": 400, "mid": 100, "tiny": 16}
+    ids, srcs = [], []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            ids.append(i)
+            srcs.append(s)
+            i += 1
+    t = pa.table({"source": pa.array(srcs, pa.string()),
+                  "doc_id": pa.array(ids, pa.int64())})
+    out = temperature_mix_sample(rd.from_arrow(t), share=4).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["source"], []).append(r["doc_id"])
+    wsum = sum(math.isqrt(n) for n in sizes.values())
+    target = sum(sizes.values()) // 4
+    for s, n in sizes.items():
+        expect_q = min(n, target * math.isqrt(n) // wsum)
+        assert len(got[s]) == expect_q, s
+    # temperature upweights: tiny source rate > big source rate
+    assert len(got["tiny"]) / 16 > len(got["big"]) / 400
+    out2 = temperature_mix_sample(rd.from_arrow(t), share=4).take_all()
+    assert sorted(map(tuple, (r.values() for r in out))) == \
+        sorted(map(tuple, (r.values() for r in out2)))
+
+
+def test_corpus_diff_classification(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import corpus_diff
+
+    cur = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"], pa.string())})
+    prior = pa.table({
+        "doc_id": pa.array([2, 3, 4, 9], pa.int64()),
+        "text": pa.array(["b", "CHANGED", "d", "gone"], pa.string())})
+    out = {r["doc_id"]: r["status"] for r in
+           corpus_diff(rd.from_arrow(cur),
+                       rd.from_arrow(prior)).take_all()}
+    # 1 added, 3 changed, 9 removed; 2 and 4 unchanged → dropped
+    assert out == {1: "added", 3: "changed", 9: "removed"}
