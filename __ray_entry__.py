@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_users": _q_kmv_distinct,
         "temperature_mix_sample": _q_temp_mix,
         "corpus_diff": _q_corpus_diff,
+        "user_value_trend": _q_user_value_trend,
+        "bloom_filtered_brand_revenue": R.q_bloom_filtered_brand_revenue,
+        "hll_hopping_users": _q_hll_hopping,
+        "trimmed_mean_value": _q_trimmed_mean,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -392,6 +396,36 @@ def _q_kmv_distinct(sf_dir):
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "user_id"])
     return kmv_distinct(ev)
+
+
+def _q_hll_hopping(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import hll_distinct_hopping
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return hll_distinct_hopping(ev)
+
+
+def _q_trimmed_mean(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import trimmed_mean_by_group
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    return trimmed_mean_by_group(ev)
+
+
+def _q_user_value_trend(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import user_value_trend
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return user_value_trend(ev)
 
 
 def _q_temp_mix(sf_dir):
@@ -1595,6 +1629,10 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_users": _kmv_oracle(),
         "temperature_mix_sample": _temp_mix_oracle(),
         "corpus_diff": _corpus_diff_oracle(),
+        "user_value_trend": _user_value_trend_oracle(),
+        "bloom_filtered_brand_revenue": _bloom_brand_oracle(),
+        "hll_hopping_users": _hll_hopping_oracle(),
+        "trimmed_mean_value": _trimmed_mean_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -1800,6 +1838,30 @@ def _corpus_diff_oracle() -> str:
     from kgruntime.ops.dedup import corpus_diff_sql
 
     return corpus_diff_sql()
+
+
+def _user_value_trend_oracle() -> str:
+    from kgruntime.ops.sessions import user_value_trend_sql
+
+    return user_value_trend_sql()
+
+
+def _bloom_brand_oracle() -> str:
+    from kgruntime.relational import bloom_filtered_brand_revenue_sql
+
+    return bloom_filtered_brand_revenue_sql()
+
+
+def _hll_hopping_oracle() -> str:
+    from kgruntime.ops.sessions import hll_distinct_hopping_sql
+
+    return hll_distinct_hopping_sql()
+
+
+def _trimmed_mean_oracle() -> str:
+    from kgruntime.ops.stats import trimmed_mean_by_group_sql
+
+    return trimmed_mean_by_group_sql()
 
 
 def _purchase_click_oracle() -> str:

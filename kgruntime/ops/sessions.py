@@ -942,3 +942,214 @@ def purchase_click_window_sql(days: int = 7) -> str:
         WHERE p.event_type = 'purchase'
         GROUP BY p.event_id, p.user_id ORDER BY p.event_id
     """
+
+
+def user_value_trend(events_ds, digits: int = 6):
+    """Per-user OLS trend of event value over time —
+    (user_id, n_events, slope): least-squares slope of value-cents
+    against minutes-since-corpus-start, for users whose events span
+    more than one minute (the normal-equation denominator is positive).
+
+    Exactness: x (minutes, rebased on the corpus min via ONE tiny
+    aggregate) and y (half-away cents) are ints, so the five partial
+    sums (n, Σx, Σy, Σxy, Σx²) are exact int64 under any distributed
+    merge order — the classic combiner shape, one native groupby of
+    5-int rows per (user, block).  Only the final
+    ``(nΣxy − ΣxΣy) / (nΣx² − Σx²)`` is float (two exact-int→double
+    casts and one divide — identical IEEE ops in DuckDB).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min, Sum
+
+    us_per_min = 60_000_000
+    mins = events_ds.select_columns(["ts"]).map_batches(
+        lambda t: pa.table({"m": pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(us_per_min, pa.int64()))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    base = mins.aggregate(Min("m"))["min(m)"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.subtract(
+            pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                              pa.int64()),
+                      pa.scalar(us_per_min, pa.int64())),
+            pa.scalar(base, pa.int64())).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "xy": pa.array(x * y, pa.int64()),
+            "x2": pa.array(x * x, pa.int64())})
+
+    s = events_ds.select_columns(["user_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("user_id").aggregate(
+            Count(alias_name="n"), Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"), Sum("xy", alias_name="sxy"),
+            Sum("x2", alias_name="sx2"))
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "slope": pa.array([], pa.float64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sx2 = t["sx2"].to_numpy(zero_copy_only=False)
+        den = n * sx2 - sx * sx
+        keep = den > 0
+        if not keep.any():
+            return empty
+        num = (n * sxy - sx * sy)[keep].astype(np.float64)
+        slope = num / den[keep].astype(np.float64)
+        slope = np.where(slope >= 0, np.floor(slope * 10.0 ** digits + 0.5),
+                         -np.floor(-slope * 10.0 ** digits + 0.5)) \
+            / 10.0 ** digits
+        return pa.table({
+            "user_id": t["user_id"].filter(pa.array(keep)),
+            "n_events": pa.array(n[keep], pa.int64()),
+            "slope": pa.array(slope, pa.float64())})
+
+    return s.map_batches(finish, batch_format="pyarrow")
+
+
+def user_value_trend_sql(digits: int = 6) -> str:
+    return f"""
+WITH base AS (
+  SELECT min(epoch_us(ts) // 60000000) AS m FROM events),
+xy AS (
+  SELECT user_id,
+         epoch_us(ts) // 60000000 - base.m AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events, base),
+s AS (
+  SELECT user_id, count(*) AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sx2
+  FROM xy GROUP BY user_id)
+SELECT user_id, n AS n_events,
+       round((n * sxy - sx * sy)::DOUBLE
+             / (n * sx2 - sx * sx)::DOUBLE, {digits}) AS slope
+FROM s WHERE n * sx2 - sx * sx > 0
+ORDER BY user_id
+"""
+
+
+def hll_distinct_hopping(events_ds, size_hours: int = 2,
+                         hop_hours: int = 1, digits: int = 4):
+    """Distinct users per hopping window WITHOUT shuffling user ids —
+    the sketch × window composition: each event contributes its HLL
+    register update to every window covering it (size/hop copies), the
+    exchange carries only (window, register, rank) partials, and one
+    native Max-merge finalizes — (window_start, n_registers,
+    reg_sum_scaled, est_distinct).
+
+    Exactness contract identical to ``ops/sketch.hll_distinct``: md5-60
+    registers, exact dyadic register sum, two-IEEE-op raw estimator.
+    At 100 TB this is the shape for "distinct users per sliding hour
+    over a year of events" — |windows| × 64 tiny rows total exchange.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    from .sketch import (_ALPHA_64, _HLL_B, _HLL_M, _RANK_BITS,
+                         _RANK_MAX)
+    from .dedup import _md5_60
+
+    if size_hours % hop_hours:
+        raise ValueError("size_hours must be a multiple of hop_hours")
+    n_copies = size_hours // hop_hours
+    us_size = size_hours * 3_600_000_000
+    us_hop = hop_hours * 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        users = t["user_id"].to_pylist()
+        reg = np.empty(len(users), np.int64)
+        rank = np.empty(len(users), np.int64)
+        for j, u in enumerate(users):
+            h = _md5_60(str(u).encode())
+            reg[j] = h % _HLL_M
+            w = h >> _HLL_B
+            rank[j] = _RANK_MAX if w == 0 else \
+                _RANK_BITS - w.bit_length() + 1
+        # window_start of the LAST window covering the event, then the
+        # earlier copies at -hop, -2hop, ...
+        base = (us // us_hop) * us_hop
+        parts = []
+        for i in range(n_copies):
+            w0 = base - i * us_hop
+            parts.append(pd.DataFrame({
+                "window_start": w0, "reg": reg, "rank": rank}))
+        df = pd.concat(parts, ignore_index=True)
+        g = df.groupby(["window_start", "reg"], sort=False)["rank"] \
+            .max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    regs = events_ds.select_columns(["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["window_start", "reg"]) \
+        .aggregate(Max("rank", alias_name="rank"))
+
+    def finish(g: pa.Table) -> pa.Table:
+        ranks = dict(zip(g["reg"].to_pylist(), g["rank"].to_pylist()))
+        ssum = sum(1 << (_RANK_MAX - int(ranks.get(j, 0)))
+                   for j in range(_HLL_M))
+        s = ssum / float(1 << _RANK_MAX)
+        est = _ALPHA_64 * _HLL_M * _HLL_M / s
+        est = np.floor(est * 10.0 ** digits + 0.5) / 10.0 ** digits
+        return pa.table({
+            "window_start": pa.array([g["window_start"][0].as_py()],
+                                     pa.int64()),
+            "n_registers": pa.array([_HLL_M], pa.int64()),
+            "reg_sum_scaled": pa.array([ssum], pa.int64()),
+            "est_distinct": pa.array([float(est)], pa.float64())})
+
+    return regs.groupby("window_start").map_groups(
+        finish, batch_format="pyarrow")
+
+
+def hll_distinct_hopping_sql(size_hours: int = 2, hop_hours: int = 1,
+                             digits: int = 4) -> str:
+    from .sketch import _ALPHA_64, _HLL_B, _HLL_M, _RANK_BITS, _RANK_MAX
+
+    m, rmax = _HLL_M, _RANK_MAX
+    n_copies = size_hours // hop_hours
+    us_hop = hop_hours * 3_600_000_000
+    return f"""
+WITH h AS (
+  SELECT (epoch_us(ts) // {us_hop}) * {us_hop}
+           - c.i * {us_hop} AS window_start,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events CROSS JOIN range(0, {n_copies}) AS c(i)),
+r AS (
+  SELECT window_start, hv % {m} AS reg,
+         CASE WHEN hv // {m} = 0 THEN {rmax}
+              ELSE {_RANK_BITS} - length(ltrim(bin(hv // {m}), '0')) + 1
+         END AS rank
+  FROM h),
+mx AS (
+  SELECT window_start, reg, max(rank) AS rank
+  FROM r GROUP BY window_start, reg),
+s AS (
+  SELECT window_start,
+         sum((1::BIGINT << ({rmax} - rank)))::BIGINT
+           + ({m} - count(*)) * (1::BIGINT << {rmax}) AS reg_sum_scaled
+  FROM mx GROUP BY window_start)
+SELECT window_start, {m} AS n_registers, reg_sum_scaled,
+       round({_ALPHA_64} * {m} * {m}
+             / (reg_sum_scaled / (1::BIGINT << {rmax})::DOUBLE),
+             {digits}) AS est_distinct
+FROM s ORDER BY window_start
+"""

@@ -590,3 +590,80 @@ SELECT event_id, {key},
          AS pct_rank
 FROM {table} ORDER BY event_id
 """
+
+
+def trimmed_mean_by_group(events_ds, key: str = "event_type",
+                          value_col: str = "value", trim_pct: int = 10,
+                          digits: int = 6):
+    """Robust per-group mean with the top/bottom ``trim_pct``% of rows
+    dropped — (key, n_events, n_trimmed, trimmed_mean).
+
+    No per-group sort of the raw rows: the distributed shape is the
+    same per-(key, cents) histogram as ``value_percentile_ranks``
+    (bounded by |keys| × distinct cent values, corpus-size-independent),
+    and the trim is computed from cumulative counts over the histogram
+    — each distinct value contributes
+    ``max(0, min(cum, n−k) − max(cum−cnt, k))`` copies to the exact
+    integer trimmed sum (k = n·trim_pct/100 rows per side, order
+    statistics over cents with natural duplicate handling, identical
+    to the oracle's row_number() range).  Only the final mean is float.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def cents_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t[key],
+            "cents": pc.cast(pc.round(
+                pc.multiply(t[value_col], 100.0),
+                round_mode="half_towards_infinity"), pa.int64())})
+
+    hist = events_ds.select_columns([key, value_col]) \
+        .map_batches(cents_prep, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby([key, "cents"]).aggregate(Count(alias_name="cnt"))
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values("cents", kind="mergesort")
+        cnt = df["cnt"].to_numpy()
+        cents = df["cents"].to_numpy()
+        n = int(cnt.sum())
+        k = n * trim_pct // 100
+        cum = np.cumsum(cnt)
+        lo = np.maximum(cum - cnt, k)
+        hi = np.minimum(cum, n - k)
+        mult = np.maximum(0, hi - lo)
+        tsum = int((cents * mult).sum())
+        n_trim = int(mult.sum())
+        mean = float(tsum) / float(n_trim)
+        mean = (np.floor(mean * 10.0 ** digits + 0.5) if mean >= 0
+                else -np.floor(-mean * 10.0 ** digits + 0.5)) \
+            / 10.0 ** digits
+        return pa.table({
+            key: pa.array([g[key][0].as_py()], g[key].type),
+            "n_events": pa.array([n], pa.int64()),
+            "n_trimmed": pa.array([n_trim], pa.int64()),
+            "trimmed_mean": pa.array([float(mean)], pa.float64())})
+
+    return hist.groupby(key).map_groups(finish, batch_format="pyarrow")
+
+
+def trimmed_mean_by_group_sql(key: str = "event_type",
+                              value_col: str = "value",
+                              trim_pct: int = 10, digits: int = 6,
+                              table: str = "events") -> str:
+    return f"""
+WITH c AS (
+  SELECT {key}, CAST(round({value_col} * 100) AS BIGINT) AS cents
+  FROM {table}),
+rk AS (
+  SELECT {key}, cents,
+         row_number() OVER (PARTITION BY {key} ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY {key}) AS n
+  FROM c)
+SELECT {key}, any_value(n) AS n_events, count(*) AS n_trimmed,
+       round(sum(cents)::DOUBLE / count(*), {digits}) AS trimmed_mean
+FROM rk
+WHERE rn > n * {trim_pct} // 100 AND rn <= n - n * {trim_pct} // 100
+GROUP BY {key} ORDER BY {key}
+"""

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -1427,4 +1428,114 @@ WHERE s_nationkey != c_nationkey
   AND l_shipdate <  TIMESTAMP '1998-01-01'
 GROUP BY supp_nation, cust_nation, ship_year
 ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pushdown join: revenue by brand for large parts.
+# The 100-TB pattern this demonstrates: when the dimension-side key set
+# is too big to broadcast exactly, a FIXED-SIZE Bloom filter (here 64 KiB
+# of bits regardless of key count) pre-filters the fact table before the
+# exact join, so ~(1 - selectivity) of the fact rows never reach the
+# exchange; false positives are removed by the exact lookup that follows,
+# so the RESULT is identical to the plain join — which is exactly what
+# the oracle checks.
+# ---------------------------------------------------------------------------
+
+_BLOOM_JOIN_M = 1 << 19          # bits (64 KiB)
+
+
+def _bloom_from_keys(keys: "np.ndarray", m: int = _BLOOM_JOIN_M):
+    """Two Knuth-multiplicative probes per key (vectorized)."""
+    k = keys.astype(np.uint64)
+    h1 = (k * np.uint64(2654435761)) % np.uint64(m)
+    h2 = (k * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)) \
+        % np.uint64(m)
+    bits = np.zeros(m, bool)
+    bits[h1.astype(np.int64)] = True
+    bits[h2.astype(np.int64)] = True
+    return bits
+
+
+def _bloom_test(bits: "np.ndarray", keys: "np.ndarray"):
+    m = len(bits)
+    k = keys.astype(np.uint64)
+    h1 = (k * np.uint64(2654435761)) % np.uint64(m)
+    h2 = (k * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)) \
+        % np.uint64(m)
+    return bits[h1.astype(np.int64)] & bits[h2.astype(np.int64)]
+
+
+def q_bloom_filtered_brand_revenue(sf_dir: str, min_size: int = 40,
+                                   m: int = _BLOOM_JOIN_M):
+    """Revenue by p_brand over lineitems of LARGE parts
+    (p_size ≥ ``min_size``) — (p_brand, n_items, revenue).
+
+    Stage 1 reads ONLY (p_partkey,) of qualifying parts
+    (predicate-pushdown parquet read) and builds the Bloom; stage 2
+    streams lineitem through the broadcast bits (`ray.put` once, numpy
+    gather per batch — no per-batch reship), dropping non-members
+    before any money math; stage 3 removes Bloom false positives with
+    the exact broadcast (key → brand) lookup and pre-aggregates
+    (brand, cents) partials into one tiny groupby.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.dataset as pads
+
+    part = pq.read_table(
+        _path(sf_dir, "part"), columns=["p_partkey", "p_brand"],
+        filters=pads.field("p_size") >= min_size)
+    keys = part["p_partkey"].combine_chunks()
+    brands = part["p_brand"].combine_chunks()
+    bits_ref = ray.put(_bloom_from_keys(
+        keys.to_numpy(zero_copy_only=False), m))
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        lk = t["l_partkey"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        hit = _bloom_test(bits, lk)
+        t = t.filter(pa.array(hit))
+        if t.num_rows == 0:
+            return pa.table({"p_brand": pa.array([], pa.string()),
+                             "rev_n": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        # exact lookup removes Bloom false positives
+        idx = pc.index_in(t["l_partkey"], value_set=keys)
+        ok = pc.is_valid(idx)
+        t, idx = t.filter(ok), idx.filter(ok)
+        cents = _money_cents(t["l_extendedprice"])
+        bp = _to_int64(t["l_discount"], 10_000)
+        rev_n = pc.multiply(cents, pc.subtract(
+            pa.scalar(10_000, pa.int64()), bp))
+        return pa.Table.from_arrays(
+            [pc.take(brands, idx), rev_n,
+             pa.array(np.ones(t.num_rows, np.int64))],
+            names=["p_brand", "rev_n", "one"])
+
+    df = ds.map_batches(attach, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("p_brand").aggregate(
+            Sum("one", alias_name="n_items"),
+            Sum("rev_n", alias_name="rev_n")) \
+        .to_pandas().sort_values("p_brand").reset_index(drop=True)
+    df["revenue"] = df.pop("rev_n") / 1_000_000.0
+    return _round_cols(df[["p_brand", "n_items", "revenue"]],
+                       ["revenue"], 4)
+
+
+def bloom_filtered_brand_revenue_sql(min_size: int = 40) -> str:
+    return f"""
+SELECT p_brand, count(*) AS n_items,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+             / 1000000.0, 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size >= {min_size}
+GROUP BY p_brand ORDER BY p_brand
 """

@@ -668,3 +668,101 @@ def test_corpus_diff_classification(ray_session):
                        rd.from_arrow(prior)).take_all()}
     # 1 added, 3 changed, 9 removed; 2 and 4 unchanged → dropped
     assert out == {1: "added", 3: "changed", 9: "removed"}
+
+
+def test_user_value_trend_exact_slope(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import user_value_trend
+
+    base = 1_700_000_000_000_000
+    m = 60_000_000
+    rows = []
+    # user 1: value = 3.00 + 0.02*minute → slope exactly 2 cents/min
+    for x in range(5):
+        rows.append((1, base + x * m, 3.0 + 0.02 * x))
+    # user 2: all events in one minute → excluded (den = 0)
+    rows += [(2, base + 10, 5.0), (2, base + 20, 9.0)]
+    # user 3: two points, slope (700-100)/2 = 300 cents/min
+    rows += [(3, base, 1.0), (3, base + 2 * m, 7.0)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64())})
+    out = {r["user_id"]: (r["n_events"], r["slope"]) for r in
+           user_value_trend(rd.from_arrow(t)).take_all()}
+    assert out == {1: (5, 2.0), 3: (2, 300.0)}
+
+
+def test_bloom_join_helpers_membership_and_fp():
+    from kgruntime.relational import _bloom_from_keys, _bloom_test
+
+    keys = np.arange(0, 100_000, 7, dtype=np.int64)
+    bits = _bloom_from_keys(keys, m=1 << 19)
+    assert _bloom_test(bits, keys).all()          # no false negatives
+    probe = np.arange(1, 100_000, 7, dtype=np.int64)  # disjoint keys
+    fp_rate = _bloom_test(bits, probe).mean()
+    assert fp_rate < 0.02                          # m/n ≈ 37 bits/key
+    # tiny filter saturates → FPs appear but never FNs (exact lookup
+    # downstream removes them; the oracle equality proves it)
+    small = _bloom_from_keys(keys, m=256)
+    assert _bloom_test(small, keys).all()
+
+
+def test_hll_hopping_covers_windows_and_matches_flat_hll(ray_session):
+    """Each event must land in size/hop windows, and a single-window
+    corpus must reproduce ops/sketch.hll_distinct's exact register sum
+    (same md5-60 registers, same dyadic arithmetic)."""
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import hll_distinct_hopping
+    from kgruntime.ops.sketch import hll_distinct
+
+    hour = 3_600_000_000
+    base = (1_700_000_000_000_000 // hour) * hour
+    # all events inside one hop-hour → exactly 2 windows (i=0, i=1)
+    t = pa.table({
+        "user_id": pa.array(list(range(40)), pa.int64()),
+        "ts": pa.array([base + 60_000_000 * i for i in range(40)],
+                       pa.timestamp("us"))})
+    out = hll_distinct_hopping(rd.from_arrow(t), size_hours=2,
+                               hop_hours=1).take_all()
+    assert len(out) == 2
+    assert {r["window_start"] for r in out} == {base, base - hour}
+    # both windows saw the same 40 users → identical register sums,
+    # equal to the flat sketch over a constant group
+    flat = hll_distinct(
+        rd.from_arrow(t.append_column(
+            "event_type", pa.array(["x"] * 40, pa.string()))))
+    assert {r["reg_sum_scaled"] for r in out} == \
+        set(flat["reg_sum_scaled"].tolist())
+    assert {r["est_distinct"] for r in out} == \
+        set(flat["est_distinct"].tolist())
+
+
+def test_trimmed_mean_exact_order_statistics(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import trimmed_mean_by_group
+
+    # group a: 10 values 1..10 → k=1, trimmed = 2..9, mean 5.5
+    vals = [float(i) for i in range(1, 11)]
+    # group b: heavy outlier; 5 values → k=0 (5*10//100), nothing cut
+    vals_b = [1.0, 1.0, 2.0, 3.0, 1000.0]
+    t = pa.table({
+        "event_type": pa.array(["a"] * 10 + ["b"] * 5, pa.string()),
+        "value": pa.array(vals + vals_b, pa.float64())})
+    out = {r["event_type"]: r for r in
+           trimmed_mean_by_group(rd.from_arrow(t)).take_all()}
+    assert out["a"]["n_events"] == 10 and out["a"]["n_trimmed"] == 8
+    assert out["a"]["trimmed_mean"] == 550.0          # cents
+    assert out["b"]["n_trimmed"] == 5
+    # 20-row group with duplicates straddling the cut boundary
+    vals_c = [1.0] * 5 + [2.0] * 10 + [3.0] * 5
+    t2 = pa.table({
+        "event_type": pa.array(["c"] * 20, pa.string()),
+        "value": pa.array(vals_c, pa.float64())})
+    out2 = trimmed_mean_by_group(rd.from_arrow(t2)).take_all()[0]
+    # k=2: drop two 1.0s and two 3.0s → (3*100 + 10*200 + 3*300)/16
+    assert out2["n_trimmed"] == 16
+    assert out2["trimmed_mean"] == (300 + 2000 + 900) / 16
