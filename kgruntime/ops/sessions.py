@@ -1058,7 +1058,9 @@ def hll_distinct_hopping(events_ds, size_hours: int = 2,
     At 100 TB this is the shape for "distinct users per sliding hour
     over a year of events" — |windows| × 64 tiny rows total exchange.
     """
+    import numpy as np
     import pandas as pd
+    import pyarrow.compute as pc
     from ray.data.aggregate import Max
 
     from .sketch import (_ALPHA_64, _HLL_B, _HLL_M, _RANK_BITS,
