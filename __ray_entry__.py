@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_filtered_brand_revenue": R.q_bloom_filtered_brand_revenue,
         "hll_hopping_users": _q_hll_hopping,
         "trimmed_mean_value": _q_trimmed_mean,
+        "triangle_census": _q_triangle_census,
+        "span_corrupt": _q_span_corrupt,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -396,6 +398,27 @@ def _q_kmv_distinct(sf_dir):
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "user_id"])
     return kmv_distinct(ev)
+
+
+def _q_span_corrupt(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.text import span_corrupt
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return span_corrupt(docs)
+
+
+def _q_triangle_census(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.graph import triangle_count
+    from kgruntime.ops.sessions import cooccurrence_edges
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    return triangle_count(cooccurrence_edges(ev))
 
 
 def _q_hll_hopping(sf_dir):
@@ -1633,6 +1656,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_filtered_brand_revenue": _bloom_brand_oracle(),
         "hll_hopping_users": _hll_hopping_oracle(),
         "trimmed_mean_value": _trimmed_mean_oracle(),
+        "triangle_census": _triangle_oracle(),
+        "span_corrupt": _span_corrupt_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -1862,6 +1887,18 @@ def _trimmed_mean_oracle() -> str:
     from kgruntime.ops.stats import trimmed_mean_by_group_sql
 
     return trimmed_mean_by_group_sql()
+
+
+def _triangle_oracle() -> str:
+    from kgruntime.ops.graph import triangle_count_sql
+
+    return triangle_count_sql()
+
+
+def _span_corrupt_oracle() -> str:
+    from kgruntime.ops.text import span_corrupt_sql
+
+    return span_corrupt_sql()
 
 
 def _purchase_click_oracle() -> str:

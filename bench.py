@@ -141,7 +141,11 @@ def run_queries(sf_dir: str) -> dict:
               # rounds are pure fixed Ray overhead at bench scale and
               # would dominate the query section without informing perf)
               "ann_topk_ivf", "kmeans_clusters", "curate_corpus",
-              "incremental_dup_check"]
+              "incremental_dup_check",
+              # round-4 flagship ops
+              "knn_graph", "cms_heavy_bigrams", "corpus_diff",
+              "span_corrupt", "temperature_mix_sample",
+              "triangle_census"]
     out = {}
     for name in picked:
         t0 = time.perf_counter()

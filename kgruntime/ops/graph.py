@@ -200,3 +200,173 @@ def user_components_sql() -> str:
     return reachability_closure_sql(cooccurrence_edges_sql(),
                                     "user_a", "user_b",
                                     "user_id", "component")
+
+
+def triangle_count(edges_ds, num_partitions: int = 32):
+    """Global triangle census of an undirected graph —
+    one row (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering) with clustering = 3·triangles / wedges.
+
+    Compact-forward shape: edges are oriented low→high by
+    (degree, id) — under that total order every out-degree is O(√m),
+    so the wedge fan-out at hub nodes is bounded WITHOUT a cap (the
+    standard scalability fix for triangle joins; contrast the capped
+    LSH/co-occurrence buckets).  Stages:
+
+    1. degrees: one native groupby over the exploded endpoints; the
+       (node → degree) vector broadcasts via ``ray.put`` + searchsorted
+       (at 100 TB swap for a bucketed join — embedding_outliers
+       documents the same escape hatch for its label vector);
+    2. orientation + wedge generation per coarse hash partition of the
+       source node (numpy segment sweep — no per-node map_groups, the
+       cooccurrence_edges trick);
+    3. ONE groupby((v, w)) matching wedges against oriented edges:
+       triangles = Σ wedge-multiplicity where the closing edge exists.
+
+    Everything is exact integer arithmetic except the final clustering
+    ratio (two int→double casts + divide, rounded half-away at 6) —
+    the DuckDB twin replays all of it.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    # --- stage 1: degrees ------------------------------------------------
+    ends = edges_ds.map_batches(
+        lambda t: pa.table({"u": pa.concat_arrays([
+            t["user_a"].combine_chunks().cast(pa.int64()),
+            t["user_b"].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    deg_df = ends.groupby("u").count().to_pandas()
+    nodes = deg_df["u"].to_numpy(np.int64)
+    degs = deg_df["count()"].to_numpy(np.int64)
+    order = np.argsort(nodes, kind="stable")
+    nodes, degs = nodes[order], degs[order]
+    n_nodes = len(nodes)
+    n_wedges = int((degs.astype(object) * (degs.astype(object) - 1)
+                    ).sum() // 2)
+    deg_ref = ray.put((nodes, degs))
+
+    # --- stage 2: orient + wedges ---------------------------------------
+    def orient(t: pa.Table) -> pa.Table:
+        nd, dg = ray.get(deg_ref)
+        a = t["user_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["user_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = dg[np.searchsorted(nd, a)]
+        db = dg[np.searchsorted(nd, b)]
+        # total order: (degree, id) — a<b already, so swap iff b ranks
+        # strictly lower
+        swap = (db < da) | ((db == da) & (b < a))
+        s = np.where(swap, b, a)
+        d = np.where(swap, a, b)
+        return pa.table({"s": pa.array(s, pa.int64()),
+                         "d": pa.array(d, pa.int64()),
+                         "part": pa.array(s % num_partitions, pa.int64())})
+
+    oriented = edges_ds.map_batches(orient, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def wedges(g: pa.Table) -> pa.Table:
+        nd, dg = ray.get(deg_ref)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, s))
+        s, d = s[o], d[o]
+        # segment sweep: for each source, all ordered out-neighbor pairs
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        lens = np.diff(np.r_[starts, len(s)])
+        vs, ws = [], []
+        for st, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            nb = d[st:st + ln]
+            # order neighbor pairs by the SAME (degree, id) total order
+            # so the closing edge, if present, is oriented v→w
+            key_d = dg[np.searchsorted(nd, nb)]
+            nb = nb[np.lexsort((nb, key_d))]
+            i, j = np.triu_indices(ln, k=1)
+            vs.append(nb[i])
+            ws.append(nb[j])
+        if not vs:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "n_wedge": pa.array([], pa.int64()),
+                             "is_edge": pa.array([], pa.int64())})
+        import pandas as pd
+
+        df = pd.DataFrame({"v": np.concatenate(vs),
+                           "w": np.concatenate(ws)})
+        cnt = df.groupby(["v", "w"], sort=False).size() \
+            .rename("n_wedge").reset_index()
+        cnt["is_edge"] = np.int64(0)
+        return pa.Table.from_pandas(cnt, preserve_index=False).cast(
+            pa.schema([("v", pa.int64()), ("w", pa.int64()),
+                       ("n_wedge", pa.int64()), ("is_edge", pa.int64())]))
+
+    wedge_ds = oriented.groupby("part").map_groups(
+        wedges, batch_format="pyarrow")
+    edge_marked = oriented.map_batches(
+        lambda t: pa.table({"v": t["s"], "w": t["d"],
+                            "n_wedge": pa.array(
+                                np.zeros(t.num_rows, np.int64)),
+                            "is_edge": pa.array(
+                                np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # --- stage 3: match -------------------------------------------------
+    matched = wedge_ds.union(edge_marked).groupby(["v", "w"]).aggregate(
+        Sum("n_wedge", alias_name="n_wedge"),
+        Max("is_edge", alias_name="is_edge")).to_pandas()
+    n_tri = int(matched.loc[matched["is_edge"] == 1, "n_wedge"].sum())
+    n_edges = int(matched["is_edge"].sum())
+    if n_wedges > 0:
+        gc = 3.0 * float(n_tri) / float(n_wedges)
+        gc = float(np.floor(gc * 1e6 + 0.5) / 1e6)
+    else:
+        gc = 0.0
+    import pandas as pd
+
+    return pd.DataFrame({
+        "n_nodes": [n_nodes], "n_edges": [n_edges],
+        "n_wedges": [n_wedges], "n_triangles": [n_tri],
+        "global_clustering": [gc]})
+
+
+def triangle_count_sql(cap: int = 200, table: str = "events") -> str:
+    """DuckDB twin over the same co-occurrence edge set: identical
+    (degree, id) orientation, wedge join, and closing-edge match."""
+    from .sessions import cooccur_cte_body
+
+    return f"""
+WITH {cooccur_cte_body(cap, table)},
+e AS (SELECT user_a AS a, user_b AS b FROM p GROUP BY user_a, user_b),
+deg AS (
+  SELECT u, count(*) AS d
+  FROM (SELECT a AS u FROM e UNION ALL SELECT b FROM e) GROUP BY u),
+o AS (
+  SELECT CASE WHEN db.d < da.d OR (db.d = da.d AND e.b < e.a)
+              THEN e.b ELSE e.a END AS s,
+         CASE WHEN db.d < da.d OR (db.d = da.d AND e.b < e.a)
+              THEN e.a ELSE e.b END AS t
+  FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b),
+w AS (
+  SELECT CASE WHEN d2.d < d1.d OR (d2.d = d1.d AND o2.t < o1.t)
+              THEN o2.t ELSE o1.t END AS v,
+         CASE WHEN d2.d < d1.d OR (d2.d = d1.d AND o2.t < o1.t)
+              THEN o1.t ELSE o2.t END AS w
+  FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+  JOIN deg d1 ON d1.u = o1.t JOIN deg d2 ON d2.u = o2.t),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM w JOIN o ON o.s = w.v AND o.t = w.w),
+stats AS (
+  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         (SELECT count(*) FROM e) AS n_edges,
+         (SELECT sum(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+         (SELECT n_triangles FROM tri) AS n_triangles)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * n_triangles / n_wedges::DOUBLE, 6)
+            ELSE 0.0 END AS global_clustering
+FROM stats
+"""

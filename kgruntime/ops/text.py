@@ -1378,3 +1378,129 @@ WITH r AS (
 SELECT doc_id, copy_rank FROM r WHERE copy_rank <= {k}
 ORDER BY doc_id
 """
+
+
+# --- T5-style span corruption (LLM pre-training example synthesis) ---------
+
+def span_corrupt(docs_ds, start_pct: int = 13, window: int = 3):
+    """Deterministic T5-style span corruption: ~``start_pct``% of token
+    positions open a masked span of 2-4 tokens (length hash-derived,
+    overlaps merged), each maximal run is replaced by a ``<extra_id_k>``
+    sentinel, and the target sequence pairs each sentinel with the
+    tokens it hides — (doc_id, n_tokens, n_masked, masked_text,
+    target_text).
+
+    NO RNG: span starts and lengths are md5-60 functions of
+    (doc_id, position), so every worker, retry, and the DuckDB twin
+    produce byte-identical examples (the repo determinism rule, same
+    rationale as hash-sampling in ops/sample.py).  Pure per-batch map —
+    zero exchanges; the only non-vectorized part is the per-doc run
+    assembly (string building, inherently per-row like every text
+    kernel here).
+    """
+    from .dedup import _md5_60
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "n_masked": pa.array([], pa.int64()),
+        "masked_text": pa.array([], pa.string()),
+        "target_text": pa.array([], pa.string())})
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        out_id, out_nt, out_nm, out_mt, out_tt = [], [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            toks = text.split(" ")
+            n = len(toks)
+            h = np.array([_md5_60(f"{doc_id}:{i}".encode())
+                          for i in range(1, n + 1)], dtype=np.int64)
+            is_start = (h % 100) < start_pct
+            sl = 2 + ((h >> 20) % 3)              # span length 2..4
+            masked = np.zeros(n, bool)
+            for s in range(window + 1):           # j = i - s covers i
+                cond = is_start & (sl > s)
+                if s == 0:
+                    masked |= cond
+                else:
+                    masked[s:] |= cond[:-s]
+            mt, tt = [], []
+            k = 0
+            prev = False
+            for i in range(n):
+                if masked[i]:
+                    if not prev:
+                        k += 1
+                        mt.append(f"<extra_id_{k}>")
+                        tt.append(f"<extra_id_{k}>")
+                    tt.append(toks[i])
+                else:
+                    mt.append(toks[i])
+                prev = bool(masked[i])
+            out_id.append(doc_id)
+            out_nt.append(n)
+            out_nm.append(int(masked.sum()))
+            out_mt.append(" ".join(mt))
+            out_tt.append(" ".join(tt))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_tokens": pa.array(out_nt, pa.int64()),
+            "n_masked": pa.array(out_nm, pa.int64()),
+            "masked_text": pa.array(out_mt, pa.string()),
+            "target_text": pa.array(out_tt, pa.string())})
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(corrupt, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+
+def span_corrupt_sql(start_pct: int = 13, window: int = 3) -> str:
+    """SQL twin: identical md5-60 start/length draws, overlap merge via
+    a bounded self-join (span length ≤ window+1), run islands via
+    lag()+running sum, and string_agg assembly."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(str_split(text, ' '), 1) AS i,
+         unnest(str_split(text, ' ')) AS tok
+  FROM documents),
+fl AS (
+  SELECT doc_id, i, tok,
+         (h % 100 < {start_pct}) AS is_start,
+         2 + ((h >> 20) % 3) AS sl
+  FROM (SELECT doc_id, i, tok,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':'
+                                   || i::VARCHAR), 1, 15))::BIGINT AS h
+        FROM toks)),
+mk AS (
+  SELECT f.doc_id, f.i, f.tok,
+         bool_or(g.is_start AND g.i + g.sl > f.i) AS masked
+  FROM fl f JOIN fl g ON g.doc_id = f.doc_id
+                     AND g.i BETWEEN f.i - {window} AND f.i
+  GROUP BY f.doc_id, f.i, f.tok),
+rid AS (
+  SELECT *, sum(run_start) OVER (PARTITION BY doc_id ORDER BY i) AS k
+  FROM (SELECT *,
+               CASE WHEN masked AND NOT lag(masked, 1, false)
+                    OVER (PARTITION BY doc_id ORDER BY i)
+                    THEN 1 ELSE 0 END AS run_start
+        FROM mk)),
+m AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(*) FILTER (WHERE masked) AS n_masked,
+         string_agg(CASE WHEN NOT masked THEN tok
+                         WHEN run_start = 1
+                           THEN '<extra_id_' || k || '>' END,
+                    ' ' ORDER BY i) AS masked_text,
+         string_agg(CASE WHEN masked THEN
+                      (CASE WHEN run_start = 1
+                            THEN '<extra_id_' || k || '> '
+                            ELSE '' END) || tok END,
+                    ' ' ORDER BY i) AS target_text
+  FROM rid GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_masked,
+       coalesce(masked_text, '') AS masked_text,
+       coalesce(target_text, '') AS target_text
+FROM m ORDER BY doc_id
+"""

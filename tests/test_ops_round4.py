@@ -766,3 +766,80 @@ def test_trimmed_mean_exact_order_statistics(ray_session):
     # k=2: drop two 1.0s and two 3.0s → (3*100 + 10*200 + 3*300)/16
     assert out2["n_trimmed"] == 16
     assert out2["trimmed_mean"] == (300 + 2000 + 900) / 16
+
+
+def test_triangle_count_known_graphs(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.graph import triangle_count
+
+    def edges_table(pairs):
+        return pa.table({
+            "user_a": pa.array([min(p) for p in pairs], pa.int64()),
+            "user_b": pa.array([max(p) for p in pairs], pa.int64()),
+            "n_shared": pa.array([1] * len(pairs), pa.int64())})
+
+    # K4: 4 triangles, 12 wedges, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    out = triangle_count(rd.from_arrow(edges_table(k4)))
+    r = out.iloc[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"],
+            r["n_triangles"]) == (4, 6, 12, 4)
+    assert r["global_clustering"] == 1.0
+    # path 0-1-2-3: no triangles, 2 wedges
+    path = [(0, 1), (1, 2), (2, 3)]
+    r2 = triangle_count(rd.from_arrow(edges_table(path))).iloc[0]
+    assert r2["n_triangles"] == 0 and r2["n_wedges"] == 2
+    # two triangles sharing an edge (diamond): 0-1-2, 1-2-3
+    dia = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    r3 = triangle_count(rd.from_arrow(edges_table(dia))).iloc[0]
+    assert r3["n_triangles"] == 2
+    assert r3["n_wedges"] == sum(d * (d - 1) // 2 for d in [2, 3, 3, 2])
+
+
+def test_span_corrupt_matches_reference(ray_session):
+    """The distributed op must equal an independent per-doc brute-force
+    of the same hash rules, and satisfy the structural invariants
+    (sequential sentinels, masked ∪ kept = tokens)."""
+    import re
+
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import _md5_60
+    from kgruntime.ops.text import span_corrupt
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+             "single", ""]
+    t = pa.table({"doc_id": pa.array([7, 8, 9, 10], pa.int64()),
+                  "text": pa.array([x.strip() or x for x in texts],
+                                   pa.string())})
+    out = {r["doc_id"]: r for r in
+           span_corrupt(rd.from_arrow(t)).take_all()}
+    for doc_id, text in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+        toks = text.split(" ")
+        n = len(toks)
+        h = [_md5_60(f"{doc_id}:{i}".encode()) for i in range(1, n + 1)]
+        start = [(x % 100) < 13 for x in h]
+        sl = [2 + ((x >> 20) % 3) for x in h]
+        masked = [any(start[j] and j + sl[j] > i
+                      for j in range(max(0, i - 3), i + 1))
+                  for i in range(n)]
+        mt, tt, k, prev = [], [], 0, False
+        for i in range(n):
+            if masked[i]:
+                if not prev:
+                    k += 1
+                    mt.append(f"<extra_id_{k}>")
+                    tt.append(f"<extra_id_{k}>")
+                tt.append(toks[i])
+            else:
+                mt.append(toks[i])
+            prev = masked[i]
+        r = out[doc_id]
+        assert r["n_tokens"] == n and r["n_masked"] == sum(masked)
+        assert r["masked_text"] == " ".join(mt)
+        assert r["target_text"] == " ".join(tt)
+        sent = re.findall(r"<extra_id_(\d+)>", r["masked_text"])
+        assert sent == [str(i + 1) for i in range(len(sent))]
