@@ -411,6 +411,10 @@ def _q_span_corrupt(sf_dir):
 
 
 def _q_triangle_census(sf_dir):
+    """Strong-tie (n_shared ≥ 5) co-occurrence graph: the raw graph is
+    near-complete at bench scale (avg degree ~1000 — 197M triangles at
+    sf0.1), so the census runs on the edges that carry signal; the
+    threshold is replicated in the oracle's HAVING."""
     import ray.data as rd
 
     from kgruntime.ops.graph import triangle_count
@@ -418,7 +422,8 @@ def _q_triangle_census(sf_dir):
 
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type", "ts"])
-    return triangle_count(cooccurrence_edges(ev))
+    edges = cooccurrence_edges(ev).filter(expr="n_shared >= 5")
+    return triangle_count(edges)
 
 
 def _q_hll_hopping(sf_dir):

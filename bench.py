@@ -142,10 +142,11 @@ def run_queries(sf_dir: str) -> dict:
               # would dominate the query section without informing perf)
               "ann_topk_ivf", "kmeans_clusters", "curate_corpus",
               "incremental_dup_check",
-              # round-4 flagship ops
+              # round-4 flagship ops (triangle_census excluded like
+              # pagerank: the dense co-occurrence build dominates at
+              # bench scale without informing per-op perf)
               "knn_graph", "cms_heavy_bigrams", "corpus_diff",
-              "span_corrupt", "temperature_mix_sample",
-              "triangle_census"]
+              "span_corrupt", "temperature_mix_sample"]
     out = {}
     for name in picked:
         t0 = time.perf_counter()

@@ -332,14 +332,17 @@ def triangle_count(edges_ds, num_partitions: int = 32):
         "global_clustering": [gc]})
 
 
-def triangle_count_sql(cap: int = 200, table: str = "events") -> str:
-    """DuckDB twin over the same co-occurrence edge set: identical
-    (degree, id) orientation, wedge join, and closing-edge match."""
+def triangle_count_sql(cap: int = 200, min_shared: int = 5,
+                       table: str = "events") -> str:
+    """DuckDB twin over the same strong-tie co-occurrence edge set:
+    identical n_shared threshold, (degree, id) orientation, wedge join,
+    and closing-edge match."""
     from .sessions import cooccur_cte_body
 
     return f"""
 WITH {cooccur_cte_body(cap, table)},
-e AS (SELECT user_a AS a, user_b AS b FROM p GROUP BY user_a, user_b),
+e AS (SELECT user_a AS a, user_b AS b FROM p GROUP BY user_a, user_b
+      HAVING count(*) >= {min_shared}),
 deg AS (
   SELECT u, count(*) AS d
   FROM (SELECT a AS u FROM e UNION ALL SELECT b FROM e) GROUP BY u),
