@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_value": _q_trimmed_mean,
         "triangle_census": _q_triangle_census,
         "span_corrupt": _q_span_corrupt,
+        "ngram_dedup_rewrite": _q_ngram_dedup,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -408,6 +409,16 @@ def _q_span_corrupt(sf_dir):
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return span_corrupt(docs)
+
+
+def _q_ngram_dedup(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import ngram_dedup_rewrite
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return ngram_dedup_rewrite(docs)
 
 
 def _q_triangle_census(sf_dir):
@@ -1663,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_mean_value": _trimmed_mean_oracle(),
         "triangle_census": _triangle_oracle(),
         "span_corrupt": _span_corrupt_oracle(),
+        "ngram_dedup_rewrite": _ngram_dedup_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -1904,6 +1916,12 @@ def _span_corrupt_oracle() -> str:
     from kgruntime.ops.text import span_corrupt_sql
 
     return span_corrupt_sql()
+
+
+def _ngram_dedup_oracle() -> str:
+    from kgruntime.ops.dedup import ngram_dedup_rewrite_sql
+
+    return ngram_dedup_rewrite_sql()
 
 
 def _purchase_click_oracle() -> str:
