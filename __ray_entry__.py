@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_census": _q_triangle_census,
         "span_corrupt": _q_span_corrupt,
         "ngram_dedup_rewrite": _q_ngram_dedup,
+        "bpe_merges": _q_bpe_merges,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -419,6 +420,16 @@ def _q_ngram_dedup(sf_dir):
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return ngram_dedup_rewrite(docs)
+
+
+def _q_bpe_merges(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.bpe import bpe_merges
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    return bpe_merges(docs, rounds=8)
 
 
 def _q_triangle_census(sf_dir):
@@ -1675,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_census": _triangle_oracle(),
         "span_corrupt": _span_corrupt_oracle(),
         "ngram_dedup_rewrite": _ngram_dedup_oracle(),
+        "bpe_merges": _bpe_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -1922,6 +1934,12 @@ def _ngram_dedup_oracle() -> str:
     from kgruntime.ops.dedup import ngram_dedup_rewrite_sql
 
     return ngram_dedup_rewrite_sql()
+
+
+def _bpe_oracle() -> str:
+    from kgruntime.ops.bpe import bpe_merges_sql
+
+    return bpe_merges_sql(rounds=8)
 
 
 def _purchase_click_oracle() -> str:

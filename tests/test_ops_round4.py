@@ -843,3 +843,41 @@ def test_span_corrupt_matches_reference(ray_session):
         assert r["target_text"] == " ".join(tt)
         sent = re.findall(r"<extra_id_(\d+)>", r["masked_text"])
         assert sent == [str(i + 1) for i in range(len(sent))]
+
+
+def test_bpe_merges_hand_computed(ray_session):
+    """3-round BPE on a 2-doc corpus, every pair count and tie-break
+    derived by hand.  Note '_' (0x5F) sorts BEFORE 'a' (0x61), so the
+    round-1 tie between (a,a) and (a,_) at count 3 goes to (a,_)."""
+    import ray.data as rd
+
+    from kgruntime.ops.bpe import bpe_merges
+
+    docs = rd.from_arrow(pa.table({
+        "text": ["aa ab", "aa aa b"]}))
+    out = bpe_merges(docs, rounds=3).to_pylist()
+    assert out == [
+        {"merge_round": 1, "lhs": "a", "rhs": "_", "merged": "a_",
+         "pair_count": 3},
+        {"merge_round": 2, "lhs": "a", "rhs": "a_", "merged": "aa_",
+         "pair_count": 3},
+        {"merge_round": 3, "lhs": "b", "rhs": "_", "merged": "b_",
+         "pair_count": 2},
+    ]
+
+
+def test_bpe_oracle_parity_mini(ray_session):
+    """Ray vs DuckDB on a corpus with repeats-in-word overlap ('aaa')
+    so the left-to-right non-overlapping merge semantics are covered."""
+    import duckdb
+    import ray.data as rd
+
+    from kgruntime.ops.bpe import bpe_merges, bpe_merges_sql
+
+    texts = ["aaa aab ba", "aaa aaa x", "ba ba aab"]
+    ray_out = bpe_merges(rd.from_arrow(pa.table({"text": texts})),
+                         rounds=5).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", pa.table({"text": texts}))
+    sql_out = con.execute(bpe_merges_sql(rounds=5)).df()
+    assert ray_out.to_dict("records") == sql_out.to_dict("records")
