@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corrupt": _q_span_corrupt,
         "ngram_dedup_rewrite": _q_ngram_dedup,
         "bpe_merges": _q_bpe_merges,
+        "k_core_members": _q_k_core,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -420,6 +421,20 @@ def _q_ngram_dedup(sf_dir):
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return ngram_dedup_rewrite(docs)
+
+
+def _q_k_core(sf_dir):
+    """2-core of the strong-tie (n_shared ≥ 5) co-occurrence graph —
+    same edge set as triangle_census."""
+    import ray.data as rd
+
+    from kgruntime.ops.graph import k_core
+    from kgruntime.ops.sessions import cooccurrence_edges
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    edges = cooccurrence_edges(ev).filter(expr="n_shared >= 5")
+    return k_core(edges, k=2, rounds=8)
 
 
 def _q_bpe_merges(sf_dir):
@@ -1687,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
         "span_corrupt": _span_corrupt_oracle(),
         "ngram_dedup_rewrite": _ngram_dedup_oracle(),
         "bpe_merges": _bpe_oracle(),
+        "k_core_members": _k_core_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -1940,6 +1956,12 @@ def _bpe_oracle() -> str:
     from kgruntime.ops.bpe import bpe_merges_sql
 
     return bpe_merges_sql(rounds=8)
+
+
+def _k_core_oracle() -> str:
+    from kgruntime.ops.graph import k_core_sql
+
+    return k_core_sql(k=2, rounds=8)
 
 
 def _purchase_click_oracle() -> str:

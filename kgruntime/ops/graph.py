@@ -373,3 +373,100 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
             ELSE 0.0 END AS global_clustering
 FROM stats
 """
+
+
+def k_core(edges_ds, k: int = 3, rounds: int = 8):
+    """Fixed-round k-core peel of an undirected graph
+    (``user_a`` < ``user_b`` int64 edge rows, e.g. the strong-tie
+    co-occurrence edges): repeatedly drop nodes with degree < k, then
+    report every node still in the edge set with its residual degree
+    ``(user_id, core_degree)``.
+
+    Synchronous-rounds shape (the pagerank/union-find regime): each
+    round is ONE native groupby (degrees over the exploded endpoints)
+    plus ONE streamed filter pass over the edge list.  The survivor
+    set is node-bounded and broadcasts as a sorted int64 array via
+    ``ray.put`` + searchsorted — same pattern and same documented
+    100-TB escape hatch (swap for a bucketed semi-join) as
+    triangle_count's degree vector.  Rounds stop early once the edge
+    count is stable; extra SQL rounds are then no-ops, so the
+    ``rounds``-unrolled oracle still matches bit-for-bit.
+    """
+    import ray
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "core_degree": pa.array([], pa.int64())})
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"u": pa.concat_arrays([
+            t["user_a"].combine_chunks().cast(pa.int64()),
+            t["user_b"].combine_chunks().cast(pa.int64())])})
+
+    cur = edges_ds.select_columns(["user_a", "user_b"]).materialize()
+    n_edges = cur.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = cur.map_batches(ends, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+            .groupby("u").count().to_pandas()       # node-bounded
+        keep = np.sort(deg.loc[deg["count()"] >= k, "u"]
+                       .to_numpy(np.int64))
+        keep_ref = ray.put(keep)
+
+        def survive(t: pa.Table, keep_ref=keep_ref) -> pa.Table:
+            kp = ray.get(keep_ref)
+            a = t["user_a"].to_numpy(zero_copy_only=False)
+            b = t["user_b"].to_numpy(zero_copy_only=False)
+
+            def member(x):
+                i = np.searchsorted(kp, x)
+                i = np.clip(i, 0, max(len(kp) - 1, 0))
+                return (len(kp) > 0) & (kp[i] == x)
+
+            m = member(a) & member(b)
+            return t.filter(pa.array(m))
+
+        cur = cur.map_batches(survive, batch_format="pyarrow") \
+            .materialize()
+        n_next = cur.count()
+        if n_next == n_edges:      # stable: further rounds are no-ops
+            break
+        n_edges = n_next
+
+    if n_edges == 0:
+        return empty
+    out = cur.map_batches(ends, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("u").count() \
+        .rename_columns({"u": "user_id", "count()": "core_degree"})
+    return out
+
+
+def k_core_sql(k: int = 3, rounds: int = 8, cap: int = 200,
+               min_shared: int = 5, table: str = "events") -> str:
+    """Unrolled-round DuckDB twin of :func:`k_core` over the strong-tie
+    co-occurrence edge set (kc_-prefixed CTEs; MATERIALIZED so the
+    round chain doesn't inline exponentially — the bpe_merges lesson)."""
+    from .sessions import cooccur_cte_body
+
+    parts = [f"""kc_e0 AS MATERIALIZED (
+  SELECT user_a AS a, user_b AS b FROM p
+  GROUP BY user_a, user_b HAVING count(*) >= {min_shared})"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""kc_s{i} AS MATERIALIZED (
+  SELECT u FROM (SELECT a AS u FROM kc_e{i - 1}
+                 UNION ALL SELECT b FROM kc_e{i - 1})
+  GROUP BY u HAVING count(*) >= {k}),
+kc_e{i} AS MATERIALIZED (
+  SELECT a, b FROM kc_e{i - 1}
+  WHERE a IN (SELECT u FROM kc_s{i})
+    AND b IN (SELECT u FROM kc_s{i}))""")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {cooccur_cte_body(cap, table)},
+{chain}
+SELECT u AS user_id, count(*)::BIGINT AS core_degree
+FROM (SELECT a AS u FROM kc_e{rounds} UNION ALL SELECT b FROM kc_e{rounds})
+GROUP BY u ORDER BY user_id
+"""

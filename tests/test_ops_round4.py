@@ -881,3 +881,23 @@ def test_bpe_oracle_parity_mini(ray_session):
     con.register("documents", pa.table({"text": texts}))
     sql_out = con.execute(bpe_merges_sql(rounds=5)).df()
     assert ray_out.to_dict("records") == sql_out.to_dict("records")
+
+
+def test_k_core_hand_computed(ray_session):
+    """Triangle + pendant path: the 2-core peel must cascade (node 5
+    drops in round 1, node 4 only in round 2) and keep the triangle."""
+    import ray.data as rd
+
+    from kgruntime.ops.graph import k_core
+
+    edges = rd.from_arrow(pa.table({
+        "user_a": pa.array([1, 2, 1, 3, 4], pa.int64()),
+        "user_b": pa.array([2, 3, 3, 4, 5], pa.int64())}))
+    out = k_core(edges, k=2, rounds=8)
+    rows = sorted((r["user_id"], r["core_degree"]) for r in out.take_all())
+    assert rows == [(1, 2), (2, 2), (3, 2)]
+
+    empty = rd.from_arrow(pa.table({
+        "user_a": pa.array([], pa.int64()),
+        "user_b": pa.array([], pa.int64())}))
+    assert k_core(empty, k=2).num_rows == 0
