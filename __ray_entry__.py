@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_rewrite": _q_ngram_dedup,
         "bpe_merges": _q_bpe_merges,
         "k_core_members": _q_k_core,
+        "vocab_drift": _q_vocab_drift,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -421,6 +422,16 @@ def _q_ngram_dedup(sf_dir):
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return ngram_dedup_rewrite(docs)
+
+
+def _q_vocab_drift(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import synth_prior_snapshot, vocab_drift
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return vocab_drift(docs, synth_prior_snapshot(docs))
 
 
 def _q_k_core(sf_dir):
@@ -1703,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_dedup_rewrite": _ngram_dedup_oracle(),
         "bpe_merges": _bpe_oracle(),
         "k_core_members": _k_core_oracle(),
+        "vocab_drift": _vocab_drift_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -1962,6 +1974,12 @@ def _k_core_oracle() -> str:
     from kgruntime.ops.graph import k_core_sql
 
     return k_core_sql(k=2, rounds=8)
+
+
+def _vocab_drift_oracle() -> str:
+    from kgruntime.ops.dedup import vocab_drift_sql
+
+    return vocab_drift_sql()
 
 
 def _purchase_click_oracle() -> str:

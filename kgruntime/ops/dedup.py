@@ -1636,3 +1636,106 @@ FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.i = t.i
 GROUP BY t.doc_id
 ORDER BY t.doc_id
 """
+
+
+def vocab_drift(cur_ds, prior_ds):
+    """Bigram-vocabulary drift between two corpus snapshots —
+    ``(term, cnt_cur, cnt_prior, status)`` for every word BIGRAM whose
+    exact count changed, status ∈ {new, gone, up, down}.  (Bigrams, not
+    unigrams: the synthetic corpus vocabulary is 31 words, so only the
+    bigram tail has a mid-df distribution worth monitoring — the same
+    reason rare_token_pairs blocks on bigrams.)
+
+    Scale shape: each side reduces per batch to (term, partial-count)
+    in polars — the classic combiner, text crosses the exchange only as
+    distinct bigram strings — then ONE ``groupby(term)`` with two
+    native Sums merges the sides; classification is a vectorized Arrow
+    pass.  All counts exact int64 → hash-replayable in SQL.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            g = pl.from_arrow(t.select(["text"])) \
+                .with_row_index("rid") \
+                .with_columns(pl.col("text").str.split(" ").alias("w")) \
+                .explode("w") \
+                .with_columns(pl.col("w").shift(-1).over("rid")
+                              .alias("w2")) \
+                .drop_nulls("w2") \
+                .select((pl.col("w") + " " + pl.col("w2")).alias("term")) \
+                .group_by("term").agg(pl.len().cast(pl.Int64).alias("c"))
+            z = pl.lit(0, dtype=pl.Int64)
+            g = g.with_columns(
+                (pl.col("c") if side == 1 else z).alias("c_cur"),
+                (pl.col("c") if side == 0 else z).alias("c_pri"))
+            return g.select(["term", "c_cur", "c_pri"]).to_arrow()
+        return fn
+
+    both = cur_ds.select_columns(["text"]) \
+        .map_batches(partial(1), batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(prior_ds.select_columns(["text"])
+               .map_batches(partial(0), batch_format="pyarrow",
+                            zero_copy_batch=True))
+    agg = both.groupby("term").aggregate(
+        Sum("c_cur", alias_name="cnt_cur"),
+        Sum("c_pri", alias_name="cnt_prior"))
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "cnt_cur": pa.array([], pa.int64()),
+                      "cnt_prior": pa.array([], pa.int64()),
+                      "status": pa.array([], pa.string())})
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        cur = t["cnt_cur"].to_numpy(zero_copy_only=False)
+        pri = t["cnt_prior"].to_numpy(zero_copy_only=False)
+        keep = cur != pri
+        if not keep.any():
+            return empty
+        status = np.where(pri == 0, "new",
+                          np.where(cur == 0, "gone",
+                                   np.where(cur > pri, "up", "down")))
+        return pa.table({"term": t["term"].filter(pa.array(keep)),
+                         "cnt_cur": pa.array(cur[keep], pa.int64()),
+                         "cnt_prior": pa.array(pri[keep], pa.int64()),
+                         "status": pa.array(status[keep], pa.string())})
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
+def vocab_drift_sql(table: str = "documents") -> str:
+    """SQL twin: same prior-snapshot construction as corpus_diff_sql,
+    same single-space bigram extraction as cms_heavy_bigrams_sql."""
+    big = """
+  SELECT t[i] || ' ' || t[i + 1] AS term, count(*)::BIGINT AS c
+  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        FROM (SELECT str_split(text, ' ') AS t FROM {src})
+        WHERE len(t) >= 2)
+  GROUP BY 1"""
+    return f"""
+WITH vd_prior_base AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' legacy' ELSE text END
+           AS text
+  FROM {table} WHERE doc_id % 11 != 0),
+vd_prior_extra AS (
+  SELECT text FROM {table} WHERE doc_id % 13 = 0),
+vd_prior AS (
+  SELECT text FROM vd_prior_base
+  UNION ALL SELECT text FROM vd_prior_extra),
+vd_cur AS ({big.format(src=table)}),
+vd_pri AS ({big.format(src='vd_prior')})
+SELECT coalesce(vd_cur.term, vd_pri.term) AS term,
+       coalesce(vd_cur.c, 0) AS cnt_cur,
+       coalesce(vd_pri.c, 0) AS cnt_prior,
+       CASE WHEN coalesce(vd_pri.c, 0) = 0 THEN 'new'
+            WHEN coalesce(vd_cur.c, 0) = 0 THEN 'gone'
+            WHEN vd_cur.c > vd_pri.c THEN 'up' ELSE 'down' END AS status
+FROM vd_cur FULL OUTER JOIN vd_pri ON vd_cur.term = vd_pri.term
+WHERE coalesce(vd_cur.c, 0) != coalesce(vd_pri.c, 0)
+ORDER BY term
+"""

@@ -901,3 +901,25 @@ def test_k_core_hand_computed(ray_session):
         "user_a": pa.array([], pa.int64()),
         "user_b": pa.array([], pa.int64())}))
     assert k_core(empty, k=2).num_rows == 0
+
+
+def test_vocab_drift_hand_computed(ray_session):
+    """Prior snapshot rules: id%11==0 absent, id%7==0 gets ' legacy',
+    id%13==0 duplicated — drift classes derived by hand."""
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import synth_prior_snapshot, vocab_drift
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([11, 7, 13, 1, 22], pa.int64()),
+        "text": ["a b", "a b", "c d", "a b", "e f"]}))
+    out = sorted((r["term"], r["cnt_cur"], r["cnt_prior"], r["status"])
+                 for r in vocab_drift(docs,
+                                      synth_prior_snapshot(docs))
+                 .take_all())
+    assert out == [
+        ("a b", 3, 2, "up"),
+        ("b legacy", 0, 1, "gone"),
+        ("c d", 1, 2, "down"),
+        ("e f", 1, 0, "new"),
+    ]
