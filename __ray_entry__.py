@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "k_core_members": _q_k_core,
         "vocab_drift": _q_vocab_drift,
+        "orc_roundtrip_stats": _q_orc_roundtrip,
+        "ipc_roundtrip_stats": _q_ipc_roundtrip,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -422,6 +424,42 @@ def _q_ngram_dedup(sf_dir):
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return ngram_dedup_rewrite(docs)
+
+
+def _roundtrip_stats(sf_dir, writer, reader, fmt):
+    """Write the documents table through a format sink into /tmp, read
+    it back through the matching source, and aggregate — proving the
+    sink+source pair preserves the corpus (oracle: the same aggregate
+    straight off the parquet)."""
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/kgio/{fmt}-{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    writer(docs, out)
+    return reader(out).groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"))
+
+
+def _q_orc_roundtrip(sf_dir):
+    from kgruntime.sources.documents import (read_documents_orc,
+                                             write_documents_orc)
+
+    return _roundtrip_stats(sf_dir, write_documents_orc,
+                            read_documents_orc, "orc")
+
+
+def _q_ipc_roundtrip(sf_dir):
+    from kgruntime.sources.documents import (read_documents_ipc,
+                                             write_documents_ipc)
+
+    return _roundtrip_stats(sf_dir, write_documents_ipc,
+                            read_documents_ipc, "ipc")
 
 
 def _q_vocab_drift(sf_dir):
@@ -1715,6 +1753,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle(),
         "k_core_members": _k_core_oracle(),
         "vocab_drift": _vocab_drift_oracle(),
+        "orc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
+        "ipc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -1980,6 +2020,13 @@ def _vocab_drift_oracle() -> str:
     from kgruntime.ops.dedup import vocab_drift_sql
 
     return vocab_drift_sql()
+
+
+_ROUNDTRIP_STATS_SQL = """
+    SELECT source, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM documents GROUP BY source ORDER BY source
+"""
 
 
 def _purchase_click_oracle() -> str:

@@ -126,33 +126,42 @@ def write_nquads(triples_ds, path: str):
 _FLAT_DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
 
-def read_documents_jsonl(path: str, columns=_FLAT_DOC_COLS):
-    """Read a flat documents corpus from line-delimited JSON (one object
-    per line, the standard LLM-corpus interchange format).  Missing
-    optional columns are filled with typed nulls; n_chars is derived
-    from the text when absent, so any {"doc_id", "text"} JSONL ingests
-    directly into every documents-table operator."""
-    import pyarrow.compute as pc
-    import ray.data as rd
+_FLAT_DOC_TYPES = {"doc_id": pa.int64(), "text": pa.string(),
+                   "lang": pa.string(), "source": pa.string(),
+                   "n_chars": pa.int64()}
 
-    types = {"doc_id": pa.int64(), "text": pa.string(),
-             "lang": pa.string(), "source": pa.string(),
-             "n_chars": pa.int64()}
+
+def _normalize_flat_docs(columns=_FLAT_DOC_COLS):
+    """Shared schema normalizer for every flat-corpus reader: cast
+    present columns, derive n_chars from text when absent, fill the
+    rest with typed nulls — any {doc_id, text} input ingests directly
+    into the documents-table operators."""
+    import pyarrow.compute as pc
 
     def normalize(t: pa.Table) -> pa.Table:
         arrays = []
         for c in columns:
             if c in t.schema.names:
-                arrays.append(pc.cast(t[c].combine_chunks(), types[c]))
+                arrays.append(pc.cast(t[c].combine_chunks(),
+                                      _FLAT_DOC_TYPES[c]))
             elif c == "n_chars" and "text" in t.schema.names:
                 arrays.append(pc.cast(pc.utf8_length(t["text"]),
                                       pa.int64()))
             else:
-                arrays.append(pa.nulls(t.num_rows, types[c]))
+                arrays.append(pa.nulls(t.num_rows, _FLAT_DOC_TYPES[c]))
         return pa.Table.from_arrays(arrays, names=list(columns))
 
+    return normalize
+
+
+def read_documents_jsonl(path: str, columns=_FLAT_DOC_COLS):
+    """Read a flat documents corpus from line-delimited JSON (one object
+    per line, the standard LLM-corpus interchange format)."""
+    import ray.data as rd
+
     return rd.read_json(path).map_batches(
-        normalize, batch_format="pyarrow", zero_copy_batch=True)
+        _normalize_flat_docs(columns), batch_format="pyarrow",
+        zero_copy_batch=True)
 
 
 def write_documents_jsonl(docs_ds, path: str):
@@ -165,27 +174,112 @@ def write_documents_jsonl(docs_ds, path: str):
 
 def read_documents_csv(path: str, columns=_FLAT_DOC_COLS):
     """Read a flat documents corpus from CSV (header row expected) with
-    the same schema normalization as ``read_documents_jsonl`` — any
-    {doc_id, text} CSV ingests directly into the documents-table
-    operators."""
-    import pyarrow.compute as pc
+    the same schema normalization as ``read_documents_jsonl``."""
     import ray.data as rd
 
-    types = {"doc_id": pa.int64(), "text": pa.string(),
-             "lang": pa.string(), "source": pa.string(),
-             "n_chars": pa.int64()}
-
-    def normalize(t: pa.Table) -> pa.Table:
-        arrays = []
-        for c in columns:
-            if c in t.schema.names:
-                arrays.append(pc.cast(t[c].combine_chunks(), types[c]))
-            elif c == "n_chars" and "text" in t.schema.names:
-                arrays.append(pc.cast(pc.utf8_length(t["text"]),
-                                      pa.int64()))
-            else:
-                arrays.append(pa.nulls(t.num_rows, types[c]))
-        return pa.Table.from_arrays(arrays, names=list(columns))
-
     return rd.read_csv(path).map_batches(
-        normalize, batch_format="pyarrow", zero_copy_batch=True)
+        _normalize_flat_docs(columns), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+# --- ORC / Arrow-IPC corpus interop ----------------------------------------
+#
+# Ray 2.49 ships no ORC or Arrow-IPC datasource, so both readers follow
+# the standard extension recipe: ``read_binary_files`` distributes the
+# file list, and each task decodes its file with the pyarrow codec —
+# one file per block, so a partitioned multi-file corpus parallelizes
+# exactly like read_parquet.  Writers emit one content-addressed file
+# per batch under the target directory (resumable-output convention:
+# never one giant file; re-running a partial write only adds missing
+# parts because names are derived from the bytes they contain).
+
+def _write_file_batches(docs_ds, path: str, ext: str, encode):
+    import hashlib
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64())})
+        body = encode(t)
+        name = hashlib.md5(body).hexdigest()[:16]
+        out = os.path.join(path, f"part-{name}.{ext}")
+        with open(out, "wb") as f:
+            f.write(body)
+        return pa.table({"path": pa.array([out], pa.string()),
+                         "n_rows": pa.array([t.num_rows], pa.int64())})
+
+    # the write is the consuming action — materialize the tiny manifest
+    return docs_ds.map_batches(write_batch, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+
+
+def write_documents_orc(docs_ds, path: str):
+    """Write a documents Dataset as a partitioned ORC directory."""
+    def encode(t: pa.Table) -> bytes:
+        import io
+
+        import pyarrow.orc as orc
+
+        buf = io.BytesIO()
+        orc.write_table(t, buf)
+        return buf.getvalue()
+
+    return _write_file_batches(docs_ds, path, "orc", encode)
+
+
+def read_documents_orc(path: str, columns=_FLAT_DOC_COLS):
+    """Read a flat documents corpus from a directory of ORC files with
+    the shared schema normalization."""
+    import ray.data as rd
+
+    def decode(t: pa.Table) -> pa.Table:
+        import io
+
+        import pyarrow.orc as orc
+
+        tables = [orc.read_table(io.BytesIO(b.as_py()))
+                  for b in t["bytes"]]
+        return pa.concat_tables(tables)
+
+    norm = _normalize_flat_docs(columns)
+    return rd.read_binary_files(path) \
+        .map_batches(decode, batch_format="pyarrow") \
+        .map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_documents_ipc(docs_ds, path: str):
+    """Write a documents Dataset as a partitioned Arrow-IPC (feather
+    v2) directory."""
+    def encode(t: pa.Table) -> bytes:
+        import io
+
+        import pyarrow.ipc as ipc
+
+        buf = io.BytesIO()
+        with ipc.new_file(buf, t.schema) as w:
+            w.write_table(t)
+        return buf.getvalue()
+
+    return _write_file_batches(docs_ds, path, "arrow", encode)
+
+
+def read_documents_ipc(path: str, columns=_FLAT_DOC_COLS):
+    """Read a flat documents corpus from a directory of Arrow-IPC
+    files with the shared schema normalization."""
+    import ray.data as rd
+
+    def decode(t: pa.Table) -> pa.Table:
+        import io
+
+        import pyarrow.ipc as ipc
+
+        tables = [ipc.open_file(io.BytesIO(b.as_py())).read_all()
+                  for b in t["bytes"]]
+        return pa.concat_tables(tables)
+
+    norm = _normalize_flat_docs(columns)
+    return rd.read_binary_files(path) \
+        .map_batches(decode, batch_format="pyarrow") \
+        .map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

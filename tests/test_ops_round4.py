@@ -923,3 +923,40 @@ def test_vocab_drift_hand_computed(ray_session):
         ("c d", 1, 2, "down"),
         ("e f", 1, 0, "new"),
     ]
+
+
+@pytest.mark.parametrize("fmt", ["orc", "ipc"])
+def test_format_roundtrip_fidelity(ray_session, fmt, tmp_path):
+    import ray.data as rd
+
+    from kgruntime.sources import documents as S
+
+    writer = getattr(S, f"write_documents_{fmt}")
+    reader = getattr(S, f"read_documents_{fmt}")
+    t = pa.table({
+        "doc_id": pa.array([3, 1, 2], pa.int64()),
+        "text": ["alpha beta", "", "γ unicode"],
+        "lang": ["en", "en", "el"],
+        "source": ["s1", "s2", "s1"],
+        "n_chars": pa.array([10, 0, 9], pa.int64())})
+    manifest = writer(rd.from_arrow(t), str(tmp_path / fmt))
+    assert manifest["n_rows"].sum() == 3
+    back = reader(str(tmp_path / fmt)).take_all()
+    assert sorted(back, key=lambda r: r["doc_id"]) == \
+        sorted(t.to_pylist(), key=lambda r: r["doc_id"])
+
+
+def test_ipc_reader_fills_missing_columns(ray_session, tmp_path):
+    import pyarrow.ipc as ipc
+
+    from kgruntime.sources.documents import read_documents_ipc
+
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": ["hello world"]})
+    p = tmp_path / "mini"
+    p.mkdir()
+    with ipc.new_file(str(p / "part-0.arrow"), t.schema) as w:
+        w.write_table(t)
+    rows = read_documents_ipc(str(p)).take_all()
+    assert rows == [{"doc_id": 7, "text": "hello world", "lang": None,
+                     "source": None, "n_chars": 11}]
