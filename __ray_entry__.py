@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_drift": _q_vocab_drift,
         "orc_roundtrip_stats": _q_orc_roundtrip,
         "ipc_roundtrip_stats": _q_ipc_roundtrip,
+        "int8_quant_recall": _q_int8_recall,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -693,6 +694,17 @@ def _load_queries(sf_dir):
     q = emb.flatten().to_numpy(zero_copy_only=False) \
         .astype(np.float64, copy=False).reshape(len(ids), -1)
     return q, ids
+
+
+def _q_int8_recall(sf_dir):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import int8_quant_recall
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q, ids = _load_queries(sf_dir)
+    return int8_quant_recall(emb, q, ids, k=_ANN_K)
 
 
 def _q_ann_topk(sf_dir):
@@ -1755,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_drift": _vocab_drift_oracle(),
         "orc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "ipc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
+        "int8_quant_recall": _int8_recall_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2008,6 +2021,12 @@ def _bpe_oracle() -> str:
     from kgruntime.ops.bpe import bpe_merges_sql
 
     return bpe_merges_sql(rounds=8)
+
+
+def _int8_recall_oracle() -> str:
+    from kgruntime.ops.ann import int8_quant_recall_sql
+
+    return int8_quant_recall_sql(k=_ANN_K, n_queries=_ANN_N_QUERIES)
 
 
 def _k_core_oracle() -> str:

@@ -925,3 +925,173 @@ def knn_graph_sql(dim: int, k: int = 5, n_planes: int = 6,
         FROM rk WHERE rnk <= {k}
         ORDER BY vec_id, rnk
     """
+
+
+# --- int8 symmetric quantization recall audit ------------------------------
+
+def _div_half_away_vec(s: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """round(s / m) half-away-from-zero, exact int64, per-row divisor m
+    (broadcastable, > 0) — the vector form of ``_div_half_away``."""
+    s = s.astype(np.int64)
+    m = m.astype(np.int64)
+    return np.where(s >= 0, (2 * s + m) // (2 * m),
+                    -((-2 * s + m) // (2 * m))).astype(np.int64)
+
+
+def _int8_codes(units: np.ndarray):
+    """Symmetric per-vector int8 codes from fixed-point units:
+    m = max|u| (≥1), code = round_half_away(u·127 / m)."""
+    m = np.maximum(np.abs(units).max(axis=1), 1).astype(np.int64)
+    return _div_half_away_vec(units * 127, m[:, None]), m
+
+
+class _QuantRecallScorer:
+    """Task-pool scorer (built once per worker via ``_cached_state``):
+    emits per-batch top-k partials under BOTH rankings."""
+
+    def __init__(self, ref, k: int):
+        import ray
+
+        queries, query_ids = ray.get(ref)
+        self.uq = _units_matrix(np.asarray(queries, np.float64))
+        self.q8, _ = _int8_codes(self.uq)      # query scale is rank-free
+        self.query_ids = np.asarray(list(query_ids), np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.int64()),
+                          "method": pa.array([], pa.string())})
+        if batch.num_rows == 0 or len(self.query_ids) == 0:
+            return empty
+        ids = _ids_vector(batch)
+        ud = _units_matrix(_emb_matrix(batch))
+        d8, dm = _int8_codes(ud)
+        # exact fixed-point inner product vs dequantized-int8 key:
+        # (Σ q8·d8)·m_d ranks identically to the dequantized score
+        # because m_q/127² is a per-query constant
+        keys = {"exact": self.uq @ ud.T,
+                "int8": (self.q8 @ d8.T) * dm[None, :]}
+        k = min(self.k, len(ids))
+        qs, ns, ks, ms = [], [], [], []
+        for method, s in keys.items():
+            part = np.argpartition(-s, k - 1, axis=1)[:, :k]
+            qs.append(np.repeat(self.query_ids, k))
+            ns.append(ids[part].ravel())
+            ks.append(np.take_along_axis(s, part, axis=1).ravel())
+            ms.extend([method] * (len(self.query_ids) * k))
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(qs), pa.int64()),
+             pa.array(np.concatenate(ns), pa.int64()),
+             pa.array(np.concatenate(ks), pa.int64()),
+             pa.array(ms, pa.string())],
+            names=["query_id", "neighbor_id", "key", "method"])
+
+
+def int8_quant_recall(emb_ds, queries: np.ndarray, query_ids: list[int],
+                      k: int = 5):
+    """Recall@k of symmetric int8-quantized inner-product search against
+    full-precision search — the "what does compressing the index cost"
+    audit run before shipping a quantized ANN index at scale.  Returns
+    ``(query_id, n_match, recall_ppm)``.
+
+    Both rankings use EXACT INT64 sort keys (ties → neighbor_id ASC):
+    baseline ``Σ u_q·u_d`` over round(x·10⁶) units; quantized
+    ``(Σ q_q·q_d)·m_d`` over per-vector codes
+    ``q = round_half_away(u·127 / max|u|)`` — so the DuckDB twin
+    replays both top-k sets and the recall bit-for-bit.
+
+    Task-pool shape (ann_topk precedent): broadcast query matrix fetched
+    once per worker process; per-batch work is three integer matmuls;
+    the exchange carries 2·k partial rows per (query, batch).
+    """
+    import ray
+
+    ref = ray.put((np.asarray(queries, np.float64), list(query_ids)))
+
+    def score(batch: pa.Table, ref=ref, k=k) -> pa.Table:
+        scorer = _cached_state(ref, lambda: _QuantRecallScorer(ref, k + 1))
+        return scorer(batch)
+
+    partials = emb_ds.map_batches(score, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .filter(expr="query_id != neighbor_id")
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        meth = group["method"].to_pylist()
+        tops = {}
+        for want in ("exact", "int8"):
+            idx = [i for i, m in enumerate(meth) if m == want]
+            order = sorted(idx, key=lambda i: (-key[i], nid[i]))
+            seen, picked = set(), []
+            for i in order:
+                if nid[i] not in seen:
+                    seen.add(nid[i])
+                    picked.append(nid[i])
+                if len(picked) == k:
+                    break
+            tops[want] = set(picked)
+        n_match = len(tops["exact"] & tops["int8"])
+        return pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "n_match": pa.array([n_match], pa.int64()),
+            "recall_ppm": pa.array([n_match * 1_000_000 // k],
+                                   pa.int64())})
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")
+
+
+def int8_quant_recall_sql(k: int = 5, n_queries: int = 10,
+                          scale: int = _UNIT_SCALE) -> str:
+    """DuckDB twin: same units, same half-away int8 codes (operands are
+    made positive inside each CASE arm so `//` truncation == floor),
+    same integer sort keys, same intersection count."""
+    return f"""
+WITH qr_e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS u
+  FROM embeddings),
+qr_q AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+         LIMIT {n_queries}),
+qr_m AS MATERIALIZED (
+  SELECT vec_id, greatest(max(abs(u)), 1) AS m FROM qr_e GROUP BY vec_id),
+qr_c AS MATERIALIZED (
+  SELECT e.vec_id, e.i,
+         CASE WHEN e.u >= 0 THEN (2 * e.u * 127 + m.m) // (2 * m.m)
+              ELSE -((-2 * e.u * 127 + m.m) // (2 * m.m)) END AS v
+  FROM qr_e e JOIN qr_m m ON m.vec_id = e.vec_id),
+qr_dot_e AS (
+  SELECT qe.vec_id AS qid, de.vec_id AS nid, sum(qe.u * de.u) AS s
+  FROM qr_e qe JOIN qr_q ON qr_q.vec_id = qe.vec_id
+  JOIN qr_e de ON de.i = qe.i AND de.vec_id != qe.vec_id
+  GROUP BY 1, 2),
+qr_dot_q AS (
+  SELECT qc.vec_id AS qid, dc.vec_id AS nid, sum(qc.v * dc.v) AS s
+  FROM qr_c qc JOIN qr_q ON qr_q.vec_id = qc.vec_id
+  JOIN qr_c dc ON dc.i = qc.i AND dc.vec_id != qc.vec_id
+  GROUP BY 1, 2),
+qr_rank_e AS (
+  SELECT qid, nid, row_number() OVER (
+    PARTITION BY qid ORDER BY s DESC, nid ASC) AS rn FROM qr_dot_e),
+qr_rank_q AS (
+  SELECT d.qid, d.nid, row_number() OVER (
+    PARTITION BY d.qid ORDER BY d.s * m.m DESC, d.nid ASC) AS rn
+  FROM qr_dot_q d JOIN qr_m m ON m.vec_id = d.nid),
+qr_match AS (
+  SELECT a.qid, count(*) AS n_match
+  FROM (SELECT qid, nid FROM qr_rank_e WHERE rn <= {k}) a
+  JOIN (SELECT qid, nid FROM qr_rank_q WHERE rn <= {k}) b
+    ON b.qid = a.qid AND b.nid = a.nid
+  GROUP BY a.qid)
+SELECT q.vec_id AS query_id,
+       coalesce(m.n_match, 0)::BIGINT AS n_match,
+       (coalesce(m.n_match, 0) * 1000000 // {k})::BIGINT AS recall_ppm
+FROM qr_q q LEFT JOIN qr_match m ON m.qid = q.vec_id
+ORDER BY query_id
+"""

@@ -960,3 +960,38 @@ def test_ipc_reader_fills_missing_columns(ray_session, tmp_path):
     rows = read_documents_ipc(str(p)).take_all()
     assert rows == [{"doc_id": 7, "text": "hello world", "lang": None,
                      "source": None, "n_chars": 11}]
+
+
+def test_int8_quant_recall_mini_parity(ray_session):
+    """Ray vs DuckDB on random vectors: both top-k sets, the
+    intersection count, and the ppm recall must replay exactly."""
+    import duckdb
+    import ray.data as rd
+
+    from kgruntime.ops.ann import int8_quant_recall, int8_quant_recall_sql
+
+    rng = np.random.RandomState(5)
+    n, d = 40, 8
+    emb = rng.randn(n, d).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(emb.tolist(),
+                                        pa.list_(pa.float32()))})
+    out = int8_quant_recall(rd.from_arrow(t), emb[:3].astype(np.float64),
+                            [0, 1, 2], k=4).to_pandas() \
+        .sort_values("query_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    exp = con.execute(int8_quant_recall_sql(k=4, n_queries=3)).df()
+    assert out.to_dict("records") == exp.to_dict("records")
+
+
+def test_int8_codes_half_away_exact():
+    from kgruntime.ops.ann import _int8_codes
+
+    units = np.array([[1_000_000, -500_000, 3],
+                      [7, -7, 0]], np.int64)
+    codes, m = _int8_codes(units)
+    assert m.tolist() == [1_000_000, 7]
+    # round_half_away(u*127/m): 127, -63.5→-64, 0.000381→0
+    assert codes[0].tolist() == [127, -64, 0]
+    assert codes[1].tolist() == [127, -127, 0]
