@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip_stats": _q_orc_roundtrip,
         "ipc_roundtrip_stats": _q_ipc_roundtrip,
         "int8_quant_recall": _q_int8_recall,
+        "peak_concurrent_users": _q_peak_concurrency,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -694,6 +695,12 @@ def _load_queries(sf_dir):
     q = emb.flatten().to_numpy(zero_copy_only=False) \
         .astype(np.float64, copy=False).reshape(len(ids), -1)
     return q, ids
+
+
+def _q_peak_concurrency(sf_dir):
+    from kgruntime.ops.sessions import peak_concurrent_users
+
+    return peak_concurrent_users(_events_ds(sf_dir))
 
 
 def _q_int8_recall(sf_dir):
@@ -1768,6 +1775,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "ipc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "int8_quant_recall": _int8_recall_oracle(),
+        "peak_concurrent_users": _peak_concurrency_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2021,6 +2029,12 @@ def _bpe_oracle() -> str:
     from kgruntime.ops.bpe import bpe_merges_sql
 
     return bpe_merges_sql(rounds=8)
+
+
+def _peak_concurrency_oracle() -> str:
+    from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
+
+    return PEAK_CONCURRENT_USERS_SQL
 
 
 def _int8_recall_oracle() -> str:

@@ -1155,3 +1155,65 @@ SELECT window_start, {m} AS n_registers, reg_sum_scaled,
              {digits}) AS est_distinct
 FROM s ORDER BY window_start
 """
+
+
+def peak_concurrent_users(events_ds):
+    """Peak number of users with an OPEN activity interval per day —
+    interval = [first event, last event] of that user's day; the
+    classic +1/−1 endpoint sweep (capacity planning / concurrency
+    audit).  Returns (day, peak_users).
+
+    Scale shape: ONE native ``groupby((user_id, day))`` min/max builds
+    the intervals (corpus → user-day-bounded rows), then a day-bounded
+    ``map_groups`` numpy sweep.  Equal instants order starts BEFORE
+    ends (lexsort on (ts, −delta)), so instant intervals count and
+    touching intervals overlap — the SQL twin's ``ORDER BY ts,
+    delta DESC`` replays the same prefix maxima (permutation within an
+    equal (ts, delta) run cannot change a run-end cumsum).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                           pa.timestamp("us")),
+            "ts": t["ts"]})
+
+    iv = events_ds.select_columns(["user_id", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["user_id", "day"]).aggregate(
+            Min("ts", alias_name="s"), Max("ts", alias_name="e"))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = g["s"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = g["e"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = np.concatenate([s, e])
+        delta = np.concatenate([np.ones(len(s), np.int64),
+                                -np.ones(len(e), np.int64)])
+        order = np.lexsort((-delta, ts))
+        peak = int(np.cumsum(delta[order]).max())
+        return pa.table({"day": g["day"].slice(0, 1),
+                         "peak_users": pa.array([peak], pa.int64())})
+
+    return iv.groupby("day").map_groups(sweep, batch_format="pyarrow")
+
+
+PEAK_CONCURRENT_USERS_SQL = """
+WITH pcu_iv AS (
+  SELECT user_id, date_trunc('day', ts) AS day, min(ts) AS s,
+         max(ts) AS e
+  FROM events GROUP BY 1, 2),
+pcu_pts AS (
+  SELECT day, s AS ts, 1 AS delta FROM pcu_iv
+  UNION ALL SELECT day, e, -1 FROM pcu_iv),
+pcu_run AS (
+  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                               ROWS UNBOUNDED PRECEDING) AS c
+  FROM pcu_pts)
+SELECT day, max(c)::BIGINT AS peak_users
+FROM pcu_run GROUP BY day ORDER BY day
+"""

@@ -995,3 +995,29 @@ def test_int8_codes_half_away_exact():
     # round_half_away(u*127/m): 127, -63.5→-64, 0.000381→0
     assert codes[0].tolist() == [127, -64, 0]
     assert codes[1].tolist() == [127, -127, 0]
+
+
+def test_peak_concurrent_users_hand_computed(ray_session):
+    """Three users, one day: u1 [0,10], u2 [5,5] (instant — must still
+    count), u3 [5,20].  At t=5 starts order before u1's open interval
+    ends nothing → concurrency 3."""
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import peak_concurrent_users
+
+    base = 1_700_000_000_000_000
+    mins = lambda m: base + m * 60_000_000  # noqa: E731
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 3, 3], pa.int64()),
+        "ts": pa.array([mins(0), mins(10), mins(5), mins(5), mins(20)],
+                       pa.timestamp("us"))})
+    out = peak_concurrent_users(rd.from_arrow(t)).take_all()
+    assert len(out) == 1 and out[0]["peak_users"] == 3
+
+    # two disjoint users never overlap → peak 1
+    t2 = pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([mins(0), mins(5), mins(6), mins(9)],
+                       pa.timestamp("us"))})
+    out2 = peak_concurrent_users(rd.from_arrow(t2)).take_all()
+    assert out2[0]["peak_users"] == 1
