@@ -109,19 +109,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
-        "kg_canonical_staged": _q_kg_staged,
-        "kg_triples": _q_kg_triples,
         "curate_corpus": _q_curate_corpus,
         "near_dedup_corpus": _q_near_dedup_corpus,
         "minhash_near_dups": _q_minhash,
         "minhash_dup_clusters": _q_minhash_clusters,
-        "simhash_near_dups": _q_simhash,
         "embedding_near_dups": _q_emb_near_dups,
         "ann_topk": _q_ann_topk,
-        "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "kmeans_clusters": _q_kmeans_clusters,
         "user_components": _q_user_components,
+        "simhash_near_dups": _q_simhash,
+        # --- below slot 50: every entry has a green driver row ---
+        "kg_canonical_staged": _q_kg_staged,
+        "kg_triples": _q_kg_triples,
+        "ann_topk_lsh": _q_ann_lsh,
         "knn_label_vote": _q_knn_label_vote,
         "clean_corpus": _q_clean_corpus,
         "pii_scan": _q_pii_scan,
