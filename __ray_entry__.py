@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip_stats": _q_ipc_roundtrip,
         "int8_quant_recall": _q_int8_recall,
         "peak_concurrent_users": _q_peak_concurrency,
+        "incremental_near_dups": _q_incremental_near_dups,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -696,6 +697,28 @@ def _load_queries(sf_dir):
     q = emb.flatten().to_numpy(zero_copy_only=False) \
         .astype(np.float64, copy=False).reshape(len(ids), -1)
     return q, ids
+
+
+def _q_incremental_near_dups(sf_dir):
+    """New docs (absent from the prior snapshot) LSH-matched against
+    the prior corpus — the incremental-ingest near-dup shape."""
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import (incremental_near_dups,
+                                     synth_prior_snapshot)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def only_new(t):
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 11 == 0))
+
+    new = docs.map_batches(only_new, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return incremental_near_dups(new, synth_prior_snapshot(docs))
 
 
 def _q_peak_concurrency(sf_dir):
@@ -1777,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         "ipc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
+        "incremental_near_dups": _incremental_near_dups_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2030,6 +2054,12 @@ def _bpe_oracle() -> str:
     from kgruntime.ops.bpe import bpe_merges_sql
 
     return bpe_merges_sql(rounds=8)
+
+
+def _incremental_near_dups_oracle() -> str:
+    from kgruntime.ops.dedup import incremental_near_dups_sql
+
+    return incremental_near_dups_sql()
 
 
 def _peak_concurrency_oracle() -> str:

@@ -1739,3 +1739,177 @@ FROM vd_cur FULL OUTER JOIN vd_pri ON vd_cur.term = vd_pri.term
 WHERE coalesce(vd_cur.c, 0) != coalesce(vd_pri.c, 0)
 ORDER BY term
 """
+
+
+def _cross_side_pairs(group: pa.Table, num_perm: int,
+                      cap: int) -> pa.Table:
+    """Candidate (new, prior) pairs within one LSH bucket — cross-side
+    only, both sides capped (sorted by doc_id, like _bucket_pairs)."""
+    ids = group["doc_id"].to_pylist()
+    sigs = group["sig"].to_pylist()
+    sides = group["side"].to_pylist()
+    uniq_new, uniq_pri = {}, {}
+    for i, s, sd in zip(ids, sigs, sides):
+        (uniq_new if sd == 1 else uniq_pri).setdefault(i, s)
+    new_items = _cap_hot_bucket(sorted(uniq_new.items()), cap,
+                                "incremental_near_dups/new")
+    pri_items = _cap_hot_bucket(sorted(uniq_pri.items()), cap,
+                                "incremental_near_dups/prior")
+    a_col, b_col, jac = [], [], []
+    for ni, nsig in new_items:
+        nv = np.frombuffer(nsig, np.uint64)
+        for pi, psig in pri_items:
+            pv = np.frombuffer(psig, np.uint64)
+            a_col.append(ni)
+            b_col.append(pi)
+            jac.append(float((nv == pv).mean()))
+    return pa.Table.from_arrays(
+        [pa.array(a_col, pa.int64()), pa.array(b_col, pa.int64()),
+         pa.array(jac, pa.float64())],
+        names=["doc_id", "match_id", "jaccard_est"])
+
+
+def incremental_near_dups(new_ds, prior_ds, threshold: float = 0.7,
+                          num_perm: int = 64, bands: int = 16,
+                          cap: int = 200):
+    """Incremental-ingest NEAR-duplicate check: for each incoming doc,
+    the best MinHash match in the prior corpus snapshot with
+    jaccard_est ≥ threshold — ``(doc_id, match_id, jaccard_est)``.
+    The near-dup sibling of ``incremental_dup_check`` (exact hashes):
+    at 100 TB you LSH the day's ingest against the standing index
+    instead of re-deduplicating the whole corpus.
+
+    Scale shape: signatures stream per side (task pool, text never
+    leaves its batch); the banded ``groupby`` carries signature rows
+    only; candidate generation is cross-side within a bucket with both
+    sides capped-and-logged; the best-match pick is a per-new-doc
+    ``map_groups`` over ≤ bands·cap tiny rows.
+    """
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int64)))
+        return fn
+
+    def explode(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = minhash_explode(batch, num_perm=num_perm, bands=bands)
+            return tag(side)(out)
+        return fn
+
+    exploded = new_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(explode(1), batch_format="pyarrow") \
+        .union(prior_ds.select_columns(["doc_id", "text"])
+               .map_batches(explode(0), batch_format="pyarrow"))
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _cross_side_pairs(g, num_perm, cap),
+        batch_format="pyarrow")
+    hits = pairs.filter(expr=f"jaccard_est >= {threshold}")
+
+    def best(g: pa.Table) -> pa.Table:
+        mid = g["match_id"].to_numpy(zero_copy_only=False)
+        est = g["jaccard_est"].to_numpy(zero_copy_only=False)
+        i = min(range(len(mid)), key=lambda i: (-est[i], mid[i]))
+        return g.select(["doc_id", "match_id", "jaccard_est"]) \
+            .slice(i, 1)
+
+    return hits.groupby("doc_id").map_groups(best,
+                                             batch_format="pyarrow")
+
+
+def _mh_side_cte_sql(prefix: str, src: str, num_perm: int, bands: int,
+                     shingle_n: int) -> str:
+    """Per-side signature CTE chain ({prefix}_sigs, {prefix}_bands) for
+    a given (doc_id, text) source expression; shares the ``perms``
+    CTE emitted by the caller."""
+    rpb = num_perm // bands
+    n = shingle_n
+    gram_expr = (f"CASE WHEN len(t) = 0 THEN []::VARCHAR[] "
+                 f"WHEN len(t) < {n} THEN [array_to_string(t, ' ')] "
+                 f"ELSE list_distinct(list_transform("
+                 f"range(1, len(t) - {n - 2}), "
+                 f"i -> concat_ws(' ', "
+                 + ", ".join(f"t[i+{j}]" for j in range(n)) + "))) END")
+    return rf"""{prefix}_toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS t
+          FROM {src}),
+        {prefix}_gh AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id, unnest({gram_expr}) AS g
+                FROM {prefix}_toks)),
+        {prefix}_sigs AS MATERIALIZED (
+          SELECT d.doc_id, p.idx,
+                 COALESCE(min(
+                   (((p.a::HUGEINT * gh.h + p.b) % 18446744073709551616)
+                    % 2305843009213693951)::BIGINT), 0) AS sig
+          FROM (SELECT DISTINCT doc_id FROM {src}) d
+          CROSS JOIN perms p
+          LEFT JOIN {prefix}_gh gh ON gh.doc_id = d.doc_id
+          GROUP BY d.doc_id, p.idx),
+        {prefix}_bands AS MATERIALIZED (
+          SELECT doc_id, idx // {rpb} AS band,
+                 ('0x' || substr(md5(
+                    string_agg(sig::VARCHAR, ',' ORDER BY idx)), 1, 15))
+                 ::BIGINT AS band_hash
+          FROM {prefix}_sigs GROUP BY doc_id, idx // {rpb})"""
+
+
+def incremental_near_dups_sql(threshold: float = 0.7, num_perm: int = 64,
+                              bands: int = 16, shingle_n: int = 3,
+                              seed: int = 13, cap: int = 200,
+                              table: str = "documents") -> str:
+    """SQL twin: new side = docs absent from the prior snapshot
+    (doc_id % 11 = 0, the synth_prior_snapshot convention); prior side
+    = the same construction as corpus_diff_sql; identical permutation
+    literals, band keys, per-side caps and best-match pick."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm)
+    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+                          for i in range(num_perm))
+    new_src = f"(SELECT doc_id, text FROM {table} WHERE doc_id % 11 = 0)"
+    pri_src = f"""(
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' legacy'
+                  ELSE text END AS text
+      FROM {table} WHERE doc_id % 11 != 0
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id, text
+      FROM {table} WHERE doc_id % 13 = 0)"""
+    return f"""
+WITH perms(idx, a, b) AS (VALUES {perm_rows}),
+{_mh_side_cte_sql('ind_new', new_src, num_perm, bands, shingle_n)},
+{_mh_side_cte_sql('ind_pri', pri_src, num_perm, bands, shingle_n)},
+ind_new_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+  FROM ind_new_bands),
+ind_pri_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+  FROM ind_pri_bands),
+ind_cand AS (
+  SELECT DISTINCT n.doc_id, p.doc_id AS match_id
+  FROM ind_new_r n JOIN ind_pri_r p
+    ON p.band = n.band AND p.band_hash = n.band_hash
+  WHERE n.rn <= {cap} AND p.rn <= {cap}),
+ind_est AS (
+  SELECT c.doc_id, c.match_id,
+         (count(*) FILTER (WHERE sn.sig = sp.sig))::DOUBLE
+           / {num_perm} AS jaccard_est
+  FROM ind_cand c
+  JOIN ind_new_sigs sn ON sn.doc_id = c.doc_id
+  JOIN ind_pri_sigs sp ON sp.doc_id = c.match_id AND sp.idx = sn.idx
+  GROUP BY c.doc_id, c.match_id),
+ind_best AS (
+  SELECT doc_id, match_id, jaccard_est, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY jaccard_est DESC, match_id ASC) AS rn
+  FROM ind_est WHERE jaccard_est >= {threshold!r})
+SELECT doc_id, match_id, jaccard_est FROM ind_best WHERE rn = 1
+ORDER BY doc_id
+"""

@@ -1021,3 +1021,25 @@ def test_peak_concurrent_users_hand_computed(ray_session):
                        pa.timestamp("us"))})
     out2 = peak_concurrent_users(rd.from_arrow(t2)).take_all()
     assert out2[0]["peak_users"] == 1
+
+
+def test_incremental_near_dups_semantics(ray_session):
+    """A new doc that is a light edit of a prior doc must match it
+    (high jaccard_est, best-match pick); an unrelated new doc must
+    produce no row."""
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import incremental_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100, 200], pa.int64()),
+        "text": [base + "extra tail", "zz yy xx ww vv uu tt ss"]}))
+    prior = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": [base, "completely different words here entirely"]}))
+    out = {r["doc_id"]: r for r in
+           incremental_near_dups(new, prior, threshold=0.5).take_all()}
+    assert set(out) == {100}
+    assert out[100]["match_id"] == 1
+    assert out[100]["jaccard_est"] >= 0.5
