@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "int8_quant_recall": _q_int8_recall,
         "peak_concurrent_users": _q_peak_concurrency,
         "incremental_near_dups": _q_incremental_near_dups,
+        "hard_negatives": _q_hard_negatives,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -725,6 +726,25 @@ def _q_peak_concurrency(sf_dir):
     from kgruntime.ops.sessions import peak_concurrent_users
 
     return peak_concurrent_users(_events_ds(sf_dir))
+
+
+def _q_hard_negatives(sf_dir):
+    import duckdb
+
+    import ray.data as rd
+
+    from kgruntime.ops.ann import hard_negatives
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding", "label"])
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM read_parquet('{path}') "
+        f"ORDER BY vec_id LIMIT {_ANN_N_QUERIES}").arrow()
+    ids = t["vec_id"].to_pylist()
+    labels = t["label"].to_pylist()
+    q = t["embedding"].combine_chunks().flatten()         .to_numpy(zero_copy_only=False)         .astype(np.float64, copy=False).reshape(len(ids), -1)
+    return hard_negatives(emb, q, ids, labels, k=_ANN_K)
 
 
 def _q_int8_recall(sf_dir):
@@ -1801,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),
+        "hard_negatives": _hard_negatives_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2066,6 +2087,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _hard_negatives_oracle() -> str:
+    from kgruntime.ops.ann import hard_negatives_sql
+
+    return hard_negatives_sql(k=_ANN_K, n_queries=_ANN_N_QUERIES)
 
 
 def _int8_recall_oracle() -> str:

@@ -1095,3 +1095,122 @@ SELECT q.vec_id AS query_id,
 FROM qr_q q LEFT JOIN qr_match m ON m.qid = q.vec_id
 ORDER BY query_id
 """
+
+
+# --- hard negative mining (contrastive training data) ----------------------
+
+class _HardNegScorer:
+    """Task-pool scorer: for each anchor, the top-k highest-similarity
+    vectors with a DIFFERENT label (hard negatives)."""
+
+    def __init__(self, ref, k: int):
+        import ray
+
+        queries, query_ids, query_labels = ray.get(ref)
+        self.uq = _units_matrix(np.asarray(queries, np.float64))
+        self.query_ids = np.asarray(list(query_ids), np.int64)
+        self.query_labels = np.asarray(list(query_labels), np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "negative_id": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.int64())})
+        if batch.num_rows == 0 or len(self.query_ids) == 0:
+            return empty
+        ids = _ids_vector(batch)
+        labels = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ud = _units_matrix(_emb_matrix(batch))
+        s = self.uq @ ud.T                              # exact int64
+        # mask same-label candidates (and self).  Sentinel is min+1, NOT
+        # min: argpartition runs on -s and -int64.min wraps back to
+        # int64.min, which would rank masked entries FIRST and waste the
+        # local top-k slots on them.
+        low = np.iinfo(np.int64).min + 1
+        bad = (self.query_labels[:, None] == labels[None, :]) \
+            | (self.query_ids[:, None] == ids[None, :])
+        s = np.where(bad, low, s)
+        k = min(self.k, s.shape[1])
+        part = np.argpartition(-s, k - 1, axis=1)[:, :k]
+        keys = np.take_along_axis(s, part, axis=1)
+        keep = keys.ravel() != low
+        return pa.table({
+            "query_id": pa.array(np.repeat(self.query_ids, k)[keep],
+                                 pa.int64()),
+            "negative_id": pa.array(ids[part].ravel()[keep], pa.int64()),
+            "key": pa.array(keys.ravel()[keep], pa.int64())})
+
+
+def hard_negatives(emb_ds, queries: np.ndarray, query_ids: list[int],
+                   query_labels: list[int], k: int = 5):
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` most-similar vectors whose label DIFFERS from the anchor's —
+    ``(query_id, negative_id, neg_rank)``.
+
+    Ranking key = exact fixed-point inner product (int64 units, the
+    int8_quant_recall convention), ties → negative_id ASC, so the
+    DuckDB twin replays the picks bit-for-bit.  Task-pool shape:
+    broadcast anchor matrix fetched once per worker; exchange carries
+    k partial rows per (anchor, batch).
+    """
+    import ray
+
+    ref = ray.put((np.asarray(queries, np.float64), list(query_ids),
+                   [int(x) for x in query_labels]))
+
+    def score(batch: pa.Table, ref=ref, k=k) -> pa.Table:
+        scorer = _cached_state(ref, lambda: _HardNegScorer(ref, k))
+        return scorer(batch)
+
+    partials = emb_ds.map_batches(score, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        nid = group["negative_id"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        order, seen = [], set()
+        for i in sorted(range(len(nid)), key=lambda i: (-key[i], nid[i])):
+            if nid[i] not in seen:
+                seen.add(nid[i])
+                order.append(i)
+            if len(order) == k:
+                break
+        return pa.table({
+            "query_id": pa.array([qid] * len(order), pa.int64()),
+            "negative_id": pa.array(nid[order], pa.int64()),
+            "neg_rank": pa.array(range(1, len(order) + 1), pa.int64())})
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")
+
+
+def hard_negatives_sql(k: int = 5, n_queries: int = 10,
+                       scale: int = _UNIT_SCALE) -> str:
+    """DuckDB twin: same units, same integer dot ranking, same
+    different-label constraint and tie-breaks."""
+    return f"""
+WITH hn_e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS u
+  FROM embeddings),
+hn_q AS (SELECT vec_id, label FROM embeddings ORDER BY vec_id
+         LIMIT {n_queries}),
+hn_dot AS (
+  SELECT qe.vec_id AS qid, de.vec_id AS nid, sum(qe.u * de.u) AS s
+  FROM hn_e qe JOIN hn_q ON hn_q.vec_id = qe.vec_id
+  JOIN hn_e de ON de.i = qe.i AND de.vec_id != qe.vec_id
+  GROUP BY 1, 2),
+hn_rank AS (
+  SELECT d.qid, d.nid, row_number() OVER (
+    PARTITION BY d.qid ORDER BY d.s DESC, d.nid ASC) AS rn
+  FROM hn_dot d
+  JOIN hn_q ON hn_q.vec_id = d.qid
+  JOIN embeddings ne ON ne.vec_id = d.nid
+  WHERE ne.label != hn_q.label)
+SELECT qid AS query_id, nid AS negative_id, rn AS neg_rank
+FROM hn_rank WHERE rn <= {k}
+ORDER BY query_id, neg_rank
+"""

@@ -1043,3 +1043,35 @@ def test_incremental_near_dups_semantics(ray_session):
     assert set(out) == {100}
     assert out[100]["match_id"] == 1
     assert out[100]["jaccard_est"] >= 0.5
+
+
+def test_hard_negatives_semantics(ray_session):
+    """Anchors must never receive same-label or self negatives, and the
+    picks must be the highest-dot different-label vectors.  Includes a
+    batch whose top-dot candidates share the anchor's label — the
+    masked-sentinel negation overflow regression (int64.min wraps under
+    negation and steals local top-k slots)."""
+    import ray.data as rd
+
+    from kgruntime.ops.ann import hard_negatives
+
+    # one anchor [1,0]; same-label docs aligned with it (highest dot),
+    # different-label docs progressively less aligned
+    emb = np.array([
+        [1.0, 0.0],     # 0: anchor, label 0
+        [0.99, 0.1],    # 1: label 0 (same — excluded, highest dot)
+        [0.98, 0.1],    # 2: label 0 (same — excluded)
+        [0.9, 0.1],     # 3: label 1
+        [0.8, 0.1],     # 4: label 1
+        [0.7, 0.1],     # 5: label 2
+        [-1.0, 0.0],    # 6: label 3 (worst)
+    ], np.float64)
+    t = pa.table({
+        "vec_id": pa.array(range(7), pa.int64()),
+        "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0, 1, 1, 2, 3], pa.int32())})
+    out = hard_negatives(rd.from_arrow(t), emb[:1], [0], [0], k=3) \
+        .take_all()
+    assert [(r["negative_id"], r["neg_rank"]) for r in
+            sorted(out, key=lambda r: r["neg_rank"])] == \
+        [(3, 1), (4, 2), (5, 3)]
