@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrent_users": _q_peak_concurrency,
         "incremental_near_dups": _q_incremental_near_dups,
         "hard_negatives": _q_hard_negatives,
+        "padding_waste": _q_padding_waste,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -698,6 +699,12 @@ def _load_queries(sf_dir):
     q = emb.flatten().to_numpy(zero_copy_only=False) \
         .astype(np.float64, copy=False).reshape(len(ids), -1)
     return q, ids
+
+
+def _q_padding_waste(sf_dir):
+    from kgruntime.ops.shard import padding_waste
+
+    return padding_waste(_docs_ds(sf_dir))
 
 
 def _q_incremental_near_dups(sf_dir):
@@ -1822,6 +1829,7 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),
         "hard_negatives": _hard_negatives_oracle(),
+        "padding_waste": _padding_waste_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2087,6 +2095,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _padding_waste_oracle() -> str:
+    from kgruntime.ops.shard import padding_waste_sql
+
+    return padding_waste_sql()
 
 
 def _hard_negatives_oracle() -> str:

@@ -222,3 +222,97 @@ SELECT shard_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
        string_agg(text, '{sep}' ORDER BY doc_id) AS packed
 FROM sh GROUP BY shard_id ORDER BY shard_id
 """
+
+
+def padding_waste(docs_ds, max_len: int = 4096):
+    """Padding-waste audit for length-bucketed batching: every sequence
+    pads up to the smallest power-of-two bucket ≥ its token count
+    (capped at ``max_len``, longer docs truncate; empty docs emit no
+    sequence) — the standard question before picking training bucket
+    boundaries.  Returns one row per bucket:
+    ``(bucket_cap, n_docs, total_tokens, padded_tokens, waste_ppm)``
+    with waste_ppm = padded · 10⁶ // (padded + total), all exact int64.
+
+    Scale shape: a per-batch combiner groups its own rows by bucket
+    (≤ log₂(max_len) partial rows per batch cross the exchange), then
+    ONE tiny groupby-sum.  The bucket cap uses the exact bit-smear
+    next-pow2, never float log2.
+    """
+    from ray.data.aggregate import Sum
+
+    def _next_pow2(n: np.ndarray) -> np.ndarray:
+        v = (n - 1).astype(np.int64)
+        for sh in (1, 2, 4, 8, 16, 32):
+            v |= v >> sh
+        return v + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        n = pc.if_else(
+            pc.equal(trimmed, ""), pa.scalar(0, pa.int64()),
+            pc.cast(pc.count_substring_regex(trimmed, _TOKEN_RE),
+                    pa.int64())).to_numpy(zero_copy_only=False)
+        n = np.minimum(n[n > 0], max_len)
+        if len(n) == 0:
+            return pa.table({"bucket_cap": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "total_tokens": pa.array([], pa.int64()),
+                             "padded_tokens": pa.array([], pa.int64())})
+        cap = _next_pow2(n)
+        order = np.argsort(cap, kind="stable")
+        cap_s, n_s = cap[order], n[order]
+        uniq, starts = np.unique(cap_s, return_index=True)
+        ends = np.append(starts[1:], len(cap_s))
+        tot = np.add.reduceat(n_s, starts)
+        cnt = (ends - starts).astype(np.int64)
+        return pa.table({
+            "bucket_cap": pa.array(uniq, pa.int64()),
+            "n_docs": pa.array(cnt, pa.int64()),
+            "total_tokens": pa.array(tot, pa.int64()),
+            "padded_tokens": pa.array(uniq * cnt - tot, pa.int64())})
+
+    agg = docs_ds.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket_cap").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("padded_tokens", alias_name="padded_tokens"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t["total_tokens"].to_numpy(zero_copy_only=False)
+        pad = t["padded_tokens"].to_numpy(zero_copy_only=False)
+        ppm = pad * 1_000_000 // np.maximum(pad + tot, 1)
+        return t.append_column("waste_ppm", pa.array(ppm, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def padding_waste_sql(max_len: int = 4096,
+                      table: str = "documents") -> str:
+    """SQL twin: the power-of-two caps come from a generated series (no
+    float log2), same truncation/empty-doc rules, same integer ppm."""
+    log2_max = max(1, (max_len - 1).bit_length())
+    return f"""
+WITH pw_caps AS (
+  SELECT (1::BIGINT << i) AS cap
+  FROM (SELECT unnest(range(0, {log2_max + 1})) AS i)),
+pw_n AS (
+  SELECT least(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END, {max_len}) AS n
+  FROM {table}),
+pw_b AS (
+  SELECT n, (SELECT min(cap) FROM pw_caps WHERE cap >= pw_n.n) AS cap
+  FROM pw_n WHERE n > 0),
+pw_g AS (
+  SELECT cap AS bucket_cap, count(*)::BIGINT AS n_docs,
+         sum(n)::BIGINT AS total_tokens,
+         (sum(cap) - sum(n))::BIGINT AS padded_tokens
+  FROM pw_b GROUP BY cap)
+SELECT bucket_cap, n_docs, total_tokens, padded_tokens,
+       (padded_tokens * 1000000
+        // greatest(padded_tokens + total_tokens, 1))::BIGINT
+         AS waste_ppm
+FROM pw_g ORDER BY bucket_cap
+"""

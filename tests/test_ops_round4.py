@@ -1075,3 +1075,24 @@ def test_hard_negatives_semantics(ray_session):
     assert [(r["negative_id"], r["neg_rank"]) for r in
             sorted(out, key=lambda r: r["neg_rank"])] == \
         [(3, 1), (4, 2), (5, 3)]
+
+
+def test_padding_waste_hand_computed(ray_session):
+    """Buckets: 3 tokens→4, 4→4, 5→8, 1→1, ''→dropped, 9000→truncated
+    to max_len (and capped at max_len bucket)."""
+    import ray.data as rd
+
+    from kgruntime.ops.shard import padding_waste
+
+    t = pa.table({"text": ["a b c", "a b c d", "a b c d e", "x", "  ",
+                           " ".join(["w"] * 50)]})
+    out = {r["bucket_cap"]: r for r in
+           padding_waste(rd.from_arrow(t), max_len=32).take_all()}
+    assert set(out) == {1, 4, 8, 32}
+    assert out[4]["n_docs"] == 2 and out[4]["total_tokens"] == 7
+    assert out[4]["padded_tokens"] == 1
+    assert out[4]["waste_ppm"] == 1_000_000 // 8
+    assert out[1] == {"bucket_cap": 1, "n_docs": 1, "total_tokens": 1,
+                      "padded_tokens": 0, "waste_ppm": 0}
+    # the 50-token doc truncates to 32 → zero padding in the cap bucket
+    assert out[32]["total_tokens"] == 32 and out[32]["padded_tokens"] == 0
