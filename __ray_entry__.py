@@ -117,12 +117,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _q_minhash,
         "minhash_dup_clusters": _q_minhash_clusters,
         "embedding_near_dups": _q_emb_near_dups,
-        "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_ivf,
         "kmeans_clusters": _q_kmeans_clusters,
         "user_components": _q_user_components,
-        "simhash_near_dups": _q_simhash,
         # --- below slot 50: every entry has a green driver row ---
+        "ann_topk": _q_ann_topk,
+        "simhash_near_dups": _q_simhash,
         "kg_canonical_staged": _q_kg_staged,
         "kg_triples": _q_kg_triples,
         "ann_topk_lsh": _q_ann_lsh,
