@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dups": _q_incremental_near_dups,
         "hard_negatives": _q_hard_negatives,
         "padding_waste": _q_padding_waste,
+        "partitioned_export_prune": _q_partitioned_prune,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
@@ -116,11 +117,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_corpus": _q_near_dedup_corpus,
         "minhash_near_dups": _q_minhash,
         "minhash_dup_clusters": _q_minhash_clusters,
-        "embedding_near_dups": _q_emb_near_dups,
         "ann_topk_ivf": _q_ann_ivf,
         "kmeans_clusters": _q_kmeans_clusters,
         "user_components": _q_user_components,
         # --- below slot 50: every entry has a green driver row ---
+        "embedding_near_dups": _q_emb_near_dups,
         "ann_topk": _q_ann_topk,
         "simhash_near_dups": _q_simhash,
         "kg_canonical_staged": _q_kg_staged,
@@ -699,6 +700,27 @@ def _load_queries(sf_dir):
     q = emb.flatten().to_numpy(zero_copy_only=False) \
         .astype(np.float64, copy=False).reshape(len(ids), -1)
     return q, ids
+
+
+def _q_partitioned_prune(sf_dir):
+    """Write the corpus hive-partitioned by lang, then answer an
+    English-only aggregate by reading ONLY the lang=en partition
+    directory — partition pruning at the read (the resumable-output +
+    prune-at-the-read conventions in one query)."""
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/kgio/hive-{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    rd.read_parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .write_parquet(out, partition_cols=["lang"])
+    pruned = rd.read_parquet(os.path.join(out, "lang=en"))
+    return pruned.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"))
 
 
 def _q_padding_waste(sf_dir):
@@ -1830,6 +1852,11 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_dups": _incremental_near_dups_oracle(),
         "hard_negatives": _hard_negatives_oracle(),
         "padding_waste": _padding_waste_oracle(),
+        "partitioned_export_prune": """
+    SELECT source, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source
+""",
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
