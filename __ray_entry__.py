@@ -77,7 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_next_click": R.q_asof_purchase_next_click,
         "nation_trade_volume": R.q_nation_trade_volume,
         "media_png_features": _q_media_png,
-        "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "media_frame_features": _q_media_frame_features,
         # --- new round-4 ops (must be inside the window) ---
@@ -110,13 +109,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": _q_hard_negatives,
         "padding_waste": _q_padding_waste,
         "partitioned_export_prune": _q_partitioned_prune,
+        "fuzzy_name_matches": _q_fuzzy_names,
+        "winnow_dup_pairs": _q_winnow_pairs,
         # --- r3-green entries kept inside the window (flagship KG,
         # dedup/ANN/curation core) ---
         "kg_canonical_fused": _q_kg_fused,
         "curate_corpus": _q_curate_corpus,
         "near_dedup_corpus": _q_near_dedup_corpus,
         "minhash_near_dups": _q_minhash,
-        "minhash_dup_clusters": _q_minhash_clusters,
         "ann_topk_ivf": _q_ann_ivf,
         "kmeans_clusters": _q_kmeans_clusters,
         "user_components": _q_user_components,
@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffix_overlap_pairs": _q_suffix_overlap,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
+        "media_frames": _q_media_frames,
+        "minhash_dup_clusters": _q_minhash_clusters,
         "label_centroids": _q_label_centroids,
         "langid_mismatch": _q_langid_mismatch,
         "zscore_by_source": _q_zscore,
@@ -721,6 +723,26 @@ def _q_partitioned_prune(sf_dir):
     return pruned.groupby("source").aggregate(
         Count(alias_name="n_docs"),
         Sum("n_chars", alias_name="total_chars"))
+
+
+def _q_fuzzy_names(sf_dir):
+    """Blocked edit-distance record linkage over distinct part names
+    (kgruntime/ops/linkage.py)."""
+    import ray.data as rd
+
+    from kgruntime.ops.linkage import fuzzy_name_matches
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_name"])
+    return fuzzy_name_matches(parts)
+
+
+def _q_winnow_pairs(sf_dir):
+    """Winnowing (MOSS) fingerprint near-dup pairs
+    (kgruntime/ops/dedup.py:winnow_dup_pairs)."""
+    from kgruntime.ops.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(_docs_ds(sf_dir))
 
 
 def _q_padding_waste(sf_dir):
@@ -1857,6 +1879,8 @@ def oracle_sql() -> dict[str, str]:
            sum(n_chars)::BIGINT AS total_chars
     FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source
 """,
+        "fuzzy_name_matches": _fuzzy_names_oracle(),
+        "winnow_dup_pairs": _winnow_pairs_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2122,6 +2146,18 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _fuzzy_names_oracle() -> str:
+    from kgruntime.ops.linkage import fuzzy_name_matches_sql
+
+    return fuzzy_name_matches_sql()
+
+
+def _winnow_pairs_oracle() -> str:
+    from kgruntime.ops.dedup import winnow_dup_pairs_sql
+
+    return winnow_dup_pairs_sql()
 
 
 def _padding_waste_oracle() -> str:

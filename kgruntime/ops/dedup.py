@@ -1913,3 +1913,151 @@ ind_best AS (
 SELECT doc_id, match_id, jaccard_est FROM ind_best WHERE rn = 1
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+def winnow_dup_pairs(docs_ds, k: int = 3, w: int = 4, max_df: int = 8,
+                     min_shared: int = 2):
+    """Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken
+    MOSS): hash every word ``k``-gram, slide a window of ``w``
+    consecutive hashes and keep the window MINIMUM (rightmost on ties —
+    the robust-winnowing rule), giving each doc a guaranteed-coverage
+    fingerprint set ~1/w the k-gram count.  Docs sharing ≥
+    ``min_shared`` selected fingerprints pair up:
+    ``(doc_a, doc_b, n_shared)``.
+
+    Complements MinHash (random sample of shingles) and rare-shingle
+    blocking (global-df gate): winnowing picks LOCAL minima, so any
+    shared substring of ≥ w+k-1 tokens is guaranteed to contribute at
+    least one common fingerprint regardless of global frequencies.
+
+    Scale shape: fingerprints are selected per batch (numpy sliding-
+    window argmin over md5-60 gram hashes — the SQL-replicable hash
+    primitive), and the per-batch combiner collapses each fingerprint
+    to ONE row per block (≤ ``max_df``-doc posting list or an overflow
+    marker, exactly the rare_token_pairs bound: hot fingerprints never
+    ship posting lists).  Only (fp, small-doc-list) rows cross the
+    exchange; text never does.
+    """
+    from ray.data.aggregate import Sum
+
+    _part_schema = pa.schema([("fp", pa.int64()),
+                              ("docs", pa.list_(pa.int64())),
+                              ("over", pa.bool_())])
+
+    def winnow_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        fp_parts, doc_parts = [], []
+        for d, txt in zip(ids, texts):
+            toks = txt.split(" ")
+            m = len(toks) - k + 1
+            if m <= 0:
+                continue
+            h = np.array([_md5_60(" ".join(toks[i:i + k]).encode())
+                          for i in range(m)], np.int64)
+            if m <= w:
+                sel = np.array([m - 1 - int(h[::-1].argmin())])
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, w)
+                # rightmost min: argmin over the reversed window axis
+                sel = np.arange(m - w + 1) + (
+                    w - 1 - win[:, ::-1].argmin(axis=1))
+            fps = np.unique(h[sel])
+            fp_parts.append(fps)
+            doc_parts.append(np.full(len(fps), d, np.int64))
+        if not fp_parts:
+            return _part_schema.empty_table()
+        fp = np.concatenate(fp_parts)
+        doc = np.concatenate(doc_parts)
+        order = np.lexsort((doc, fp))
+        fp_s, doc_s = fp[order], doc[order]
+        uniq, starts = np.unique(fp_s, return_index=True)
+        ends = np.append(starts[1:], len(fp_s))
+        over = (ends - starts) > max_df
+        docs_col = pa.array(
+            [[] if o else doc_s[s:e].tolist()
+             for s, e, o in zip(starts, ends, over)],
+            pa.list_(pa.int64()))
+        return pa.table({"fp": pa.array(uniq, pa.int64()),
+                         "docs": docs_col,
+                         "over": pa.array(over)}, schema=_part_schema)
+
+    _pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("n_shared", pa.int64())])
+
+    def pairs_for_fp(g: pa.Table) -> pa.Table:
+        empty = _pair_schema.empty_table()
+        if pc.any(g["over"]).as_py():
+            return empty
+        members = sorted({d for lst in g["docs"].to_pylist() for d in lst})
+        if not (2 <= len(members) <= max_df):
+            return empty
+        a, b = [], []
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a.append(members[i])
+                b.append(members[j])
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64()),
+                         "n_shared": pa.array([1] * len(a), pa.int64())},
+                        schema=_pair_schema)
+
+    agg = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(winnow_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("fp").map_groups(pairs_for_fp, batch_format="pyarrow") \
+        .groupby(["doc_a", "doc_b"]) \
+        .aggregate(Sum("n_shared", alias_name="n_shared"))
+
+    def keep_shared(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_shared"], min_shared))
+
+    return agg.map_batches(keep_shared, batch_format="pyarrow")
+
+
+def winnow_dup_pairs_sql(k: int = 3, w: int = 4, max_df: int = 8,
+                         min_shared: int = 2,
+                         table: str = "documents") -> str:
+    """Oracle twin: per-position k-gram md5-60 hashes, window selection
+    replayed as a range join + ``row_number() OVER (ORDER BY h ASC,
+    pos DESC)`` (rightmost-min tie-break), then the rare-blocking pair
+    rollup."""
+    gram = " || ' ' || ".join(f"t[pos+{i}]" if i else "t[pos]"
+                              for i in range(k))
+    return f"""
+WITH wn_toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM {table}),
+wn_pos AS (
+  SELECT doc_id, t,
+         unnest(range(1, len(t) - {k} + 2)) AS pos
+  FROM wn_toks),
+wn_kg AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS h
+  FROM wn_pos),
+wn_m AS (SELECT doc_id, count(*) AS m FROM wn_kg GROUP BY doc_id),
+wn_win AS (
+  SELECT doc_id, unnest(range(1, greatest(m - {w} + 1, 1) + 1)) AS s
+  FROM wn_m),
+wn_rn AS (
+  SELECT wv.doc_id, wv.s, kg.h,
+         row_number() OVER (PARTITION BY wv.doc_id, wv.s
+                            ORDER BY kg.h ASC, kg.pos DESC) AS rn
+  FROM wn_win wv JOIN wn_kg kg
+    ON kg.doc_id = wv.doc_id
+   AND kg.pos >= wv.s AND kg.pos < wv.s + {w}),
+wn_fp AS (SELECT DISTINCT doc_id, h FROM wn_rn WHERE rn = 1),
+wn_blk AS (
+  SELECT h FROM wn_fp GROUP BY h
+  HAVING count(*) BETWEEN 2 AND {max_df})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS n_shared
+FROM wn_fp a JOIN wn_blk r ON r.h = a.h
+JOIN wn_fp b ON b.h = a.h AND b.doc_id > a.doc_id
+GROUP BY doc_a, doc_b HAVING count(*) >= {min_shared}
+ORDER BY doc_a, doc_b
+"""

@@ -73,3 +73,119 @@ def test_ngram_dedup_repartition_invariant(ray_session):
     # via 4 lead words → actually grams starting at pos 1 differ by w*,
     # pos 2 gram is identical in all 24 docs) must be removed everywhere
     assert (b["n_removed"] >= 5).all()
+
+
+# ------------------------------------------------- fuzzy record linkage
+
+def test_lev_batch_matches_scalar_reference():
+    from kgruntime.ops.linkage import _lev_batch
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    rng = np.random.RandomState(7)
+    alpha = "abcde "
+    pairs = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting"),
+             ("small ring", "small rings"), ("red widget", "hot widget")]
+    for _ in range(60):
+        a = "".join(rng.choice(list(alpha), rng.randint(0, 12)))
+        b = "".join(rng.choice(list(alpha), rng.randint(0, 12)))
+        pairs.append((a, b))
+    got = _lev_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    want = [lev(a, b) for a, b in pairs]
+    assert got.tolist() == want
+
+
+def test_fuzzy_name_matches_blocking_and_distance(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.linkage import fuzzy_name_matches
+
+    names = ["red widget", "red widgets", "red gadget", "blue bolt",
+             "blue bolt", "green lamp"]
+    ds = rd.from_arrow(pa.table({"p_name": pa.array(names)})) \
+        .repartition(3)
+    out = fuzzy_name_matches(ds, max_dist=3).to_pandas() \
+        .sort_values(["name_a", "name_b"]).reset_index(drop=True)
+    got = {(r.name_a, r.name_b): (r.dist, r.n_a, r.n_b)
+           for r in out.itertuples()}
+    # shares "red": widget/widgets dist 1; gadget/widget dist 2 (g→w,
+    # a→i); gadget/widgets dist 3 (+s); "blue bolt" dups collapse to one
+    # name (no self pair); "green lamp" shares no token with anything
+    assert got == {("red widget", "red widgets"): (1, 1, 1),
+                   ("red gadget", "red widget"): (2, 1, 1),
+                   ("red gadget", "red widgets"): (3, 1, 1)}
+
+
+def test_fuzzy_name_matches_cap_is_deterministic(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.linkage import fuzzy_name_matches
+
+    # 5 names share token "x"; cap=3 keeps the lexicographically first 3
+    names = [f"x n{i}" for i in range(5)]
+    ds = rd.from_arrow(pa.table({"p_name": pa.array(names)}))
+    out = fuzzy_name_matches(ds, max_dist=3, cap=3).to_pandas()
+    kept = set(out["name_a"]) | set(out["name_b"])
+    assert kept == {"x n0", "x n1", "x n2"}
+    assert len(out) == 3  # C(3,2) pairs, all dist 1
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+def test_winnow_identical_docs_pair_and_short_docs_drop(ray_session):
+    from kgruntime.ops.dedup import winnow_dup_pairs
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(1, text), (2, text), (3, "a b"),  # doc 3: < k tokens
+            (4, "totally different words entirely here now today ok")]
+    out = winnow_dup_pairs(_docs(rows).repartition(3), k=3, w=4,
+                           min_shared=1).to_pandas()
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    # identical docs share every selected fingerprint; a 10-token doc
+    # with k=3,w=4 has 8 k-grams → 5 windows → between 2 and 5 distinct
+    n = out["n_shared"].iloc[0]
+    assert 2 <= n <= 5
+
+
+def test_winnow_guaranteed_detection_of_long_shared_run(ray_session):
+    from kgruntime.ops.dedup import winnow_dup_pairs
+
+    # docs share a run of w+k-1 = 6 tokens -> >= 1 common fingerprint
+    # is GUARANTEED by the winnowing coverage property
+    shared = "s1 s2 s3 s4 s5 s6"
+    rows = [(1, f"a1 a2 a3 {shared} a4 a5"),
+            (2, f"b1 b2 {shared} b3 b4 b5")]
+    out = winnow_dup_pairs(_docs(rows).repartition(2), k=3, w=4,
+                           min_shared=1).to_pandas()
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+
+
+def test_winnow_hot_fingerprint_blocks_drop(ray_session):
+    from kgruntime.ops.dedup import winnow_dup_pairs
+
+    # 5 identical docs with max_df=4: every shared fingerprint has df=5
+    # > max_df -> no pairs (the hot-block overflow marker path)
+    rows = [(i, "p q r s t u v w x y") for i in range(5)]
+    out = winnow_dup_pairs(_docs(rows).repartition(2), k=3, w=4,
+                           max_df=4, min_shared=1).to_pandas()
+    assert len(out) == 0
+
+
+def test_winnow_repartition_invariant(ray_session):
+    from kgruntime.ops.dedup import winnow_dup_pairs
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(9)]
+    rows = [(i, " ".join(rng.choice(vocab, 14))) for i in range(30)]
+    a = winnow_dup_pairs(_docs(rows).repartition(1), min_shared=1) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = winnow_dup_pairs(_docs(rows).repartition(7), min_shared=1) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
