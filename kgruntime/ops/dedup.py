@@ -1919,6 +1919,21 @@ ORDER BY doc_id
 # winnowing (MOSS) fingerprints
 # ---------------------------------------------------------------------------
 
+_GRAM_MEMO: dict[str, int] = {}
+
+
+def _md5_60_memo(g: str) -> int:
+    """Per-worker bounded gram→hash memo (the SimHasher token-memo
+    idiom): corpus k-grams repeat massively, so each distinct gram pays
+    its md5 once per process, and the cap bounds worker heap."""
+    h = _GRAM_MEMO.get(g)
+    if h is None:
+        h = _md5_60(g.encode())
+        if len(_GRAM_MEMO) < 1_000_000:
+            _GRAM_MEMO[g] = h
+    return h
+
+
 def winnow_dup_pairs(docs_ds, k: int = 3, w: int = 4, max_df: int = 8,
                      min_shared: int = 2):
     """Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken
@@ -1957,7 +1972,7 @@ def winnow_dup_pairs(docs_ds, k: int = 3, w: int = 4, max_df: int = 8,
             m = len(toks) - k + 1
             if m <= 0:
                 continue
-            h = np.array([_md5_60(" ".join(toks[i:i + k]).encode())
+            h = np.array([_md5_60_memo(" ".join(toks[i:i + k]))
                           for i in range(m)], np.int64)
             if m <= w:
                 sel = np.array([m - 1 - int(h[::-1].argmin())])
