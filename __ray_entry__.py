@@ -144,6 +144,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate,
         "prefix_overlap_pairs": _q_prefix_overlap,
         "suffix_overlap_pairs": _q_suffix_overlap,
+        # --- round-4d registrations: below slot 50 on purpose (the r4
+        # window is at exact capacity with never-driver-checked entries;
+        # these rotate INTO the r5 window, and check_oracle.py gates
+        # them locally every round) ---
+        "set_sim_join_pairs": _q_set_sim_join,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -735,6 +740,14 @@ def _q_fuzzy_names(sf_dir):
     parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
                             columns=["p_name"])
     return fuzzy_name_matches(parts)
+
+
+def _q_set_sim_join(sf_dir):
+    """Prefix-filtered exact Jaccard set-similarity self-join
+    (kgruntime/ops/dedup.py:set_sim_join)."""
+    from kgruntime.ops.dedup import set_sim_join
+
+    return set_sim_join(_docs_ds(sf_dir))
 
 
 def _q_winnow_pairs(sf_dir):
@@ -1881,6 +1894,7 @@ def oracle_sql() -> dict[str, str]:
 """,
         "fuzzy_name_matches": _fuzzy_names_oracle(),
         "winnow_dup_pairs": _winnow_pairs_oracle(),
+        "set_sim_join_pairs": _set_sim_join_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2146,6 +2160,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _set_sim_join_oracle() -> str:
+    from kgruntime.ops.dedup import set_sim_join_sql
+
+    return set_sim_join_sql()
 
 
 def _fuzzy_names_oracle() -> str:

@@ -2076,3 +2076,251 @@ JOIN wn_fp b ON b.h = a.h AND b.doc_id > a.doc_id
 GROUP BY doc_a, doc_b HAVING count(*) >= {min_shared}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact set-similarity self-join (PPJoin family)
+# ---------------------------------------------------------------------------
+
+def _distinct_shingle_hashes(txt: str, n: int) -> np.ndarray:
+    """Sorted distinct md5-60 hashes of a doc's word ``n``-shingles."""
+    toks = txt.split(" ")
+    m = len(toks) - n + 1
+    if m <= 0:
+        return np.empty(0, np.int64)
+    grams = {" ".join(toks[i:i + n]) for i in range(m)}
+    return np.sort(np.fromiter((_md5_60_memo(g) for g in grams),
+                               np.int64, len(grams)))
+
+
+def set_sim_join(docs_ds, tau_num: int = 3, tau_den: int = 5,
+                 cap: int = 256, shingle_n: int = 3):
+    """Exact Jaccard set-similarity self-join with prefix filtering
+    (the AllPairs/PPJoin family, Bayardo et al. WWW'07): find every doc
+    pair whose word-shingle sets have Jaccard ≥ tau_num/tau_den, without
+    an all-pairs comparison.
+
+    Principle: order each doc's token set by ascending global document
+    frequency (rarest first, ties by hash); a pair with Jaccard ≥ τ
+    MUST share a token within each side's first ``n − ceil(τ·n) + 1``
+    tokens, so only that PREFIX is indexed.  Candidates additionally
+    pass the size filter ``τ·max(|a|,|b|) ≤ min(|a|,|b|)`` and are then
+    verified with an EXACT intersection count — the τ test itself is
+    pure integer arithmetic (``tau_den·|∩| ≥ tau_num·|∪|``), so the
+    result replays bit-exactly in SQL.
+
+    Scale shape: the bigram df table is VOCABULARY-bounded (independent
+    of corpus size — same assumption as bpe_merges), collected once and
+    broadcast via ``ray.put``; prefix postings carry (h, doc_id, n)
+    ints only; hot prefix tokens are capped DETERMINISTICALLY at
+    ``cap`` docs in doc_id order (replayed as a row_number window, the
+    incremental_near_dups idiom); verification ships the two docs'
+    hash SETS (≤ vocab ints) through two bucketed hash joins — text
+    never crosses an exchange.  At open vocabulary, swap the broadcast
+    for a bucketed df join + per-doc re-sort (documented escape hatch).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from .join import bucketed_hash_join
+
+    # --- pass 1: global shingle document frequency (vocab-bounded;
+    # n=3 for the same reason minhash shingles at 3 — the synthetic
+    # 31-word vocab only has a rare tail at trigram granularity, and
+    # prefix filtering is only selective when rare tokens exist) ---
+    def df_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            toks = txt.split(" ")
+            m = max(len(toks) - shingle_n + 1, 0)
+            c.update({" ".join(toks[i:i + shingle_n]) for i in range(m)})
+        hs = np.fromiter((_md5_60_memo(g) for g in c), np.int64, len(c))
+        return pa.table({"h": pa.array(hs, pa.int64()),
+                         "df_part": pa.array(list(c.values()), pa.int64())})
+
+    df_tbl = docs_ds.select_columns(["text"]) \
+        .map_batches(df_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("h").aggregate(Sum("df_part", alias_name="df")) \
+        .to_pandas()   # vocab-bounded: |distinct bigrams|, not |corpus|
+    h_sorted = np.sort(df_tbl["h"].to_numpy(np.int64))
+    df_by_h = df_tbl.set_index("h")["df"].reindex(h_sorted).to_numpy(
+        np.int64)
+    df_ref = ray.put((h_sorted, df_by_h))
+
+    # --- pass 2: per-doc prefix postings + full hash sets ---
+    pref_schema = pa.schema([("h", pa.int64()), ("doc_id", pa.int64()),
+                             ("n", pa.int64())])
+    # hash sets travel as int64-LE binary blobs: acero joins reject
+    # list-typed payload columns, and frombuffer decodes zero-copy
+    sets_schema = pa.schema([("doc_id", pa.int64()),
+                             ("hs", pa.binary())])
+
+    def prefix_postings(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        from .ann import _cached_state
+        hk, dfk = _cached_state(df_ref, lambda: _ray.get(df_ref))
+        out_h, out_d, out_n = [], [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hs = _distinct_shingle_hashes(txt, shingle_n)
+            n = len(hs)
+            if n == 0:
+                continue
+            dfs = dfk[np.searchsorted(hk, hs)]
+            order = np.lexsort((hs, dfs))
+            p = n - (tau_num * n + tau_den - 1) // tau_den + 1
+            sel = hs[order[:p]]
+            out_h.append(sel)
+            out_d.append(np.full(p, d, np.int64))
+            out_n.append(np.full(p, n, np.int64))
+        if not out_h:
+            return pref_schema.empty_table()
+        return pa.table({"h": np.concatenate(out_h),
+                         "doc_id": np.concatenate(out_d),
+                         "n": np.concatenate(out_n)}, schema=pref_schema)
+
+    def hash_sets(t: pa.Table) -> pa.Table:
+        ids, lists = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hs = _distinct_shingle_hashes(txt, shingle_n)
+            if len(hs):
+                ids.append(d)
+                lists.append(hs.astype("<i8").tobytes())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "hs": pa.array(lists, pa.binary())},
+                        schema=sets_schema)
+
+    docs2 = docs_ds.select_columns(["doc_id", "text"])
+    postings = docs2.map_batches(prefix_postings, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def cands_for_token(g: pa.Table) -> pa.Table:
+        # deterministic cap: first `cap` docs in doc_id order (the SQL
+        # row_number twin), then pairs passing the integer size filter
+        ids = np.unique(g["doc_id"].to_numpy(zero_copy_only=False))
+        n_by = dict(zip(g["doc_id"].to_pylist(), g["n"].to_pylist()))
+        ids = ids[:cap]
+        if len(ids) < 2:
+            return pair_schema.empty_table()
+        ns = np.array([n_by[i] for i in ids], np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        lo = np.minimum(ns[ai], ns[bi])
+        hi = np.maximum(ns[ai], ns[bi])
+        keep = tau_den * lo >= tau_num * hi
+        return pa.table({"doc_a": pa.array(ids[ai[keep]], pa.int64()),
+                         "doc_b": pa.array(ids[bi[keep]], pa.int64())},
+                        schema=pair_schema)
+
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("n_inter", pa.int64()),
+                            ("n_union", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    # materialize the DEDUPED candidate table (tiny: bounded by real
+    # near-pairs + cap collisions) — it feeds both the emptiness probe
+    # and the verify join, and Ray re-executes lazy lineage per consumer
+    cands = postings.groupby("h") \
+        .map_groups(cands_for_token, batch_format="pyarrow") \
+        .groupby(["doc_a", "doc_b"]) \
+        .aggregate(Max("doc_a", alias_name="_one")) \
+        .select_columns(["doc_a", "doc_b"]) \
+        .materialize()
+    # Ray 2.49 gotcha: an all-empty dataset drops its schema, which the
+    # bucketed join can't recover
+    if cands.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    sets_a = docs2.map_batches(hash_sets, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    sets_b = sets_a.map_batches(
+        lambda t: t.rename_columns(["doc_b_key", "hs_b"]),
+        batch_format="pyarrow")
+    sets_a = sets_a.map_batches(
+        lambda t: t.rename_columns(["doc_a_key", "hs_a"]),
+        batch_format="pyarrow")
+
+    joined = bucketed_hash_join(cands, sets_a, "doc_a", "doc_a_key")
+    joined = bucketed_hash_join(joined, sets_b, "doc_b", "doc_b_key")
+
+    def verify(t: pa.Table) -> pa.Table:
+        from .text import _round6
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        a_blobs = t["hs_a"].to_pylist()
+        b_blobs = t["hs_b"].to_pylist()
+        da, db, ni, nu, jc = [], [], [], [], []
+        for i in range(t.num_rows):
+            ha = np.frombuffer(a_blobs[i], "<i8")
+            hb = np.frombuffer(b_blobs[i], "<i8")
+            inter = len(np.intersect1d(ha, hb, assume_unique=True))
+            union = len(ha) + len(hb) - inter
+            if tau_den * inter >= tau_num * union:
+                da.append(t["doc_a"][i].as_py())
+                db.append(t["doc_b"][i].as_py())
+                ni.append(inter)
+                nu.append(union)
+                jc.append(_round6(inter / union))
+        return pa.table({"doc_a": pa.array(da, pa.int64()),
+                         "doc_b": pa.array(db, pa.int64()),
+                         "n_inter": pa.array(ni, pa.int64()),
+                         "n_union": pa.array(nu, pa.int64()),
+                         "jaccard": pa.array(jc, pa.float64())},
+                        schema=out_schema)
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def set_sim_join_sql(tau_num: int = 3, tau_den: int = 5, cap: int = 256,
+                     shingle_n: int = 3,
+                     table: str = "documents") -> str:
+    """Oracle twin: identical md5-60 shingle hashes, df ordering, integer
+    prefix length, row_number cap, size filter and exact-integer τ test."""
+    gram = " || ' ' || ".join(f"t[pos+{i}]" if i else "t[pos]"
+                              for i in range(shingle_n))
+    return f"""
+WITH ssj_tok AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, str_split(text, ' ') AS t,
+               unnest(range(1, len(str_split(text, ' ')) - {shingle_n} + 2))
+                 AS pos
+        FROM {table})),
+ssj_df AS (SELECT h, count(*)::BIGINT AS df FROM ssj_tok GROUP BY h),
+ssj_n AS (SELECT doc_id, count(*)::BIGINT AS n FROM ssj_tok
+          GROUP BY doc_id),
+ssj_ord AS (
+  SELECT tk.doc_id, tk.h, sn.n,
+         row_number() OVER (PARTITION BY tk.doc_id
+                            ORDER BY d.df, tk.h) AS pos
+  FROM ssj_tok tk
+  JOIN ssj_df d USING (h) JOIN ssj_n sn USING (doc_id)),
+ssj_pref AS (
+  SELECT doc_id, h, n,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM ssj_ord
+  WHERE pos <= n - (({tau_num} * n + {tau_den} - 1) // {tau_den}) + 1),
+ssj_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ssj_pref a JOIN ssj_pref b ON b.h = a.h AND b.doc_id > a.doc_id
+  WHERE a.rn <= {cap} AND b.rn <= {cap}
+    AND {tau_den} * least(a.n, b.n) >= {tau_num} * greatest(a.n, b.n)),
+ssj_int AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+  FROM ssj_cand c
+  JOIN ssj_tok ta ON ta.doc_id = c.doc_a
+  JOIN ssj_tok tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       (na.n + nb.n - i.n_inter)::BIGINT AS n_union,
+       round(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
+FROM ssj_int i
+JOIN ssj_n na ON na.doc_id = i.doc_a
+JOIN ssj_n nb ON nb.doc_id = i.doc_b
+WHERE {tau_den} * i.n_inter >= {tau_num} * (na.n + nb.n - i.n_inter)
+ORDER BY doc_a, doc_b
+"""
