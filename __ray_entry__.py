@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # these rotate INTO the r5 window, and check_oracle.py gates
         # them locally every round) ---
         "set_sim_join_pairs": _q_set_sim_join,
+        "pmi_collocations": _q_pmi_collocations,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -748,6 +749,14 @@ def _q_set_sim_join(sf_dir):
     from kgruntime.ops.dedup import set_sim_join
 
     return set_sim_join(_docs_ds(sf_dir))
+
+
+def _q_pmi_collocations(sf_dir):
+    """Integer-exact PMI collocation ranking
+    (kgruntime/ops/text.py:pmi_collocations)."""
+    from kgruntime.ops.text import pmi_collocations
+
+    return pmi_collocations(_docs_ds(sf_dir))
 
 
 def _q_winnow_pairs(sf_dir):
@@ -1895,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_name_matches": _fuzzy_names_oracle(),
         "winnow_dup_pairs": _winnow_pairs_oracle(),
         "set_sim_join_pairs": _set_sim_join_oracle(),
+        "pmi_collocations": _pmi_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2160,6 +2170,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _pmi_oracle() -> str:
+    from kgruntime.ops.text import pmi_collocations_sql
+
+    return pmi_collocations_sql()
 
 
 def _set_sim_join_oracle() -> str:

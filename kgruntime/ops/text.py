@@ -1504,3 +1504,100 @@ SELECT doc_id, n_tokens, n_masked,
        coalesce(target_text, '') AS target_text
 FROM m ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+def pmi_collocations(docs_ds, top_k: int = 50, min_count: int = 5):
+    """Top-k word-bigram collocations by pointwise mutual information,
+    scored in EXACT integer arithmetic: ``pmi_ppm = floor(c_ab · N_u² ·
+    10⁶ / (N_b · c_a · c_b))`` — a monotone transform of
+    ``exp(PMI)`` (``P(a,b)/(P(a)P(b))`` in parts-per-million), so the
+    ranking equals the float PMI ranking while every value replays
+    bit-exactly in SQL HUGEINT (no ``log``/float divergence).
+
+    Scale shape: ONE corpus pass emits per-batch polars combiner
+    partials for unigrams and bigrams into a shared (term, c_uni,
+    c_bi) key space (a bigram term contains a space, so the key spaces
+    never collide — the vocab_drift trick); one ``groupby(term)``
+    merges them.  The merged table is VOCABULARY-bounded, so the final
+    PMI decoration runs driver-side over ≤|V|+|V²| rows (the
+    bpe_merges vocab-bounded-materialize precedent); corpus text
+    crosses exactly one exchange as distinct terms.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = pl.from_arrow(t.select(["text"])) \
+            .with_row_index("rid") \
+            .with_columns(pl.col("text").str.split(" ").alias("w")) \
+            .explode("w")
+        uni = g.group_by("w").agg(pl.len().cast(pl.Int64).alias("c")) \
+            .select(pl.col("w").alias("term"), pl.col("c").alias("c_uni"),
+                    pl.lit(0, dtype=pl.Int64).alias("c_bi"))
+        bi = g.with_columns(pl.col("w").shift(-1).over("rid").alias("w2")) \
+            .drop_nulls("w2") \
+            .select((pl.col("w") + " " + pl.col("w2")).alias("term")) \
+            .group_by("term").agg(pl.len().cast(pl.Int64).alias("c_bi")) \
+            .select("term", pl.lit(0, dtype=pl.Int64).alias("c_uni"),
+                    "c_bi")
+        return pl.concat([uni, bi]).to_arrow()
+
+    counts = docs_ds.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("term").aggregate(
+            Sum("c_uni", alias_name="c_uni"),
+            Sum("c_bi", alias_name="c_bi")) \
+        .to_pandas()   # vocab-bounded, independent of corpus size
+
+    uni = counts[counts["c_bi"] == 0].set_index("term")["c_uni"]
+    bi = counts[counts["c_bi"] > 0]
+    n_u = int(uni.sum())
+    n_b = int(bi["c_bi"].sum())
+    rows = []
+    for term, c_ab in zip(bi["term"], bi["c_bi"]):
+        c_ab = int(c_ab)
+        if c_ab < min_count:
+            continue
+        a, b = term.split(" ")
+        # Python big ints: c_ab·N_u²·1e6 overflows int64 long before
+        # 100 TB — the table is vocab-bounded so this loop is O(|V²|)
+        ppm = (c_ab * n_u * n_u * 10**6) // (n_b * int(uni[a])
+                                             * int(uni[b]))
+        rows.append((term, c_ab, ppm))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return pd.DataFrame(rows[:top_k],
+                        columns=["term", "c_ab", "pmi_ppm"])
+
+
+def pmi_collocations_sql(top_k: int = 50, min_count: int = 5,
+                         table: str = "documents") -> str:
+    """Oracle twin: identical integer PMI-ppm in HUGEINT."""
+    return f"""
+WITH pm_tok AS (
+  SELECT t[pos] AS w, t[pos + 1] AS w2
+  FROM (SELECT str_split(text, ' ') AS t,
+               unnest(range(1, len(str_split(text, ' ')) + 1)) AS pos
+        FROM {table})),
+pm_uni AS (SELECT w, count(*)::HUGEINT AS c FROM pm_tok GROUP BY w),
+pm_nu AS (SELECT sum(c) AS n FROM pm_uni),
+pm_bi AS (
+  SELECT w || ' ' || w2 AS term, w, w2, count(*)::HUGEINT AS c_ab
+  FROM pm_tok WHERE w2 IS NOT NULL GROUP BY w, w2),
+pm_nb AS (SELECT sum(c_ab) AS n FROM pm_bi)
+SELECT b.term, b.c_ab::BIGINT AS c_ab,
+       ((b.c_ab * nu.n * nu.n * 1000000)
+        // (nb.n * ua.c * ub.c))::BIGINT AS pmi_ppm
+FROM pm_bi b
+JOIN pm_uni ua ON ua.w = b.w
+JOIN pm_uni ub ON ub.w = b.w2
+CROSS JOIN pm_nu nu CROSS JOIN pm_nb nb
+WHERE b.c_ab >= {min_count}
+ORDER BY pmi_ppm DESC, term LIMIT {top_k}
+"""

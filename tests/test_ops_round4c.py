@@ -72,3 +72,43 @@ def test_set_sim_join_repartition_invariant(ray_session):
     # the 3 identical groups pair up: 3 * C(4,2)
     assert len(a) == 18
     assert (a["jaccard"] == 1.0).all()
+
+
+# --------------------------------------------------- PMI collocations
+
+def test_pmi_collocations_exact_integer(ray_session):
+    from kgruntime.ops.text import pmi_collocations
+
+    # corpus: "x y" always together (perfect collocation), "p q" and
+    # "p r" split p's right-context (weaker)
+    rows = [(1, "x y p q"), (2, "x y p r"), (3, "x y p q"),
+            (4, "x y p r")]
+    out = pmi_collocations(_docs(rows), top_k=10, min_count=2)
+    # N_u = 16 tokens, N_b = 12 bigrams
+    # c(x y)=4, c(x)=4, c(y)=4 → 4·256·1e6 // (12·16) = 5333333;
+    # "p q" (c_ab=2, c_p=4, c_q=2) ties exactly and sorts first
+    want = (4 * 16 * 16 * 10**6) // (12 * 4 * 4)
+    xy = out[out["term"] == "x y"].iloc[0]
+    assert int(xy["pmi_ppm"]) == want
+    assert out.iloc[0]["term"] == "p q"
+    assert int(out.iloc[0]["pmi_ppm"]) == want
+    # min_count filters the c=2 "p q"/"p r" IN but "y p" (c=4) scores
+    # lower than x y; every returned count ≥ 2
+    assert (out["c_ab"] >= 2).all()
+    # deterministic ordering: pmi desc, then term asc
+    key = list(zip(-out["pmi_ppm"], out["term"]))
+    assert key == sorted(key)
+
+
+def test_pmi_collocations_repartition_invariant(ray_session):
+    import pandas as pd
+
+    from kgruntime.ops.text import pmi_collocations
+
+    rows = [(i, f"a b c d w{i % 5} a b") for i in range(20)]
+    a = pmi_collocations(_docs(rows).repartition(1), top_k=20,
+                         min_count=2)
+    b = pmi_collocations(_docs(rows).repartition(7), top_k=20,
+                         min_count=2)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
