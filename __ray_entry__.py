@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # them locally every round) ---
         "set_sim_join_pairs": _q_set_sim_join,
         "pmi_collocations": _q_pmi_collocations,
+        "phrase_search_hits": _q_phrase_search,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -757,6 +758,17 @@ def _q_pmi_collocations(sf_dir):
     from kgruntime.ops.text import pmi_collocations
 
     return pmi_collocations(_docs_ds(sf_dir))
+
+
+_PHRASE = "table value"
+
+
+def _q_phrase_search(sf_dir):
+    """Positional-inverted-index phrase search
+    (kgruntime/ops/text.py:phrase_search)."""
+    from kgruntime.ops.text import phrase_search
+
+    return phrase_search(_docs_ds(sf_dir), _PHRASE)
 
 
 def _q_winnow_pairs(sf_dir):
@@ -1905,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_dup_pairs": _winnow_pairs_oracle(),
         "set_sim_join_pairs": _set_sim_join_oracle(),
         "pmi_collocations": _pmi_oracle(),
+        "phrase_search_hits": _phrase_search_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2170,6 +2183,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _phrase_search_oracle() -> str:
+    from kgruntime.ops.text import phrase_search_sql
+
+    return phrase_search_sql(_PHRASE)
 
 
 def _pmi_oracle() -> str:

@@ -1601,3 +1601,87 @@ CROSS JOIN pm_nu nu CROSS JOIN pm_nb nb
 WHERE b.c_ab >= {min_count}
 ORDER BY pmi_ppm DESC, term LIMIT {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# positional inverted index + phrase search
+# ---------------------------------------------------------------------------
+
+def phrase_search(docs_ds, phrase: str):
+    """Exact phrase search served from a PRUNED positional inverted
+    index: per-doc ``(doc_id, n_matches, first_pos)`` for every doc
+    containing the word sequence ``phrase`` (1-based token position).
+
+    Scale shape: tokenization emits postings ONLY for the phrase's
+    terms (column-prune at the read, term-prune at the index — the
+    posting exchange is |phrase-term occurrences|, not |corpus|); each
+    posting for ``terms[i]`` votes for candidate start ``pos − i``, one
+    ``groupby(doc, start)`` counts votes, a start with
+    ``len(terms)`` votes is a match (each slot contributes at most one
+    vote, so vote-count equality IS sequence equality — duplicate
+    phrase terms included), and a second small groupby rolls up per
+    doc.  The same postings shape materialized term-bucketed to parquet
+    is the serving index; here it is built and consumed in one
+    streaming pass.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    terms = phrase.split(" ")
+    k = len(terms)
+    slot_by_term: dict[str, list[int]] = {}
+    for i, w in enumerate(terms):
+        slot_by_term.setdefault(w, []).append(i)
+
+    post_schema = pa.schema([("doc_id", pa.int64()),
+                             ("start", pa.int64())])
+
+    def postings(t: pa.Table) -> pa.Table:
+        out_d, out_s = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(),
+                          t["text"].to_pylist()):
+            toks = np.array(txt.split(" "))
+            for w, slots in slot_by_term.items():
+                hits = np.nonzero(toks == w)[0]
+                for i in slots:
+                    # 1-based candidate starts (SQL list indexing twin)
+                    out_d.append(np.full(len(hits), d, np.int64))
+                    out_s.append(hits - i + 1)
+        if not out_d:
+            return post_schema.empty_table()
+        return pa.table({"doc_id": np.concatenate(out_d),
+                         "start": np.concatenate(out_s)},
+                        schema=post_schema)
+
+    votes = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(postings, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["doc_id", "start"]) \
+        .aggregate(Count(alias_name="n_votes"))
+
+    def matches(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["n_votes"], k),
+                       pc.greater_equal(t["start"], 1))
+        return t.filter(keep).select(["doc_id", "start"])
+
+    return votes.map_batches(matches, batch_format="pyarrow") \
+        .groupby("doc_id") \
+        .aggregate(Count(alias_name="n_matches"),
+                   Min("start", alias_name="first_pos"))
+
+
+def phrase_search_sql(phrase: str, table: str = "documents") -> str:
+    """Oracle twin: direct positional alignment over split tokens."""
+    terms = phrase.split(" ")
+    conds = " AND ".join(
+        f"t[pos + {i}] = '{w}'" if i else f"t[pos] = '{w}'"
+        for i, w in enumerate(terms))
+    return f"""
+WITH ph_pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos
+  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM {table})),
+ph_hit AS (
+  SELECT doc_id, pos AS start FROM ph_pos WHERE {conds})
+SELECT doc_id, count(*)::BIGINT AS n_matches,
+       min(start)::BIGINT AS first_pos
+FROM ph_hit GROUP BY doc_id ORDER BY doc_id
+"""

@@ -112,3 +112,42 @@ def test_pmi_collocations_repartition_invariant(ray_session):
                          min_count=2)
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+# ------------------------------------------------------ phrase search
+
+def test_phrase_search_positions_and_counts(ray_session):
+    from kgruntime.ops.text import phrase_search
+
+    rows = [(1, "a b c a b c"),      # "a b c" at 1 and 4
+            (2, "x a b c y"),        # at 2
+            (3, "a b x c"),          # partial only
+            (4, "c b a")]            # reversed
+    out = phrase_search(_docs(rows), "a b c").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_matches"].tolist() == [2, 1]
+    assert out["first_pos"].tolist() == [1, 2]
+
+
+def test_phrase_search_repeated_term_phrase(ray_session):
+    from kgruntime.ops.text import phrase_search
+
+    rows = [(1, "go go go stop"), (2, "go stop go")]
+    out = phrase_search(_docs(rows), "go go").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 1: starts 1 and 2; doc 2: none (no adjacent pair)
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_matches"].tolist() == [2]
+    assert out["first_pos"].tolist() == [1]
+
+
+def test_phrase_search_single_term_and_boundary(ray_session):
+    from kgruntime.ops.text import phrase_search
+
+    rows = [(1, "end of doc match"), (2, "match at start"),
+            (3, "no hit here")]
+    out = phrase_search(_docs(rows).repartition(3), "match") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["first_pos"].tolist() == [4, 1]
