@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_sim_join_pairs": _q_set_sim_join,
         "pmi_collocations": _q_pmi_collocations,
         "phrase_search_hits": _q_phrase_search,
+        "rfm_segments": _q_rfm_segments,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -769,6 +770,18 @@ def _q_phrase_search(sf_dir):
     from kgruntime.ops.text import phrase_search
 
     return phrase_search(_docs_ds(sf_dir), _PHRASE)
+
+
+def _q_rfm_segments(sf_dir):
+    """Integer-exact RFM segmentation
+    (kgruntime/ops/sessions.py:rfm_segments)."""
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import rfm_segments
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return rfm_segments(ev)
 
 
 def _q_winnow_pairs(sf_dir):
@@ -1918,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "set_sim_join_pairs": _set_sim_join_oracle(),
         "pmi_collocations": _pmi_oracle(),
         "phrase_search_hits": _phrase_search_oracle(),
+        "rfm_segments": _rfm_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2183,6 +2197,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _rfm_oracle() -> str:
+    from kgruntime.ops.sessions import rfm_segments_sql
+
+    return rfm_segments_sql()
 
 
 def _phrase_search_oracle() -> str:

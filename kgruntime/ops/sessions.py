@@ -1217,3 +1217,124 @@ pcu_run AS (
 SELECT day, max(c)::BIGINT AS peak_users
 FROM pcu_run GROUP BY day ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+def rfm_segments(events_ds, n_bands: int = 5):
+    """Recency/Frequency/Monetary segmentation — per user: the three
+    raw metrics plus band scores 1..n_bands and the combined ``rfm``
+    code.  Bands are EXACT rank quantiles: ``score = 1 +
+    (n_bands · |users with strictly smaller metric|) // n_users`` (ties
+    share a band — the ``rank() OVER`` twin), so every value is pure
+    integer arithmetic and replays in SQL.
+
+    Scale shape: events reduce to one per-user row via a single
+    ``groupby(user_id)`` (Max/Count/Sum over int64 epoch-µs and exact
+    cents); band boundaries come from per-metric DISTINCT-VALUE
+    histograms (bounded by the day span, the max per-user event count
+    and the cents value range — corpus-size-independent, the
+    value_percentile_ranks precedent) broadcast into one final lookup
+    pass.  No global sort, no per-user window.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .ann import _cached_state
+
+    us_per_day = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.Table.from_arrays([t["user_id"], ts_us, cents],
+                                    names=["user_id", "ts_us", "cents"])
+
+    per = events_ds.select_columns(["user_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("user_id") \
+        .aggregate(Max("ts_us", alias_name="last_us"),
+                   Count(alias_name="freq"),
+                   Sum("cents", alias_name="mon_cents")) \
+        .materialize()   # feeds the histograms AND the scoring pass
+
+    gmax = per.max("last_us")
+
+    def decorate(t: pa.Table) -> pa.Table:
+        rec = pc.divide(pc.subtract(pa.scalar(gmax, pa.int64()),
+                                    t["last_us"]),
+                        pa.scalar(us_per_day, pa.int64()))
+        return t.append_column("rec_days", pc.cast(rec, pa.int64()))
+
+    per = per.map_batches(decorate, batch_format="pyarrow").materialize()
+
+    # distinct-value histograms → strictly-less cumulative counts
+    luts = {}
+    n_users = per.count()
+    for col in ("rec_days", "freq", "mon_cents"):
+        h = per.groupby(col).count().to_pandas() \
+            .sort_values(col, kind="mergesort")
+        vals = h[col].to_numpy(np.int64)
+        n_lt = np.concatenate(
+            [[0], h["count()"].to_numpy(np.int64).cumsum()[:-1]])
+        luts[col] = (vals, 1 + (n_bands * n_lt) // n_users)
+    ref = ray.put(luts)
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _cached_state(ref, lambda: _ray.get(ref))
+        cols = {"user_id": t["user_id"].to_numpy(zero_copy_only=False)}
+        for col, out_name in (("rec_days", "r_score"), ("freq", "f_score"),
+                              ("mon_cents", "m_score")):
+            vals, bands = m[col]
+            v = t[col].to_numpy(zero_copy_only=False)
+            cols[col] = v
+            cols[out_name] = bands[np.searchsorted(vals, v)]
+        rfm = cols["r_score"] * 100 + cols["f_score"] * 10 \
+            + cols["m_score"]
+        return pa.table({
+            "user_id": pa.array(cols["user_id"], pa.int64()),
+            "rec_days": pa.array(cols["rec_days"], pa.int64()),
+            "freq": pa.array(cols["freq"], pa.int64()),
+            "mon_cents": pa.array(cols["mon_cents"], pa.int64()),
+            "r_score": pa.array(cols["r_score"], pa.int64()),
+            "f_score": pa.array(cols["f_score"], pa.int64()),
+            "m_score": pa.array(cols["m_score"], pa.int64()),
+            "rfm": pa.array(rfm, pa.int64())})
+
+    return per.map_batches(score, batch_format="pyarrow")
+
+
+def rfm_segments_sql(n_bands: int = 5, table: str = "events") -> str:
+    """Oracle twin: rank()−1 is the strictly-less count, bands via the
+    identical integer formula."""
+    return f"""
+WITH rfm_per AS (
+  SELECT user_id,
+         (( SELECT max(epoch_us(ts)) FROM {table}) - max(epoch_us(ts)))
+           // 86400000000 AS rec_days,
+         count(*)::BIGINT AS freq,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS mon_cents
+  FROM {table} GROUP BY user_id),
+rfm_scored AS (
+  SELECT user_id, rec_days, freq, mon_cents,
+         1 + ({n_bands} * (rank() OVER (ORDER BY rec_days) - 1))
+             // count(*) OVER () AS r_score,
+         1 + ({n_bands} * (rank() OVER (ORDER BY freq) - 1))
+             // count(*) OVER () AS f_score,
+         1 + ({n_bands} * (rank() OVER (ORDER BY mon_cents) - 1))
+             // count(*) OVER () AS m_score
+  FROM rfm_per)
+SELECT user_id, rec_days, freq, mon_cents,
+       r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+       m_score::BIGINT AS m_score,
+       (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm
+FROM rfm_scored ORDER BY user_id
+"""

@@ -151,3 +151,55 @@ def test_phrase_search_single_term_and_boundary(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out["doc_id"].tolist() == [1, 2]
     assert out["first_pos"].tolist() == [4, 1]
+
+
+# --------------------------------------------------- RFM segmentation
+
+def test_rfm_segments_bands_and_ties(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import rfm_segments
+
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+    # 5 users: user i has i+1 events of value 10*(i+1), last event on
+    # day i → strictly increasing metrics, so bands = 1..5 exactly
+    eid = 0
+    for u in range(5):
+        for j in range(u + 1):
+            rows.append((u, base + dt.timedelta(days=u, hours=j),
+                         10.0 * (u + 1)))
+            eid += 1
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64())}))
+    out = rfm_segments(ev).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    assert out["freq"].tolist() == [1, 2, 3, 4, 5]
+    assert out["mon_cents"].tolist() == [1000, 4000, 9000, 16000, 25000]
+    # recency: user 4 is most recent (rec_days 0), user 0 oldest
+    assert out["rec_days"].tolist() == [4, 3, 2, 1, 0]
+    assert out["f_score"].tolist() == [1, 2, 3, 4, 5]
+    assert out["m_score"].tolist() == [1, 2, 3, 4, 5]
+    assert out["r_score"].tolist() == [5, 4, 3, 2, 1]
+    assert out["rfm"].tolist() == [511, 422, 333, 244, 155]
+
+
+def test_rfm_segments_tied_metric_shares_band(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import rfm_segments
+
+    base = dt.datetime(2025, 6, 1)
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([base] * 4, pa.timestamp("us")),
+        "value": pa.array([5.0, 5.0, 5.0, 5.0], pa.float64())}))
+    out = rfm_segments(ev).to_pandas()
+    # every metric identical → every user lands in band 1 for all three
+    assert (out["rfm"] == 111).all()
