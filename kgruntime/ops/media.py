@@ -425,3 +425,92 @@ def synth_wav_table(refs: list[str], rate: int = 8000,
          pa.array([-1] * len(refs), pa.int32()),
          pa.array(durs, pa.int32())],
         schema=MEDIA_SCHEMA)
+
+
+def synth_gif_table(refs: list[str], w: int = 32, h: int = 24,
+                    seed: int = 17) -> pa.Table:
+    """Media table whose payloads are REAL animated-GIF bytes (per-ref
+    seeded moving-gradient frames over a 64-color global palette,
+    encoded by ops/gif.py) — the genuine MULTI-FRAME codec path: frame
+    sampling downstream decodes true pixel frames, not fakes.  Frame
+    counts vary per ref so sampling sees ragged clip lengths."""
+    from .gif import encode_gif
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    payloads, durs = [], []
+    for i, r in enumerate(refs):
+        rs = int.from_bytes(
+            hashlib.sha256(f"{seed}:{r}".encode()).digest()[:4], "big")
+        rng = np.random.RandomState(rs)
+        palette = rng.randint(0, 256, size=(64, 3)).astype(np.uint8)
+        n_frames = 2 + i % 5
+        phase = rng.randint(0, 64)
+        frames = []
+        for f in range(n_frames):
+            # drifting diagonal gradient, quantized to the palette
+            idx = ((xx + yy + phase + 5 * f) % 64).astype(np.uint8)
+            frames.append(idx)
+        payloads.append(encode_gif(frames, palette))
+        durs.append(n_frames * 100)
+    return pa.Table.from_arrays(
+        [pa.array(refs, pa.string()),
+         pa.array(["video"] * len(refs), pa.string()),
+         pa.array(payloads, pa.binary()),
+         pa.array([w] * len(refs), pa.int32()),
+         pa.array([h] * len(refs), pa.int32()),
+         pa.array(durs, pa.int32())],
+        schema=MEDIA_SCHEMA)
+
+
+class GifFrameSampler:
+    """Actor-pool stage: animated-GIF payload → every ``stride``-th REAL
+    decoded frame as raw RGB bytes + per-frame pixel features.  The
+    codec (palette walk + LZW tables) lives in ``__init__``-scoped
+    state per actor; 1 row in, ≤ max_frames rows out."""
+
+    def __init__(self, stride: int = 2, max_frames: int = 4,
+                 feat_dim: int = 8):
+        from .gif import decode_gif
+        self._decode = decode_gif
+        self._feat = MediaDecoder(feat_dim=feat_dim)
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, fidx, wcol, hcol, payloads, feats = [], [], [], [], [], []
+        for r, p in zip(batch["media_ref"].to_pylist(),
+                        batch["payload"].to_pylist()):
+            frames = self._decode(p)
+            sel = list(range(0, len(frames), self.stride))
+            for fi in sel[:self.max_frames]:
+                img = frames[fi]
+                refs.append(r)
+                fidx.append(fi)
+                hcol.append(img.shape[0])
+                wcol.append(img.shape[1])
+                payloads.append(img.tobytes())
+                feats.append(
+                    self._feat._pixel_features(img).tolist())
+        return pa.Table.from_arrays(
+            [pa.array(refs, pa.string()), pa.array(fidx, pa.int32()),
+             pa.array(wcol, pa.int32()), pa.array(hcol, pa.int32()),
+             pa.array(payloads, pa.binary()),
+             pa.array(feats, pa.list_(pa.float32()))],
+            names=["media_ref", "frame_index", "width", "height",
+                   "frame_rgb", "features"])
+
+
+def gif_frame_features(media_ds, stride: int = 2, max_frames: int = 4,
+                       feat_dim: int = 8, concurrency=None,
+                       batch_size: int = 16):
+    """Animated GIF Dataset → sampled real-pixel frames + features
+    (actor pool; small batches — multi-frame payload rows are wide)."""
+    from ..runtime import pool_range
+
+    return media_ds.map_batches(
+        GifFrameSampler,
+        fn_constructor_kwargs={"stride": stride, "max_frames": max_frames,
+                               "feat_dim": feat_dim},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or pool_range(frac=0.25, lo=1),
+        num_cpus=1)

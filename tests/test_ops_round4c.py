@@ -203,3 +203,84 @@ def test_rfm_segments_tied_metric_shares_band(ray_session):
     out = rfm_segments(ev).to_pandas()
     # every metric identical → every user lands in band 1 for all three
     assert (out["rfm"] == 111).all()
+
+
+# ------------------------------------------------------ GIF codec
+
+def test_gif_roundtrip_multiframe():
+    from kgruntime.ops.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(3)
+    palette = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    frames = [rng.randint(0, 16, size=(13, 17)).astype(np.uint8)
+              for _ in range(3)]
+    out = decode_gif(encode_gif(frames, palette))
+    assert len(out) == 3
+    for fr, dec in zip(frames, out):
+        assert dec.shape == (13, 17, 3)
+        np.testing.assert_array_equal(dec, palette[fr])
+
+
+def test_gif_decoder_against_independent_flat_encoder():
+    # a spec-valid LZW stream produced WITHOUT the main encoder's
+    # dictionary logic — catches cancelling encoder/decoder bug pairs
+    import struct
+
+    from kgruntime.ops.gif import (GIF_MAGIC, _lzw_encode_flat,
+                                   _sub_blocks, decode_gif)
+
+    rng = np.random.RandomState(7)
+    palette = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+    idx = rng.randint(0, 8, size=(6, 9)).astype(np.uint8)
+    bits = 3
+    payload = bytearray(GIF_MAGIC)
+    payload += struct.pack("<HHBBB", 9, 6,
+                           0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    payload += palette.tobytes()
+    payload += b"\x2c" + struct.pack("<HHHHB", 0, 0, 9, 6, 0)
+    payload.append(bits)
+    payload += _sub_blocks(_lzw_encode_flat(idx.reshape(-1), bits))
+    payload.append(0x3B)
+    out = decode_gif(bytes(payload))
+    assert len(out) == 1
+    np.testing.assert_array_equal(out[0], palette[idx])
+
+
+def test_gif_lzw_dictionary_full_reset_path():
+    # 256-color noise at 64x64 forces codes through every width up to
+    # 12 bits and across ≥1 mid-stream CLEAR reset
+    from kgruntime.ops.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    palette = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    frame = rng.randint(0, 256, size=(64, 64)).astype(np.uint8)
+    out = decode_gif(encode_gif([frame], palette))
+    np.testing.assert_array_equal(out[0], palette[frame])
+
+
+def test_gif_frame_sampling_stage(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.gif import decode_gif
+    from kgruntime.ops.media import gif_frame_features, synth_gif_table
+
+    refs = [f"media://t-{i}/gif" for i in range(6)]
+    tbl = synth_gif_table(refs, w=16, h=12)
+    out = gif_frame_features(rd.from_arrow(tbl), stride=2,
+                             max_frames=4).to_pandas() \
+        .sort_values(["media_ref", "frame_index"]).reset_index(drop=True)
+    # ref i has 2 + i%5 frames → sampled indices 0,2,4.. capped at 4
+    got = out.groupby("media_ref")["frame_index"].apply(list).to_dict()
+    for i, r in enumerate(refs):
+        n = 2 + i % 5
+        assert got[r] == list(range(0, n, 2))[:4]
+    # sampled frame payloads are the REAL decoded pixels
+    row = out[(out["media_ref"] == refs[3])
+              & (out["frame_index"] == 2)].iloc[0]
+    src = tbl.filter(
+        pa.compute.equal(tbl["media_ref"], refs[3]))["payload"][0] \
+        .as_py()
+    expect = decode_gif(src)[2]
+    assert row["frame_rgb"] == expect.tobytes()
+    assert row["width"] == 16 and row["height"] == 12
+    assert len(row["features"]) == 8
