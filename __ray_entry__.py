@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_hits": _q_phrase_search,
         "rfm_segments": _q_rfm_segments,
         "media_gif_frames": _q_media_gif,
+        "kg_bgp_rest_first": _q_kg_bgp,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1195,6 +1196,20 @@ def _q_kg_fused(sf_dir):
 
 
 # --- training-data ops (rows-only checks) ---
+
+def _q_kg_bgp(sf_dir):
+    """SPARQL-style 2-hop BGP join over the canonical store:
+    ``?x rdf:rest ?y . ?y rdf:first ?v`` — collection-cell traversal
+    (kgruntime/stages/materialize.py:bgp_2hop); rows-only (the store
+    is parser output, not SQL-visible)."""
+    from kgruntime.pipelines.kg import build_kg
+    from kgruntime.stages.materialize import bgp_2hop
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    store = build_kg(_synth_docs(sf_dir))["canonical"]
+    return bgp_2hop(store, rdf + "rest", rdf + "first").to_pandas() \
+        .sort_values(["x", "y", "v"]).reset_index(drop=True)
+
 
 def _q_minhash(sf_dir):
     from kgruntime.ops.dedup import minhash_near_dups

@@ -300,3 +300,44 @@ def read_triple_store(out_dir: str, buckets: list[int] | None = None,
             if any(d == f"subj_bucket={b}" for b in buckets):
                 paths.append(_os.path.join(root, d))
     return rd.read_parquet(paths, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# graph-pattern query over the triple store
+# ---------------------------------------------------------------------------
+
+def bgp_2hop(triples_ds, pred1: str, pred2: str):
+    """Two-hop basic-graph-pattern query over a triple Dataset:
+    ``?x <pred1> ?y . ?y <pred2> ?v`` → ``(x, y, v)``.
+
+    This is the SPARQL-join primitive the reference parser's consumers
+    would run over the materialized store (the reference itself stops
+    at parsing — turtle-syntax src/lib.rs produces triples, querying is
+    downstream): each pattern is a predicate-pruned scan (column prune
+    + pushdown filter at the read when the store is the hive-bucketed
+    parquet layout), and the hop is ONE bucketed hash join keyed on the
+    join variable ?y — subject-hash partitioning of the store means hop
+    joins co-locate when ?y is a subject, which is exactly the salted
+    subj-bucket layout write_triple_store emits.
+    """
+    import pyarrow.compute as pc
+
+    from ..ops.join import bucketed_hash_join
+
+    def side(ds, pred, out_names):
+        def f(t: pa.Table) -> pa.Table:
+            sel = t.filter(pc.equal(t["pred"], pred))
+            return pa.Table.from_arrays([sel["subj"], sel["obj"]],
+                                        names=out_names)
+        return ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    left = side(triples_ds, pred1, ["x", "y"])
+    right = side(triples_ds, pred2, ["y_key", "v"])
+    if left.count() == 0 or right.count() == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "x": pa.array([], pa.string()),
+            "y": pa.array([], pa.string()),
+            "v": pa.array([], pa.string())}))
+    return bucketed_hash_join(left, right, "y", "y_key")
