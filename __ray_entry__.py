@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "media_gif_frames": _q_media_gif,
         "kg_bgp_rest_first": _q_kg_bgp,
+        "mad_by_type": _q_mad_by_type,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -772,6 +773,18 @@ def _q_phrase_search(sf_dir):
     from kgruntime.ops.text import phrase_search
 
     return phrase_search(_docs_ds(sf_dir), _PHRASE)
+
+
+def _q_mad_by_type(sf_dir):
+    """Exact integer median + MAD per event type
+    (kgruntime/ops/stats.py:mad_by_group)."""
+    import ray.data as rd
+
+    from kgruntime.ops.stats import mad_by_group
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    return mad_by_group(ev)
 
 
 def _q_rfm_segments(sf_dir):
@@ -1968,6 +1981,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _pmi_oracle(),
         "phrase_search_hits": _phrase_search_oracle(),
         "rfm_segments": _rfm_oracle(),
+        "mad_by_type": _mad_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2233,6 +2247,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _mad_oracle() -> str:
+    from kgruntime.ops.stats import mad_by_group_sql
+
+    return mad_by_group_sql()
 
 
 def _rfm_oracle() -> str:

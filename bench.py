@@ -146,7 +146,10 @@ def run_queries(sf_dir: str) -> dict:
               # pagerank: the dense co-occurrence build dominates at
               # bench scale without informing per-op perf)
               "knn_graph", "cms_heavy_bigrams", "corpus_diff",
-              "span_corrupt", "temperature_mix_sample"]
+              "span_corrupt", "temperature_mix_sample",
+              # round-4d flagship ops
+              "set_sim_join_pairs", "rfm_segments", "pmi_collocations",
+              "phrase_search_hits"]
     out = {}
     for name in picked:
         t0 = time.perf_counter()

@@ -667,3 +667,93 @@ FROM rk
 WHERE rn > n * {trim_pct} // 100 AND rn <= n - n * {trim_pct} // 100
 GROUP BY {key} ORDER BY {key}
 """
+
+
+def mad_by_group(events_ds, key: str = "event_type",
+                 value_col: str = "value"):
+    """Robust location/scale per group: lower-median and median absolute
+    deviation of ``value_col`` cents — ``(key, n_events, median_cents,
+    mad_cents)``, all EXACT int64 (no interpolation, no floats), so the
+    result hash-replays in SQL via two row_number order statistics.
+
+    No per-group sort of raw rows: one ``groupby(key, cents)`` builds
+    the per-group histogram (bounded by |keys| × distinct cent values —
+    the trimmed_mean_by_group shape); the median is read off cumulative
+    counts, and the deviation histogram folds ``med ± d`` pairs by
+    summing counts before the second order statistic.
+    """
+    from ray.data.aggregate import Count
+
+    def cents_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t[key],
+            "cents": pc.cast(pc.round(
+                pc.multiply(t[value_col], 100.0),
+                round_mode="half_towards_infinity"), pa.int64())})
+
+    hist = events_ds.select_columns([key, value_col]) \
+        .map_batches(cents_prep, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby([key, "cents"]).aggregate(Count(alias_name="cnt"))
+
+    def _disc_median(units: np.ndarray, counts: np.ndarray) -> int:
+        # lower median: the ((n+1)//2)-th order statistic (1-based)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        rank = (n + 1) // 2
+        return int(units[np.searchsorted(cum, rank, side="left")])
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values("cents", kind="mergesort")
+        cents = df["cents"].to_numpy(np.int64)
+        cnt = df["cnt"].to_numpy(np.int64)
+        med = _disc_median(cents, cnt)
+        dev = np.abs(cents - med)
+        order = np.argsort(dev, kind="mergesort")
+        dsorted, csorted = dev[order], cnt[order]
+        uniq, starts = np.unique(dsorted, return_index=True)
+        folded = np.add.reduceat(csorted, starts)
+        mad = _disc_median(uniq, folded)
+        return pa.table({
+            key: pa.array([g[key][0].as_py()], g[key].type),
+            "n_events": pa.array([int(cnt.sum())], pa.int64()),
+            "median_cents": pa.array([med], pa.int64()),
+            "mad_cents": pa.array([mad], pa.int64())})
+
+    return hist.groupby(key).map_groups(finish, batch_format="pyarrow")
+
+
+def mad_by_group_sql(key: str = "event_type", value_col: str = "value",
+                     table: str = "events") -> str:
+    """Oracle twin: both medians as explicit row_number order
+    statistics (rn = (n+1)//2), never quantile_disc — its index
+    convention is version-dependent."""
+    return f"""
+WITH mad_c AS (
+  SELECT {key}, CAST(round({value_col} * 100) AS BIGINT) AS cents
+  FROM {table}),
+mad_med AS (
+  SELECT {key}, cents AS median_cents FROM (
+    SELECT {key}, cents,
+           row_number() OVER (PARTITION BY {key} ORDER BY cents) AS rn,
+           count(*) OVER (PARTITION BY {key}) AS n
+    FROM mad_c)
+  WHERE rn = (n + 1) // 2),
+mad_dev AS (
+  SELECT c.{key}, abs(c.cents - m.median_cents) AS d
+  FROM mad_c c JOIN mad_med m USING ({key})),
+mad_mad AS (
+  SELECT {key}, d AS mad_cents FROM (
+    SELECT {key}, d,
+           row_number() OVER (PARTITION BY {key} ORDER BY d) AS rn,
+           count(*) OVER (PARTITION BY {key}) AS n
+    FROM mad_dev)
+  WHERE rn = (n + 1) // 2)
+SELECT c.{key}, count(*)::BIGINT AS n_events,
+       any_value(m.median_cents)::BIGINT AS median_cents,
+       any_value(x.mad_cents)::BIGINT AS mad_cents
+FROM mad_c c
+JOIN mad_med m USING ({key})
+JOIN mad_mad x USING ({key})
+GROUP BY c.{key} ORDER BY c.{key}
+"""

@@ -317,3 +317,40 @@ def test_bgp_2hop_empty_side(ray_session):
     assert ds.count() == 0
     # (to_pandas on an all-empty Dataset drops columns — the known
     # Ray 2.49 empty-schema quirk; count is the meaningful assert)
+
+
+# ------------------------------------------------------ median + MAD
+
+def test_mad_by_group_exact_lower_median(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import mad_by_group
+
+    t = pa.table({
+        "event_type": pa.array(["a"] * 6 + ["b"] * 3, pa.string()),
+        # a: cents 100,200,300,400,500,600 → lower median 300 (n even);
+        #    deviations 200,100,0,100,200,300 → sorted 0,100,100,200,
+        #    200,300 → lower median 100
+        # b: 50,50,1000 → median 50; deviations 0,0,950 → MAD 0
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0,
+                           0.5, 0.5, 10.0], pa.float64())})
+    out = mad_by_group(rd.from_arrow(t)).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    assert out["n_events"].tolist() == [6, 3]
+    assert out["median_cents"].tolist() == [300, 50]
+    assert out["mad_cents"].tolist() == [100, 0]
+
+
+def test_mad_by_group_fold_equidistant(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import mad_by_group
+
+    # med=200; dev multiset {100×2 (from 100 and 300), 0×1} → counts
+    # must FOLD across the ± sides: lower median of {0,100,100} = 100
+    t = pa.table({
+        "event_type": pa.array(["x"] * 3, pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64())})
+    out = mad_by_group(rd.from_arrow(t)).to_pandas()
+    assert out["median_cents"].tolist() == [200]
+    assert out["mad_cents"].tolist() == [100]
