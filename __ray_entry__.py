@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_gif_frames": _q_media_gif,
         "kg_bgp_rest_first": _q_kg_bgp,
         "mad_by_type": _q_mad_by_type,
+        "curriculum_order": _q_curriculum,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -773,6 +774,14 @@ def _q_phrase_search(sf_dir):
     from kgruntime.ops.text import phrase_search
 
     return phrase_search(_docs_ds(sf_dir), _PHRASE)
+
+
+def _q_curriculum(sf_dir):
+    """Interleaved stratified curriculum ordering
+    (kgruntime/ops/shard.py:curriculum_order)."""
+    from kgruntime.ops.shard import curriculum_order
+
+    return curriculum_order(_docs_ds(sf_dir))
 
 
 def _q_mad_by_type(sf_dir):
@@ -1982,6 +1991,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search_hits": _phrase_search_oracle(),
         "rfm_segments": _rfm_oracle(),
         "mad_by_type": _mad_oracle(),
+        "curriculum_order": _curriculum_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2247,6 +2257,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _curriculum_oracle() -> str:
+    from kgruntime.ops.shard import curriculum_order_sql
+
+    return curriculum_order_sql()
 
 
 def _mad_oracle() -> str:

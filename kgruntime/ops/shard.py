@@ -316,3 +316,127 @@ SELECT bucket_cap, n_docs, total_tokens, padded_tokens,
          AS waste_ppm
 FROM pw_g ORDER BY bucket_cap
 """
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering
+# ---------------------------------------------------------------------------
+
+def curriculum_order(docs_ds, n_strata: int = 10, n_shards: int = 8,
+                     seed: int = 29, rank_bits: int = 6):
+    """Deterministic curriculum arrangement for training: docs are
+    stratified into length deciles (the value_deciles bucketing),
+    shuffled WITHIN each stratum by a seeded md5 order, and interleaved
+    round-robin across strata — ``pos = rank_in_stratum · n_strata +
+    stratum`` is a strict total-order key under which every consecutive
+    window mixes all strata (no length-sorted drift), yet the whole
+    arrangement is reproducible and SQL-replayable.  Output:
+    ``(doc_id, stratum, pos, shard_id)`` with ``shard_id = pos %
+    n_shards`` (round-robin shards inherit the stratum mix).
+
+    Scale shape: NO global sort.  Per-stratum rank is a two-phase
+    prefix scan keyed by the hash's top ``rank_bits`` bits (range
+    buckets are order-aligned with the md5 shuffle order): phase 1 is
+    one (stratum, rbucket) count groupby whose result is bounded by
+    n_strata · 2^rank_bits ints, broadcast once; phase 2 finishes each
+    bucket locally (sort of an ~1/2^rank_bits corpus slice).  The
+    length-decile map is the distinct-value histogram broadcast from
+    value_deciles.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from .dedup import _md5_60
+    from ..ops.ann import _cached_state
+
+    # --- stratum map: distinct n_chars histogram → decile buckets ---
+    hist = docs_ds.groupby("n_chars").count().to_pandas() \
+        .sort_values("n_chars")
+    vals = hist["n_chars"].to_numpy(np.int64)
+    cnt = hist["count()"].to_numpy(np.int64)
+    n_total = int(cnt.sum())
+    buckets = (n_strata * (np.cumsum(cnt) - cnt)) // n_total
+    strat_ref = ray.put((vals, buckets))
+
+    shift = 60 - rank_bits
+
+    def prep(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sv, sb = _cached_state(strat_ref, lambda: _ray.get(strat_ref))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        stratum = sb[np.searchsorted(sv, t["n_chars"].to_numpy(
+            zero_copy_only=False))]
+        h = np.fromiter((_md5_60(f"{seed}:{d}".encode()) for d in ids),
+                        np.int64, len(ids))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "stratum": pa.array(stratum, pa.int64()),
+                         "h": pa.array(h, pa.int64()),
+                         "rbucket": pa.array(h >> shift, pa.int64())})
+
+    prepped = docs_ds.select_columns(["doc_id", "n_chars"]) \
+        .map_batches(prep, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    # phase 1: exclusive prefix offsets per (stratum, hash-range bucket)
+    sizes = prepped.groupby(["stratum", "rbucket"]) \
+        .aggregate(Count(alias_name="n")).to_pandas() \
+        .sort_values(["stratum", "rbucket"], kind="mergesort")
+    offs = {}
+    for s, g in sizes.groupby("stratum", sort=False):
+        n = g["n"].to_numpy(np.int64)
+        off = np.concatenate([[0], np.cumsum(n)[:-1]])
+        for rb, o in zip(g["rbucket"].to_numpy(np.int64), off):
+            offs[(int(s), int(rb))] = int(o)
+    off_ref = ray.put(offs)
+
+    def finish(g: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _cached_state(off_ref, lambda: _ray.get(off_ref))
+        s = int(g["stratum"][0].as_py())
+        base = m[(s, int(g["rbucket"][0].as_py()))]
+        h = g["h"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        rank = np.empty(len(order), np.int64)
+        rank[order] = base + np.arange(len(order), dtype=np.int64)
+        pos = rank * n_strata + g["stratum"].to_numpy(
+            zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "stratum": g["stratum"],
+                         "pos": pa.array(pos, pa.int64()),
+                         "shard_id": pa.array(pos % n_shards,
+                                              pa.int64())})
+
+    return prepped.groupby(["stratum", "rbucket"]) \
+        .map_groups(finish, batch_format="pyarrow")
+
+
+def curriculum_order_sql(n_strata: int = 10, n_shards: int = 8,
+                         seed: int = 29,
+                         table: str = "documents") -> str:
+    """Oracle twin: the value_deciles bucket window + a per-stratum
+    row_number over the identical md5 order."""
+    return f"""
+WITH cur_c AS (
+  SELECT n_chars AS v, count(*) AS cnt FROM {table} GROUP BY v),
+cur_b AS (
+  SELECT v, (({n_strata} * (sum(cnt) OVER (ORDER BY v) - cnt))
+             // (SELECT count(*) FROM {table}))::BIGINT AS stratum
+  FROM cur_c),
+cur_h AS (
+  SELECT d.doc_id, b.stratum,
+         ('0x' || substr(md5('{seed}:' || d.doc_id), 1, 15))::BIGINT
+           AS h
+  FROM {table} d JOIN cur_b b ON d.n_chars = b.v),
+cur_r AS (
+  SELECT doc_id, stratum,
+         row_number() OVER (PARTITION BY stratum
+                            ORDER BY h, doc_id) - 1 AS rnk
+  FROM cur_h)
+SELECT doc_id, stratum,
+       (rnk * {n_strata} + stratum)::BIGINT AS pos,
+       ((rnk * {n_strata} + stratum) % {n_shards})::BIGINT AS shard_id
+FROM cur_r ORDER BY doc_id
+"""

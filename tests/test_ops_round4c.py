@@ -354,3 +354,44 @@ def test_mad_by_group_fold_equidistant(ray_session):
     out = mad_by_group(rd.from_arrow(t)).to_pandas()
     assert out["median_cents"].tolist() == [200]
     assert out["mad_cents"].tolist() == [100]
+
+
+# --------------------------------------------------- curriculum order
+
+def test_curriculum_order_interleaves_strata(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.shard import curriculum_order
+
+    # 40 docs, 2 strata by length (20 short, 20 long)
+    t = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "n_chars": pa.array([10] * 20 + [99] * 20, pa.int64())})
+    out = curriculum_order(rd.from_arrow(t), n_strata=2, n_shards=4) \
+        .to_pandas().sort_values("pos").reset_index(drop=True)
+    assert len(out) == 40
+    # pos is a strict total order key
+    assert out["pos"].is_unique
+    # parity of pos encodes the stratum → perfect interleave
+    assert (out["pos"] % 2 == out["stratum"]).all()
+    assert set(out["stratum"]) == {0, 1}
+    # round-robin shards inherit the mix
+    assert out["shard_id"].tolist() == (out["pos"] % 4).tolist()
+
+
+def test_curriculum_order_rank_is_seeded_md5(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from kgruntime.ops.shard import curriculum_order
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "n_chars": pa.array([7] * 12, pa.int64())})
+    out = curriculum_order(rd.from_arrow(t).repartition(5), n_strata=1,
+                           n_shards=3, seed=29).to_pandas() \
+        .sort_values("pos").reset_index(drop=True)
+    want = sorted(range(12), key=lambda d: (
+        int(hashlib.md5(f"29:{d}".encode()).hexdigest()[:15], 16), d))
+    assert out["doc_id"].tolist() == want
