@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_rest_first": _q_kg_bgp,
         "mad_by_type": _q_mad_by_type,
         "curriculum_order": _q_curriculum,
+        "weighted_sample": _q_weighted_sample,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -774,6 +775,14 @@ def _q_phrase_search(sf_dir):
     from kgruntime.ops.text import phrase_search
 
     return phrase_search(_docs_ds(sf_dir), _PHRASE)
+
+
+def _q_weighted_sample(sf_dir):
+    """Deterministic weighted sampling without replacement
+    (kgruntime/ops/sample.py:weighted_priority_sample)."""
+    from kgruntime.ops.sample import weighted_priority_sample
+
+    return weighted_priority_sample(_docs_ds(sf_dir))
 
 
 def _q_curriculum(sf_dir):
@@ -1992,6 +2001,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _rfm_oracle(),
         "mad_by_type": _mad_oracle(),
         "curriculum_order": _curriculum_oracle(),
+        "weighted_sample": _weighted_sample_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2257,6 +2267,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _weighted_sample_oracle() -> str:
+    from kgruntime.ops.sample import weighted_priority_sample_sql
+
+    return weighted_priority_sample_sql()
 
 
 def _curriculum_oracle() -> str:

@@ -363,3 +363,68 @@ FROM rk JOIN q ON q.source = rk.source
 WHERE rk.pick_rank <= q.quota
 ORDER BY rk.source, rk.pick_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling
+# ---------------------------------------------------------------------------
+
+def weighted_priority_sample(docs_ds, k: int = 50, seed: int = 31,
+                             weight_col: str = "n_chars"):
+    """Deterministic weighted sampling without replacement (the integer
+    cousin of Efraimidis–Spirakis exponential keys): every row gets
+    ``priority = md5_60(seed:doc_id) // max(weight, 1)`` and the k
+    SMALLEST priorities win — heavier rows draw smaller keys with
+    probability ∝ weight, yet the draw is a pure function of the row,
+    so any retry/resume/worker reselects identically and the oracle
+    replays it.
+
+    Scale shape: each batch keeps only its LOCAL k smallest
+    (argpartition — no sort of the batch), so at most k × n_blocks
+    candidate ints reach the driver for the exact global cut; no
+    shuffle at all.  Ties (h//w collisions) break on doc_id both sides.
+    """
+    import pandas as pd
+
+    from .dedup import _md5_60
+
+    cand_schema = pa.schema([("doc_id", pa.int64()),
+                             (weight_col, pa.int64()),
+                             ("priority", pa.int64())])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = np.maximum(t[weight_col].to_numpy(zero_copy_only=False), 1)
+        h = np.fromiter((_md5_60(f"{seed}:{d}".encode()) for d in ids),
+                        np.int64, len(ids))
+        pri = h // w
+        if len(ids) > k:
+            sel = np.argpartition(pri, k)[:k]
+        else:
+            sel = np.arange(len(ids))
+        return pa.table({"doc_id": pa.array(ids[sel], pa.int64()),
+                         weight_col: pa.array(
+                             t[weight_col].to_numpy(
+                                 zero_copy_only=False)[sel], pa.int64()),
+                         "priority": pa.array(pri[sel], pa.int64())},
+                        schema=cand_schema)
+
+    cands = docs_ds.select_columns(["doc_id", weight_col]) \
+        .map_batches(local_topk, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas()
+    out = cands.sort_values(["priority", "doc_id"],
+                            kind="mergesort").head(k)
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        [["doc_id", weight_col, "priority"]]
+
+
+def weighted_priority_sample_sql(k: int = 50, seed: int = 31,
+                                 weight_col: str = "n_chars",
+                                 table: str = "documents") -> str:
+    return f"""
+SELECT doc_id, {weight_col},
+       (('0x' || substr(md5('{seed}:' || doc_id), 1, 15))::BIGINT
+        // greatest({weight_col}, 1))::BIGINT AS priority
+FROM {table}
+ORDER BY priority, doc_id LIMIT {k}
+"""

@@ -395,3 +395,41 @@ def test_curriculum_order_rank_is_seeded_md5(ray_session):
     want = sorted(range(12), key=lambda d: (
         int(hashlib.md5(f"29:{d}".encode()).hexdigest()[:15], 16), d))
     assert out["doc_id"].tolist() == want
+
+
+# ------------------------------------------------- weighted sampling
+
+def test_weighted_priority_sample_exact_topk(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from kgruntime.ops.sample import weighted_priority_sample
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+        "n_chars": pa.array([(d % 10) * 50 + 1 for d in range(100)],
+                            pa.int64())})
+    out = weighted_priority_sample(rd.from_arrow(t).repartition(7),
+                                   k=10, seed=31)
+    # exact reference: global smallest h//w with doc_id tie-break
+    pri = {d: int(hashlib.md5(f"31:{d}".encode()).hexdigest()[:15], 16)
+           // max((d % 10) * 50 + 1, 1) for d in range(100)}
+    want = sorted(sorted(pri, key=lambda d: (pri[d], d))[:10])
+    assert out["doc_id"].tolist() == want
+    assert len(out) == 10
+
+
+def test_weighted_priority_sample_bias_toward_heavy(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sample import weighted_priority_sample
+
+    # weights 1 vs 10000: the heavy half should dominate the sample
+    t = pa.table({
+        "doc_id": pa.array(list(range(2000)), pa.int64()),
+        "n_chars": pa.array([1 if d < 1000 else 10000
+                             for d in range(2000)], pa.int64())})
+    out = weighted_priority_sample(rd.from_arrow(t), k=100)
+    heavy = (out["doc_id"] >= 1000).sum()
+    assert heavy > 90
