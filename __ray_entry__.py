@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_by_type": _q_mad_by_type,
         "curriculum_order": _q_curriculum,
         "weighted_sample": _q_weighted_sample,
+        "click_attribution": _q_click_attr,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -775,6 +776,19 @@ def _q_phrase_search(sf_dir):
     from kgruntime.ops.text import phrase_search
 
     return phrase_search(_docs_ds(sf_dir), _PHRASE)
+
+
+def _q_click_attr(sf_dir):
+    """Multi-touch purchase attribution with exact dyadic weights
+    (kgruntime/ops/sessions.py:click_attribution)."""
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import click_attribution
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+    return click_attribution(ev)
 
 
 def _q_weighted_sample(sf_dir):
@@ -2002,6 +2016,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_by_type": _mad_oracle(),
         "curriculum_order": _curriculum_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
+        "click_attribution": _click_attr_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2267,6 +2282,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _click_attr_oracle() -> str:
+    from kgruntime.ops.sessions import click_attribution_sql
+
+    return click_attribution_sql()
 
 
 def _weighted_sample_oracle() -> str:

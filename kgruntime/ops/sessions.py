@@ -1338,3 +1338,121 @@ SELECT user_id, rec_days, freq, mon_cents,
        (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm
 FROM rfm_scored ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_H = 20   # dyadic weight horizon: rank ≥ H clicks attribute 0
+
+
+def click_attribution(events_ds, horizon_min: int = 120):
+    """Multi-touch purchase attribution with exact dyadic weights: each
+    purchase attributes ``value_cents · 2^(H−1−rank)`` units to every
+    click by the same user in the preceding ``horizon_min`` minutes,
+    where rank 0 is the most recent click (ties on ts break by
+    event_id desc, like the most-recent-first ordering).  Output per
+    user: ``(user_id, n_purchases, n_attributed, attr_units)`` — the
+    2^k unit scale makes the sum order-independent exact int64
+    (the decayed_user_value idiom), so it hash-replays in SQL.
+
+    Scale shape: one ``groupby(user_id)`` shuffle; per group a single
+    numpy two-pointer sweep over the user's time-sorted events (no
+    clicks×purchases blow-up — each purchase touches only its window
+    slice).  Returns ARROW tables from map_groups (the 20× sort
+    lesson does not bite: this rollup is terminal).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_purchases", pa.int64()),
+                            ("n_attributed", pa.int64()),
+                            ("attr_units", pa.int64())])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        cents = np.asarray(
+            pc.cast(pc.round(pc.multiply(g["value"], 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False))
+        # most-recent-first within a purchase's window: sort by ts asc,
+        # event_id asc, then walk back from the purchase position
+        order = np.lexsort((eid, ts))
+        ts, eid, typ, cents = ts[order], eid[order], typ[order], \
+            cents[order]
+        is_click = typ == "click"
+        click_pos = np.nonzero(is_click)[0]
+        click_ts = ts[click_pos]
+        win = horizon_min * 60_000_000
+        total_units = 0
+        n_attr = 0
+        n_pur = 0
+        for p in np.nonzero(typ == "purchase")[0]:
+            n_pur += 1
+            # clicks strictly before the purchase instant, within win
+            hi = int(np.searchsorted(click_ts, ts[p], side="left"))
+            lo = int(np.searchsorted(click_ts, ts[p] - win,
+                                     side="left"))
+            ranks = 0
+            for ci in range(hi - 1, lo - 1, -1):   # most recent first
+                if ranks >= _ATTR_H:
+                    break
+                total_units += int(cents[p]) << (_ATTR_H - 1 - ranks)
+                ranks += 1
+                n_attr += 1
+        if n_pur == 0:       # oracle emits purchase-making users only
+            return out_schema.empty_table()
+        uid = g["user_id"][0].as_py()
+        return pa.table({"user_id": pa.array([uid], pa.int64()),
+                         "n_purchases": pa.array([n_pur], pa.int64()),
+                         "n_attributed": pa.array([n_attr], pa.int64()),
+                         "attr_units": pa.array([total_units],
+                                                pa.int64())},
+                        schema=out_schema)
+
+    return events_ds.select_columns(
+        ["user_id", "ts", "event_id", "event_type", "value"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def click_attribution_sql(horizon_min: int = 120,
+                          table: str = "events") -> str:
+    """Oracle twin: clicks×purchases range join per user, rank by
+    recency, identical dyadic shift arithmetic."""
+    return f"""
+WITH att_p AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM {table} WHERE event_type = 'purchase'),
+att_c AS (
+  SELECT user_id, ts, event_id FROM {table}
+  WHERE event_type = 'click'),
+att_j AS (
+  SELECT p.user_id, p.event_id AS pid, p.cents,
+         row_number() OVER (
+           PARTITION BY p.user_id, p.event_id
+           ORDER BY c.ts DESC, c.event_id DESC) - 1 AS rnk
+  FROM att_p p JOIN att_c c
+    ON c.user_id = p.user_id
+   AND c.ts < p.ts
+   AND c.ts >= p.ts - INTERVAL {horizon_min} MINUTE),
+att_sum AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE rnk < {_ATTR_H}) AS n_attributed,
+         sum(CASE WHEN rnk < {_ATTR_H}
+                  THEN cents * (1::BIGINT << ({_ATTR_H} - 1 - rnk))
+                  ELSE 0 END)::BIGINT AS attr_units
+  FROM att_j GROUP BY user_id),
+att_np AS (
+  SELECT user_id, count(*)::BIGINT AS n_purchases
+  FROM att_p GROUP BY user_id)
+SELECT n.user_id, n.n_purchases,
+       coalesce(s.n_attributed, 0)::BIGINT AS n_attributed,
+       coalesce(s.attr_units, 0)::BIGINT AS attr_units
+FROM att_np n LEFT JOIN att_sum s USING (user_id)
+ORDER BY n.user_id
+"""

@@ -433,3 +433,65 @@ def test_weighted_priority_sample_bias_toward_heavy(ray_session):
     out = weighted_priority_sample(rd.from_arrow(t), k=100)
     heavy = (out["doc_id"] >= 1000).sum()
     assert heavy > 90
+
+
+# -------------------------------------------------- click attribution
+
+def test_click_attribution_dyadic_weights(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import click_attribution
+
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1: clicks at t-10min and t-5min, purchase $2 at t
+        (1, 1, base - dt.timedelta(minutes=10), "click", 0.0),
+        (2, 1, base - dt.timedelta(minutes=5), "click", 0.0),
+        (3, 1, base, "purchase", 2.0),
+        # user 2: click OUTSIDE the 120-min window, purchase $1
+        (4, 2, base - dt.timedelta(minutes=200), "click", 0.0),
+        (5, 2, base, "purchase", 1.0),
+        # user 3: clicks only, no purchase → no output row
+        (6, 3, base, "click", 0.0),
+    ]
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64())}))
+    out = click_attribution(ev).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 2]
+    # user 1: rank 0 = t-5 click (200 << 19), rank 1 = t-10 (200 << 18)
+    assert out["attr_units"].tolist() == [
+        (200 << 19) + (200 << 18), 0]
+    assert out["n_attributed"].tolist() == [2, 0]
+    assert out["n_purchases"].tolist() == [1, 1]
+
+
+def test_click_attribution_tie_break_and_strictly_before(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import click_attribution
+
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [
+        # click AT the purchase instant is NOT attributed (strict <)
+        (1, 1, base, "click", 0.0),
+        (2, 1, base - dt.timedelta(minutes=1), "click", 0.0),
+        (3, 1, base, "purchase", 4.0),
+    ]
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64())}))
+    out = click_attribution(ev).to_pandas()
+    assert out["n_attributed"].tolist() == [1]
+    assert out["attr_units"].tolist() == [400 << 19]
