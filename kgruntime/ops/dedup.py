@@ -2109,109 +2109,131 @@ def set_sim_join(docs_ds, tau_num: int = 3, tau_den: int = 5,
     pure integer arithmetic (``tau_den·|∩| ≥ tau_num·|∪|``), so the
     result replays bit-exactly in SQL.
 
-    Scale shape: the bigram df table is VOCABULARY-bounded (independent
-    of corpus size — same assumption as bpe_merges), collected once and
-    broadcast via ``ray.put``; prefix postings carry (h, doc_id, n)
-    ints only; hot prefix tokens are capped DETERMINISTICALLY at
-    ``cap`` docs in doc_id order (replayed as a row_number window, the
-    incremental_near_dups idiom); verification ships the two docs'
-    hash SETS (≤ vocab ints) through two bucketed hash joins — text
-    never crosses an exchange.  At open vocabulary, swap the broadcast
-    for a bucketed df join + per-doc re-sort (documented escape hatch).
+    Scale shape: the corpus is tokenized and hashed exactly ONCE into a
+    materialized (doc_id, sorted-hash-blob, n) sets table — ints only,
+    strictly smaller than the text; at well beyond object-store scale,
+    stage it to parquet like build_kg_staged (documented escape hatch).
+    Everything else derives from the sets table: the shingle df table
+    is VOCABULARY-bounded (the bpe_merges assumption; shingle n=3
+    because the synthetic 31-word vocab only has a rare tail at
+    trigram granularity — prefix filtering is only selective when rare
+    tokens exist), collected once and broadcast via ``ray.put``; prefix
+    postings carry (h, doc_id, n) ints; hot prefix tokens are capped
+    DETERMINISTICALLY at ``cap`` docs in doc_id order (the row_number
+    twin); verification Bloom-prefilters the sets table with the
+    candidate doc ids (fixed 64-KiB broadcast bits, the
+    bloom_filtered_brand_revenue pattern) so the two bucketed hash
+    joins shuffle only candidate docs' sets, never the corpus.
     """
     import ray
     import ray.data as rd
     from ray.data.aggregate import Max, Sum
 
+    from .ann import _cached_state
     from .join import bucketed_hash_join
 
-    # --- pass 1: global shingle document frequency (vocab-bounded;
-    # n=3 for the same reason minhash shingles at 3 — the synthetic
-    # 31-word vocab only has a rare tail at trigram granularity, and
-    # prefix filtering is only selective when rare tokens exist) ---
-    def df_partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: Counter = Counter()
-        for txt in t["text"].to_pylist():
-            toks = txt.split(" ")
-            m = max(len(toks) - shingle_n + 1, 0)
-            c.update({" ".join(toks[i:i + shingle_n]) for i in range(m)})
-        hs = np.fromiter((_md5_60_memo(g) for g in c), np.int64, len(c))
-        return pa.table({"h": pa.array(hs, pa.int64()),
-                         "df_part": pa.array(list(c.values()), pa.int64())})
+    # --- the ONLY text pass: per-doc sorted distinct shingle hashes,
+    # shipped as int64-LE binary blobs (acero joins reject list
+    # payloads; frombuffer decodes zero-copy) ---
+    sets_schema = pa.schema([("doc_id", pa.int64()),
+                             ("hs", pa.binary()),
+                             ("n", pa.int64())])
 
-    df_tbl = docs_ds.select_columns(["text"]) \
+    def hash_sets(t: pa.Table) -> pa.Table:
+        ids, blobs, ns = [], [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hs = _distinct_shingle_hashes(txt, shingle_n)
+            if len(hs):
+                ids.append(d)
+                blobs.append(hs.astype("<i8").tobytes())
+                ns.append(len(hs))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "hs": pa.array(blobs, pa.binary()),
+                         "n": pa.array(ns, pa.int64())},
+                        schema=sets_schema)
+
+    sets = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(hash_sets, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    # --- df: explode the int blobs (no re-tokenize), one groupby ---
+    def df_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "df_part": pa.array([], pa.int64())})
+        allh = np.concatenate([np.frombuffer(b, "<i8")
+                               for b in t["hs"].to_pylist()])
+        uniq, cnt = np.unique(allh, return_counts=True)
+        return pa.table({"h": pa.array(uniq, pa.int64()),
+                         "df_part": pa.array(cnt, pa.int64())})
+
+    df_tbl = sets.select_columns(["hs"]) \
         .map_batches(df_partial, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("h").aggregate(Sum("df_part", alias_name="df")) \
-        .to_pandas()   # vocab-bounded: |distinct bigrams|, not |corpus|
+        .to_pandas()   # vocab-bounded: |distinct shingles|, not |corpus|
     h_sorted = np.sort(df_tbl["h"].to_numpy(np.int64))
     df_by_h = df_tbl.set_index("h")["df"].reindex(h_sorted).to_numpy(
         np.int64)
     df_ref = ray.put((h_sorted, df_by_h))
 
-    # --- pass 2: per-doc prefix postings + full hash sets ---
+    # --- prefix postings from the sets table + broadcast df;
+    # ``pos`` (1-based df-order index) feeds the positional filter ---
     pref_schema = pa.schema([("h", pa.int64()), ("doc_id", pa.int64()),
-                             ("n", pa.int64())])
-    # hash sets travel as int64-LE binary blobs: acero joins reject
-    # list-typed payload columns, and frombuffer decodes zero-copy
-    sets_schema = pa.schema([("doc_id", pa.int64()),
-                             ("hs", pa.binary())])
+                             ("n", pa.int64()), ("pos", pa.int64())])
 
     def prefix_postings(t: pa.Table) -> pa.Table:
         import ray as _ray
 
-        from .ann import _cached_state
         hk, dfk = _cached_state(df_ref, lambda: _ray.get(df_ref))
-        out_h, out_d, out_n = [], [], []
-        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            hs = _distinct_shingle_hashes(txt, shingle_n)
-            n = len(hs)
-            if n == 0:
-                continue
+        out_h, out_d, out_n, out_p = [], [], [], []
+        for d, blob, n in zip(t["doc_id"].to_pylist(),
+                              t["hs"].to_pylist(),
+                              t["n"].to_pylist()):
+            hs = np.frombuffer(blob, "<i8")
             dfs = dfk[np.searchsorted(hk, hs)]
             order = np.lexsort((hs, dfs))
             p = n - (tau_num * n + tau_den - 1) // tau_den + 1
-            sel = hs[order[:p]]
-            out_h.append(sel)
+            out_h.append(hs[order[:p]])
             out_d.append(np.full(p, d, np.int64))
             out_n.append(np.full(p, n, np.int64))
+            out_p.append(np.arange(1, p + 1, dtype=np.int64))
         if not out_h:
             return pref_schema.empty_table()
         return pa.table({"h": np.concatenate(out_h),
                          "doc_id": np.concatenate(out_d),
-                         "n": np.concatenate(out_n)}, schema=pref_schema)
+                         "n": np.concatenate(out_n),
+                         "pos": np.concatenate(out_p)},
+                        schema=pref_schema)
 
-    def hash_sets(t: pa.Table) -> pa.Table:
-        ids, lists = [], []
-        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            hs = _distinct_shingle_hashes(txt, shingle_n)
-            if len(hs):
-                ids.append(d)
-                lists.append(hs.astype("<i8").tobytes())
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "hs": pa.array(lists, pa.binary())},
-                        schema=sets_schema)
-
-    docs2 = docs_ds.select_columns(["doc_id", "text"])
-    postings = docs2.map_batches(prefix_postings, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+    postings = sets.map_batches(prefix_postings, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
     def cands_for_token(g: pa.Table) -> pa.Table:
         # deterministic cap: first `cap` docs in doc_id order (the SQL
-        # row_number twin), then pairs passing the integer size filter
-        ids = np.unique(g["doc_id"].to_numpy(zero_copy_only=False))
-        n_by = dict(zip(g["doc_id"].to_pylist(), g["n"].to_pylist()))
-        ids = ids[:cap]
+        # row_number twin), then the integer size filter, then the
+        # PPJoin POSITIONAL filter: a pair sharing this token at
+        # df-order positions (pa, pb) has |∩| ≤ 1 + min(na−pa, nb−pb),
+        # and J ≥ τ needs (τn+τd)·|∩| ≥ τn·(na+nb) — pairs that cannot
+        # reach τ never leave the block.  LOSSLESS: it only removes
+        # pairs exact verification would reject, so the SQL twin (which
+        # verifies every capped candidate) is unchanged.
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        ns = g["n"].to_numpy(zero_copy_only=False)[order]
+        ps = g["pos"].to_numpy(zero_copy_only=False)[order]
+        ids, ns, ps = ids[:cap], ns[:cap], ps[:cap]
         if len(ids) < 2:
             return pair_schema.empty_table()
-        ns = np.array([n_by[i] for i in ids], np.int64)
         ai, bi = np.triu_indices(len(ids), k=1)
         lo = np.minimum(ns[ai], ns[bi])
         hi = np.maximum(ns[ai], ns[bi])
         keep = tau_den * lo >= tau_num * hi
+        ub = 1 + np.minimum(ns[ai] - ps[ai], ns[bi] - ps[bi])
+        keep &= (tau_num + tau_den) * ub >= tau_num * (ns[ai] + ns[bi])
         return pa.table({"doc_a": pa.array(ids[ai[keep]], pa.int64()),
                          "doc_b": pa.array(ids[bi[keep]], pa.int64())},
                         schema=pair_schema)
@@ -2222,8 +2244,8 @@ def set_sim_join(docs_ds, tau_num: int = 3, tau_den: int = 5,
                             ("jaccard", pa.float64())])
 
     # materialize the DEDUPED candidate table (tiny: bounded by real
-    # near-pairs + cap collisions) — it feeds both the emptiness probe
-    # and the verify join, and Ray re-executes lazy lineage per consumer
+    # near-pairs + cap collisions) — it feeds the Bloom bits, the
+    # emptiness probe and the verify join
     cands = postings.groupby("h") \
         .map_groups(cands_for_token, batch_format="pyarrow") \
         .groupby(["doc_a", "doc_b"]) \
@@ -2235,13 +2257,38 @@ def set_sim_join(docs_ds, tau_num: int = 3, tau_den: int = 5,
     if cands.count() == 0:
         return rd.from_arrow(out_schema.empty_table())
 
-    sets_a = docs2.map_batches(hash_sets, batch_format="pyarrow",
-                               zero_copy_batch=True)
-    sets_b = sets_a.map_batches(
-        lambda t: t.rename_columns(["doc_b_key", "hs_b"]),
-        batch_format="pyarrow")
-    sets_a = sets_a.map_batches(
+    # --- Bloom bits over candidate doc ids: per-batch partial bit
+    # arrays OR-reduced on the driver (KiB each, never the id list) ---
+    from ..relational import _bloom_from_keys, _bloom_test
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            t["doc_a"].to_numpy(zero_copy_only=False),
+            t["doc_b"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"bits": pa.array(
+            [_bloom_from_keys(ids).tobytes()], pa.binary())})
+
+    parts = cands.map_batches(bloom_partial,
+                              batch_format="pyarrow").to_pandas()
+    bits = np.frombuffer(parts["bits"].iloc[0], np.uint8).copy()
+    for b in parts["bits"].iloc[1:]:
+        bits |= np.frombuffer(b, np.uint8)
+    bits_ref = ray.put(bits.view(bool))   # _bloom_test needs bool bits
+
+    def bloom_filter_sets(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bb = _cached_state(bits_ref, lambda: _ray.get(bits_ref))
+        hit = _bloom_test(bb, t["doc_id"].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(hit))
+
+    cand_sets = sets.select_columns(["doc_id", "hs"]) \
+        .map_batches(bloom_filter_sets, batch_format="pyarrow")
+    sets_a = cand_sets.map_batches(
         lambda t: t.rename_columns(["doc_a_key", "hs_a"]),
+        batch_format="pyarrow")
+    sets_b = cand_sets.map_batches(
+        lambda t: t.rename_columns(["doc_b_key", "hs_b"]),
         batch_format="pyarrow")
 
     joined = bucketed_hash_join(cands, sets_a, "doc_a", "doc_a_key")
@@ -2253,15 +2300,23 @@ def set_sim_join(docs_ds, tau_num: int = 3, tau_den: int = 5,
             return out_schema.empty_table()
         a_blobs = t["hs_a"].to_pylist()
         b_blobs = t["hs_b"].to_pylist()
+        aa = t["doc_a"].to_numpy(zero_copy_only=False)
+        bb2 = t["doc_b"].to_numpy(zero_copy_only=False)
         da, db, ni, nu, jc = [], [], [], [], []
         for i in range(t.num_rows):
             ha = np.frombuffer(a_blobs[i], "<i8")
             hb = np.frombuffer(b_blobs[i], "<i8")
-            inter = len(np.intersect1d(ha, hb, assume_unique=True))
-            union = len(ha) + len(hb) - inter
+            # sorted-merge count via searchsorted (both sides sorted
+            # and unique) — cheaper than intersect1d's concat+sort
+            if len(ha) > len(hb):
+                ha, hb = hb, ha
+            j = np.searchsorted(hb, ha)
+            j[j == len(hb)] = len(hb) - 1
+            inter = int((hb[j] == ha).sum())
+            union = len(a_blobs[i]) // 8 + len(b_blobs[i]) // 8 - inter
             if tau_den * inter >= tau_num * union:
-                da.append(t["doc_a"][i].as_py())
-                db.append(t["doc_b"][i].as_py())
+                da.append(int(aa[i]))
+                db.append(int(bb2[i]))
                 ni.append(inter)
                 nu.append(union)
                 jc.append(_round6(inter / union))
