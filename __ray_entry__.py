@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_order": _q_curriculum,
         "weighted_sample": _q_weighted_sample,
         "click_attribution": _q_click_attr,
+        "principal_component": _q_principal_component,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -776,6 +777,18 @@ def _q_phrase_search(sf_dir):
     from kgruntime.ops.text import phrase_search
 
     return phrase_search(_docs_ds(sf_dir), _PHRASE)
+
+
+def _q_principal_component(sf_dir):
+    """Top principal direction by exact fixed-point power iteration
+    (kgruntime/ops/ann.py:principal_component)."""
+    import ray.data as rd
+
+    from kgruntime.ops.ann import principal_component
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["embedding"])
+    return principal_component(emb)
 
 
 def _q_click_attr(sf_dir):
@@ -2017,6 +2030,7 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order": _curriculum_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
         "click_attribution": _click_attr_oracle(),
+        "principal_component": _pc_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2282,6 +2296,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _pc_oracle() -> str:
+    from kgruntime.ops.ann import principal_component_sql
+
+    return principal_component_sql()
 
 
 def _click_attr_oracle() -> str:

@@ -1214,3 +1214,147 @@ SELECT qid AS query_id, nid AS negative_id, rn AS neg_rank
 FROM hn_rank WHERE rn <= {k}
 ORDER BY query_id, neg_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# principal component (exact fixed-point power iteration)
+# ---------------------------------------------------------------------------
+
+_PC_VCAP = 1 << 20          # |v| cap after each renormalization
+_PC_USHIFT = 1 << 21        # per-row projection rescale
+
+
+def principal_component(emb_ds, iters: int = 5, scale: int = 10_000,
+                        vec_col: str = "embedding"):
+    """Top principal direction of the (mean-centered) embedding cloud by
+    POWER ITERATION — restated entirely in exact int64 fixed point so
+    the result replays bit-for-bit in SQL (the integer-k-means recipe
+    applied to iterative linear algebra): units = half-away
+    ``round(x·scale)``; centering subtracts the half-away integer mean;
+    each round computes ``u_i = y_i·v`` (rescaled by a FIXED power-of-2
+    half-away division chosen from a-priori magnitude bounds, never a
+    data-dependent float), accumulates ``w = Σ u_i·y_i`` from per-batch
+    int64 partials, and renormalizes ``v ← round(w / d)`` with
+    ``d = max(1, ceil(max|w| / 2^20))``.  Output: one
+    ``(i, component_fp)`` row per 1-based dimension.
+
+    Scale shape: every iteration is ONE streamed map over the
+    materialized centered-units table (int64 blobs), reduced to a
+    single dim-length partial vector per batch — the driver only ever
+    holds |blocks| 64-int rows; no shuffle anywhere.  Magnitude budget:
+    |y| ≤ 2·scale ≈ 2^15, |v| ≤ 2^20 ⇒ |u| ≤ 2^41, rescaled to 2^20
+    ⇒ per-batch w partials < 2^47; driver sums stay < 2^63 up to
+    ~2^16 blocks of 4096 rows.
+    """
+    import pandas as pd
+    import ray
+
+    dim = None
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        flat = t[vec_col].combine_chunks()
+        d = len(flat[0])
+        vals = np.asarray(flat.flatten().to_numpy(zero_copy_only=False),
+                          np.float64).reshape(-1, d)
+        units = _units_of(vals, scale)
+        return pa.table({"n": pa.array([len(units)], pa.int64()),
+                         "sums": pa.array([units.sum(axis=0).tolist()],
+                                          pa.list_(pa.int64()))})
+
+    parts = emb_ds.map_batches(sum_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    n_total = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["sums"].map(np.asarray)), axis=0) \
+        .astype(np.int64)
+    dim = len(s)
+    mu = _div_half_away(s, n_total)
+    mu_ref = ray.put(mu)
+
+    def center(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _cached_state(mu_ref, lambda: _ray.get(mu_ref))
+        flat = t[vec_col].combine_chunks()
+        vals = np.asarray(flat.flatten().to_numpy(zero_copy_only=False),
+                          np.float64).reshape(-1, len(m))
+        y = _units_of(vals, scale) - m
+        return pa.table({"y": pa.array([r.tobytes() for r in
+                                        y.astype("<i8")], pa.binary())})
+
+    ys = emb_ds.select_columns([vec_col]) \
+        .map_batches(center, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    # start at the magnitude cap: the fixed 2^21 projection rescale
+    # assumes |v| ~ 2^20 — an all-ones start would round every u to 0
+    v = np.full(dim, _PC_VCAP, np.int64)
+    for _ in range(iters):
+        v_ref = ray.put(v)
+
+        def w_partial(t: pa.Table, _ref=v_ref) -> pa.Table:
+            import ray as _ray
+
+            vv = _cached_state(_ref, lambda: _ray.get(_ref))
+            y = np.frombuffer(b"".join(t["y"].to_pylist()),
+                              "<i8").reshape(-1, len(vv))
+            u = _div_half_away(y @ vv, _PC_USHIFT)
+            return pa.table({"w": pa.array([(u @ y).tolist()],
+                                           pa.list_(pa.int64()))})
+
+        wp = ys.map_batches(w_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+        w = np.sum(np.stack(wp["w"].map(np.asarray)), axis=0) \
+            .astype(np.int64)
+        d = max(1, (int(np.abs(w).max()) + _PC_VCAP - 1) // _PC_VCAP)
+        v = _div_half_away(w, d)
+
+    return pd.DataFrame({"i": np.arange(1, dim + 1, dtype=np.int64),
+                         "component_fp": v})
+
+
+def principal_component_sql(iters: int = 5, scale: int = 10_000,
+                            table: str = "embeddings") -> str:
+    """Oracle twin: the identical fixed-point rounds unrolled as
+    MATERIALIZED CTEs (plain CTEs inline exponentially — the bpe_merges
+    lesson)."""
+    def half_div(num: str, den: str) -> str:
+        return (f"(CASE WHEN ({num}) >= 0 "
+                f"THEN (2*({num}) + ({den})) // (2*({den}))"
+                f" ELSE -((-2*({num}) + ({den})) // (2*({den}))) END)")
+
+    rounds = []
+    prev = "pc_v0"
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+pc_u{r} AS MATERIALIZED (
+  SELECT y.vec_id,
+         {half_div('sum(y.y * v.v)::BIGINT', str(_PC_USHIFT))} AS u
+  FROM pc_y y JOIN {prev} v ON v.i = y.i GROUP BY y.vec_id),
+pc_w{r} AS MATERIALIZED (
+  SELECT y.i, sum(u.u * y.y)::BIGINT AS w
+  FROM pc_y y JOIN pc_u{r} u ON u.vec_id = y.vec_id GROUP BY y.i),
+pc_d{r} AS MATERIALIZED (
+  SELECT greatest(1, (max(abs(w)) + {_PC_VCAP} - 1) // {_PC_VCAP}) AS d
+  FROM pc_w{r}),
+pc_v{r} AS MATERIALIZED (
+  SELECT w.i, {half_div('w.w', 'd.d')}::BIGINT AS v
+  FROM pc_w{r} w CROSS JOIN pc_d{r} d)""")
+        prev = f"pc_v{r}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+WITH pc_units AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS unit
+  FROM {table}),
+pc_s AS (
+  SELECT i, sum(unit)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM pc_units GROUP BY i),
+pc_mu AS MATERIALIZED (
+  SELECT i, {half_div('s', 'n')}::BIGINT AS mu FROM pc_s),
+pc_y AS MATERIALIZED (
+  SELECT u.vec_id, u.i, (u.unit - m.mu)::BIGINT AS y
+  FROM pc_units u JOIN pc_mu m ON m.i = u.i),
+pc_v0 AS (SELECT i, 1048576::BIGINT AS v FROM pc_mu),{rounds_sql}
+SELECT i, v::BIGINT AS component_fp FROM {prev} ORDER BY i
+"""

@@ -495,3 +495,44 @@ def test_click_attribution_tie_break_and_strictly_before(ray_session):
     out = click_attribution(ev).to_pandas()
     assert out["n_attributed"].tolist() == [1]
     assert out["attr_units"].tolist() == [400 << 19]
+
+
+# --------------------------------------------- principal component
+
+def _emb_ds(mat):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "embedding": pa.array([row.tolist() for row in mat],
+                              pa.list_(pa.float32()))}))
+
+
+def test_principal_component_matches_float_pca(ray_session):
+    from kgruntime.ops.ann import principal_component
+
+    rng = np.random.RandomState(5)
+    # anisotropic cloud: dominant direction = d
+    d = rng.randn(16)
+    d /= np.linalg.norm(d)
+    x = (np.outer(rng.randn(400) * 5.0, d)
+         + rng.randn(400, 16) * 0.3).astype(np.float32)
+    out = principal_component(_emb_ds(x), iters=5)
+    v = out["component_fp"].to_numpy(np.float64)
+    # float reference
+    xc = x.astype(np.float64) - x.mean(axis=0)
+    _, _, vt = np.linalg.svd(xc, full_matrices=False)
+    ref = vt[0]
+    cos = abs(v @ ref) / (np.linalg.norm(v) * np.linalg.norm(ref))
+    assert cos > 0.999
+
+
+def test_principal_component_repartition_invariant(ray_session):
+    import pandas as pd
+
+    from kgruntime.ops.ann import principal_component
+
+    rng = np.random.RandomState(9)
+    x = rng.randn(120, 8).astype(np.float32)
+    a = principal_component(_emb_ds(x).repartition(1))
+    b = principal_component(_emb_ds(x).repartition(7))
+    pd.testing.assert_frame_equal(a, b)
