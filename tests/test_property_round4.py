@@ -1,0 +1,145 @@
+"""Property-based tests for round-4 operators: pure kernels get wide
+random sweeps (no Ray); Dataset pipelines get brute-force reference
+checks on small random corpora (bounded example counts — each example
+runs a real Ray pipeline)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+
+# ------------------------------------------------------ GIF LZW kernel
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(2, 8),
+       st.lists(st.integers(0, 255), min_size=1, max_size=600),
+       st.integers(0, 1))
+def test_lzw_roundtrip_property(mcs, raw, use_flat):
+    from kgruntime.ops.gif import (_lzw_decode, _lzw_encode,
+                                   _lzw_encode_flat)
+
+    idx = np.array([v % (1 << mcs) for v in raw], np.uint8)
+    enc = _lzw_encode_flat(idx, mcs) if use_flat else _lzw_encode(idx, mcs)
+    out = _lzw_decode(enc, mcs, len(idx))
+    np.testing.assert_array_equal(out, idx)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 2**40), st.integers(1, 10**6))
+def test_div_half_away_matches_fraction(num, den):
+    from fractions import Fraction
+
+    from kgruntime.ops.ann import _div_half_away
+
+    for s in (num, -num):
+        got = int(_div_half_away(np.array([s], np.int64), den)[0])
+        f = Fraction(s, den)
+        want = int(np.copysign(
+            np.floor(abs(float(f))) if 0 else 0, 1))
+        # exact half-away reference via Fraction arithmetic
+        q, r = divmod(abs(s), den)
+        want = q + (1 if 2 * r >= den else 0)
+        if s < 0:
+            want = -want
+        assert got == want
+
+
+# ------------------------------------------- set_sim_join vs brute force
+
+def _brute_jaccard_pairs(texts, tau_num, tau_den, n=3):
+    sets = {}
+    for d, txt in texts:
+        toks = txt.split(" ")
+        s = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        if s:
+            sets[d] = s
+    ids = sorted(sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if tau_den * inter >= tau_num * union:
+                out.add((a, b))
+    return out
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd"])
+_doc = st.lists(_word, min_size=3, max_size=8).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=10))
+def test_set_sim_join_equals_brute_force(ray_session, docs):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import set_sim_join
+
+    rows = list(enumerate(docs))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())}))
+    got = set_sim_join(ds, tau_num=3, tau_den=5).to_pandas()
+    # all-empty Dataset.to_pandas drops columns (Ray 2.49 quirk)
+    got_pairs = set() if got.empty else \
+        set(zip(got["doc_a"], got["doc_b"]))
+    # cap never binds at ≤10 docs → prefix filtering is LOSSLESS and
+    # the result must equal the brute-force τ-Jaccard pair set
+    assert got_pairs == _brute_jaccard_pairs(rows, 3, 5)
+
+
+# ------------------------------------------------- MAD vs numpy reference
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(-500, 500), min_size=1, max_size=40))
+def test_mad_by_group_matches_reference(ray_session, cents_list):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import mad_by_group
+
+    vals = [c / 100.0 for c in cents_list]
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["t"] * len(vals), pa.string()),
+        "value": pa.array(vals, pa.float64())}))
+    out = mad_by_group(ds).to_pandas()
+
+    def lower_median(arr):
+        a = np.sort(np.asarray(arr, np.int64))
+        return int(a[(len(a) + 1) // 2 - 1])
+
+    med = lower_median(cents_list)
+    mad = lower_median([abs(c - med) for c in cents_list])
+    assert out["median_cents"].tolist() == [med]
+    assert out["mad_cents"].tolist() == [mad]
+
+
+# -------------------------------------------- phrase search vs reference
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abc"), min_size=1,
+                         max_size=10).map(" ".join),
+                min_size=1, max_size=8),
+       st.lists(st.sampled_from("abc"), min_size=1, max_size=3)
+       .map(" ".join))
+def test_phrase_search_matches_reference(ray_session, docs, phrase):
+    import ray.data as rd
+
+    from kgruntime.ops.text import phrase_search
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    out = phrase_search(ds, phrase).to_pandas()
+    if out.empty:      # all-empty Dataset.to_pandas drops columns
+        out = out.reindex(columns=["doc_id", "n_matches", "first_pos"])
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    terms = phrase.split(" ")
+    want = {}
+    for d, txt in enumerate(docs):
+        toks = txt.split(" ")
+        hits = [i + 1 for i in range(len(toks) - len(terms) + 1)
+                if toks[i:i + len(terms)] == terms]
+        if hits:
+            want[d] = (len(hits), hits[0])
+    assert {int(r.doc_id): (int(r.n_matches), int(r.first_pos))
+            for r in out.itertuples()} == want
