@@ -1246,7 +1246,7 @@ ORDER BY source, rnk
 # --- flagship curation composition -----------------------------------------
 
 def curate_corpus(docs_ds, min_quality: float = 0.5, min_chars: int = 20,
-                  budget: int = 2000):
+                  budget: int = 2000, staging_dir: str | None = None):
     """End-to-end corpus curation — the pipeline a training-data user
     actually runs, composed from the proven pieces: PII gate (zero
     emails/URLs/phones) → quality/length gate → normalized exact dedup
@@ -1279,9 +1279,16 @@ def curate_corpus(docs_ds, min_quality: float = 0.5, min_chars: int = 20,
                     pc.greater_equal(t["n_chars"], pa.scalar(min_chars))))
         return t.select(["doc_id", "text"]).filter(keep)
 
-    gated = docs_ds.select_columns(["doc_id", "text", "n_chars"]) \
-        .map_batches(gate, batch_format="pyarrow",
-                     zero_copy_batch=True).materialize()
+    gated_pipe = docs_ds.select_columns(["doc_id", "text", "n_chars"]) \
+        .map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    if staging_dir is None:
+        gated = gated_pipe.materialize()
+    else:
+        import ray.data as rd
+
+        gated_pipe.write_parquet(staging_dir)
+        gated = rd.read_parquet(staging_dir,
+                                columns=["doc_id", "text"])
 
     def norm_hash(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"],

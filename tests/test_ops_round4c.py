@@ -536,3 +536,21 @@ def test_principal_component_repartition_invariant(ray_session):
     a = principal_component(_emb_ds(x).repartition(1))
     b = principal_component(_emb_ds(x).repartition(7))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------- curate_corpus staging escape hatch
+
+def test_curate_corpus_staged_parity(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kgruntime.ops.text import curate_corpus
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source",
+                                    "n_chars"])
+    a = curate_corpus(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = curate_corpus(docs, staging_dir=str(tmp_path / "gated")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
