@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "click_attribution": _q_click_attr,
         "principal_component": _q_principal_component,
+        "minhash_error_audit": _q_minhash_audit,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -777,6 +778,14 @@ def _q_phrase_search(sf_dir):
     from kgruntime.ops.text import phrase_search
 
     return phrase_search(_docs_ds(sf_dir), _PHRASE)
+
+
+def _q_minhash_audit(sf_dir):
+    """Sketch-quality audit: MinHash estimates vs exact Jaccard
+    (kgruntime/ops/dedup.py:minhash_error_audit)."""
+    from kgruntime.ops.dedup import minhash_error_audit
+
+    return minhash_error_audit(_docs_ds(sf_dir))
 
 
 def _q_principal_component(sf_dir):
@@ -2031,6 +2040,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_oracle(),
         "click_attribution": _click_attr_oracle(),
         "principal_component": _pc_oracle(),
+        "minhash_error_audit": _minhash_audit_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2296,6 +2306,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _minhash_audit_oracle() -> str:
+    from kgruntime.ops.dedup import minhash_error_audit_sql
+
+    return minhash_error_audit_sql()
 
 
 def _pc_oracle() -> str:

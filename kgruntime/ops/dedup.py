@@ -2330,15 +2330,13 @@ def set_sim_join(docs_ds, tau_num: int = 3, tau_den: int = 5,
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
-def set_sim_join_sql(tau_num: int = 3, tau_den: int = 5, cap: int = 256,
-                     shingle_n: int = 3,
-                     table: str = "documents") -> str:
-    """Oracle twin: identical md5-60 shingle hashes, df ordering, integer
-    prefix length, row_number cap, size filter and exact-integer τ test."""
+def _ssj_cte_sql(tau_num: int = 3, tau_den: int = 5, cap: int = 256,
+                 shingle_n: int = 3, table: str = "documents") -> str:
+    """CTE body ending in ``ssj_result`` — shared by set_sim_join_sql
+    and the sketch-error audit oracle."""
     gram = " || ' ' || ".join(f"t[pos+{i}]" if i else "t[pos]"
                               for i in range(shingle_n))
-    return f"""
-WITH ssj_tok AS (
+    return f"""ssj_tok AS (
   SELECT DISTINCT doc_id,
          ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS h
   FROM (SELECT doc_id, str_split(text, ' ') AS t,
@@ -2369,13 +2367,122 @@ ssj_int AS (
   FROM ssj_cand c
   JOIN ssj_tok ta ON ta.doc_id = c.doc_a
   JOIN ssj_tok tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
-  GROUP BY c.doc_a, c.doc_b)
-SELECT i.doc_a, i.doc_b, i.n_inter,
-       (na.n + nb.n - i.n_inter)::BIGINT AS n_union,
-       round(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
-FROM ssj_int i
-JOIN ssj_n na ON na.doc_id = i.doc_a
-JOIN ssj_n nb ON nb.doc_id = i.doc_b
-WHERE {tau_den} * i.n_inter >= {tau_num} * (na.n + nb.n - i.n_inter)
+  GROUP BY c.doc_a, c.doc_b),
+ssj_result AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter,
+         (na.n + nb.n - i.n_inter)::BIGINT AS n_union,
+         round(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
+  FROM ssj_int i
+  JOIN ssj_n na ON na.doc_id = i.doc_a
+  JOIN ssj_n nb ON nb.doc_id = i.doc_b
+  WHERE {tau_den} * i.n_inter >= {tau_num} * (na.n + nb.n - i.n_inter))"""
+
+
+def set_sim_join_sql(tau_num: int = 3, tau_den: int = 5, cap: int = 256,
+                     shingle_n: int = 3,
+                     table: str = "documents") -> str:
+    """Oracle twin: identical md5-60 shingle hashes, df ordering, integer
+    prefix length, row_number cap, size filter and exact-integer τ test."""
+    return f"""
+WITH {_ssj_cte_sql(tau_num, tau_den, cap, shingle_n, table)}
+SELECT doc_a, doc_b, n_inter, n_union, jaccard FROM ssj_result
 ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# sketch-quality audit: MinHash estimate vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+def minhash_error_audit(docs_ds, threshold: float = 0.5,
+                        tau_num: int = 1, tau_den: int = 2,
+                        num_perm: int = 64, bands: int = 16):
+    """Measure the MinHash sketch against ground truth ON THE SAME
+    CORPUS: LSH near-dup pairs at ``threshold`` vs the prefix-filtered
+    EXACT Jaccard join at τ = tau_num/tau_den (same word-trigram
+    shingles), reporting one summary row — pair counts on each side,
+    the overlap, and the estimation error in exact integer ppm
+    (``|k·∪ − 64·∩|·10⁶ // (64·∪)`` where k = the estimate's matching
+    permutation count, recovered exactly since jaccard_est = k/64 is
+    dyadic).  The audit every sketch deployment should run before
+    trusting thresholds at 100 TB.
+
+    Scale shape: both inputs are the already-scale-shaped ops; their
+    pair outputs are small; the overlap join keys pairs as one int64
+    (a<<32|b) through the bucketed hash join; the summary reduces
+    driver-side over the matched pairs only.
+    """
+    import ray.data as rd
+    from .join import bucketed_hash_join
+
+    est = minhash_near_dups(docs_ds, threshold=threshold,
+                            num_perm=num_perm, bands=bands)
+    exact = set_sim_join(docs_ds, tau_num=tau_num, tau_den=tau_den)
+
+    def key_est(t: pa.Table) -> pa.Table:
+        k = pc.add(pc.shift_left(t["doc_a"], 32), t["doc_b"])
+        return pa.table({"k": k, "jaccard_est": t["jaccard_est"]})
+
+    def key_exact(t: pa.Table) -> pa.Table:
+        k = pc.add(pc.shift_left(t["doc_a"], 32), t["doc_b"])
+        return pa.table({"pk": k, "n_inter": t["n_inter"],
+                         "n_union": t["n_union"]})
+
+    est_k = est.map_batches(key_est, batch_format="pyarrow").materialize()
+    ex_k = exact.map_batches(key_exact,
+                             batch_format="pyarrow").materialize()
+    n_lsh = est_k.count()
+    n_exact = ex_k.count()
+    import pandas as pd
+
+    if n_lsh == 0 or n_exact == 0:
+        both = pd.DataFrame(columns=["jaccard_est", "n_inter", "n_union"])
+    else:
+        both = bucketed_hash_join(est_k, ex_k, "k", "pk").to_pandas()
+    n_both = len(both)
+    if n_both:
+        k64 = np.rint(both["jaccard_est"].to_numpy(np.float64) * 64) \
+            .astype(np.int64)
+        ni = both["n_inter"].to_numpy(np.int64)
+        nu = both["n_union"].to_numpy(np.int64)
+        err = (np.abs(k64 * nu - 64 * ni) * 1_000_000) // (64 * nu)
+        mean_err = int(err.sum()) // n_both
+        max_err = int(err.max())
+    else:
+        mean_err = max_err = 0
+    return pd.DataFrame([{
+        "n_lsh_pairs": n_lsh, "n_exact_pairs": n_exact,
+        "n_both": n_both, "mean_err_ppm": mean_err,
+        "max_err_ppm": max_err}])
+
+
+def minhash_error_audit_sql(threshold: float = 0.5, tau_num: int = 1,
+                            tau_den: int = 2, num_perm: int = 64,
+                            bands: int = 16, shingle_n: int = 3,
+                            seed: int = 13, cap: int = 200,
+                            table: str = "documents") -> str:
+    """Oracle twin: both pipelines' CTE bodies composed (prefixes keep
+    the namespaces disjoint), identical integer error arithmetic."""
+    mh = _minhash_pairs_cte_sql(threshold, num_perm, bands, shingle_n,
+                                seed, cap)
+    ssj = _ssj_cte_sql(tau_num, tau_den, 256, shingle_n, table)
+    return f"""
+WITH {mh},
+{ssj},
+aud_j AS (
+  SELECT (round(m.jaccard_est * 64))::BIGINT AS k64,
+         x.n_inter, x.n_union
+  FROM mh_pairs m
+  JOIN ssj_result x USING (doc_a, doc_b)),
+aud_e AS (
+  SELECT (abs(k64 * n_union - 64 * n_inter) * 1000000)
+           // (64 * n_union) AS err
+  FROM aud_j)
+SELECT (SELECT count(*) FROM mh_pairs)::BIGINT AS n_lsh_pairs,
+       (SELECT count(*) FROM ssj_result)::BIGINT AS n_exact_pairs,
+       count(*)::BIGINT AS n_both,
+       (CASE WHEN count(*) = 0 THEN 0
+             ELSE sum(err) // count(*) END)::BIGINT AS mean_err_ppm,
+       coalesce(max(err), 0)::BIGINT AS max_err_ppm
+FROM aud_e
 """

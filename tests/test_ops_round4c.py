@@ -554,3 +554,29 @@ def test_curate_corpus_staged_parity(ray_session, tmp_path):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+# ------------------------------------------------ minhash error audit
+
+def test_minhash_error_audit_identical_docs(ray_session):
+    from kgruntime.ops.dedup import minhash_error_audit
+
+    # two identical docs: LSH estimates J=1 exactly, exact join agrees
+    rows = [(1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8")]
+    out = minhash_error_audit(_docs(rows))
+    assert out["n_lsh_pairs"].tolist() == [1]
+    assert out["n_exact_pairs"].tolist() == [1]
+    assert out["n_both"].tolist() == [1]
+    assert out["mean_err_ppm"].tolist() == [0]
+    assert out["max_err_ppm"].tolist() == [0]
+
+
+def test_minhash_error_audit_no_pairs(ray_session):
+    from kgruntime.ops.dedup import minhash_error_audit
+
+    rows = [(1, "a b c d e"), (2, "p q r s t")]
+    out = minhash_error_audit(_docs(rows))
+    assert out["n_both"].tolist() == [0]
+    assert out["mean_err_ppm"].tolist() == [0]
