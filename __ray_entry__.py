@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_attribution": _q_click_attr,
         "principal_component": _q_principal_component,
         "minhash_error_audit": _q_minhash_audit,
+        "late_event_audit": _q_late_events,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -778,6 +779,18 @@ def _q_phrase_search(sf_dir):
     from kgruntime.ops.text import phrase_search
 
     return phrase_search(_docs_ds(sf_dir), _PHRASE)
+
+
+def _q_late_events(sf_dir):
+    """Watermark / late-data audit
+    (kgruntime/ops/sessions.py:late_event_audit)."""
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import late_event_audit
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "ts"])
+    return late_event_audit(ev)
 
 
 def _q_minhash_audit(sf_dir):
@@ -2041,6 +2054,7 @@ def oracle_sql() -> dict[str, str]:
         "click_attribution": _click_attr_oracle(),
         "principal_component": _pc_oracle(),
         "minhash_error_audit": _minhash_audit_oracle(),
+        "late_event_audit": _late_events_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2306,6 +2320,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _late_events_oracle() -> str:
+    from kgruntime.ops.sessions import late_event_audit_sql
+
+    return late_event_audit_sql()
 
 
 def _minhash_audit_oracle() -> str:

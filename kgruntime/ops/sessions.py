@@ -1456,3 +1456,101 @@ SELECT n.user_id, n.n_purchases,
 FROM att_np n LEFT JOIN att_sum s USING (user_id)
 ORDER BY n.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# watermark / late-data audit
+# ---------------------------------------------------------------------------
+
+def late_event_audit(events_ds, late_ms: int = 3_600_000,
+                     bucket_size: int = 4096):
+    """Streaming-ingest watermark audit: treating ``event_id`` order as
+    ARRIVAL order, an event is late when its event-time ``ts`` sits
+    more than ``late_ms`` behind the watermark (the running max ts over
+    all STRICTLY PRIOR arrivals).  Output per event_type:
+    ``(event_type, n_events, n_late, max_lateness_ms)`` — the audit
+    that sizes allowed-lateness before configuring real event-time
+    windows.
+
+    Scale shape: the running max is the token_budget_shards two-phase
+    prefix scan transposed to MAX — phase 1 is one per-bucket
+    (event_id // bucket_size) max-ts groupby whose result (one int per
+    bucket) turns into exclusive prefix maxima on the driver and
+    broadcasts; phase 2 finishes each bucket locally (cummax over
+    ≤ bucket_size rows).  No global sort, no window shuffle.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .ann import _cached_state
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "bucket": pc.divide(t["event_id"],
+                                pa.scalar(bucket_size, pa.int64()))})
+
+    prepped = events_ds.select_columns(["event_id", "event_type", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    sums = prepped.groupby("bucket") \
+        .aggregate(Max("ts_us", alias_name="mx")).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    mx = sums["mx"].to_numpy(np.int64)
+    # exclusive prefix max per bucket (no prior bucket → int64 min)
+    excl = np.concatenate([[np.iinfo(np.int64).min],
+                           np.maximum.accumulate(mx)[:-1]])
+    offs = dict(zip(sums["bucket"].to_numpy(np.int64).tolist(),
+                    excl.tolist()))
+    off_ref = ray.put(offs)
+
+    def finish(df):
+        import ray as _ray
+
+        m = _cached_state(off_ref, lambda: _ray.get(off_ref))
+        df = df.sort_values("event_id", kind="mergesort")
+        ts = df["ts_us"].to_numpy(np.int64)
+        # watermark BEFORE each event: exclusive running max, seeded
+        # with the prior buckets' max
+        seed = m[int(df["bucket"].iloc[0])]
+        run = np.maximum.accumulate(np.concatenate([[seed], ts[:-1]]))
+        # the globally-first arrival has no watermark: clamp to its own
+        # ts BEFORE subtracting (int64.min − ts would wrap)
+        first = run == np.iinfo(np.int64).min
+        run[first] = ts[first]
+        late = np.maximum(run - ts, 0) // 1000
+        out = df[["event_type"]].copy()
+        # threshold on the //1000 value — the SQL compares late_ms
+        out["is_late"] = (late > late_ms).astype(np.int64)
+        out["late_ms"] = late
+        return out
+
+    per_event = prepped.groupby("bucket").map_groups(
+        finish, batch_format="pandas")
+    return per_event.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("is_late", alias_name="n_late"),
+        Max("late_ms", alias_name="max_lateness_ms"))
+
+
+def late_event_audit_sql(late_ms: int = 3_600_000,
+                         table: str = "events") -> str:
+    """Oracle twin: exclusive running max over arrival order."""
+    return f"""
+WITH lea AS (
+  SELECT event_type,
+         greatest(coalesce(
+           (epoch_us(max(ts) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            - epoch_us(ts)) // 1000, 0), 0) AS late_ms
+  FROM {table})
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(*) FILTER (WHERE late_ms > {late_ms})::BIGINT AS n_late,
+       max(late_ms)::BIGINT AS max_lateness_ms
+FROM lea GROUP BY event_type ORDER BY event_type
+"""

@@ -580,3 +580,52 @@ def test_minhash_error_audit_no_pairs(ray_session):
     out = minhash_error_audit(_docs(rows))
     assert out["n_both"].tolist() == [0]
     assert out["mean_err_ppm"].tolist() == [0]
+
+
+# ---------------------------------------------------- late event audit
+
+def test_late_event_audit_watermark_semantics(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import late_event_audit
+
+    base = dt.datetime(2025, 4, 1)
+    rows = [
+        # arrival order = event_id; watermark = running max BEFORE
+        (1, base + dt.timedelta(hours=5), "a"),   # first: never late
+        (2, base + dt.timedelta(hours=1), "a"),   # 4 h behind → late
+        (3, base + dt.timedelta(hours=6), "b"),   # ahead: not late
+        (4, base + dt.timedelta(hours=5, minutes=30), "b"),  # 30 m: ok
+    ]
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string())}))
+    out = late_event_audit(ev, late_ms=3_600_000).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    assert out["n_events"].tolist() == [2, 2]
+    assert out["n_late"].tolist() == [1, 0]
+    assert out["max_lateness_ms"].tolist() == [4 * 3_600_000,
+                                               30 * 60_000]
+
+
+def test_late_event_audit_bucket_boundary(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import late_event_audit
+
+    base = dt.datetime(2025, 4, 1)
+    # watermark must carry ACROSS buckets: event 4096 sits in bucket 1
+    # but its watermark comes from bucket 0's max
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([0, 4096], pa.int64()),
+        "ts": pa.array([base + dt.timedelta(hours=10), base],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["x", "x"], pa.string())}))
+    out = late_event_audit(ev, late_ms=3_600_000).to_pandas()
+    assert out["n_late"].tolist() == [1]
+    assert out["max_lateness_ms"].tolist() == [10 * 3_600_000]
