@@ -84,9 +84,13 @@ def token_budget_shards(docs_ds, budget: int = 2000,
     Returns a Dataset of (doc_id, n_tokens, shard_id).  Mirrors the
     ``sum(...) OVER (ORDER BY doc_id)`` window oracle exactly.
     """
+    # tok is ints-only (24 B/row) and feeds BOTH prefix-scan phases —
+    # materialize it so phase 2 doesn't re-execute the whole upstream
+    # lineage (measured: curate_corpus was re-running its dedup join
+    # through here; 13 s → ~8 s at sf0.1)
     tok = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         token_counts, fn_kwargs={"bucket_size": bucket_size},
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
     off_ref = _bucket_offsets(tok)
 
     # phase 2: finish each bucket locally (≤ bucket_size rows per group)
