@@ -146,9 +146,11 @@ def pack_sequences(docs_ds, budget: int = 2000, bucket_size: int = 4096,
 
     from .ann import _cached_state
 
+    # ints-only, two consumers (offsets + boundaries) — materialized
+    # for the same reason as token_budget_shards
     tok = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         token_counts, fn_kwargs={"bucket_size": bucket_size},
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
     off_ref = _bucket_offsets(tok)
 
     def boundaries(df: pd.DataFrame) -> pa.Table:
