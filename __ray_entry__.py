@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "principal_component": _q_principal_component,
         "minhash_error_audit": _q_minhash_audit,
         "late_event_audit": _q_late_events,
+        "embedding_drift": _q_embedding_drift,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -779,6 +780,30 @@ def _q_phrase_search(sf_dir):
     from kgruntime.ops.text import phrase_search
 
     return phrase_search(_docs_ds(sf_dir), _PHRASE)
+
+
+def _q_embedding_drift(sf_dir):
+    """Per-dimension mean drift vs a prior snapshot (vec_id % 5 != 0,
+    the synth-prior convention)
+    (kgruntime/ops/ann.py:embedding_drift)."""
+    import ray.data as rd
+
+    from kgruntime.ops.ann import embedding_drift
+
+    import pyarrow.compute as _pc
+
+    cur = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def prior_mask(t):
+        # Ray filter(expr=...) can't parse `%` BinOps — Arrow mask
+        mod5 = _pc.subtract(t["vec_id"],
+                            _pc.multiply(_pc.divide(t["vec_id"], 5), 5))
+        return t.filter(_pc.not_equal(mod5, 0))
+
+    prior = cur.map_batches(prior_mask, batch_format="pyarrow")
+    return embedding_drift(cur.select_columns(["embedding"]),
+                           prior.select_columns(["embedding"]))
 
 
 def _q_late_events(sf_dir):
@@ -2055,6 +2080,7 @@ def oracle_sql() -> dict[str, str]:
         "principal_component": _pc_oracle(),
         "minhash_error_audit": _minhash_audit_oracle(),
         "late_event_audit": _late_events_oracle(),
+        "embedding_drift": _emb_drift_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),
@@ -2320,6 +2346,12 @@ def _peak_concurrency_oracle() -> str:
     from kgruntime.ops.sessions import PEAK_CONCURRENT_USERS_SQL
 
     return PEAK_CONCURRENT_USERS_SQL
+
+
+def _emb_drift_oracle() -> str:
+    from kgruntime.ops.ann import embedding_drift_sql
+
+    return embedding_drift_sql()
 
 
 def _late_events_oracle() -> str:

