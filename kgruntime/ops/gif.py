@@ -7,8 +7,8 @@ closes the "video frame sampling is environment-bound" gap the same way
 ops/png.py and ops/jpeg.py closed still-image decode: the frame-sample
 pipeline can ingest actual animated .gif payloads and emit true pixel
 frames end-to-end in this container.  Scope: global color table,
-non-interlaced, no local color tables (the encoder's own output class);
-interlace/local-table variants raise loudly.
+progressive OR 4-pass interlaced rows, no local color tables (the
+encoder's own output classes); local-table variants raise loudly.
 
 Encoder: full variable-width LZW with dictionary growth, 12-bit cap and
 mid-stream CLEAR resets, one Graphic Control Extension per frame.  The
@@ -169,8 +169,17 @@ def _sub_blocks(data: bytes) -> bytes:
     return bytes(out)
 
 
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> np.ndarray:
+    """GIF89a 4-pass interlace row order (start/step pairs)."""
+    return np.concatenate([np.arange(s, h, t, dtype=np.int64)
+                           for s, t in _INTERLACE_PASSES])
+
+
 def encode_gif(frames: list[np.ndarray], palette: np.ndarray,
-               delay_cs: int = 10) -> bytes:
+               delay_cs: int = 10, interlace: bool = False) -> bytes:
     """``frames``: list of (h, w) uint8 palette-index arrays;
     ``palette``: (n, 3) uint8 with n a power of two ≥ 2."""
     if not frames:
@@ -192,9 +201,11 @@ def encode_gif(frames: list[np.ndarray], palette: np.ndarray,
             raise ValueError("index outside palette")
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) \
             + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                      0x40 if interlace else 0)
         out.append(mcs)
-        out += _sub_blocks(_lzw_encode(fr.reshape(-1), mcs))
+        rows = fr[_interlace_order(h)] if interlace else fr
+        out += _sub_blocks(_lzw_encode(rows.reshape(-1), mcs))
     out.append(0x3B)
     return bytes(out)
 
@@ -229,8 +240,6 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             pos += 9
             if ip & 0x80:
                 raise NotImplementedError("local color tables")
-            if ip & 0x40:
-                raise NotImplementedError("interlaced GIF")
             if (left, top, fw, fh) != (0, 0, w, h):
                 raise NotImplementedError("partial-canvas frames")
             mcs = payload[pos]
@@ -241,8 +250,12 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
                 data += payload[pos + 1:pos + 1 + ln]
                 pos += ln + 1
             pos += 1
-            idx = _lzw_decode(bytes(data), mcs, fw * fh)
-            frames.append(palette[idx.reshape(fh, fw)])
+            idx = _lzw_decode(bytes(data), mcs, fw * fh).reshape(fh, fw)
+            if ip & 0x40:                # de-interlace: invert row map
+                rows = np.empty(fh, np.int64)
+                rows[_interlace_order(fh)] = np.arange(fh)
+                idx = idx[rows]
+            frames.append(palette[idx])
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
     return frames

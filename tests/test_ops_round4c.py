@@ -658,3 +658,19 @@ def test_embedding_drift_half_away_negative_mean(ray_session):
     out = embedding_drift(_emb_ds(cur), _emb_ds(cur))
     assert out["mean_cur"].tolist() == [-2]
     assert out["delta"].tolist() == [0]
+
+
+def test_gif_interlaced_roundtrip():
+    from kgruntime.ops.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(21)
+    palette = rng.randint(0, 256, size=(32, 3)).astype(np.uint8)
+    # heights exercising all four interlace passes incl. short images
+    for h, w in ((13, 9), (1, 5), (2, 3), (8, 8)):
+        fr = rng.randint(0, 32, size=(h, w)).astype(np.uint8)
+        enc = encode_gif([fr], palette, interlace=True)
+        out = decode_gif(enc)
+        np.testing.assert_array_equal(out[0], palette[fr])
+        # interlaced and progressive encodings decode identically
+        out2 = decode_gif(encode_gif([fr], palette, interlace=False))
+        np.testing.assert_array_equal(out[0], out2[0])
