@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_error_audit": _q_minhash_audit,
         "late_event_audit": _q_late_events,
         "embedding_drift": _q_embedding_drift,
+        # --- round-4e registrations (also below slot 50; rotate into
+        # the r5 window, locally gated by check_oracle.py) ---
+        "dq_audit": _q_dq_audit,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -804,6 +807,30 @@ def _q_embedding_drift(sf_dir):
     prior = cur.map_batches(prior_mask, batch_format="pyarrow")
     return embedding_drift(cur.select_columns(["embedding"]),
                            prior.select_columns(["embedding"]))
+
+
+def _q_dq_audit(sf_dir):
+    """Data-quality constraint audit: nulls, domains, PK uniqueness,
+    FK integrity, policy thresholds (kgruntime/ops/dq.py:dq_audit)."""
+    import ray.data as rd
+
+    from kgruntime.ops.dq import dq_audit
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    lineitem = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_discount"])
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey"])
+    return dq_audit(orders, lineitem, customer)
+
+
+def _dq_audit_oracle() -> str:
+    from kgruntime.ops.dq import DQ_AUDIT_SQL
+
+    return DQ_AUDIT_SQL
 
 
 def _q_late_events(sf_dir):
@@ -2081,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_error_audit": _minhash_audit_oracle(),
         "late_event_audit": _late_events_oracle(),
         "embedding_drift": _emb_drift_oracle(),
+        "dq_audit": _dq_audit_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -1,0 +1,77 @@
+"""Round-4 (fifth wave) operators: data-quality audit, lexical top-k
+retrieval, entity clusters, interval overlap, hourly LOCF, MG heavy
+hitters, RRF fusion."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# --------------------------------------------- dq_audit
+
+def _dirty_tables():
+    import ray.data as rd
+
+    orders = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2, 2, 3, 4], pa.int64()),   # dup 2
+        "o_custkey": pa.array([10, 10, 20, None, 99], pa.int64()),
+        "o_totalprice": pa.array([5.0, -1.0, 3.0, 2.0, 0.0],
+                                 pa.float64()),
+    }))
+    lineitem = rd.from_arrow(pa.table({
+        # orderkey 7 has no parent order (2 rows)
+        "l_orderkey": pa.array([1, 1, 2, 7, 7], pa.int64()),
+        "l_quantity": pa.array([1.0, 55.0, None, 46.0, 0.0],
+                               pa.float64()),
+        "l_discount": pa.array([0.0, 0.2, 0.05, 0.09, -0.01],
+                               pa.float64()),
+    }))
+    customer = rd.from_arrow(pa.table({
+        "c_custkey": pa.array([10, 20], pa.int64()),
+    }))
+    return orders, lineitem, customer
+
+
+def test_dq_audit_detects_injected_violations(ray_session):
+    from kgruntime.ops.dq import dq_audit
+
+    orders, lineitem, customer = _dirty_tables()
+    out = dq_audit(orders.repartition(2), lineitem.repartition(2),
+                   customer)
+    got = dict(zip(out["check_name"], out["n_violations"]))
+    assert got == {
+        "lineitem_null_quantity": 1,
+        "lineitem_quantity_domain": 2,        # 55 and 0
+        "lineitem_discount_domain": 2,        # 0.2 and -0.01
+        "lineitem_policy_qty_gt45": 2,        # 55 and 46
+        "lineitem_policy_disc_gt8pct": 2,     # 0.2 and 0.09
+        "orders_null_custkey": 1,
+        "orders_nonpositive_total": 2,        # -1 and 0
+        "orders_dup_orderkey": 1,             # key 2 twice
+        "lineitem_fk_orderkey": 2,            # both rows of key 7
+        "orders_fk_custkey": 2,               # custkey None + 99
+    }
+    # int64 and deterministic ordering for the oracle hash
+    assert out["n_violations"].dtype == np.int64
+    assert list(out["check_name"]) == sorted(out["check_name"])
+
+
+def test_dq_audit_clean_tables_all_zero(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dq import dq_audit
+
+    orders = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 20], pa.int64()),
+        "o_totalprice": pa.array([5.0, 4.0], pa.float64())}))
+    lineitem = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_quantity": pa.array([1.0, 45.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.08], pa.float64())}))
+    customer = rd.from_arrow(pa.table({
+        "c_custkey": pa.array([10, 20], pa.int64())}))
+    out = dq_audit(orders, lineitem, customer)
+    assert (out["n_violations"] == 0).all()
+    assert len(out) == 10
