@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4e registrations (also below slot 50; rotate into
         # the r5 window, locally gated by check_oracle.py) ---
         "dq_audit": _q_dq_audit,
+        "lexical_topk": _q_lexical_topk,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -831,6 +832,23 @@ def _dq_audit_oracle() -> str:
     from kgruntime.ops.dq import DQ_AUDIT_SQL
 
     return DQ_AUDIT_SQL
+
+
+_LEX_QUERY = "dup scan filter"   # one rare term (df≈5%) + two common
+
+
+def _q_lexical_topk(sf_dir):
+    """Integer BM25-family lexical retrieval
+    (kgruntime/ops/text.py:lexical_topk)."""
+    from kgruntime.ops.text import lexical_topk
+
+    return lexical_topk(_docs_ds(sf_dir), _LEX_QUERY)
+
+
+def _lexical_topk_oracle() -> str:
+    from kgruntime.ops.text import lexical_topk_sql
+
+    return lexical_topk_sql(_LEX_QUERY)
 
 
 def _q_late_events(sf_dir):
@@ -2109,6 +2127,7 @@ def oracle_sql() -> dict[str, str]:
         "late_event_audit": _late_events_oracle(),
         "embedding_drift": _emb_drift_oracle(),
         "dq_audit": _dq_audit_oracle(),
+        "lexical_topk": _lexical_topk_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -1692,3 +1692,132 @@ SELECT doc_id, count(*)::BIGINT AS n_matches,
        min(start)::BIGINT AS first_pos
 FROM ph_hit GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# lexical top-k retrieval (integer BM25-family scoring)
+# ---------------------------------------------------------------------------
+
+def lexical_topk(docs_ds, query: str, k: int = 10, scale: int = 10 ** 6):
+    """Lexical retrieval: top-k docs for ``query`` under an
+    integer-exact BM25-family score — per term ``w(t) = ((N − df_t) ·
+    scale) // (df_t + 1)`` (the Robertson–Sparck-Jones idf ratio
+    WITHOUT the log: a monotone transform, so rare terms dominate
+    exactly as in BM25) and ``score(d) = Σ_t tf(t,d) · w(t)``.  All
+    arithmetic is int64 with explicit overflow guards, so the ranking
+    replays bit-exactly in SQL (no float/log divergence).
+
+    Scale shape: tokenization emits postings ONLY for the query's
+    terms (``(doc_id, term_id, tf)`` int rows — the exchange is
+    |query-term occurrences|, never |corpus|); the postings table is
+    materialized once because BOTH df-counting and scoring consume it
+    (two-consumer lineage lesson; at 10¹²-doc scale the same table
+    parquet-stages via the curate_corpus ``staging_dir`` hatch).  The
+    |terms|-row df table broadcasts as a Python dict; one
+    ``groupby(doc_id)`` sums scores; top-k is a per-block
+    ``lexsort``-prune (≤k rows per block to one final partition), no
+    global sort.
+
+    Overflow: ``w·tf`` is guarded per batch (``w_max·tf_max < 2⁶²``);
+    at 10¹²-doc corpora drop ``scale`` to 10³ (w grows with N/df).
+    Scores are ≥0 so the ``-score`` lexsort key cannot wrap (the
+    hard-negatives sentinel lesson).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    terms = sorted(set(query.split(" ")))
+    n_docs = int(docs_ds.count())
+
+    post_schema = pa.schema([("doc_id", pa.int64()),
+                             ("term_id", pa.int64()),
+                             ("tf", pa.int64())])
+
+    def postings(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = pl.from_arrow(t.select(["doc_id", "text"])) \
+            .with_columns(pl.col("text").str.split(" ").alias("w")) \
+            .explode("w") \
+            .filter(pl.col("w").is_in(terms)) \
+            .with_columns(
+                pl.col("w").replace_strict(
+                    terms, list(range(len(terms))),
+                    return_dtype=pl.Int64).alias("term_id")) \
+            .group_by("doc_id", "term_id") \
+            .agg(pl.len().cast(pl.Int64).alias("tf")) \
+            .select("doc_id", "term_id", "tf")
+        out = g.to_arrow()
+        return out.cast(post_schema) if out.num_rows else \
+            post_schema.empty_table()
+
+    post = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(postings, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    # docs are unique per input row, so per-batch (doc, term) rows are
+    # globally unique and a plain Count IS the document frequency
+    df_rows = post.groupby("term_id") \
+        .aggregate(Count(alias_name="df")).take_all()
+    w_by_tid = np.zeros(len(terms), np.int64)
+    for r in df_rows:
+        dfv = int(r["df"])
+        w = ((n_docs - dfv) * scale) // (dfv + 1)
+        if w >= (1 << 44):
+            raise OverflowError(
+                f"idf weight {w} too large for int64 tf·w scoring — "
+                f"reduce scale= (corpus N={n_docs})")
+        w_by_tid[int(r["term_id"])] = w
+
+    def score_part(t: pa.Table) -> pa.Table:
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        tid = t["term_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        if len(tf) and int(tf.max()) >= (1 << 18):
+            raise OverflowError("tf too large for guarded int64 tf·w")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "part": pa.array(tf * w_by_tid[tid], pa.int64())})
+
+    scores = post.map_batches(score_part, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("doc_id").aggregate(Sum("part", alias_name="score"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t.select(["doc_id", "score"])
+        s = t["score"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.lexsort((d, -s))[:k]
+        return t.select(["doc_id", "score"]).take(pa.array(idx))
+
+    pruned = scores.map_batches(local_topk, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(local_topk, batch_format="pyarrow")
+
+    def order(t: pa.Table) -> pa.Table:
+        s = t["score"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.lexsort((d, -s))))
+
+    return pruned.map_batches(order, batch_format="pyarrow")
+
+
+def lexical_topk_sql(query: str, k: int = 10, scale: int = 10 ** 6,
+                     table: str = "documents") -> str:
+    """Oracle twin: identical integer RSJ-ratio scoring."""
+    terms = sorted(set(query.split(" ")))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH lx_tf AS (
+  SELECT doc_id, w, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM {table})
+  WHERE w IN ({in_list}) GROUP BY doc_id, w),
+lx_df AS (SELECT w, count(*)::BIGINT AS df FROM lx_tf GROUP BY w),
+lx_n AS (SELECT count(*)::BIGINT AS n FROM {table}),
+lx_w AS (SELECT w, ((n - df) * {scale}) // (df + 1) AS wt
+         FROM lx_df CROSS JOIN lx_n)
+SELECT doc_id, sum(tf * wt)::BIGINT AS score
+FROM lx_tf JOIN lx_w USING (w)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {k}
+"""

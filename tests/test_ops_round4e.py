@@ -75,3 +75,38 @@ def test_dq_audit_clean_tables_all_zero(ray_session):
     out = dq_audit(orders, lineitem, customer)
     assert (out["n_violations"] == 0).all()
     assert len(out) == 10
+
+
+# --------------------------------------------- lexical_topk
+
+def _docs(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def test_lexical_topk_rare_term_dominates(ray_session):
+    from kgruntime.ops.text import lexical_topk
+
+    # N=4; "rare" df=1, "common" df=3.  scale=1000:
+    # w(rare)  = (4-1)*1000 // 2 = 1500
+    # w(common)= (4-3)*1000 // 4 = 250
+    rows = [(1, "rare common x"),          # 1500 + 250 = 1750
+            (2, "common common common y"), # 3*250 = 750
+            (3, "common z"),               # 250
+            (4, "nothing here")]
+    out = lexical_topk(_docs(rows).repartition(2),
+                       "rare common", k=3, scale=1000).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["score"].tolist() == [1750, 750, 250]
+
+
+def test_lexical_topk_tie_breaks_on_doc_id(ray_session):
+    from kgruntime.ops.text import lexical_topk
+
+    rows = [(9, "t a"), (2, "t b"), (5, "t c")]
+    out = lexical_topk(_docs(rows), "t", k=2, scale=1000).to_pandas()
+    assert out["doc_id"].tolist() == [2, 5]
