@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the r5 window, locally gated by check_oracle.py) ---
         "dq_audit": _q_dq_audit,
         "lexical_topk": _q_lexical_topk,
+        "rrf_fusion": _q_rrf_fusion,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -849,6 +850,31 @@ def _lexical_topk_oracle() -> str:
     from kgruntime.ops.text import lexical_topk_sql
 
     return lexical_topk_sql(_LEX_QUERY)
+
+
+def _q_rrf_fusion(sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical and
+    embedding rankings (kgruntime/ops/ann.py:rrf_fusion).  Query
+    vector = the min-vec_id row via a pushdown LIMIT-1 read."""
+    import duckdb
+
+    from kgruntime.ops.ann import rrf_fusion
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = duckdb.sql(f"SELECT embedding FROM read_parquet('{path}') "
+                   f"ORDER BY vec_id LIMIT 1").arrow()
+    qvec = t["embedding"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    import ray.data as rd
+
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return rrf_fusion(_docs_ds(sf_dir), emb, _LEX_QUERY, qvec)
+
+
+def _rrf_fusion_oracle() -> str:
+    from kgruntime.ops.ann import rrf_fusion_sql
+
+    return rrf_fusion_sql(_LEX_QUERY)
 
 
 def _q_late_events(sf_dir):
@@ -2128,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _emb_drift_oracle(),
         "dq_audit": _dq_audit_oracle(),
         "lexical_topk": _lexical_topk_oracle(),
+        "rrf_fusion": _rrf_fusion_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

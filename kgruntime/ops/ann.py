@@ -1433,3 +1433,134 @@ SELECT c.i, c.mean_cur, p.mean_prior,
        (c.mean_cur - p.mean_prior)::BIGINT AS delta
 FROM ed_c c JOIN ed_p p USING (i) ORDER BY c.i
 """
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of lexical + embedding rankings
+# ---------------------------------------------------------------------------
+
+def _int_dot_topr(emb_ds, q_units: np.ndarray, r: int):
+    """Top-r vectors by exact fixed-point inner product against ONE
+    broadcast query (int64 units; ties → vec_id ASC).  Task-pool sweep
+    with per-block ``lexsort`` prune: ≤r rows leave each block, one
+    final partition merges — no global sort.  Dot magnitudes are
+    ≤ dim·scale² ≈ 6.4e13, far from the ``-s`` wrap point."""
+    import ray
+
+    ref = ray.put(q_units.astype(np.int64))
+
+    def score(batch: pa.Table, ref=ref, r=r) -> pa.Table:
+        q = _cached_state(ref, lambda: ray.get(ref))
+        units = _units_matrix(_emb_matrix(batch))
+        s = units @ q
+        ids = _ids_vector(batch)
+        idx = np.lexsort((ids, -s))[:r]
+        return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
+                         "s": pa.array(s[idx], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t["vec_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        idx = np.lexsort((ids, -s))[:r]
+        return t.take(pa.array(idx))
+
+    rows = emb_ds.select_columns(["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pyarrow").take_all()
+    return [int(x["vec_id"]) for x in rows]
+
+
+def rrf_fusion(docs_ds, emb_ds, query_text: str, query_vec: np.ndarray,
+               r: int = 50, k: int = 10, rrf_k: int = 60,
+               rrf_scale: int = 10 ** 6, lex_scale: int = 10 ** 6):
+    """Hybrid retrieval: reciprocal-rank fusion of a lexical ranking
+    (integer RSJ-ratio scores, ``ops/text.py:lexical_topk``) and an
+    embedding ranking (exact fixed-point inner product) over the
+    id-aligned doc/vector corpus — ``rrf(d) = Σ_rankings scale //
+    (rrf_k + rank(d))`` in exact integers (Cormack et al.'s RRF with
+    the float 1/(k+r) replaced by its scaled integer floor, a monotone
+    transform at fixed scale).
+
+    Scale shape: each side is its own distributed sweep ending in a
+    top-r local-prune (≤r rows to the driver per side); fusion itself
+    touches ≤2r id/rank pairs driver-side.  Output: top-k
+    ``(doc_id, rrf_score, lex_rank, emb_rank)``; rank 0 = "not in that
+    side's top-r".
+    """
+    import pandas as pd
+
+    from .text import lexical_topk
+
+    lex_rows = lexical_topk(docs_ds, query_text, k=r,
+                            scale=lex_scale).take_all()
+    lex_rank = {int(x["doc_id"]): i + 1 for i, x in enumerate(lex_rows)}
+    emb_ids = _int_dot_topr(emb_ds, _units_matrix(query_vec), r)
+    emb_rank = {d: i + 1 for i, d in enumerate(emb_ids)}
+
+    fused = []
+    for d in set(lex_rank) | set(emb_rank):
+        score = 0
+        for rank in (lex_rank.get(d), emb_rank.get(d)):
+            if rank is not None:
+                score += rrf_scale // (rrf_k + rank)
+        fused.append((d, score, lex_rank.get(d, 0), emb_rank.get(d, 0)))
+    fused.sort(key=lambda x: (-x[1], x[0]))
+    return pd.DataFrame(
+        fused[:k],
+        columns=["doc_id", "rrf_score", "lex_rank", "emb_rank"]) \
+        .astype(np.int64)
+
+
+def rrf_fusion_sql(query_text: str, r: int = 50, k: int = 10,
+                   rrf_k: int = 60, rrf_scale: int = 10 ** 6,
+                   lex_scale: int = 10 ** 6,
+                   scale: int = _UNIT_SCALE) -> str:
+    """DuckDB twin: same two rankings (query vector = the min-vec_id
+    row, the ANN _load_queries convention), same integer RRF floor."""
+    terms = sorted(set(query_text.split(" ")))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH rf_tf AS (
+  SELECT doc_id, w, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w IN ({in_list}) GROUP BY doc_id, w),
+rf_df AS (SELECT w, count(*)::BIGINT AS df FROM rf_tf GROUP BY w),
+rf_n AS (SELECT count(*)::BIGINT AS n FROM documents),
+rf_w AS (SELECT w, ((n - df) * {lex_scale}) // (df + 1) AS wt
+         FROM rf_df CROSS JOIN rf_n),
+rf_lex AS (
+  SELECT * FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+           AS rnk
+    FROM (SELECT doc_id, sum(tf * wt)::BIGINT AS score
+          FROM rf_tf JOIN rf_w USING (w) GROUP BY doc_id))
+  WHERE rnk <= {r}),
+rf_e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS u
+  FROM embeddings),
+rf_qid AS (SELECT min(vec_id) AS qid FROM embeddings),
+rf_qu AS (SELECT i, u FROM rf_e, rf_qid WHERE vec_id = qid),
+rf_dot AS (
+  SELECT e.vec_id, sum(e.u * q.u) AS s
+  FROM rf_e e JOIN rf_qu q USING (i) GROUP BY 1),
+rf_emb AS (
+  SELECT * FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY s DESC, vec_id) AS rnk
+    FROM rf_dot)
+  WHERE rnk <= {r})
+SELECT COALESCE(l.doc_id, e.doc_id)::BIGINT AS doc_id,
+       (COALESCE({rrf_scale} // ({rrf_k} + l.rnk), 0)
+        + COALESCE({rrf_scale} // ({rrf_k} + e.rnk), 0))::BIGINT
+         AS rrf_score,
+       COALESCE(l.rnk, 0)::BIGINT AS lex_rank,
+       COALESCE(e.rnk, 0)::BIGINT AS emb_rank
+FROM rf_lex l FULL OUTER JOIN rf_emb e USING (doc_id)
+ORDER BY rrf_score DESC, doc_id LIMIT {k}
+"""

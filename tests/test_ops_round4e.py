@@ -110,3 +110,30 @@ def test_lexical_topk_tie_breaks_on_doc_id(ray_session):
     rows = [(9, "t a"), (2, "t b"), (5, "t c")]
     out = lexical_topk(_docs(rows), "t", k=2, scale=1000).to_pandas()
     assert out["doc_id"].tolist() == [2, 5]
+
+
+# --------------------------------------------- rrf_fusion
+
+def test_rrf_fusion_combines_both_rankings(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import rrf_fusion
+
+    # lexical: doc 1 > doc 2 ("hit" df=2, N=3); embedding (query =
+    # [1,0]): vec 3 (dot 1.0) > vec 2 (0.6) > vec 1 (0.0)
+    docs = _docs([(1, "hit hit a"), (2, "hit b"), (3, "c d")])
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[0.0, 1.0], [0.6, 0.8], [1.0, 0.0]],
+                              pa.list_(pa.float32())),
+    }))
+    qvec = np.array([1.0, 0.0])
+    out = rrf_fusion(docs, emb, "hit", qvec, r=3, k=3,
+                     rrf_k=60, rrf_scale=10 ** 6, lex_scale=1000)
+    # doc 2: lex rank 2 + emb rank 2 -> 16129+16129 = 32258
+    # doc 1: lex rank 1 + emb rank 3 -> 16393+15873 = 32266
+    # doc 3: emb rank 1 only         -> 16393
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["rrf_score"].tolist() == [32266, 32258, 16393]
+    assert out["lex_rank"].tolist() == [1, 2, 0]
+    assert out["emb_rank"].tolist() == [3, 2, 1]
