@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_audit": _q_dq_audit,
         "lexical_topk": _q_lexical_topk,
         "rrf_fusion": _q_rrf_fusion,
+        "entity_clusters": _q_entity_clusters,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -875,6 +876,25 @@ def _rrf_fusion_oracle() -> str:
     from kgruntime.ops.ann import rrf_fusion_sql
 
     return rrf_fusion_sql(_LEX_QUERY)
+
+
+def _q_entity_clusters(sf_dir):
+    """End-to-end entity resolution: fuzzy match pairs → connected
+    components → canonical entity
+    (kgruntime/ops/linkage.py:entity_clusters)."""
+    import ray.data as rd
+
+    from kgruntime.ops.linkage import entity_clusters
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_name"])
+    return entity_clusters(parts)
+
+
+def _entity_clusters_oracle() -> str:
+    from kgruntime.ops.linkage import entity_clusters_sql
+
+    return entity_clusters_sql()
 
 
 def _q_late_events(sf_dir):
@@ -2155,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_audit": _dq_audit_oracle(),
         "lexical_topk": _lexical_topk_oracle(),
         "rrf_fusion": _rrf_fusion_oracle(),
+        "entity_clusters": _entity_clusters_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -165,3 +165,84 @@ SELECT name_a, name_b, dist, n_a, n_b
 FROM fz_d WHERE dist BETWEEN 1 AND {max_dist}
 ORDER BY name_a, name_b
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end entity resolution: fuzzy pairs → components → canonical entity
+# ---------------------------------------------------------------------------
+
+def entity_clusters(ds, name_col: str = "p_name", max_dist: int = 3,
+                    cap: int = 256):
+    """Entity resolution over a name column: ``fuzzy_name_matches``
+    match pairs close into connected components (transitive merge —
+    A~B, B~C ⇒ one entity even when A, C exceed ``max_dist``), every
+    clustered name maps to its component's lexicographic-minimum name
+    as the canonical entity id, plus the cluster size.
+
+    Scale shape: the pair stage is the blocked Levenshtein join
+    (distinct-name collapse + capped token blocks); components run on
+    the KG union-find (``stages/canon.connected_components`` — string
+    labels ARE the canonical names, so no id remap is needed); cluster
+    sizes are one node-bounded groupby joined back through the
+    bucketed hash join.  Output: (name, canonical, cluster_size) for
+    every name that matched at least one other name.
+    """
+    from ray.data.aggregate import Count
+
+    from ..stages.canon import connected_components
+    from .join import bucketed_hash_join
+
+    pairs = fuzzy_name_matches(ds, name_col=name_col,
+                               max_dist=max_dist, cap=cap)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["name_a"], "dst": t["name_b"]})
+
+    asn = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow")) \
+        .materialize()   # two consumers: sizes + decoration
+
+    def rename_key(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["canon_label", "cluster_size"])
+
+    sizes = asn.groupby("label") \
+        .aggregate(Count(alias_name="cluster_size")) \
+        .map_batches(rename_key, batch_format="pyarrow")
+
+    out = bucketed_hash_join(asn, sizes, "label", "canon_label")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"name": t["node"],
+                         "canonical": t["label"],
+                         "cluster_size": pc.cast(t["cluster_size"],
+                                                 pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def entity_clusters_sql(name_col: str = "p_name", max_dist: int = 3,
+                        cap: int = 256, table: str = "part") -> str:
+    """Oracle: the fuzzy-pair CTEs closed by a TRUE recursive
+    reachability closure (min reachable name = canonical), then a
+    cluster-size rollup — proves the union-find labels."""
+    pairs = fuzzy_name_matches_sql(name_col=name_col, max_dist=max_dist,
+                                   cap=cap, table=table)
+    return f"""
+WITH RECURSIVE cc_pairs AS ({pairs.strip().rstrip(";")}),
+cc_e AS (SELECT name_a AS s, name_b AS d FROM cc_pairs
+         UNION ALL SELECT name_b, name_a FROM cc_pairs),
+cc_nodes AS (SELECT DISTINCT s AS node FROM cc_e),
+cc_reach AS (
+  SELECT node, node AS cand FROM cc_nodes
+  UNION
+  SELECT cc_e.d AS node, cc_reach.cand
+  FROM cc_reach JOIN cc_e ON cc_e.s = cc_reach.node),
+cc_lab AS (
+  SELECT node AS name, min(cand) AS canonical
+  FROM cc_reach GROUP BY node),
+cc_siz AS (
+  SELECT canonical, count(*)::BIGINT AS cluster_size
+  FROM cc_lab GROUP BY 1)
+SELECT name, canonical, cluster_size
+FROM cc_lab JOIN cc_siz USING (canonical) ORDER BY name
+"""

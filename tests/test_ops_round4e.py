@@ -137,3 +137,25 @@ def test_rrf_fusion_combines_both_rankings(ray_session):
     assert out["rrf_score"].tolist() == [32266, 32258, 16393]
     assert out["lex_rank"].tolist() == [1, 2, 0]
     assert out["emb_rank"].tolist() == [3, 2, 1]
+
+
+# --------------------------------------------- entity_clusters
+
+def test_entity_clusters_transitive_merge(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.linkage import entity_clusters
+
+    # chain: "acme corp" ~1~ "acme corpX" ~1~ "acme corpXY" (ends are
+    # dist 2 apart — still one entity via transitivity); "zeta widgets"
+    # matches nothing (needs a shared token AND dist<=1)
+    names = ["acme corp", "acme corpX", "acme corpXY",
+             "acme corpX",                        # dup record collapses
+             "zeta widgets"]
+    ds = rd.from_arrow(pa.table({"p_name": pa.array(names, pa.string())}))
+    out = entity_clusters(ds, max_dist=1).to_pandas() \
+        .sort_values("name").reset_index(drop=True)
+    assert out["name"].tolist() == ["acme corp", "acme corpX",
+                                    "acme corpXY"]
+    assert set(out["canonical"]) == {"acme corp"}
+    assert out["cluster_size"].tolist() == [3, 3, 3]
