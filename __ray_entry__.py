@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_topk": _q_lexical_topk,
         "rrf_fusion": _q_rrf_fusion,
         "entity_clusters": _q_entity_clusters,
+        "session_incident_overlap": _q_session_incidents,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -895,6 +896,20 @@ def _entity_clusters_oracle() -> str:
     from kgruntime.ops.linkage import entity_clusters_sql
 
     return entity_clusters_sql()
+
+
+def _q_session_incidents(sf_dir):
+    """Interval overlap join: sessions × busy-hour incidents
+    (kgruntime/ops/sessions.py:session_incident_overlap)."""
+    from kgruntime.ops.sessions import session_incident_overlap
+
+    return session_incident_overlap(_events_ds(sf_dir))
+
+
+def _session_incidents_oracle() -> str:
+    from kgruntime.ops.sessions import session_incident_overlap_sql
+
+    return session_incident_overlap_sql()
 
 
 def _q_late_events(sf_dir):
@@ -2176,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_topk": _lexical_topk_oracle(),
         "rrf_fusion": _rrf_fusion_oracle(),
         "entity_clusters": _entity_clusters_oracle(),
+        "session_incident_overlap": _session_incidents_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -1554,3 +1554,114 @@ SELECT event_type, count(*)::BIGINT AS n_events,
        max(late_ms)::BIGINT AS max_lateness_ms
 FROM lea GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# interval overlap join: user sessions × busy-hour incident windows
+# ---------------------------------------------------------------------------
+
+def session_incident_overlap(events_ds, busy_num: int = 12,
+                             busy_den: int = 10):
+    """Interval overlap join: every user session (30-min-gap
+    sessionization, interval = [first event, last event]) against the
+    corpus's "incident" hours — tumbling hours whose event count is ≥
+    ``busy_num/busy_den`` × the per-hour mean (the exact-integer
+    relative-threshold idiom: ``c · n_hours · busy_den ≥ busy_num ·
+    total`` — an absolute cut would not survive a scale-factor change).
+    Output: ``(user_id, session_start, n_events, n_incidents)`` for
+    sessions overlapping ≥1 incident hour.
+
+    Scale shape: the incident side is time-bounded (≤ |hours in the
+    corpus| rows — KB at any corpus size), built by one combiner
+    groupby and broadcast as a sorted int64 hour-index array; the
+    session side streams, and the overlap count per session is two
+    ``searchsorted`` probes (an interval [s,e] touches hour h iff
+    ``floor(s) ≤ h ≤ floor(e)``) — no all-to-all interval join ever
+    happens.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    _HOUR_US = 3_600_000_000
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t["ts"], unit="hour")
+        vc = pc.value_counts(pc.cast(h, pa.int64()).combine_chunks())
+        return pa.table({"h": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    hours = events_ds.select_columns(["ts"]) \
+        .map_batches(hour_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("h").aggregate(Sum("n", alias_name="n")).take_all()
+    total = sum(int(r["n"]) for r in hours)
+    n_hours = len(hours)
+    busy = np.sort(np.array(
+        [int(r["h"]) // _HOUR_US for r in hours
+         if int(r["n"]) * n_hours * busy_den >= busy_num * total],
+        np.int64))
+
+    def bounds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds().div(60)
+        sid = (gap.isna() | (gap > SESSION_GAP_MIN)).cumsum()
+        out = g.groupby(sid).agg(user_id=("user_id", "first"),
+                                 session_start=("ts", "min"),
+                                 session_end=("ts", "max"),
+                                 n_events=("event_id", "count"))
+        return out.reset_index(drop=True)
+
+    sess = events_ds.select_columns(["user_id", "ts", "event_id"]) \
+        .groupby("user_id").map_groups(bounds, batch_format="pandas")
+
+    def overlap(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["session_start"].values.astype("datetime64[us]") \
+            .astype(np.int64) // _HOUR_US
+        e = df["session_end"].values.astype("datetime64[us]") \
+            .astype(np.int64) // _HOUR_US
+        n_inc = (np.searchsorted(busy, e, side="right")
+                 - np.searchsorted(busy, s, side="left")).astype(np.int64)
+        out = df.assign(n_incidents=n_inc)
+        out = out[out["n_incidents"] >= 1]
+        return out[["user_id", "session_start", "n_events",
+                    "n_incidents"]].astype({"n_events": np.int64})
+
+    return sess.map_batches(overlap, batch_format="pandas")
+
+
+def session_incident_overlap_sql(busy_num: int = 12,
+                                 busy_den: int = 10) -> str:
+    """Oracle twin: the sessionize CTEs with min/max bounds, an
+    integer relative-threshold incident CTE, and an explicit interval
+    overlap join."""
+    return f"""
+WITH si_hours AS (
+  SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+si_tot AS (SELECT sum(n)::BIGINT AS total,
+                  count(*)::BIGINT AS n_hours FROM si_hours),
+si_inc AS (
+  SELECT h FROM si_hours CROSS JOIN si_tot
+  WHERE n * n_hours * {busy_den} >= {busy_num} * total),
+si_marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+si_sess AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*)::BIGINT AS n_events
+  FROM (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS sid
+        FROM si_marked)
+  GROUP BY user_id, sid)
+SELECT s.user_id, s.session_start, s.n_events,
+       count(*)::BIGINT AS n_incidents
+FROM si_sess s JOIN si_inc i
+  ON i.h >= date_trunc('hour', s.session_start)
+ AND i.h <= date_trunc('hour', s.session_end)
+GROUP BY s.user_id, s.session_start, s.n_events
+ORDER BY s.user_id, s.session_start
+"""

@@ -159,3 +159,34 @@ def test_entity_clusters_transitive_merge(ray_session):
                                     "acme corpXY"]
     assert set(out["canonical"]) == {"acme corp"}
     assert out["cluster_size"].tolist() == [3, 3, 3]
+
+
+# --------------------------------------------- session_incident_overlap
+
+def test_session_incident_overlap_counts_touched_busy_hours(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import session_incident_overlap
+
+    # hour 10:xx holds 4 events (busy), hour 11:xx holds 1, hour 13:xx
+    # holds 1 (mean = 2, busy threshold 1.2*mean = 2.4 -> only hour 10)
+    ts = pd.to_datetime([
+        "2024-01-01 10:00:00", "2024-01-01 10:05:00",
+        "2024-01-01 10:50:00", "2024-01-01 11:15:00",   # user 1: 45-min
+                                            # gap -> TWO sessions
+        "2024-01-01 10:59:00",                          # user 2 in busy hour
+        "2024-01-01 13:00:00",                          # user 3 off-peak
+    ])
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 3], pa.int64()),
+    }))
+    out = session_incident_overlap(ev).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    # user 1 session A [10:00,10:05] -> busy hour 10; session B
+    # [10:50,11:15] spans hours 10-11 -> still 1 busy; user 2's
+    # one-event session sits inside hour 10 -> 1; user 3 none
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["n_incidents"].tolist() == [1, 1, 1]
+    assert sorted(out["n_events"].tolist()) == [1, 2, 2]
