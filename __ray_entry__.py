@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "entity_clusters": _q_entity_clusters,
         "session_incident_overlap": _q_session_incidents,
+        "user_hourly_locf": _q_user_hourly_locf,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -910,6 +911,20 @@ def _session_incidents_oracle() -> str:
     from kgruntime.ops.sessions import session_incident_overlap_sql
 
     return session_incident_overlap_sql()
+
+
+def _q_user_hourly_locf(sf_dir):
+    """Hourly LOCF resample rollup per user
+    (kgruntime/ops/sessions.py:user_hourly_locf)."""
+    from kgruntime.ops.sessions import user_hourly_locf
+
+    return user_hourly_locf(_events_ds(sf_dir))
+
+
+def _user_hourly_locf_oracle() -> str:
+    from kgruntime.ops.sessions import USER_HOURLY_LOCF_SQL
+
+    return USER_HOURLY_LOCF_SQL
 
 
 def _q_late_events(sf_dir):
@@ -2192,6 +2207,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": _rrf_fusion_oracle(),
         "entity_clusters": _entity_clusters_oracle(),
         "session_incident_overlap": _session_incidents_oracle(),
+        "user_hourly_locf": _user_hourly_locf_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

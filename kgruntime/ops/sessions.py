@@ -1665,3 +1665,71 @@ FROM si_sess s JOIN si_inc i
 GROUP BY s.user_id, s.session_start, s.n_events
 ORDER BY s.user_id, s.session_start
 """
+
+
+# ---------------------------------------------------------------------------
+# hourly LOCF resample: per-user time-grid gap fill
+# ---------------------------------------------------------------------------
+
+def user_hourly_locf(events_ds):
+    """Per-user hourly resample with last-observation-carried-forward:
+    a grid of tumbling hours from the user's first to last event hour;
+    each grid hour carries the value of the user's latest event at or
+    before the hour's end (exact integer cents).  Output rollup:
+    ``(user_id, n_hours, sum_locf_cents)`` — the sum proves every
+    grid cell without shipping the grid.
+
+    Scale shape: one ``groupby(user_id).map_groups`` — the grid never
+    leaves the task (cells = hours spanned, bounded by the corpus time
+    range); the fill is a single vectorized ``searchsorted`` of hour
+    ends into the user's sorted event times.  Duplicate timestamps
+    resolve to the highest event_id (the sort order), matching the
+    oracle's ``arg_max(cents, event_id)`` pre-collapse + ASOF join.
+    """
+    import numpy as np
+
+    _HOUR_US = 3_600_000_000
+
+    def locf(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].values.astype("datetime64[us]") \
+            .astype(np.int64)
+        v = g["value"].to_numpy() * 100
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v) \
+            .astype(np.int64)
+        h0, h1 = ts_us[0] // _HOUR_US, ts_us[-1] // _HOUR_US
+        probes = (np.arange(h0, h1 + 1, dtype=np.int64) + 1) * _HOUR_US
+        idx = np.searchsorted(ts_us, probes, side="left") - 1
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_hours": np.array([h1 - h0 + 1], np.int64),
+            "sum_locf_cents": np.array([int(cents[idx].sum())],
+                                       np.int64)})
+
+    return events_ds.select_columns(["user_id", "ts", "event_id",
+                                     "value"]) \
+        .groupby("user_id").map_groups(locf, batch_format="pandas")
+
+
+USER_HOURLY_LOCF_SQL = """
+WITH lo_e AS (
+  SELECT user_id, ts,
+         arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS cents
+  FROM events GROUP BY user_id, ts),
+lo_b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM lo_e GROUP BY user_id),
+lo_grid AS (
+  SELECT user_id,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+           + INTERVAL 1 HOUR - INTERVAL 1 MICROSECOND AS probe
+  FROM lo_b),
+lo_fill AS (
+  SELECT g.user_id, e.cents
+  FROM lo_grid g ASOF JOIN lo_e e
+    ON g.user_id = e.user_id AND g.probe >= e.ts)
+SELECT user_id, count(*)::BIGINT AS n_hours,
+       sum(cents)::BIGINT AS sum_locf_cents
+FROM lo_fill GROUP BY user_id ORDER BY user_id
+"""

@@ -190,3 +190,27 @@ def test_session_incident_overlap_counts_touched_busy_hours(ray_session):
     assert out["user_id"].tolist() == [1, 1, 2]
     assert out["n_incidents"].tolist() == [1, 1, 1]
     assert sorted(out["n_events"].tolist()) == [1, 2, 2]
+
+
+# --------------------------------------------- user_hourly_locf
+
+def test_user_hourly_locf_carries_last_value(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import user_hourly_locf
+
+    # user 1: 10:30 v=1.00, 13:10 v=2.50 -> grid hours 10,11,12,13
+    # hour 10 -> 100, hour 11 -> 100, hour 12 -> 100, hour 13 -> 250
+    # duplicate-ts tie at 13:10: event_id 3 (v=2.50) wins over 2 (9.99)
+    ts = pd.to_datetime(["2024-01-01 10:30:00", "2024-01-01 13:10:00",
+                         "2024-01-01 13:10:00"])
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "value": pa.array([1.0, 9.99, 2.5], pa.float64()),
+    }))
+    out = user_hourly_locf(ev).to_pandas()
+    assert out["user_id"].tolist() == [1]
+    assert out["n_hours"].tolist() == [4]
+    assert out["sum_locf_cents"].tolist() == [100 + 100 + 100 + 250]
