@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_clusters": _q_entity_clusters,
         "session_incident_overlap": _q_session_incidents,
         "user_hourly_locf": _q_user_hourly_locf,
+        "mg_heavy_trigrams": _q_mg_heavy_trigrams,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -925,6 +926,20 @@ def _user_hourly_locf_oracle() -> str:
     from kgruntime.ops.sessions import USER_HOURLY_LOCF_SQL
 
     return USER_HOURLY_LOCF_SQL
+
+
+def _q_mg_heavy_trigrams(sf_dir):
+    """Misra-Gries mergeable summaries + exact recount
+    (kgruntime/ops/sketch.py:mg_heavy_trigrams)."""
+    from kgruntime.ops.sketch import mg_heavy_trigrams
+
+    return mg_heavy_trigrams(_docs_ds(sf_dir))
+
+
+def _mg_heavy_trigrams_oracle() -> str:
+    from kgruntime.ops.sketch import mg_heavy_trigrams_sql
+
+    return mg_heavy_trigrams_sql()
 
 
 def _q_late_events(sf_dir):
@@ -2208,6 +2223,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_clusters": _entity_clusters_oracle(),
         "session_incident_overlap": _session_incidents_oracle(),
         "user_hourly_locf": _user_hourly_locf_oracle(),
+        "mg_heavy_trigrams": _mg_heavy_trigrams_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

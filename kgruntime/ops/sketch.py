@@ -413,3 +413,129 @@ FROM rk
 WHERE rn = least(n_distinct, {k})
 ORDER BY {group}
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries-style frequent items: mergeable summaries + exact recount
+# ---------------------------------------------------------------------------
+
+_MG_TOTAL_KEY = "\x00total"   # cannot collide: trigram terms are
+                              # space-joined vocabulary words
+
+
+def mg_heavy_trigrams(docs_ds, k: int = 24000):
+    """Frequent word TRIGRAMS (trigrams give the mid-df tail the
+    31-word synthetic vocabulary lacks at shorter n) via mergeable
+    Misra-Gries-style summaries: each batch emits only terms with
+    ``c_b·(k+1) > N_b`` (the MG retention bound — a term absent from a
+    batch summary has local count ≤ N_b/(k+1), so a term with GLOBAL
+    count > N/(k+1) must surface in ≥1 summary, whatever the block
+    boundaries), plus one total-marker row.  Summed summaries give
+    lower bounds ``lb`` with ``true ≤ lb + N/(k+1)``; candidates for
+    the report threshold ``true·(k+1) > 2N`` are exactly the terms
+    with ``lb·(k+1) > N`` — and ``Σ lb ≤ N`` caps the candidate set at
+    k terms at ANY corpus size, so it broadcasts.  A second streamed
+    pass recounts the candidates exactly; the report is therefore
+    EXACT counts of exactly the true heavy hitters (deterministic even
+    though intermediate summaries are block-boundary-dependent), and
+    the SQL twin is a plain HAVING over exact counts.
+    """
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def tok_trigrams(t: pa.Table):
+        import polars as pl
+
+        toks = pl.from_arrow(t.select(["doc_id", "text"])) \
+            .with_columns(pl.col("text").str.split(" ").alias("t")) \
+            .drop("text").explode("t")
+        return toks.with_columns(
+            pl.col("t").shift(-1).over("doc_id").alias("t2"),
+            pl.col("t").shift(-2).over("doc_id").alias("t3")) \
+            .drop_nulls(["t2", "t3"]) \
+            .select((pl.col("t") + " " + pl.col("t2") + " "
+                     + pl.col("t3")).alias("w"))
+
+    _part_schema = pa.schema([("term", pa.string()),
+                              ("lb", pa.int64())])
+
+    def summary_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = tok_trigrams(t).group_by("w") \
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        n_b = int(g["c"].sum()) if g.height else 0
+        keep = g.filter(pl.col("c") * (k + 1) > n_b)
+        terms = keep["w"].to_list() + [_MG_TOTAL_KEY]
+        lbs = keep["c"].to_list() + [n_b]
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "lb": pa.array(lbs, pa.int64())},
+                        schema=_part_schema)
+
+    merged = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(summary_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("term").aggregate(Sum("lb", alias_name="lb")) \
+        .to_pandas()   # ≤ k·n_blocks emitted, merged table ≤ distinct
+                       # survivors — and candidates below are ≤ k
+
+    total = int(merged.loc[merged["term"] == _MG_TOTAL_KEY,
+                           "lb"].iloc[0]) if len(merged) else 0
+    cand = merged[(merged["term"] != _MG_TOTAL_KEY)
+                  & (merged["lb"] * (k + 1) > total)]["term"].tolist()
+    assert len(cand) <= k, "MG candidate bound violated"
+    cand_ref = ray.put(sorted(cand))
+
+    _cnt_schema = pa.schema([("trigram", pa.string()),
+                             ("cnt", pa.int64())])
+
+    def recount(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        cs = ray.get(cand_ref)
+        g = tok_trigrams(t).filter(pl.col("w").is_in(cs)) \
+            .group_by("w").agg(pl.len().cast(pl.Int64).alias("c"))
+        return pa.table({"trigram": pa.array(g["w"].to_list(),
+                                             pa.string()),
+                         "cnt": pa.array(g["c"].to_list(), pa.int64())},
+                        schema=_cnt_schema)
+
+    exact = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(recount, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("trigram").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def report(t: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.multiply(t["cnt"], k + 1), 2 * total)
+        t = t.filter(keep)
+        # pin the schema: an all-filtered block must not drop columns
+        # (Ray empty-dataset gotcha)
+        return pa.table({"trigram": t["trigram"], "cnt": t["cnt"]},
+                        schema=_cnt_schema)
+
+    return exact.map_batches(report, batch_format="pyarrow") \
+        .sort(["cnt", "trigram"], descending=[True, False])
+
+
+def mg_heavy_trigrams_sql(k: int = 24000,
+                          table: str = "documents") -> str:
+    """Oracle: exact trigram counts over the same single-space split,
+    same integer relative threshold."""
+    return f"""
+WITH mg_tok AS (
+  SELECT t[pos] AS w1, t[pos + 1] AS w2, t[pos + 2] AS w3
+  FROM (SELECT str_split(text, ' ') AS t,
+               unnest(range(1, greatest(len(str_split(text, ' ')) - 1,
+                                        1))) AS pos
+        FROM {table})
+  WHERE w2 IS NOT NULL AND w3 IS NOT NULL),
+mg_cnt AS (
+  SELECT w1 || ' ' || w2 || ' ' || w3 AS trigram,
+         count(*)::BIGINT AS cnt
+  FROM mg_tok GROUP BY 1),
+mg_tot AS (SELECT sum(cnt)::BIGINT AS total FROM mg_cnt)
+SELECT trigram, cnt FROM mg_cnt CROSS JOIN mg_tot
+WHERE cnt * {k + 1} > 2 * total
+ORDER BY cnt DESC, trigram
+"""

@@ -214,3 +214,30 @@ def test_user_hourly_locf_carries_last_value(ray_session):
     assert out["user_id"].tolist() == [1]
     assert out["n_hours"].tolist() == [4]
     assert out["sum_locf_cents"].tolist() == [100 + 100 + 100 + 250]
+
+
+# --------------------------------------------- mg_heavy_trigrams
+
+def test_mg_heavy_trigrams_exact_over_threshold(ray_session):
+    from kgruntime.ops.sketch import mg_heavy_trigrams
+
+    # "a b c" x4, "x y z" x1, "p q r" x1 -> total 6 trigrams.
+    # k=2 -> report threshold cnt*3 > 12 i.e. cnt > 4 ... use k=3:
+    # threshold cnt*4 > 12 -> cnt > 3 -> only "a b c" (4)
+    rows = [(1, "a b c"), (2, "a b c"), (3, "a b c"), (4, "a b c"),
+            (5, "x y z"), (6, "p q r")]
+    out = mg_heavy_trigrams(_docs(rows).repartition(3), k=3).to_pandas()
+    assert out["trigram"].tolist() == ["a b c"]
+    assert out["cnt"].tolist() == [4]
+
+
+def test_mg_heavy_trigrams_block_boundaries_cannot_hide_heavy(ray_session):
+    from kgruntime.ops.sketch import mg_heavy_trigrams
+
+    # the heavy item spread evenly over many blocks still surfaces
+    rows = [(i, "h h h") for i in range(10)] + \
+           [(100 + i, f"u{i} v{i} w{i}") for i in range(10)]
+    out = mg_heavy_trigrams(_docs(rows).repartition(10), k=5).to_pandas()
+    # total 20; threshold cnt*6 > 40 -> cnt >= 7 -> only "h h h" (10)
+    assert out["trigram"].tolist() == ["h h h"]
+    assert out["cnt"].tolist() == [10]
