@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_incident_overlap": _q_session_incidents,
         "user_hourly_locf": _q_user_hourly_locf,
         "mg_heavy_trigrams": _q_mg_heavy_trigrams,
+        "lpa_communities": _q_lpa_communities,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -940,6 +941,26 @@ def _mg_heavy_trigrams_oracle() -> str:
     from kgruntime.ops.sketch import mg_heavy_trigrams_sql
 
     return mg_heavy_trigrams_sql()
+
+
+def _q_lpa_communities(sf_dir):
+    """Label-propagation communities over the strong-tie co-occurrence
+    graph (kgruntime/ops/graph.py:lpa_communities)."""
+    import ray.data as rd
+
+    from kgruntime.ops.graph import lpa_communities
+    from kgruntime.ops.sessions import cooccurrence_edges
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    edges = cooccurrence_edges(ev).filter(expr="n_shared >= 5")
+    return lpa_communities(edges, rounds=4)
+
+
+def _lpa_communities_oracle() -> str:
+    from kgruntime.ops.graph import lpa_communities_sql
+
+    return lpa_communities_sql(rounds=4)
 
 
 def _q_late_events(sf_dir):
@@ -2224,6 +2245,7 @@ def oracle_sql() -> dict[str, str]:
         "session_incident_overlap": _session_incidents_oracle(),
         "user_hourly_locf": _user_hourly_locf_oracle(),
         "mg_heavy_trigrams": _mg_heavy_trigrams_oracle(),
+        "lpa_communities": _lpa_communities_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -470,3 +470,120 @@ SELECT u AS user_id, count(*)::BIGINT AS core_degree
 FROM (SELECT a AS u FROM kc_e{rounds} UNION ALL SELECT b FROM kc_e{rounds})
 GROUP BY u ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (synchronous, fixed rounds)
+# ---------------------------------------------------------------------------
+
+def lpa_communities(edges_ds, rounds: int = 4):
+    """Community detection by synchronous label propagation over an
+    undirected (user_a < user_b) edge list: labels start as node ids;
+    each round every node adopts the most frequent label among its
+    NEIGHBORS (tie → smallest label).  Unlike connected components
+    (min-label flood), frequency voting respects local edge density,
+    so bridge edges don't instantly merge two dense groups.  Output
+    after ``rounds``: (user_id, community).
+
+    Scale shape per round: the label table is node-bounded and
+    broadcasts via ``ray.put`` (searchsorted decorate — the k_core
+    survivor pattern, same documented bucketed-join escape hatch for
+    node sets beyond broadcast size); ONE streamed pass over the edges
+    emits (node, neighbor_label) pairs pre-counted per batch; one
+    ``groupby`` merges the counts; the argmax/tie-break runs over the
+    node-bounded count table.  The corpus-sized edge list is never
+    shuffled — only decorated.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    edges = edges_ds.select_columns(["user_a", "user_b"]).materialize()
+    if edges.count() == 0:     # empty edge set drops schemas (Ray 2.49)
+        return pd.DataFrame({"user_id": np.array([], np.int64),
+                             "community": np.array([], np.int64)})
+
+    def node_ends(t: pa.Table) -> pa.Table:
+        return pa.table({"u": pa.concat_arrays([
+            t["user_a"].combine_chunks().cast(pa.int64()),
+            t["user_b"].combine_chunks().cast(pa.int64())])})
+
+    nodes = np.sort(edges.map_batches(node_ends, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                    .groupby("u").count().to_pandas()["u"]
+                    .to_numpy(np.int64))
+    labels = nodes.copy()
+
+    for _ in range(rounds):
+        ref = ray.put((nodes, labels))
+
+        def vote_partial(t: pa.Table, ref=ref) -> pa.Table:
+            nd, lb = ray.get(ref)
+            a = t["user_a"].to_numpy(zero_copy_only=False)
+            b = t["user_b"].to_numpy(zero_copy_only=False)
+            node = np.concatenate([a, b])
+            nbr_lbl = np.concatenate([lb[np.searchsorted(nd, b)],
+                                      lb[np.searchsorted(nd, a)]])
+            import pandas as pd
+
+            g = pd.DataFrame({"node": node, "lbl": nbr_lbl}) \
+                .groupby(["node", "lbl"], sort=False).size() \
+                .reset_index(name="c")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        counts = edges.map_batches(vote_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+            .groupby(["node", "lbl"]) \
+            .aggregate(Sum("c", alias_name="c")) \
+            .to_pandas()   # node-bounded (≤ nodes × distinct labels)
+        win = counts.sort_values(["node", "c", "lbl"],
+                                 ascending=[True, False, True],
+                                 kind="mergesort") \
+            .drop_duplicates("node")
+        new_labels = labels.copy()
+        pos = np.searchsorted(nodes, win["node"].to_numpy(np.int64))
+        new_labels[pos] = win["lbl"].to_numpy(np.int64)
+        if np.array_equal(new_labels, labels):
+            break              # converged: further rounds are no-ops
+        labels = new_labels
+
+    import pandas as pd
+
+    return pd.DataFrame({"user_id": nodes,
+                         "community": labels.astype(np.int64)})
+
+
+def lpa_communities_sql(rounds: int = 4, cap: int = 200,
+                        min_shared: int = 5,
+                        table: str = "events") -> str:
+    """Unrolled-round DuckDB twin over the strong-tie co-occurrence
+    edges (MATERIALIZED chain — the bpe_merges lesson)."""
+    from .sessions import cooccur_cte_body
+
+    parts = [f"""lp_e AS MATERIALIZED (
+  SELECT user_a AS a, user_b AS b FROM p
+  GROUP BY user_a, user_b HAVING count(*) >= {min_shared}),
+lp_d AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM lp_e
+  UNION ALL SELECT b, a FROM lp_e),
+lp_l0 AS MATERIALIZED (
+  SELECT DISTINCT node AS u, node AS lbl FROM lp_d)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""lp_c{i} AS MATERIALIZED (
+  SELECT d.node, l.lbl, count(*) AS c
+  FROM lp_d d JOIN lp_l{i - 1} l ON l.u = d.nbr
+  GROUP BY d.node, l.lbl),
+lp_l{i} AS MATERIALIZED (
+  SELECT node AS u, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl) AS rk
+    FROM lp_c{i}) WHERE rk = 1)""")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {cooccur_cte_body(cap, table)},
+{chain}
+SELECT u AS user_id, lbl::BIGINT AS community
+FROM lp_l{rounds} ORDER BY user_id
+"""

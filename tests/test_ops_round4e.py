@@ -241,3 +241,37 @@ def test_mg_heavy_trigrams_block_boundaries_cannot_hide_heavy(ray_session):
     # total 20; threshold cnt*6 > 40 -> cnt >= 7 -> only "h h h" (10)
     assert out["trigram"].tolist() == ["h h h"]
     assert out["cnt"].tolist() == [10]
+
+
+# --------------------------------------------- lpa_communities
+
+def _edges(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "user_a": pa.array([p[0] for p in pairs], pa.int64()),
+        "user_b": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+
+
+def test_lpa_separates_bridged_cliques(ray_session):
+    from kgruntime.ops.graph import lpa_communities
+
+    # two 4-cliques {1..4} and {11..14} joined by ONE bridge (4,11):
+    # connected components would merge them; frequency LPA keeps two
+    # communities because clique-internal votes outnumber the bridge
+    k1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    out = lpa_communities(_edges(k1 + k2 + [(4, 11)]), rounds=4)
+    comm = dict(zip(out["user_id"], out["community"]))
+    assert len({comm[u] for u in (1, 2, 3)}) == 1
+    assert len({comm[u] for u in (11, 12, 13, 14)}) == 1
+    assert comm[1] != comm[12]
+
+
+def test_lpa_empty_edges(ray_session):
+    from kgruntime.ops.graph import lpa_communities
+
+    out = lpa_communities(_edges([]), rounds=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["user_id", "community"]
