@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_hourly_locf": _q_user_hourly_locf,
         "mg_heavy_trigrams": _q_mg_heavy_trigrams,
         "lpa_communities": _q_lpa_communities,
+        "bootstrap_stats": _q_bootstrap_stats,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -961,6 +962,20 @@ def _lpa_communities_oracle() -> str:
     from kgruntime.ops.graph import lpa_communities_sql
 
     return lpa_communities_sql(rounds=4)
+
+
+def _q_bootstrap_stats(sf_dir):
+    """Deterministic Poisson bootstrap replicate statistics
+    (kgruntime/ops/sample.py:bootstrap_stats)."""
+    from kgruntime.ops.sample import bootstrap_stats
+
+    return bootstrap_stats(_docs_ds(sf_dir))
+
+
+def _bootstrap_stats_oracle() -> str:
+    from kgruntime.ops.sample import bootstrap_stats_sql
+
+    return bootstrap_stats_sql()
 
 
 def _q_late_events(sf_dir):
@@ -2246,6 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         "user_hourly_locf": _user_hourly_locf_oracle(),
         "mg_heavy_trigrams": _mg_heavy_trigrams_oracle(),
         "lpa_communities": _lpa_communities_oracle(),
+        "bootstrap_stats": _bootstrap_stats_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

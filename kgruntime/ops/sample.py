@@ -428,3 +428,89 @@ SELECT doc_id, {weight_col},
 FROM {table}
 ORDER BY priority, doc_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic Poisson bootstrap replicates
+# ---------------------------------------------------------------------------
+
+def _poisson1_thresholds(max_m: int = 8) -> list[int]:
+    """Integer inverse-CDF thresholds for Poisson(1) on a 60-bit
+    uniform: ``T_j = floor(CDF(j) · 2^60)``; a draw's multiplicity is
+    ``Σ_j [h ≥ T_j]`` (capped at ``max_m``; P(X > 8) ≈ 1e-6 folds into
+    the cap).  The constants derive once from IEEE ``exp(-1)`` on the
+    driver and are INLINED into the SQL twin, so both engines compare
+    against bit-identical literals."""
+    import math
+
+    cdf, term = 0.0, math.exp(-1.0)
+    out = []
+    for j in range(max_m):
+        cdf += term
+        out.append(int(cdf * (1 << 60)))
+        term /= (j + 1)
+    return out
+
+
+def bootstrap_stats(docs_ds, n_replicates: int = 20):
+    """Deterministic Poisson(1) bootstrap over the corpus — per
+    replicate ``b`` every doc enters with multiplicity drawn from
+    ``md5(doc_id-b)`` via exact integer inverse-CDF thresholds, and the
+    replicate's resample statistics come out exact:
+    ``(replicate, n_rows, sum_chars)``.  This is the standard
+    streaming bootstrap for uncertainty bands over pipeline stats —
+    no replicate ever materializes; a resampled doc never moves.
+
+    Scale shape: ONE corpus pass; each batch emits ≤ n_replicates
+    partial rows (vectorized threshold compares over a (rows, B) hash
+    matrix); one tiny ``groupby(replicate)`` merges.  Deterministic by
+    construction (seeded hashes), so retries/resumes agree.
+    """
+    from ray.data.aggregate import Sum
+
+    thr = np.array(_poisson1_thresholds(), np.uint64)
+    B = n_replicates
+
+    def partial(t: pa.Table) -> pa.Table:
+        from .dedup import _md5_60
+
+        ids = t["doc_id"].to_pylist()
+        nch = t["n_chars"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.array([[_md5_60(f"{d}-{b}".encode()) for b in range(B)]
+                      for d in ids], np.uint64).reshape(len(ids), B)
+        m = (h[:, :, None] >= thr[None, None, :]) \
+            .sum(axis=2).astype(np.int64)        # (rows, B)
+        return pa.table({
+            "replicate": pa.array(np.arange(B, dtype=np.int64)),
+            "n_rows": pa.array(m.sum(axis=0), pa.int64()),
+            "sum_chars": pa.array((m * nch[:, None]).sum(axis=0),
+                                  pa.int64())})
+
+    return docs_ds.select_columns(["doc_id", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("replicate").aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_chars", alias_name="sum_chars")) \
+        .sort("replicate")
+
+
+def bootstrap_stats_sql(n_replicates: int = 20,
+                        table: str = "documents") -> str:
+    """Oracle twin: same md5-60 draw, same inlined integer
+    thresholds."""
+    thr = _poisson1_thresholds()
+    m_expr = " + ".join(f"(h >= {t})::BIGINT" for t in thr)
+    return f"""
+WITH bs_r AS (SELECT unnest(range(0, {n_replicates})) AS b),
+bs_h AS (
+  SELECT r.b, d.n_chars,
+         ('0x' || substr(md5(d.doc_id::VARCHAR || '-' || r.b::VARCHAR),
+                         1, 15))::BIGINT AS h
+  FROM {table} d CROSS JOIN bs_r r),
+bs_m AS (SELECT b, n_chars, ({m_expr}) AS m FROM bs_h)
+SELECT b AS replicate, sum(m)::BIGINT AS n_rows,
+       sum(m * n_chars)::BIGINT AS sum_chars
+FROM bs_m GROUP BY b ORDER BY replicate
+"""

@@ -275,3 +275,23 @@ def test_lpa_empty_edges(ray_session):
     out = lpa_communities(_edges([]), rounds=3)
     assert len(out) == 0
     assert list(out.columns) == ["user_id", "community"]
+
+
+# --------------------------------------------- bootstrap_stats
+
+def test_bootstrap_stats_deterministic_and_mean_near_one(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sample import bootstrap_stats
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "n_chars": pa.array([10] * 200, pa.int64())}))
+    a = bootstrap_stats(docs, n_replicates=5).to_pandas()
+    b = bootstrap_stats(docs.repartition(4), n_replicates=5).to_pandas()
+    # block-boundary independent and retry-stable
+    pd.testing.assert_frame_equal(a, b)
+    assert a["replicate"].tolist() == [0, 1, 2, 3, 4]
+    # Poisson(1): each replicate resamples ~N rows (loose 3-sigma band)
+    assert all(150 <= n <= 250 for n in a["n_rows"])
+    assert (a["sum_chars"] == a["n_rows"] * 10).all()
