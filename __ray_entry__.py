@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mg_heavy_trigrams": _q_mg_heavy_trigrams,
         "lpa_communities": _q_lpa_communities,
         "bootstrap_stats": _q_bootstrap_stats,
+        "media_phash_dups": _q_media_phash_dups,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -962,6 +963,18 @@ def _lpa_communities_oracle() -> str:
     from kgruntime.ops.graph import lpa_communities_sql
 
     return lpa_communities_sql(rounds=4)
+
+
+def _q_media_phash_dups(sf_dir):
+    """Perceptual-hash (dHash) near-dup image pairs over REAL PNG
+    bytes — rows-only (binary inputs are synthesized, not SQL-visible)
+    (kgruntime/ops/media.py:phash_near_dups)."""
+    import ray.data as rd
+
+    from kgruntime.ops.media import (phash_near_dups,
+                                     synth_png_neardup_table)
+
+    return phash_near_dups(rd.from_arrow(synth_png_neardup_table()))
 
 
 def _q_bootstrap_stats(sf_dir):

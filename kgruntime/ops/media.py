@@ -514,3 +514,165 @@ def gif_frame_features(media_ds, stride: int = 2, max_frames: int = 4,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or pool_range(frac=0.25, lo=1),
         num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (dHash) near-duplicate detection over decoded pixels
+# ---------------------------------------------------------------------------
+
+def synth_png_neardup_table(n_groups: int = 20, variants: int = 3,
+                            w: int = 32, h: int = 24,
+                            seed: int = 11) -> pa.Table:
+    """Near-dup media corpus: ``n_groups`` base images, each encoded
+    ``variants`` times with a tiny deterministic per-variant
+    perturbation (±1 on a sparse pixel subset) — visually identical,
+    byte-distinct PNGs, so exact dedup misses them but dHash keeps
+    them within a few bits."""
+    from .png import encode_png
+
+    refs, payloads = [], []
+    for g in range(n_groups):
+        rng = np.random.RandomState(seed * 1000 + g)
+        base = rng.randint(0, 255, (h, w, 3)).astype(np.int16)
+        for v in range(variants):
+            img = base.copy()
+            if v:
+                vr = np.random.RandomState(seed * 9000 + g * 10 + v)
+                mask = vr.rand(h, w) < 0.02
+                img[mask] += vr.choice([-1, 1], mask.sum())[:, None]
+            refs.append(f"media://group-{g:04d}/v{v}")
+            payloads.append(encode_png(
+                np.clip(img, 0, 255).astype(np.uint8)))
+    n = len(refs)
+    return pa.Table.from_arrays(
+        [pa.array(refs, pa.string()),
+         pa.array(["image"] * n, pa.string()),
+         pa.array(payloads, pa.binary()),
+         pa.array([w] * n, pa.int32()),
+         pa.array([h] * n, pa.int32()),
+         pa.array([-1] * n, pa.int32())],
+        schema=MEDIA_SCHEMA)
+
+
+def _dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash, all-integer: luma = (299R+587G+114B)//
+    1000, floor-index block partition to an 8×9 mean grid (integer
+    ``sum // count``), bit = left > right per row."""
+    gray = (img[:, :, 0].astype(np.int64) * 299
+            + img[:, :, 1].astype(np.int64) * 587
+            + img[:, :, 2].astype(np.int64) * 114) // 1000
+    hh, ww = gray.shape
+    re = (np.arange(9) * hh) // 8          # 8 row blocks
+    ce = (np.arange(10) * ww) // 9         # 9 col blocks
+    cum = np.zeros((hh + 1, ww + 1), np.int64)
+    cum[1:, 1:] = gray.cumsum(0).cumsum(1)
+    blk = np.empty((8, 9), np.int64)
+    for i in range(8):
+        for j in range(9):
+            s = (cum[re[i + 1], ce[j + 1]] - cum[re[i], ce[j + 1]]
+                 - cum[re[i + 1], ce[j]] + cum[re[i], ce[j]])
+            blk[i, j] = s // ((re[i + 1] - re[i]) * (ce[j + 1] - ce[j]))
+    bits = (blk[:, :-1] > blk[:, 1:]).ravel()
+    return int(bits.astype(np.uint64)
+               @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+class _DHasher:
+    """Actor-pool stage: PNG decode + dHash per payload.  State (the
+    codec entry point) binds in ``__init__`` once per actor."""
+
+    def __init__(self):
+        from .png import decode_png
+
+        self._decode = decode_png
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for p in batch["payload"].to_pylist():
+            img = self._decode(p)
+            if img.shape[2] == 4:
+                img = img[:, :, :3]
+            hashes.append(_dhash64(img))
+        return pa.table({
+            "media_ref": batch["media_ref"],
+            "dhash": pa.array(np.array(hashes, np.uint64)
+                              .astype(np.int64), pa.int64())})
+
+
+def phash_near_dups(media_ds, max_hamming: int = 6,
+                    concurrency=None, batch_size: int = 32):
+    """Perceptual near-duplicate image pairs: decode → 64-bit dHash in
+    an actor pool, then band the hash into four 16-bit LSH bands
+    (pigeonhole: ≤6 differing bits leave ≥1 of 4 bands identical —
+    the SimHash banding argument), ``groupby(band)`` buckets
+    candidates, and an exact vectorized Hamming check keeps pairs ≤
+    ``max_hamming``.  Output (ref_a, ref_b, hamming); only 16-byte
+    hash rows cross the exchange — pixels never leave the decode
+    stage.  Rows-only: inputs are synthesized binaries.
+    """
+    from ray.data.aggregate import Min
+
+    from ..runtime import pool_range
+
+    hashed = media_ds.map_batches(
+        _DHasher, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or pool_range(frac=0.25, lo=1),
+        num_cpus=1)
+
+    _band_schema = pa.schema([("band", pa.int64()),
+                              ("key", pa.int64()),
+                              ("media_ref", pa.string()),
+                              ("dhash", pa.int64())])
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        hv = t["dhash"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        refs = t["media_ref"]
+        cols_b, cols_k, cols_r, cols_h = [], [], [], []
+        for b in range(4):
+            band_val = ((hv >> np.uint64(16 * b))
+                        & np.uint64(0xFFFF)).astype(np.int64)
+            cols_b.append(np.full(len(hv), b, np.int64))
+            cols_k.append(band_val)
+            cols_r.append(refs)
+            cols_h.append(hv.astype(np.int64))
+        return pa.table({
+            "band": np.concatenate(cols_b),
+            "key": np.concatenate(cols_k),
+            "media_ref": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                 else c for c in cols_r]),
+            "dhash": np.concatenate(cols_h)}, schema=_band_schema)
+
+    _pair_schema = pa.schema([("ref_a", pa.string()),
+                              ("ref_b", pa.string()),
+                              ("hamming", pa.int64())])
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _pair_schema.empty_table()
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(g["media_ref"])
+        refs = pc.take(g["media_ref"], order).to_pylist()
+        hv = pc.take(g["dhash"], order).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        ii, jj = np.triu_indices(len(refs), k=1)
+        x = hv[ii] ^ hv[jj]
+        ham = np.zeros(len(x), np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pa.table({
+            "ref_a": pa.array([refs[i] for i in ii[keep]], pa.string()),
+            "ref_b": pa.array([refs[j] for j in jj[keep]], pa.string()),
+            "hamming": pa.array(ham[keep], pa.int64())},
+            schema=_pair_schema)
+
+    return hashed.map_batches(explode_bands, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby(["band", "key"]) \
+        .map_groups(bucket_pairs, batch_format="pyarrow") \
+        .groupby(["ref_a", "ref_b"]) \
+        .aggregate(Min("hamming", alias_name="hamming"))

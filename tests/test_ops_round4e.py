@@ -295,3 +295,39 @@ def test_bootstrap_stats_deterministic_and_mean_near_one(ray_session):
     # Poisson(1): each replicate resamples ~N rows (loose 3-sigma band)
     assert all(150 <= n <= 250 for n in a["n_rows"])
     assert (a["sum_chars"] == a["n_rows"] * 10).all()
+
+
+# --------------------------------------------- media phash near-dups
+
+def test_phash_near_dups_finds_groups_not_cross(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.media import (phash_near_dups,
+                                     synth_png_neardup_table)
+
+    tbl = synth_png_neardup_table(n_groups=6, variants=3)
+    out = phash_near_dups(rd.from_arrow(tbl)).to_pandas()
+    grp = lambda r: r.split("/")[-2]
+    # every pair stays within one synth group...
+    assert all(grp(a) == grp(b) for a, b in zip(out["ref_a"],
+                                                out["ref_b"]))
+    # ...and every group's 3 variants pair completely (3 pairs x 6)
+    assert len(out) == 18
+    assert (out["hamming"] <= 6).all()
+
+
+def test_dhash_invariant_to_tiny_noise_only():
+    import numpy as np
+
+    from kgruntime.ops.media import _dhash64
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (24, 32, 3)).astype(np.int16)
+    noisy = img.copy()
+    noisy[::7, ::9] += 1
+    inverted = (255 - img)
+    h = _dhash64(np.clip(img, 0, 255).astype(np.uint8))
+    hn = _dhash64(np.clip(noisy, 0, 255).astype(np.uint8))
+    hi = _dhash64(np.clip(inverted, 0, 255).astype(np.uint8))
+    assert bin(h ^ hn).count("1") <= 6
+    assert bin(h ^ hi).count("1") > 20
