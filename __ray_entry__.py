@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities": _q_lpa_communities,
         "bootstrap_stats": _q_bootstrap_stats,
         "media_phash_dups": _q_media_phash_dups,
+        "cdc_chunk_dedup": _q_cdc_chunks,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -989,6 +990,20 @@ def _bootstrap_stats_oracle() -> str:
     from kgruntime.ops.sample import bootstrap_stats_sql
 
     return bootstrap_stats_sql()
+
+
+def _q_cdc_chunks(sf_dir):
+    """Content-defined chunking dedup audit
+    (kgruntime/ops/dedup.py:cdc_chunk_dedup)."""
+    from kgruntime.ops.dedup import cdc_chunk_dedup
+
+    return cdc_chunk_dedup(_docs_ds(sf_dir))
+
+
+def _cdc_chunks_oracle() -> str:
+    from kgruntime.ops.dedup import cdc_chunk_dedup_sql
+
+    return cdc_chunk_dedup_sql()
 
 
 def _q_late_events(sf_dir):
@@ -2275,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
         "mg_heavy_trigrams": _mg_heavy_trigrams_oracle(),
         "lpa_communities": _lpa_communities_oracle(),
         "bootstrap_stats": _bootstrap_stats_oracle(),
+        "cdc_chunk_dedup": _cdc_chunks_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -2486,3 +2486,110 @@ SELECT (SELECT count(*) FROM mh_pairs)::BIGINT AS n_lsh_pairs,
        coalesce(max(err), 0)::BIGINT AS max_err_ppm
 FROM aud_e
 """
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup audit
+# ---------------------------------------------------------------------------
+
+def cdc_chunk_dedup(docs_ds, k: int = 3, div: int = 4,
+                    num_buckets: int = 256):
+    """Content-defined chunking dedup — the storage-dedup shape: token
+    position ``pos`` ends a chunk when the md5-60 of its trailing
+    ``k``-gram ≡ 0 (mod ``div``) (expected chunk length ≈ ``div``
+    tokens).  Because boundaries depend only on LOCAL content, a
+    shared passage chunks identically in every doc containing it —
+    insertion/deletion shifts don't break alignment the way fixed-size
+    chunking does.  Output per doc: ``(doc_id, n_chunks,
+    n_dup_chunks)`` where a dup chunk's content occurs ≥2 times
+    corpus-wide.
+
+    Scale shape: chunking is one streamed pass (per-worker memoized
+    gram hashes — hashing scales with distinct grams); only 16-byte
+    ``(chunk_hash, doc_id)`` rows cross ONE ``groupby(bucket)``
+    exchange, where a vectorized per-bucket value_count flags dups and
+    pre-aggregates per doc; a final doc-keyed groupby sums the
+    partials.  Chunk text never leaves its block.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    _occ_schema = pa.schema([("bucket", pa.int64()),
+                             ("chash", pa.int64()),
+                             ("doc_id", pa.int64())])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        out_h, out_d = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(),
+                          t["text"].to_pylist()):
+            toks = txt.split(" ")
+            start = 0
+            for pos in range(k, len(toks) + 1):   # 1-based end pos
+                g = " ".join(toks[pos - k:pos])
+                if _md5_60_memo(g) % div == 0:
+                    out_h.append(_md5_60(
+                        " ".join(toks[start:pos]).encode()))
+                    out_d.append(d)
+                    start = pos
+            if start < len(toks):
+                out_h.append(_md5_60(
+                    " ".join(toks[start:]).encode()))
+                out_d.append(d)
+        h = np.array(out_h, np.int64)
+        return pa.table({"bucket": h % num_buckets,
+                         "chash": h,
+                         "doc_id": np.array(out_d, np.int64)},
+                        schema=_occ_schema)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("chash")["doc_id"].transform("size")
+        g = g.assign(dup=(cnt >= 2).astype(np.int64))
+        out = g.groupby("doc_id", sort=False).agg(
+            n_chunks=("chash", "size"), n_dup_chunks=("dup", "sum"))
+        return out.reset_index()
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(chunks, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas") \
+        .groupby("doc_id").aggregate(
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("n_dup_chunks", alias_name="n_dup_chunks"))
+
+
+def cdc_chunk_dedup_sql(k: int = 3, div: int = 4,
+                        table: str = "documents") -> str:
+    """Oracle twin: same boundary rule, same chunk hashes, exclusive
+    prefix-sum chunk ids, global occurrence counts."""
+    return f"""
+WITH cdc_pos AS (
+  SELECT doc_id, t[pos] AS tok, t, pos
+  FROM (SELECT doc_id, str_split(text, ' ') AS t,
+               unnest(range(1, len(str_split(text, ' ')) + 1)) AS pos
+        FROM {table})),
+cdc_b AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN pos >= {k} AND
+              ('0x' || substr(md5(array_to_string(
+                  t[pos - {k - 1}:pos], ' ')), 1, 15))::BIGINT
+                % {div} = 0
+              THEN 1 ELSE 0 END AS bf
+  FROM cdc_pos),
+cdc_cid AS (
+  SELECT doc_id, tok, pos,
+         coalesce(sum(bf) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cid
+  FROM cdc_b),
+cdc_ch AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)),
+                         1, 15))::BIGINT AS chash
+  FROM cdc_cid GROUP BY doc_id, cid),
+cdc_cnt AS (SELECT chash, count(*) AS cnt FROM cdc_ch GROUP BY 1)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       count(*) FILTER (cnt >= 2)::BIGINT AS n_dup_chunks
+FROM cdc_ch JOIN cdc_cnt USING (chash)
+GROUP BY doc_id ORDER BY doc_id
+"""

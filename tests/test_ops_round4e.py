@@ -331,3 +331,34 @@ def test_dhash_invariant_to_tiny_noise_only():
     hi = _dhash64(np.clip(inverted, 0, 255).astype(np.uint8))
     assert bin(h ^ hn).count("1") <= 6
     assert bin(h ^ hi).count("1") > 20
+
+
+# --------------------------------------------- cdc_chunk_dedup
+
+def test_cdc_shared_passage_chunks_align_under_shift(ray_session):
+    from kgruntime.ops.dedup import cdc_chunk_dedup
+
+    # the same long passage embedded at DIFFERENT offsets: content-
+    # defined boundaries re-align, so interior chunks still dedup
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12 p13 p14 p15 p16"
+    rows = [(1, "intro " + passage),
+            (2, "a b c d e " + passage),
+            (3, "q r s t u v w x y z")]
+    out = cdc_chunk_dedup(_docs(rows).repartition(2), k=3, div=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    # docs 1 and 2 share at least one interior chunk; doc 3 shares none
+    assert out.loc[0, "n_dup_chunks"] >= 1
+    assert out.loc[1, "n_dup_chunks"] >= 1
+    assert out.loc[2, "n_dup_chunks"] == 0
+    # chunk partition covers every token exactly once per doc
+    assert (out["n_chunks"] >= 1).all()
+
+
+def test_cdc_identical_docs_fully_dup(ray_session):
+    from kgruntime.ops.dedup import cdc_chunk_dedup
+
+    rows = [(1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8")]
+    out = cdc_chunk_dedup(_docs(rows), k=3, div=4).to_pandas()
+    assert (out["n_dup_chunks"] == out["n_chunks"]).all()
