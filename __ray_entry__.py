@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_stats": _q_bootstrap_stats,
         "media_phash_dups": _q_media_phash_dups,
         "cdc_chunk_dedup": _q_cdc_chunks,
+        "embargo_split_audit": _q_embargo_split,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1004,6 +1005,20 @@ def _cdc_chunks_oracle() -> str:
     from kgruntime.ops.dedup import cdc_chunk_dedup_sql
 
     return cdc_chunk_dedup_sql()
+
+
+def _q_embargo_split(sf_dir):
+    """Temporal backtest split + embargo + entity-leakage audit
+    (kgruntime/ops/sample.py:embargo_split_audit)."""
+    from kgruntime.ops.sample import embargo_split_audit
+
+    return embargo_split_audit(_events_ds(sf_dir))
+
+
+def _embargo_split_oracle() -> str:
+    from kgruntime.ops.sample import embargo_split_audit_sql
+
+    return embargo_split_audit_sql()
 
 
 def _q_late_events(sf_dir):
@@ -2291,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_communities_oracle(),
         "bootstrap_stats": _bootstrap_stats_oracle(),
         "cdc_chunk_dedup": _cdc_chunks_oracle(),
+        "embargo_split_audit": _embargo_split_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -514,3 +514,117 @@ SELECT b AS replicate, sum(m)::BIGINT AS n_rows,
        sum(m * n_chars)::BIGINT AS sum_chars
 FROM bs_m GROUP BY b ORDER BY replicate
 """
+
+
+# ---------------------------------------------------------------------------
+# temporal backtest split with embargo
+# ---------------------------------------------------------------------------
+
+def embargo_split_audit(events_ds, train_pct: int = 70,
+                        embargo_us: int = 86_400_000_000):
+    """Time-based train/test split with an embargo gap — backtest
+    hygiene for temporal models: ``cut = tmin + (tmax−tmin)·pct//100``
+    (exact integer µs), train = before cut, embargo = the following
+    ``embargo_us`` window (discarded), test = after.  The audit row
+    reports the split sizes plus ``n_leak_users`` — users active on
+    BOTH sides (entity-level leakage a pure time split doesn't stop).
+
+    Scale shape: one min/max reduction, then one streamed pass emitting
+    per-batch split counters and per-user side flags; the user-keyed
+    ``groupby`` carries two ints per distinct (user, batch) and the
+    output is a single row.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    b = events_ds.select_columns(["ts"]).aggregate(
+        Min("ts"), Max("ts"))
+    tmin = int(np.datetime64(b["min(ts)"], "us").astype(np.int64))
+    tmax = int(np.datetime64(b["max(ts)"], "us").astype(np.int64))
+    cut = tmin + (tmax - tmin) * train_pct // 100
+    test_start = cut + embargo_us
+
+    def flags(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uid = t["user_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        is_tr = us < cut
+        is_te = us >= test_start
+        import pandas as pd
+
+        g = pd.DataFrame({"user_id": uid,
+                          "in_train": is_tr.astype(np.int64),
+                          "in_test": is_te.astype(np.int64)}) \
+            .groupby("user_id", sort=False).max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = events_ds.select_columns(["user_id", "ts"]) \
+        .map_batches(flags, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("user_id").aggregate(
+            Max("in_train", alias_name="in_train"),
+            Max("in_test", alias_name="in_test"))
+
+    def leak(t: pa.Table) -> pa.Table:
+        both = pc.and_(pc.equal(t["in_train"], 1),
+                       pc.equal(t["in_test"], 1))
+        n = pc.sum(pc.cast(both, pa.int64())).as_py() or 0
+        return pa.table({"n_leak_users": pa.array([int(n)], pa.int64())})
+
+    n_leak = int(per_user.map_batches(leak, batch_format="pyarrow")
+                 .sum("n_leak_users") or 0)
+
+    def counts(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_train": pa.array([int((us < cut).sum())], pa.int64()),
+            "n_embargo": pa.array([int(((us >= cut)
+                                        & (us < test_start)).sum())],
+                                  pa.int64()),
+            "n_test": pa.array([int((us >= test_start).sum())],
+                               pa.int64())})
+
+    import pandas as pd
+
+    sums = events_ds.select_columns(["ts"]) \
+        .map_batches(counts, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .sum(["n_train", "n_embargo", "n_test"])   # ONE execution
+    n_train = int(sums["sum(n_train)"] or 0)
+    n_embargo = int(sums["sum(n_embargo)"] or 0)
+    n_test = int(sums["sum(n_test)"] or 0)
+    return pd.DataFrame({
+        "cut_us": np.array([cut], np.int64),
+        "n_train": np.array([n_train], np.int64),
+        "n_embargo": np.array([n_embargo], np.int64),
+        "n_test": np.array([n_test], np.int64),
+        "n_leak_users": np.array([n_leak], np.int64)})
+
+
+def embargo_split_audit_sql(train_pct: int = 70,
+                            embargo_us: int = 86_400_000_000,
+                            table: str = "events") -> str:
+    """Oracle twin: identical integer µs cut arithmetic."""
+    return f"""
+WITH eb_b AS (
+  SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax
+  FROM {table}),
+eb_c AS (
+  SELECT tmin + (tmax - tmin) * {train_pct} // 100 AS cut FROM eb_b),
+eb_e AS (
+  SELECT user_id, epoch_us(ts) AS us, cut, cut + {embargo_us} AS ts0
+  FROM {table} CROSS JOIN eb_c),
+eb_u AS (
+  SELECT user_id,
+         max(CASE WHEN us < cut THEN 1 ELSE 0 END) AS in_train,
+         max(CASE WHEN us >= ts0 THEN 1 ELSE 0 END) AS in_test
+  FROM eb_e GROUP BY user_id)
+SELECT any_value(cut)::BIGINT AS cut_us,
+       count(*) FILTER (us < cut)::BIGINT AS n_train,
+       count(*) FILTER (us >= cut AND us < ts0)::BIGINT AS n_embargo,
+       count(*) FILTER (us >= ts0)::BIGINT AS n_test,
+       (SELECT count(*) FROM eb_u
+        WHERE in_train = 1 AND in_test = 1)::BIGINT AS n_leak_users
+FROM eb_e
+"""

@@ -362,3 +362,30 @@ def test_cdc_identical_docs_fully_dup(ray_session):
             (2, "w1 w2 w3 w4 w5 w6 w7 w8")]
     out = cdc_chunk_dedup(_docs(rows), k=3, div=4).to_pandas()
     assert (out["n_dup_chunks"] == out["n_chunks"]).all()
+
+
+# --------------------------------------------- embargo_split_audit
+
+def test_embargo_split_audit_counts_and_leak(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sample import embargo_split_audit
+
+    # range 00:00..10:00, cut at 70% = 07:00, embargo 1h -> test 08:00+
+    ts = pd.to_datetime(["2024-01-01 00:00:00",   # train (u1)
+                         "2024-01-01 05:00:00",   # train (u2)
+                         "2024-01-01 07:30:00",   # embargo (u3)
+                         "2024-01-01 09:00:00",   # test  (u1 -> leak)
+                         "2024-01-01 10:00:00"])  # test  (u4)
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3, 1, 4], pa.int64()),
+        "value": pa.array([1.0] * 5, pa.float64()),
+    }))
+    out = embargo_split_audit(ev, train_pct=70,
+                              embargo_us=3_600_000_000)
+    assert out["n_train"].tolist() == [2]
+    assert out["n_embargo"].tolist() == [1]
+    assert out["n_test"].tolist() == [2]
+    assert out["n_leak_users"].tolist() == [1]
