@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dups": _q_media_phash_dups,
         "cdc_chunk_dedup": _q_cdc_chunks,
         "embargo_split_audit": _q_embargo_split,
+        "cluster_safe_split": _q_cluster_safe_split,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1019,6 +1020,20 @@ def _embargo_split_oracle() -> str:
     from kgruntime.ops.sample import embargo_split_audit_sql
 
     return embargo_split_audit_sql()
+
+
+def _q_cluster_safe_split(sf_dir):
+    """Near-dup-cluster-safe split assignment
+    (kgruntime/ops/dedup.py:cluster_safe_split)."""
+    from kgruntime.ops.dedup import cluster_safe_split
+
+    return cluster_safe_split(_docs_ds(sf_dir))
+
+
+def _cluster_safe_split_oracle() -> str:
+    from kgruntime.ops.dedup import cluster_safe_split_sql
+
+    return cluster_safe_split_sql()
 
 
 def _q_late_events(sf_dir):
@@ -2307,6 +2322,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_stats": _bootstrap_stats_oracle(),
         "cdc_chunk_dedup": _cdc_chunks_oracle(),
         "embargo_split_audit": _embargo_split_oracle(),
+        "cluster_safe_split": _cluster_safe_split_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

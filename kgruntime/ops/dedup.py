@@ -2593,3 +2593,90 @@ SELECT doc_id, count(*)::BIGINT AS n_chunks,
 FROM cdc_ch JOIN cdc_cnt USING (chash)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# near-dup-cluster-safe train/heldout split
+# ---------------------------------------------------------------------------
+
+def cluster_safe_split(docs_ds, train_mod: int = 8, mod: int = 10):
+    """Leakage-safe split assignment: every MinHash near-dup CLUSTER
+    (transitive closure, ``minhash_dup_clusters``) is assigned to one
+    split by hashing its cluster label — near-duplicate docs can never
+    straddle train/heldout, the leakage a plain per-doc hash split
+    permits (``split_leakage`` measures exactly that failure mode).
+    Singleton docs are their own cluster.  Output: ``(split, n_docs,
+    n_clusters)``.
+
+    Scale shape: the cluster table joins back to the id column through
+    ONE bucketed left-outer join (int keys); the per-label rollup and
+    the split rollup are two further int-keyed groupbys; nothing
+    driver-side grows with the corpus.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .join import bucketed_hash_join
+
+    def rename_key(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["c_doc_id", "cluster_id"])
+
+    # bucketed_hash_join keeps both sides' columns, so a same-named
+    # join key would collide in the unioned schema — rename first
+    clusters = minhash_dup_clusters(docs_ds) \
+        .map_batches(rename_key, batch_format="pyarrow")
+    ids = docs_ds.select_columns(["doc_id"])
+    joined = bucketed_hash_join(ids, clusters, "doc_id", "c_doc_id",
+                                how="left outer")
+
+    def label(t: pa.Table) -> pa.Table:
+        lbl = pc.coalesce(t["cluster_id"], t["doc_id"])
+        return pa.table({"label": pc.cast(lbl, pa.int64())})
+
+    per_label = joined.map_batches(label, batch_format="pyarrow") \
+        .groupby("label").aggregate(Count(alias_name="n_docs"))
+
+    def to_split(t: pa.Table) -> pa.Table:
+        splits = ["train" if _md5_60(str(v).encode()) % mod < train_mod
+                  else "heldout"
+                  for v in t["label"].to_pylist()]
+        return pa.table({"split": pa.array(splits, pa.string()),
+                         "n_docs": pc.cast(t["n_docs"], pa.int64())})
+
+    return per_label.map_batches(to_split, batch_format="pyarrow") \
+        .groupby("split").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Count(alias_name="n_clusters")) \
+        .sort("split")
+
+
+def cluster_safe_split_sql(train_mod: int = 8, mod: int = 10,
+                           threshold: float = 0.7, num_perm: int = 64,
+                           bands: int = 16, shingle_n: int = 3,
+                           seed: int = 13, cap: int = 200) -> str:
+    """Oracle: the minhash-cluster recursive closure, singleton
+    fallback to own doc_id, same md5 split arithmetic."""
+    body = _minhash_pairs_cte_sql(threshold, num_perm, bands, shingle_n,
+                                  seed, cap)
+    return f"""
+WITH RECURSIVE {body},
+css_de AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+css_reach(n, l) AS (
+  SELECT DISTINCT a, a FROM css_de
+  UNION
+  SELECT e.b, r.l FROM css_reach r JOIN css_de e ON e.a = r.n),
+css_cl AS (SELECT n AS doc_id, min(l) AS cluster_id
+           FROM css_reach GROUP BY n),
+css_all AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS label
+  FROM documents d LEFT JOIN css_cl c USING (doc_id)),
+css_lab AS (SELECT label, count(*)::BIGINT AS n_docs
+            FROM css_all GROUP BY 1)
+SELECT CASE WHEN ('0x' || substr(md5(label::VARCHAR), 1, 15))::BIGINT
+                 % {mod} < {train_mod}
+            THEN 'train' ELSE 'heldout' END AS split,
+       sum(n_docs)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_clusters
+FROM css_lab GROUP BY 1 ORDER BY split
+"""

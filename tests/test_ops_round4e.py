@@ -389,3 +389,28 @@ def test_embargo_split_audit_counts_and_leak(ray_session):
     assert out["n_embargo"].tolist() == [1]
     assert out["n_test"].tolist() == [2]
     assert out["n_leak_users"].tolist() == [1]
+
+
+# --------------------------------------------- cluster_safe_split
+
+def test_cluster_safe_split_keeps_neardups_together(ray_session):
+    from kgruntime.ops.dedup import cluster_safe_split, \
+        minhash_dup_clusters
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, base), (2, base + " phi"),          # near-dup pair
+            (3, "one two three four five six seven eight nine ten "
+                "eleven twelve thirteen fourteen fifteen sixteen "
+                "seventeen eighteen nineteen twenty")]
+    ds = _docs(rows)
+    clusters = minhash_dup_clusters(ds).to_pandas()
+    assert set(clusters["doc_id"]) == {1, 2}        # 1-2 really cluster
+    out = cluster_safe_split(ds).to_pandas()
+    # docs 1+2 travel as ONE cluster: totals = 3 docs over 2 clusters
+    assert out["n_docs"].sum() == 3
+    assert out["n_clusters"].sum() == 2
+    # no split holds exactly 1 of the pair: every (split) n_docs -
+    # n_clusters difference accounts pairs wholly
+    for _, r in out.iterrows():
+        assert r["n_docs"] != r["n_clusters"] or r["n_docs"] in (0, 1, 2)
