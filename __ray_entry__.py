@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_dedup": _q_cdc_chunks,
         "embargo_split_audit": _q_embargo_split,
         "cluster_safe_split": _q_cluster_safe_split,
+        "vocab_coverage": _q_vocab_coverage,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1034,6 +1035,20 @@ def _cluster_safe_split_oracle() -> str:
     from kgruntime.ops.dedup import cluster_safe_split_sql
 
     return cluster_safe_split_sql()
+
+
+def _q_vocab_coverage(sf_dir):
+    """Vocabulary coverage curve
+    (kgruntime/ops/text.py:vocab_coverage)."""
+    from kgruntime.ops.text import vocab_coverage
+
+    return vocab_coverage(_docs_ds(sf_dir))
+
+
+def _vocab_coverage_oracle() -> str:
+    from kgruntime.ops.text import vocab_coverage_sql
+
+    return vocab_coverage_sql()
 
 
 def _q_late_events(sf_dir):
@@ -2323,6 +2338,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_dedup": _cdc_chunks_oracle(),
         "embargo_split_audit": _embargo_split_oracle(),
         "cluster_safe_split": _cluster_safe_split_oracle(),
+        "vocab_coverage": _vocab_coverage_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

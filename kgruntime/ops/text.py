@@ -1821,3 +1821,78 @@ SELECT doc_id, sum(tf * wt)::BIGINT AS score
 FROM lx_tf JOIN lx_w USING (w)
 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+def vocab_coverage(docs_ds, pcts: tuple = (50, 90, 99)):
+    """Vocabulary coverage curve — for each target percent, the
+    smallest k such that the k most frequent terms (ties → term ASC)
+    cover ≥ pct% of all token occurrences: ``(pct, k_terms,
+    covered_tokens, total_tokens)``.  The tokenizer-budget question
+    ("how big a vocab covers 99% of the stream?") answered exactly.
+
+    Scale shape: one corpus pass of per-batch polars term counts into
+    a ``groupby(term)`` merge; the merged table is VOCABULARY-bounded,
+    so the cumulative scan runs driver-side (the pmi/bpe precedent).
+    Exact integer compare ``cum·100 ≥ pct·total`` — no float shares.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = pl.from_arrow(t.select(["text"])) \
+            .with_columns(pl.col("text").str.split(" ").alias("w")) \
+            .explode("w").group_by("w") \
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        return g.rename({"w": "term"}).to_arrow()
+
+    counts = docs_ds.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("term").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    counts = counts.sort_values(["c", "term"],
+                                ascending=[False, True],
+                                kind="mergesort").reset_index(drop=True)
+    total = int(counts["c"].sum())
+    cum = counts["c"].cumsum().to_numpy()
+    rows = []
+    for pct in pcts:
+        k = int(np.searchsorted(cum * 100, pct * total, side="left") + 1)
+        rows.append((int(pct), k, int(cum[k - 1]), total))
+    return pd.DataFrame(rows, columns=["pct", "k_terms",
+                                       "covered_tokens",
+                                       "total_tokens"]).astype(np.int64)
+
+
+def vocab_coverage_sql(pcts: tuple = (50, 90, 99),
+                       table: str = "documents") -> str:
+    """Oracle twin: frequency-ranked cumulative window, same integer
+    threshold compare."""
+    pct_list = ", ".join(str(p) for p in pcts)
+    return f"""
+WITH vc_cnt AS (
+  SELECT w AS term, count(*)::BIGINT AS c
+  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM {table})
+  GROUP BY 1),
+vc_tot AS (SELECT sum(c)::BIGINT AS total FROM vc_cnt),
+vc_cum AS (
+  SELECT row_number() OVER (ORDER BY c DESC, term) AS k,
+         sum(c) OVER (ORDER BY c DESC, term
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+  FROM vc_cnt),
+vc_p AS (SELECT unnest([{pct_list}]) AS pct)
+SELECT p.pct::BIGINT AS pct,
+       min(v.k)::BIGINT AS k_terms,
+       min_by(v.cum, v.k)::BIGINT AS covered_tokens,
+       any_value(t.total) AS total_tokens
+FROM vc_p p CROSS JOIN vc_tot t
+JOIN vc_cum v ON v.cum * 100 >= p.pct * t.total
+GROUP BY p.pct ORDER BY pct
+"""

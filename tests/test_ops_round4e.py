@@ -414,3 +414,16 @@ def test_cluster_safe_split_keeps_neardups_together(ray_session):
     # n_clusters difference accounts pairs wholly
     for _, r in out.iterrows():
         assert r["n_docs"] != r["n_clusters"] or r["n_docs"] in (0, 1, 2)
+
+
+# --------------------------------------------- vocab_coverage
+
+def test_vocab_coverage_exact_thresholds(ray_session):
+    from kgruntime.ops.text import vocab_coverage
+
+    # counts: a=6, b=3, c=1 -> total 10; cum: 6, 9, 10
+    rows = [(1, "a a a b"), (2, "a a a b b c")]
+    out = vocab_coverage(_docs(rows).repartition(2), pcts=(50, 90, 99))
+    assert out["k_terms"].tolist() == [1, 2, 3]     # 6>=5, 9>=9, 10>=9.9
+    assert out["covered_tokens"].tolist() == [6, 9, 10]
+    assert out["total_tokens"].tolist() == [10, 10, 10]
