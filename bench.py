@@ -149,7 +149,10 @@ def run_queries(sf_dir: str) -> dict:
               "span_corrupt", "temperature_mix_sample",
               # round-4d flagship ops
               "set_sim_join_pairs", "rfm_segments", "pmi_collocations",
-              "phrase_search_hits"]
+              "phrase_search_hits",
+              # round-4e flagship ops
+              "lexical_topk", "cdc_chunk_dedup", "mg_heavy_trigrams",
+              "entity_clusters"]
     out = {}
     for name in picked:
         t0 = time.perf_counter()
