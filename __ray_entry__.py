@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embargo_split_audit": _q_embargo_split,
         "cluster_safe_split": _q_cluster_safe_split,
         "vocab_coverage": _q_vocab_coverage,
+        # --- round-4f registrations (below slot 50; rotate into the
+        # r5 window, locally gated by check_oracle.py) ---
+        "value_purchase_auc": _q_value_auc,
+        "langid_confusion": _q_langid_confusion,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -262,6 +266,34 @@ def _docs_ds(sf_dir):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text", "lang", "source",
                                     "n_chars"])
+
+
+def _q_value_auc(sf_dir):
+    """Exact tie-aware AUC of event value as a purchase detector
+    (kgruntime/ops/evalm.py:binary_auc)."""
+    from kgruntime.ops.evalm import binary_auc
+
+    return binary_auc(_events_ds(sf_dir))
+
+
+def _value_auc_oracle() -> str:
+    from kgruntime.ops.evalm import binary_auc_sql
+
+    return binary_auc_sql()
+
+
+def _q_langid_confusion(sf_dir):
+    """Language-ID confusion summary: per-class precision/recall/F1
+    (kgruntime/ops/text.py:langid_confusion)."""
+    from kgruntime.ops.text import langid_confusion
+
+    return langid_confusion(_docs_ds(sf_dir))
+
+
+def _langid_confusion_oracle() -> str:
+    from kgruntime.ops.text import langid_confusion_sql
+
+    return langid_confusion_sql()
 
 
 def _q_doc_stats(sf_dir):
@@ -2339,6 +2371,8 @@ def oracle_sql() -> dict[str, str]:
         "embargo_split_audit": _embargo_split_oracle(),
         "cluster_safe_split": _cluster_safe_split_oracle(),
         "vocab_coverage": _vocab_coverage_oracle(),
+        "value_purchase_auc": _value_auc_oracle(),
+        "langid_confusion": _langid_confusion_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -1006,6 +1006,122 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def langid_confusion(docs_ds):
+    """Per-class confusion summary of the n-gram language classifier vs
+    the declared ``lang`` column — one row per class
+    ``(lang, n_true, n_pred, tp, precision_ppm, recall_ppm, f1_ppm)``
+    plus an ``__all__`` summary row whose three ppm columns all carry
+    overall accuracy.
+
+    Scale shape: each batch reduces to (true, pred, n) partial counts
+    (≤ |classes|² rows per block); one tiny ``groupby`` merges them and
+    the class-bounded table finishes on the driver.  Every ratio is an
+    exact integer ppm (``10⁶·tp // denom``, F1 = ``2·p·r // (p + r)``
+    with p, r ≤ 10⁶ so the product fits int64) — floor division on
+    non-negative ints is identical in Python and DuckDB, so the twin
+    replays bit-for-bit.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        global _langid_singleton
+        if _langid_singleton is None:
+            _langid_singleton = LangId()
+        clf = _langid_singleton
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pylist(),
+            "pred": [clf.classify(x) for x in t["text"].to_pylist()],
+        })
+        g = df.groupby(["lang", "pred"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cm = docs_ds.select_columns(["text", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["lang", "pred"]) \
+        .aggregate(Sum("n", alias_name="n")) \
+        .take_all()                      # ≤ |classes|² rows
+
+    counts = {(r["lang"], r["pred"]): int(r["n"]) for r in cm}
+    classes = sorted({k[0] for k in counts} | {k[1] for k in counts})
+    total = sum(counts.values())
+    tp_all = sum(v for (t_, p_), v in counts.items() if t_ == p_)
+
+    rows = []
+    for c in classes:
+        n_true = sum(v for (t_, _), v in counts.items() if t_ == c)
+        n_pred = sum(v for (_, p_), v in counts.items() if p_ == c)
+        tp = counts.get((c, c), 0)
+        p = (_PPM_I * tp) // n_pred if n_pred else 0
+        r = (_PPM_I * tp) // n_true if n_true else 0
+        f1 = (2 * p * r) // (p + r) if p + r else 0
+        rows.append((c, n_true, n_pred, tp, p, r, f1))
+    acc = (_PPM_I * tp_all) // total if total else 0
+    rows.append(("__all__", total, total, tp_all, acc, acc, acc))
+    rows.sort(key=lambda x: x[0])
+    cols = list(zip(*rows))
+    return pa.table({
+        "lang": pa.array(cols[0], pa.string()),
+        "n_true": pa.array(cols[1], pa.int64()),
+        "n_pred": pa.array(cols[2], pa.int64()),
+        "tp": pa.array(cols[3], pa.int64()),
+        "precision_ppm": pa.array(cols[4], pa.int64()),
+        "recall_ppm": pa.array(cols[5], pa.int64()),
+        "f1_ppm": pa.array(cols[6], pa.int64()),
+    })
+
+
+_PPM_I = 1_000_000
+
+
+def langid_confusion_sql() -> str:
+    """DuckDB twin: the langid prediction CTE joined to the declared
+    lang, per-class scalar-subquery counts (class-bounded), integer
+    ppm ratios, plus the ``__all__`` accuracy row."""
+    pred = _langid_sql(order_by=False)
+    return f"""
+WITH pred AS ({pred}),
+j AS (
+  SELECT d.lang AS tl, p.pred_lang AS pl
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+cls AS (
+  SELECT DISTINCT tl AS c FROM j
+  UNION SELECT DISTINCT pl FROM j),
+per AS (
+  SELECT c,
+         (SELECT count(*) FROM j WHERE tl = c)::BIGINT AS n_true,
+         (SELECT count(*) FROM j WHERE pl = c)::BIGINT AS n_pred,
+         (SELECT count(*) FROM j WHERE tl = c AND pl = c)::BIGINT AS tp
+  FROM cls),
+pr AS (
+  SELECT c, n_true, n_pred, tp,
+         CASE WHEN n_pred = 0 THEN 0
+              ELSE (1000000 * tp) // n_pred END AS p_ppm,
+         CASE WHEN n_true = 0 THEN 0
+              ELSE (1000000 * tp) // n_true END AS r_ppm
+  FROM per),
+allr AS (
+  SELECT count(*)::BIGINT AS total,
+         sum((tl = pl)::BIGINT)::BIGINT AS tp_all
+  FROM j)
+SELECT c AS lang, n_true, n_pred, tp,
+       p_ppm AS precision_ppm, r_ppm AS recall_ppm,
+       CASE WHEN p_ppm + r_ppm = 0 THEN 0
+            ELSE (2 * p_ppm * r_ppm) // (p_ppm + r_ppm) END AS f1_ppm
+FROM pr
+UNION ALL
+SELECT '__all__', total, total, tp_all,
+       CASE WHEN total = 0 THEN 0 ELSE (1000000 * tp_all) // total END,
+       CASE WHEN total = 0 THEN 0 ELSE (1000000 * tp_all) // total END,
+       CASE WHEN total = 0 THEN 0 ELSE (1000000 * tp_all) // total END
+FROM allr
+ORDER BY lang
+"""
+
+
 # --- rarity scoring: a perplexity proxy on exact integers ---
 
 def doc_rarity_scores(docs_ds):

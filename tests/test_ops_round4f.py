@@ -1,0 +1,124 @@
+"""Round-4 (sixth wave) operators: exact-integer model-eval metrics
+(tie-aware AUC, language-ID confusion), plus later 4f additions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# --------------------------------------------- binary_auc
+
+def _brute_auc_ppm(scores, labels):
+    """Reference tie-aware AUC over all pos×neg pairs, in exact ppm."""
+    pos = [s for s, l in zip(scores, labels) if l]
+    neg = [s for s, l in zip(scores, labels) if not l]
+    u2 = sum(2 * (p > n) + (p == n) for p in pos for n in neg)
+    return (1_000_000 * u2) // (2 * len(pos) * len(neg))
+
+
+def _events_tbl(cents, types):
+    return pa.table({
+        "event_id": pa.array(range(len(cents)), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array([c / 100.0 for c in cents], pa.float64()),
+    })
+
+
+def test_binary_auc_matches_brute_force_with_ties(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.evalm import binary_auc
+
+    cents = [100, 250, 250, 250, 400, 400, 50, 999, 100, 300]
+    types = ["purchase", "click", "purchase", "purchase", "click",
+             "purchase", "click", "purchase", "click", "click"]
+    out = binary_auc(rd.from_arrow(_events_tbl(cents, types))
+                     .repartition(3))
+    labels = [t == "purchase" for t in types]
+    assert out["auc_ppm"][0].as_py() == _brute_auc_ppm(cents, labels)
+    assert out["n_pos"][0].as_py() == 5
+    assert out["n_neg"][0].as_py() == 5
+
+
+def test_binary_auc_perfect_and_inverted(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.evalm import binary_auc
+
+    # all purchase values strictly above all click values -> AUC = 1
+    out = binary_auc(rd.from_arrow(_events_tbl(
+        [900, 800, 10, 20], ["purchase", "purchase", "click", "click"])))
+    assert out["auc_ppm"][0].as_py() == 1_000_000
+    # inverted -> AUC = 0
+    out = binary_auc(rd.from_arrow(_events_tbl(
+        [10, 20, 900, 800], ["purchase", "purchase", "click", "click"])))
+    assert out["auc_ppm"][0].as_py() == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_binary_auc_random_vs_brute(ray_session, seed):
+    import ray.data as rd
+
+    from kgruntime.ops.evalm import binary_auc
+
+    rng = np.random.RandomState(seed)
+    n = 300
+    cents = rng.randint(0, 40, n).tolist()      # heavy ties
+    types = [["purchase", "click"][b] for b in rng.randint(0, 2, n)]
+    out = binary_auc(rd.from_arrow(_events_tbl(cents, types))
+                     .repartition(5))
+    labels = [t == "purchase" for t in types]
+    assert out["auc_ppm"][0].as_py() == _brute_auc_ppm(cents, labels)
+
+
+# --------------------------------------------- langid_confusion
+
+def test_langid_confusion_counts_and_ppm(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import LangId, langid_confusion
+
+    docs = [
+        ("the quick brown fox and the lazy dog with some water", "en"),
+        ("the cat sat on the mat with the hat and the rat", "en"),
+        ("le chat est sur la table avec le chien et les oiseaux", "fr"),
+        ("der hund und die katze sind mit dem wasser im haus", "de"),
+        ("zz qq xx vv kk jj ww yy", "en"),        # classifier -> und
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([d[0] for d in docs], pa.string()),
+        "lang": pa.array([d[1] for d in docs], pa.string()),
+    })
+    out = langid_confusion(rd.from_arrow(tbl).repartition(2))
+    rows = {r["lang"]: r for r in out.to_pylist()}
+
+    clf = LangId()
+    preds = [clf.classify(t) for t, _ in docs]
+    trues = [l for _, l in docs]
+    classes = sorted(set(preds) | set(trues))
+    assert sorted(rows) == sorted(classes + ["__all__"])
+
+    for c in classes:
+        n_true = sum(t == c for t in trues)
+        n_pred = sum(p == c for p in preds)
+        tp = sum(p == t == c for p, t in zip(preds, trues))
+        r = rows[c]
+        assert (r["n_true"], r["n_pred"], r["tp"]) == (n_true, n_pred, tp)
+        p_ppm = (1_000_000 * tp) // n_pred if n_pred else 0
+        r_ppm = (1_000_000 * tp) // n_true if n_true else 0
+        assert r["precision_ppm"] == p_ppm
+        assert r["recall_ppm"] == r_ppm
+        exp_f1 = ((2 * p_ppm * r_ppm) // (p_ppm + r_ppm)
+                  if p_ppm + r_ppm else 0)
+        assert r["f1_ppm"] == exp_f1
+
+    overall = rows["__all__"]
+    tp_all = sum(p == t for p, t in zip(preds, trues))
+    acc = (1_000_000 * tp_all) // len(docs)
+    assert overall["n_true"] == overall["n_pred"] == len(docs)
+    assert (overall["precision_ppm"] == overall["recall_ppm"]
+            == overall["f1_ppm"] == acc)
+    # '__all__' sorts before every lowercase class (binary collation,
+    # same on the DuckDB side)
+    assert list(out["lang"])[0].as_py() == "__all__"
