@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5 window, locally gated by check_oracle.py) ---
         "value_purchase_auc": _q_value_auc,
         "langid_confusion": _q_langid_confusion,
+        "shingle_novelty": _q_shingle_novelty,
+        "trigram_diversity": _q_trigram_diversity,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -294,6 +296,34 @@ def _langid_confusion_oracle() -> str:
     from kgruntime.ops.text import langid_confusion_sql
 
     return langid_confusion_sql()
+
+
+def _q_shingle_novelty(sf_dir):
+    """Per-doc copied-fraction vs earlier corpus
+    (kgruntime/ops/dedup.py:shingle_novelty)."""
+    from kgruntime.ops.dedup import shingle_novelty
+
+    return shingle_novelty(_docs_ds(sf_dir))
+
+
+def _shingle_novelty_oracle() -> str:
+    from kgruntime.ops.dedup import shingle_novelty_sql
+
+    return shingle_novelty_sql()
+
+
+def _q_trigram_diversity(sf_dir):
+    """Per-source trigram diversity ppm
+    (kgruntime/ops/text.py:trigram_diversity)."""
+    from kgruntime.ops.text import trigram_diversity
+
+    return trigram_diversity(_docs_ds(sf_dir))
+
+
+def _trigram_diversity_oracle() -> str:
+    from kgruntime.ops.text import trigram_diversity_sql
+
+    return trigram_diversity_sql()
 
 
 def _q_doc_stats(sf_dir):
@@ -2373,6 +2403,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _vocab_coverage_oracle(),
         "value_purchase_auc": _value_auc_oracle(),
         "langid_confusion": _langid_confusion_oracle(),
+        "shingle_novelty": _shingle_novelty_oracle(),
+        "trigram_diversity": _trigram_diversity_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

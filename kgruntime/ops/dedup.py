@@ -2680,3 +2680,106 @@ SELECT CASE WHEN ('0x' || substr(md5(label::VARCHAR), 1, 15))::BIGINT
        count(*)::BIGINT AS n_clusters
 FROM css_lab GROUP BY 1 ORDER BY split
 """
+
+
+# --- shingle novelty: per-doc copied-fraction vs earlier corpus ---
+
+def shingle_novelty(docs_ds, k: int = 8, num_buckets: int = 256):
+    """Per-doc novelty audit — what fraction of a doc's distinct
+    ``k``-token shingles already occur in an EARLIER doc (lower
+    ``doc_id``): ``(doc_id, n_grams, n_copied, copied_ppm)``.  This is
+    the exact per-doc "how much of this is copied from the corpus so
+    far" measure (the memorization-risk signal) that sampling detectors
+    (MinHash, winnowing) only approximate.
+
+    Scale shape: one streamed tokenize pass emits distinct
+    ``(bucket, h, doc_id)`` 24-byte rows (per-worker memoized gram
+    hashes — hashing scales with distinct grams); ONE
+    ``groupby(bucket)`` exchange where ``bucket = h % num_buckets``
+    means every occurrence of a shingle lands in the same group, so the
+    bucket-local ``min(doc_id)`` IS the global first occurrence — no
+    min-table join back.  Each bucket pre-aggregates to per-doc
+    ``(n_grams, n_copied)`` partials (Arrow out — the 20× pandas-block
+    sort lesson) and a final int-keyed ``groupby(doc_id)`` sums them.
+    Size ``num_buckets`` ≈ corpus_rows / target_block so one bucket
+    fits a worker heap.  Docs with < k tokens have no shingles and are
+    absent, matching the twin's ``len(s) >= k`` guard.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    _row_schema = pa.schema([("bucket", pa.int64()),
+                             ("h", pa.int64()),
+                             ("doc_id", pa.int64())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_h, out_d = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(),
+                          t["text"].to_pylist()):
+            toks = [w for w in txt.split(" ") if w]
+            if len(toks) < k:
+                continue
+            hs = {_md5_60_memo(" ".join(toks[i:i + k]))
+                  for i in range(len(toks) - k + 1)}
+            out_h.extend(hs)
+            out_d.extend([d] * len(hs))
+        h = np.array(out_h, np.uint64).astype(np.int64)
+        return pa.table({"bucket": h % num_buckets,
+                         "h": h,
+                         "doc_id": np.array(out_d, np.int64)},
+                        schema=_row_schema)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        md = g.groupby("h")["doc_id"].transform("min")
+        g = g.assign(copied=(g["doc_id"] > md).astype(np.int64))
+        out = g.groupby("doc_id", sort=False).agg(
+            n_grams=("h", "size"), n_copied=("copied", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas") \
+        .groupby("doc_id").aggregate(
+            Sum("n_grams", alias_name="n_grams"),
+            Sum("n_copied", alias_name="n_copied"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy(zero_copy_only=False)
+        nc = t["n_copied"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_copied": pa.array(nc, pa.int64()),
+            "copied_ppm": pa.array(1_000_000 * nc // ng, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def shingle_novelty_sql(k: int = 8, table: str = "documents") -> str:
+    """DuckDB twin: distinct k-token shingles per doc (same single-space
+    split + empty filter), global first-occurrence via min(doc_id), one
+    join back.  Gram STRINGS stand in for the Ray side's md5-60 values
+    (the established collision-free-hash idiom)."""
+    return f"""
+WITH sn_t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS s
+  FROM {table}),
+sn_g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(s) - {k} + 2),
+           i -> array_to_string(s[i : i + {k} - 1], ' '))) AS gs
+  FROM sn_t WHERE len(s) >= {k}),
+sn_e AS (SELECT doc_id, unnest(gs) AS gr FROM sn_g),
+sn_m AS (SELECT gr, min(doc_id) AS md FROM sn_e GROUP BY gr)
+SELECT e.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum((m.md < e.doc_id)::BIGINT)::BIGINT AS n_copied,
+       ((1000000 * sum((m.md < e.doc_id)::BIGINT)) // count(*))::BIGINT
+         AS copied_ppm
+FROM sn_e e JOIN sn_m m ON m.gr = e.gr
+GROUP BY e.doc_id ORDER BY e.doc_id
+"""

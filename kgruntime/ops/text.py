@@ -2012,3 +2012,95 @@ FROM vc_p p CROSS JOIN vc_tot t
 JOIN vc_cum v ON v.cum * 100 >= p.pct * t.total
 GROUP BY p.pct ORDER BY pct
 """
+
+
+# --- n-gram diversity: distinct/total trigram ratio per source ---
+
+def trigram_diversity(docs_ds, num_buckets: int = 256):
+    """Per-source lexical diversity — distinct token trigrams over
+    total trigram occurrences, in exact ppm:
+    ``(source, n_grams, n_distinct, diversity_ppm)``.  The
+    self-repetition health check run per crawl/source before mixing
+    training data (a collapsed or templated source scores low).
+
+    Scale shape: each batch pre-aggregates to
+    ``(bucket, h, source, cnt)`` combiner rows (distinct gram × source
+    per batch, memoized md5-60 hashing); ONE ``groupby(bucket)``
+    exchange — ``bucket = h % num_buckets`` co-locates all copies of a
+    gram, so per-bucket ``drop_duplicates(h, source)`` counts are
+    exact global distincts and ``sum(cnt)`` exact totals; a final
+    |sources|-row groupby merges bucket partials.  Text never crosses
+    an exchange.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _md5_60_memo
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: dict[tuple[int, str], int] = {}
+        for src, txt in zip(t["source"].to_pylist(),
+                            t["text"].to_pylist()):
+            toks = [w for w in txt.split(" ") if w]
+            for i in range(len(toks) - 2):
+                h = _md5_60_memo(" ".join(toks[i:i + 3]))
+                key = (h, src)
+                agg[key] = agg.get(key, 0) + 1
+        hs = np.fromiter((k[0] for k in agg), np.uint64, len(agg)) \
+            .astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(hs % num_buckets, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "source": pa.array([k[1] for k in agg], pa.string()),
+            "cnt": pa.array(list(agg.values()), pa.int64()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby("source", sort=False)["cnt"].sum()
+        dis = g.drop_duplicates(["h", "source"]) \
+            .groupby("source", sort=False)["h"].size()
+        out = pd.DataFrame({"n_grams": tot, "n_distinct": dis}) \
+            .fillna(0).astype(np.int64).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = docs_ds.select_columns(["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas") \
+        .groupby("source").aggregate(
+            Sum("n_grams", alias_name="n_grams"),
+            Sum("n_distinct", alias_name="n_distinct"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy(zero_copy_only=False)
+        nd = t["n_distinct"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t["source"],
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "diversity_ppm": pa.array(1_000_000 * nd // ng, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("source")
+
+
+def trigram_diversity_sql(table: str = "documents") -> str:
+    return f"""
+WITH td_t AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), w -> w != '') AS s
+  FROM {table}),
+td_e AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(s) - 1),
+           i -> array_to_string(s[i : i + 2], ' '))) AS gr
+  FROM td_t WHERE len(s) >= 3)
+SELECT source,
+       count(*)::BIGINT AS n_grams,
+       count(DISTINCT gr)::BIGINT AS n_distinct,
+       ((1000000 * count(DISTINCT gr)) // count(*))::BIGINT
+         AS diversity_ppm
+FROM td_e GROUP BY source ORDER BY source
+"""

@@ -122,3 +122,85 @@ def test_langid_confusion_counts_and_ppm(ray_session):
     # '__all__' sorts before every lowercase class (binary collation,
     # same on the DuckDB side)
     assert list(out["lang"])[0].as_py() == "__all__"
+
+
+# --------------------------------------------- shingle_novelty
+
+def _docs_tbl(texts):
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def test_shingle_novelty_exact_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import shingle_novelty
+
+    k = 3
+    texts = [
+        "a b c d e f",              # doc 0: all novel
+        "a b c d x y",              # doc 1: shares 'a b c', 'b c d'
+        "a b c d e f",              # doc 2: exact dup of 0 -> all copied
+        "z z",                      # doc 3: < k tokens -> absent
+        "p q r a b c",              # doc 4: 'a b c' copied
+    ]
+    out = shingle_novelty(rd.from_arrow(_docs_tbl(texts)).repartition(3),
+                          k=k, num_buckets=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # brute-force reference
+    grams = {i: {" ".join(t.split()[j:j + k])
+                 for j in range(len(t.split()) - k + 1)}
+             for i, t in enumerate(texts) if len(t.split()) >= k}
+    first = {}
+    for i in sorted(grams):
+        for g in grams[i]:
+            first.setdefault(g, i)
+    exp = {i: (len(gs), sum(first[g] < i for g in gs))
+           for i, gs in grams.items()}
+
+    assert list(out["doc_id"]) == sorted(exp)
+    for _, r in out.iterrows():
+        ng, nc = exp[r["doc_id"]]
+        assert (r["n_grams"], r["n_copied"]) == (ng, nc)
+        assert r["copied_ppm"] == 1_000_000 * nc // ng
+    assert exp[2][1] == exp[2][0]          # doc 2 fully copied
+    assert 3 not in exp                    # short doc absent
+
+
+# --------------------------------------------- trigram_diversity
+
+def test_trigram_diversity_exact(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import trigram_diversity
+
+    tbl = pa.table({
+        "source": pa.array(["s1", "s1", "s2", "s2"], pa.string()),
+        "text": pa.array([
+            "a b c a b c a b c",    # repeats heavily
+            "a b c d",
+            "u v w x y",            # all distinct
+            "m n",                  # too short: no trigrams
+        ], pa.string()),
+    })
+    out = trigram_diversity(rd.from_arrow(tbl).repartition(2),
+                            num_buckets=5).to_pandas()
+
+    def ref(texts):
+        grams = []
+        for t in texts:
+            w = t.split()
+            grams += [" ".join(w[i:i + 3]) for i in range(len(w) - 2)]
+        return len(grams), len(set(grams))
+
+    n1, d1 = ref(["a b c a b c a b c", "a b c d"])
+    n2, d2 = ref(["u v w x y", "m n"])
+    got = {r["source"]: r for _, r in out.iterrows()}
+    assert (got["s1"]["n_grams"], got["s1"]["n_distinct"]) == (n1, d1)
+    assert (got["s2"]["n_grams"], got["s2"]["n_distinct"]) == (n2, d2)
+    assert got["s1"]["diversity_ppm"] == 1_000_000 * d1 // n1
+    assert got["s2"]["diversity_ppm"] == 1_000_000 * d2 // n2
+    assert list(out["source"]) == ["s1", "s2"]
