@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": _q_langid_confusion,
         "shingle_novelty": _q_shingle_novelty,
         "trigram_diversity": _q_trigram_diversity,
+        "bpe_fertility": _q_bpe_fertility,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -324,6 +325,20 @@ def _trigram_diversity_oracle() -> str:
     from kgruntime.ops.text import trigram_diversity_sql
 
     return trigram_diversity_sql()
+
+
+def _q_bpe_fertility(sf_dir):
+    """Per-language BPE tokenizer fertility
+    (kgruntime/ops/bpe.py:bpe_fertility)."""
+    from kgruntime.ops.bpe import bpe_fertility
+
+    return bpe_fertility(_docs_ds(sf_dir))
+
+
+def _bpe_fertility_oracle() -> str:
+    from kgruntime.ops.bpe import bpe_fertility_sql
+
+    return bpe_fertility_sql()
 
 
 def _q_doc_stats(sf_dir):
@@ -2405,6 +2420,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": _langid_confusion_oracle(),
         "shingle_novelty": _shingle_novelty_oracle(),
         "trigram_diversity": _trigram_diversity_oracle(),
+        "bpe_fertility": _bpe_fertility_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -67,10 +67,27 @@ def bpe_merges(docs_ds, rounds: int = 8):
             (pl.lit(" ")
              + pl.col("w").str.replace_all(r"(.)", "$1 ")
              + pl.lit(_MARKER + " ")).alias("sym"))
-        return d.select(["wcount", "sym"]).to_arrow()
+        return d.select(["w", "wcount", "sym"]).to_arrow()
 
     # vocabulary-bounded — the documented safe-materialize case
     cur = wf.map_batches(symbolize, batch_format="pyarrow").materialize()
+    merges, _ = _learn_merges(cur, rounds)
+    return pa.table({
+        "merge_round": pa.array([m["merge_round"] for m in merges],
+                                pa.int64()),
+        "lhs": pa.array([m["lhs"] for m in merges], pa.string()),
+        "rhs": pa.array([m["rhs"] for m in merges], pa.string()),
+        "merged": pa.array([m["merged"] for m in merges], pa.string()),
+        "pair_count": pa.array([m["pair_count"] for m in merges],
+                               pa.int64()),
+    })
+
+
+def _learn_merges(cur, rounds: int):
+    """Run the merge-learning loop over a materialized symbolized
+    word-frequency dataset ``cur`` (columns incl. ``wcount``, ``sym``);
+    returns (merge dicts, the post-merge dataset)."""
+    from ray.data.aggregate import Sum
 
     def pair_partial(t: pa.Table) -> pa.Table:
         import polars as pl
@@ -110,15 +127,7 @@ def bpe_merges(docs_ds, rounds: int = 8):
         # materialize calls and nothing corpus-sized ever re-executes
         cur = cur.map_batches(apply, batch_format="pyarrow")
 
-    return pa.table({
-        "merge_round": pa.array([m["merge_round"] for m in merges],
-                                pa.int64()),
-        "lhs": pa.array([m["lhs"] for m in merges], pa.string()),
-        "rhs": pa.array([m["rhs"] for m in merges], pa.string()),
-        "merged": pa.array([m["merged"] for m in merges], pa.string()),
-        "pair_count": pa.array([m["pair_count"] for m in merges],
-                               pa.int64()),
-    })
+    return merges, cur
 
 
 def bpe_merges_sql(rounds: int = 8, table: str = "documents") -> str:
@@ -160,3 +169,136 @@ bpe_r{i} AS MATERIALIZED (
         f"SELECT * FROM bpe_m{i}" for i in range(1, rounds + 1))
     return ("WITH " + ",\n".join(parts)
             + f"\n{union}\nORDER BY merge_round")
+
+
+def bpe_fertility(docs_ds, rounds: int = 8):
+    """Tokenizer fertility audit — learn ``rounds`` BPE merges over the
+    whole corpus, encode every word with them, and report per-language
+    ``(lang, n_words, n_tokens, fertility_ppm)`` where fertility_ppm =
+    10⁶ · BPE tokens per whitespace word.  The per-language cost check
+    run before fixing a tokenizer for multilingual training data (the
+    end-of-word marker counts as a symbol until merged away, same on
+    both sides).
+
+    Scale shape: ONE corpus exchange (the (lang, word) frequency
+    combiner groupby); learning runs on the global word-frequency
+    projection of that table (vocab-bounded, materialized); encoding
+    touches only distinct words; the |V|-bounded word→n_tokens map
+    broadcasts back over the (lang, word) table, and the rollup is a
+    |langs|-row groupby.  Document text never crosses a second time.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def wl_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(t.select(["lang", "text"])) \
+            .with_columns(pl.col("text").str.split(" ").alias("w")) \
+            .explode("w").filter(pl.col("w") != "") \
+            .group_by(["lang", "w"]) \
+            .agg(pl.len().cast(pl.Int64).alias("cnt")) \
+            .select(["lang", "w", "cnt"]).to_arrow()
+
+    # vocab × |langs|-bounded — the documented safe-materialize case
+    wfl = docs_ds.select_columns(["lang", "text"]) \
+        .map_batches(wl_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["lang", "w"]).aggregate(Sum("cnt", alias_name="cnt")) \
+        .materialize()
+
+    def symbolize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = pl.from_arrow(t).with_columns(
+            (pl.lit(" ")
+             + pl.col("w").str.replace_all(r"(.)", "$1 ")
+             + pl.lit(_MARKER + " ")).alias("sym"))
+        return d.select(["w", "wcount", "sym"]).to_arrow()
+
+    cur = wfl.groupby("w").aggregate(Sum("cnt", alias_name="wcount")) \
+        .map_batches(symbolize, batch_format="pyarrow").materialize()
+    _, final = _learn_merges(cur, rounds)
+
+    # |V|-bounded word -> token-count map, broadcast once
+    import ray
+    enc = {r["w"]: len(r["sym"].strip().split(" "))
+           for r in final.take_all()}
+    ref = ray.put(enc)
+
+    from .ann import _cached_state
+
+    def decorate(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _cached_state(ref, lambda: _ray.get(ref))
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        nt = np.fromiter((m[w] for w in t["w"].to_pylist()),
+                         np.int64, len(t))
+        return pa.table({
+            "lang": t["lang"],
+            "n_words": pa.array(cnt, pa.int64()),
+            "n_tokens": pa.array(cnt * nt, pa.int64()),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        nw = t["n_words"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": t["lang"],
+            "n_words": pa.array(nw, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "fertility_ppm": pa.array(1_000_000 * nt // nw, pa.int64()),
+        })
+
+    return wfl.map_batches(decorate, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_tokens", alias_name="n_tokens")) \
+        .map_batches(finish, batch_format="pyarrow") \
+        .sort("lang")
+
+
+def bpe_fertility_sql(rounds: int = 8, table: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_fertility`: the bpe_merges_sql round
+    chain with the word carried through every round, then a per-lang
+    rollup of cnt × symbol-count over the (lang, word) frequency CTE."""
+    parts = [f"""bf_wfl AS MATERIALIZED (
+  SELECT lang, w, count(*)::BIGINT AS cnt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM {table})
+  WHERE w != '' GROUP BY 1, 2),
+bf_wf AS MATERIALIZED (
+  SELECT w, sum(cnt)::BIGINT AS wcount FROM bf_wfl GROUP BY w),
+bf_r0 AS MATERIALIZED (
+  SELECT w, wcount,
+         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '{_MARKER} '
+           AS sym
+  FROM bf_wf)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""bf_p{i} AS MATERIALIZED (
+  SELECT pr[1] AS l, pr[2] AS r, sum(wcount)::BIGINT AS cnt
+  FROM (SELECT wcount, unnest(list_zip(s, s[2:])) AS pr
+        FROM (SELECT wcount, string_split(trim(sym), ' ') AS s
+              FROM bf_r{i - 1}))
+  WHERE pr[2] IS NOT NULL
+  GROUP BY 1, 2),
+bf_m{i} AS MATERIALIZED (
+  SELECT l AS lhs, r AS rhs, l || r AS merged
+  FROM bf_p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+bf_r{i} AS MATERIALIZED (
+  SELECT w, wcount,
+         replace(sym,
+                 ' ' || (SELECT lhs FROM bf_m{i}) || ' '
+                     || (SELECT rhs FROM bf_m{i}) || ' ',
+                 ' ' || (SELECT merged FROM bf_m{i}) || ' ') AS sym
+  FROM bf_r{i - 1})""")
+    parts.append(f"""bf_enc AS (
+  SELECT w, len(string_split(trim(sym), ' '))::BIGINT AS nt
+  FROM bf_r{rounds})""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT lang, sum(cnt)::BIGINT AS n_words,
+       sum(cnt * nt)::BIGINT AS n_tokens,
+       ((1000000 * sum(cnt * nt)) // sum(cnt))::BIGINT AS fertility_ppm
+FROM bf_wfl JOIN bf_enc USING (w)
+GROUP BY lang ORDER BY lang
+""")

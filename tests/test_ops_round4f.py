@@ -204,3 +204,55 @@ def test_trigram_diversity_exact(ray_session):
     assert got["s1"]["diversity_ppm"] == 1_000_000 * d1 // n1
     assert got["s2"]["diversity_ppm"] == 1_000_000 * d2 // n2
     assert list(out["source"]) == ["s1", "s2"]
+
+
+# --------------------------------------------- bpe_fertility
+
+def test_bpe_fertility_matches_python_reference(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.bpe import bpe_fertility
+
+    texts = ["low low lower lowest", "low lower new newer",
+             "newest new low", "wider wide wide low"]
+    langs = ["en", "en", "de", "de"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+    rounds = 5
+    out = bpe_fertility(rd.from_arrow(tbl).repartition(2),
+                        rounds=rounds).to_pandas()
+
+    # pure-Python reference with identical replace semantics
+    from collections import Counter
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    sym = {w: " " + " ".join(w) + " _ " for w in wc}
+    for _ in range(rounds):
+        pc_ = Counter()
+        for w, s in sym.items():
+            toks = s.strip().split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pc_[(a, b)] += wc[w]
+        if not pc_:
+            break
+        (l, r), _n = min(pc_.items(),
+                         key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for w in sym:
+            sym[w] = sym[w].replace(f" {l} {r} ", f" {l}{r} ")
+    nt = {w: len(s.strip().split(" ")) for w, s in sym.items()}
+
+    exp = {}
+    for lang in set(langs):
+        lw = Counter(w for t, lg in zip(texts, langs) if lg == lang
+                     for w in t.split(" ") if w)
+        n_words = sum(lw.values())
+        n_tokens = sum(c * nt[w] for w, c in lw.items())
+        exp[lang] = (n_words, n_tokens,
+                     1_000_000 * n_tokens // n_words)
+
+    assert list(out["lang"]) == sorted(exp)
+    for _, row in out.iterrows():
+        assert (row["n_words"], row["n_tokens"],
+                row["fertility_ppm"]) == exp[row["lang"]]
