@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_novelty": _q_shingle_novelty,
         "trigram_diversity": _q_trigram_diversity,
         "bpe_fertility": _q_bpe_fertility,
+        "revenue_cube": _q_revenue_cube,
+        "user_active_time": _q_user_active_time,
+        "compression_quality": _q_compression_quality,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -339,6 +342,36 @@ def _bpe_fertility_oracle() -> str:
     from kgruntime.ops.bpe import bpe_fertility_sql
 
     return bpe_fertility_sql()
+
+
+def _q_revenue_cube(sf_dir):
+    """CUBE(priority, status) revenue from one corpus pass
+    (kgruntime/relational.py:q_revenue_cube)."""
+    from kgruntime.relational import q_revenue_cube
+
+    return q_revenue_cube(sf_dir)
+
+
+def _q_user_active_time(sf_dir):
+    """Merged activity-interval union per user
+    (kgruntime/ops/sessions.py:user_active_time)."""
+    from kgruntime.ops.sessions import user_active_time
+
+    return user_active_time(_events_ds(sf_dir))
+
+
+def _user_active_time_oracle() -> str:
+    from kgruntime.ops.sessions import user_active_time_sql
+
+    return user_active_time_sql()
+
+
+def _q_compression_quality(sf_dir):
+    """Per-doc zlib compressibility signal — rows-only (no SQL codec)
+    (kgruntime/ops/text.py:compression_quality)."""
+    from kgruntime.ops.text import compression_quality
+
+    return compression_quality(_docs_ds(sf_dir))
 
 
 def _q_doc_stats(sf_dir):
@@ -2421,6 +2454,8 @@ def oracle_sql() -> dict[str, str]:
         "shingle_novelty": _shingle_novelty_oracle(),
         "trigram_diversity": _trigram_diversity_oracle(),
         "bpe_fertility": _bpe_fertility_oracle(),
+        "revenue_cube": R.Q_REVENUE_CUBE_SQL,
+        "user_active_time": _user_active_time_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -1733,3 +1733,75 @@ SELECT user_id, count(*)::BIGINT AS n_hours,
        sum(cents)::BIGINT AS sum_locf_cents
 FROM lo_fill GROUP BY user_id ORDER BY user_id
 """
+
+
+def user_active_time(events_ds, window_min: int = 30):
+    """Total ACTIVE time per user — each event opens a
+    ``[ts, ts + window_min)`` activity interval; overlapping (or
+    touching) intervals merge, and the op reports the merged union:
+    ``(user_id, n_intervals, active_us)``.  The engagement-duration
+    rollup raw event counts overstate (100 events in one minute ≠ 100
+    windows of activity).
+
+    Scale shape: one native ``groupby(user_id)``; each per-user group
+    is a vectorized numpy gaps-and-islands pass (sort starts, exclusive
+    running-max of ends via shifted ``maximum.accumulate``, island sum
+    by ``reduceat``) on exact int64 microseconds — no Python loop, no
+    floats, no second exchange.  The twin replays the same islands with
+    a window running max.
+    """
+    import numpy as np
+
+    win_us = window_min * 60 * 1_000_000
+
+    def merge(g: pa.Table) -> pa.Table:
+        s = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = np.sort(s)
+        e = s + win_us
+        # exclusive running max of interval ends
+        prev_max = np.empty_like(e)
+        prev_max[0] = np.iinfo(np.int64).min
+        if len(e) > 1:
+            prev_max[1:] = np.maximum.accumulate(e)[:-1]
+        new_island = s > prev_max
+        starts = np.flatnonzero(new_island)
+        island_end = np.maximum.accumulate(e)
+        # last index of each island -> its running max end
+        last = np.r_[starts[1:] - 1, len(e) - 1]
+        active = int((island_end[last] - s[starts]).sum())
+        return pa.table({
+            "user_id": g["user_id"].slice(0, 1),
+            "n_intervals": pa.array([len(starts)], pa.int64()),
+            "active_us": pa.array([active], pa.int64()),
+        })
+
+    return events_ds.select_columns(["user_id", "ts"]) \
+        .groupby("user_id").map_groups(merge, batch_format="pyarrow") \
+        .sort("user_id")
+
+
+def user_active_time_sql(window_min: int = 30,
+                         table: str = "events") -> str:
+    win_us = window_min * 60 * 1_000_000
+    return f"""
+WITH uat_iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {win_us} AS e
+  FROM {table}),
+uat_m AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY user_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -9223372036854775807) THEN 1 ELSE 0 END AS new_i
+  FROM uat_iv),
+uat_g AS (
+  SELECT *, sum(new_i) OVER (PARTITION BY user_id ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS island
+  FROM uat_m),
+uat_isl AS (
+  SELECT user_id, island, min(s) AS s0, max(e) AS e1
+  FROM uat_g GROUP BY 1, 2)
+SELECT user_id, count(*)::BIGINT AS n_intervals,
+       sum(e1 - s0)::BIGINT AS active_us
+FROM uat_isl GROUP BY user_id ORDER BY user_id
+"""

@@ -2104,3 +2104,40 @@ SELECT source,
          AS diversity_ppm
 FROM td_e GROUP BY source ORDER BY source
 """
+
+
+# --- compression-ratio quality signal (Gopher/DCLM-style) ---
+
+def compression_quality(docs_ds, level: int = 6):
+    """Per-doc zlib compressibility — ``(doc_id, n_bytes,
+    n_compressed, ratio_ppm)`` with ``ratio_ppm = 10⁶ · compressed //
+    raw``.  Highly compressible text (boilerplate, templated spam,
+    repeated n-grams) scores LOW; the signal quality filters threshold
+    on (DCLM / Gopher pipelines).  zlib level fixed → byte-deterministic
+    output, so the op is retry-stable; rows-only at the gate (DuckDB
+    has no codec), verified by the pytest reference instead.
+
+    Scale shape: embarrassingly parallel map_batches (C-speed DEFLATE
+    per doc, no exchange); emit is 4 int columns — feed the ratio into
+    a downstream gate instead of materializing text."""
+    import zlib
+
+    def score(t: pa.Table) -> pa.Table:
+        raw, comp = [], []
+        for txt in t["text"].to_pylist():
+            b = txt.encode()
+            raw.append(len(b))
+            comp.append(len(zlib.compress(b, level)))
+        raw_a = np.array(raw, np.int64)
+        comp_a = np.array(comp, np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bytes": pa.array(raw_a, pa.int64()),
+            "n_compressed": pa.array(comp_a, pa.int64()),
+            "ratio_ppm": pa.array(
+                np.where(raw_a > 0, 1_000_000 * comp_a // np.maximum(raw_a, 1), 0),
+                pa.int64()),
+        })
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

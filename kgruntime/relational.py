@@ -1539,3 +1539,62 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size >= {min_size}
 GROUP BY p_brand ORDER BY p_brand
 """
+
+
+def q_revenue_cube(sf_dir: str):
+    """CUBE(o_orderpriority, o_orderstatus) revenue rollup — all four
+    grouping sets ((p,s), (p), (s), ()) from ONE corpus pass: the
+    finest-grain groupby is |priorities|×|statuses| rows (bounded,
+    corpus-size-independent) and the three coarser sets are pure-Python
+    re-aggregations of those partials on the driver — the
+    pre-aggregate-reuse shape, vs. a naive CUBE that scans the fact
+    table four times.  Subtotal slots carry the 'ALL' sentinel so the
+    value-hash oracle needs no NULL-ordering convention.
+    """
+    from collections import defaultdict
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus",
+                        "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_orderpriority"], t["o_orderstatus"],
+             _money_cents(t["o_totalprice"])],
+            names=["prio", "status", "cents"])
+
+    fine = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["prio", "status"]) \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("cents", alias_name="cents")) \
+        .take_all()                     # bounded: |prio| × |status|
+
+    sets = defaultdict(lambda: [0, 0])
+    for r in fine:
+        p, s = r["prio"], r["status"]
+        for key in [(p, s), (p, "ALL"), ("ALL", s), ("ALL", "ALL")]:
+            acc = sets[key]
+            acc[0] += int(r["n_orders"])
+            acc[1] += int(r["cents"])
+    rows = sorted((p, s, n, c) for (p, s), (n, c) in sets.items())
+    return pa.table({
+        "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+        "o_orderstatus": pa.array([r[1] for r in rows], pa.string()),
+        "n_orders": pa.array([r[2] for r in rows], pa.int64()),
+        "revenue_cents": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+Q_REVENUE_CUBE_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+         AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority, o_orderstatus
+"""

@@ -256,3 +256,93 @@ def test_bpe_fertility_matches_python_reference(ray_session):
     for _, row in out.iterrows():
         assert (row["n_words"], row["n_tokens"],
                 row["fertility_ppm"]) == exp[row["lang"]]
+
+
+# --------------------------------------------- user_active_time
+
+def test_user_active_time_merges_intervals(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import user_active_time
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")          # one minute
+    rows = [
+        # user 1: events at 0min and 10min -> one merged island
+        (1, base), (1, base + 10 * m),
+        # user 1: event at 100min -> second island
+        (1, base + 100 * m),
+        # user 2: exactly touching (30min apart) -> merge
+        (2, base), (2, base + 30 * m),
+        # user 3: single event
+        (3, base),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+    })
+    out = user_active_time(rd.from_arrow(tbl).repartition(2)) \
+        .to_pandas().set_index("user_id")
+
+    W = 30 * 60 * 1_000_000
+    assert out.loc[1, "n_intervals"] == 2
+    assert out.loc[1, "active_us"] == (10 * 60_000_000 + W) + W
+    assert out.loc[2, "n_intervals"] == 1
+    assert out.loc[2, "active_us"] == 30 * 60_000_000 + W
+    assert out.loc[3, "n_intervals"] == 1
+    assert out.loc[3, "active_us"] == W
+
+
+# --------------------------------------------- revenue_cube
+
+def test_revenue_cube_sets_are_consistent(ray_session):
+    from kgruntime.relational import q_revenue_cube
+
+    out = q_revenue_cube("/root/testdata/sf0.001").to_pandas()
+    total = out[(out["o_orderpriority"] == "ALL")
+                & (out["o_orderstatus"] == "ALL")]
+    fine = out[(out["o_orderpriority"] != "ALL")
+               & (out["o_orderstatus"] != "ALL")]
+    by_p = out[(out["o_orderpriority"] != "ALL")
+               & (out["o_orderstatus"] == "ALL")]
+    by_s = out[(out["o_orderpriority"] == "ALL")
+               & (out["o_orderstatus"] != "ALL")]
+    for sub in (fine, by_p, by_s):
+        assert sub["n_orders"].sum() == total["n_orders"].iloc[0]
+        assert sub["revenue_cents"].sum() == total["revenue_cents"].iloc[0]
+    # grouping-set identity per priority
+    for p, g in fine.groupby("o_orderpriority"):
+        row = by_p[by_p["o_orderpriority"] == p]
+        assert g["n_orders"].sum() == row["n_orders"].iloc[0]
+        assert g["revenue_cents"].sum() == row["revenue_cents"].iloc[0]
+
+
+# --------------------------------------------- compression_quality
+
+def test_compression_quality_signal_and_determinism(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from kgruntime.ops.text import compression_quality
+
+    texts = ["spam spam spam spam spam spam spam spam",
+             "the quick brown fox jumps over a lazy dog",
+             ""]
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = compression_quality(rd.from_arrow(tbl).repartition(2)) \
+        .to_pandas().set_index("doc_id").sort_index()
+
+    for i, t in enumerate(texts):
+        b = t.encode()
+        assert out.loc[i, "n_bytes"] == len(b)
+        assert out.loc[i, "n_compressed"] == len(zlib.compress(b, 6))
+        exp = (1_000_000 * len(zlib.compress(b, 6)) // len(b)
+               if b else 0)
+        assert out.loc[i, "ratio_ppm"] == exp
+    # templated text compresses harder than natural text
+    assert out.loc[0, "ratio_ppm"] < out.loc[1, "ratio_ppm"]
