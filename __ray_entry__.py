@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_cube": _q_revenue_cube,
         "user_active_time": _q_user_active_time,
         "compression_quality": _q_compression_quality,
+        "decile_lift": _q_decile_lift,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -372,6 +373,20 @@ def _q_compression_quality(sf_dir):
     from kgruntime.ops.text import compression_quality
 
     return compression_quality(_docs_ds(sf_dir))
+
+
+def _q_decile_lift(sf_dir):
+    """Decile lift / calibration of value as a purchase detector
+    (kgruntime/ops/evalm.py:decile_lift)."""
+    from kgruntime.ops.evalm import decile_lift
+
+    return decile_lift(_events_ds(sf_dir))
+
+
+def _decile_lift_oracle() -> str:
+    from kgruntime.ops.evalm import decile_lift_sql
+
+    return decile_lift_sql()
 
 
 def _q_doc_stats(sf_dir):
@@ -2456,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": _bpe_fertility_oracle(),
         "revenue_cube": R.Q_REVENUE_CUBE_SQL,
         "user_active_time": _user_active_time_oracle(),
+        "decile_lift": _decile_lift_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

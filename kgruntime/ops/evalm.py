@@ -112,3 +112,101 @@ SELECT np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
        ((1000000 * u2) // (2 * np * nn))::BIGINT AS auc_ppm
 FROM t
 """
+
+
+def decile_lift(events_ds, pos_type: str = "purchase",
+                value_col: str = "value", label_col: str = "event_type"):
+    """Decile lift / calibration table for ``value`` as a detector of
+    ``label == pos_type``: events bucket into value deciles (exact
+    discrete order statistics, DuckDB ``quantile_disc`` rule — 1-based
+    index ⌈q·n⌉) and each bucket reports
+    ``(bin, n_events, n_pos, rate_ppm, lift_ppm)`` where lift is the
+    bin's positive rate over the overall rate, both exact integer ppm.
+    Heavy ties can collapse adjacent deciles — identically on both
+    sides, so the twin still hash-matches.
+
+    Scale shape: the SAME bounded (cents → pos, neg) histogram as
+    :func:`binary_auc` — one combiner ``groupby``, driver finish over
+    |distinct cents| rows; boundaries, bins, and ratios all come from
+    cumulative counts, so no second corpus pass and no global sort.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        cents = pc.cast(pc.round(pc.multiply(t[value_col], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        lab = pc.cast(pc.equal(t[label_col], pos_type), pa.int64())
+        d = pl.from_arrow(pa.Table.from_arrays([cents, lab],
+                                               names=["cents", "lab"]))
+        return d.group_by("cents").agg(
+            pl.col("lab").sum().alias("pos"),
+            pl.len().cast(pl.Int64).alias("cnt")).to_arrow()
+
+    hist = events_ds.select_columns([value_col, label_col]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("cents") \
+        .aggregate(Sum("pos", alias_name="pos"),
+                   Sum("cnt", alias_name="cnt")) \
+        .take_all()
+
+    hist.sort(key=lambda r: r["cents"])
+    cents = np.array([r["cents"] for r in hist], np.int64)
+    cnt = np.array([int(r["cnt"]) for r in hist], np.int64)
+    pos = np.array([int(r["pos"]) for r in hist], np.int64)
+    cum = np.cumsum(cnt)
+    n_total = int(cum[-1])
+    p_total = int(pos.sum())
+
+    # decile boundaries: value of the ceil(k·n/10)-th row (1-based)
+    bounds = []
+    for k in range(1, 10):
+        rank = (k * n_total + 9) // 10          # ceil as exact ints
+        bounds.append(int(cents[np.searchsorted(cum, rank, "left")]))
+    bounds = np.array(bounds, np.int64)
+
+    # bin of each distinct cents value: 1 + #boundaries strictly below
+    bins = 1 + np.searchsorted(bounds, cents, side="left")
+    rows = []
+    for b in np.unique(bins):
+        m = bins == b
+        n_b, p_b = int(cnt[m].sum()), int(pos[m].sum())
+        rate = (1_000_000 * p_b) // n_b
+        lift = ((1_000_000 * p_b * n_total) // (n_b * p_total)
+                if p_total else 0)
+        rows.append((int(b), n_b, p_b, rate, lift))
+    return pa.table({
+        "bin": pa.array([r[0] for r in rows], pa.int64()),
+        "n_events": pa.array([r[1] for r in rows], pa.int64()),
+        "n_pos": pa.array([r[2] for r in rows], pa.int64()),
+        "rate_ppm": pa.array([r[3] for r in rows], pa.int64()),
+        "lift_ppm": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def decile_lift_sql(pos_type: str = "purchase", value_col: str = "value",
+                    label_col: str = "event_type",
+                    table: str = "events") -> str:
+    qs = ", ".join(f"{k / 10:.1f}" for k in range(1, 10))
+    return f"""
+WITH dl_b AS (
+  SELECT CAST(round({value_col} * 100) AS BIGINT) AS c,
+         ({label_col} = '{pos_type}')::BIGINT AS lab
+  FROM {table}),
+dl_bnd AS (SELECT quantile_disc(c, [{qs}]) AS bs FROM dl_b),
+dl_binned AS (
+  SELECT c, lab,
+         1 + len(list_filter(bnd.bs, x -> x < c))::BIGINT AS bin
+  FROM dl_b, dl_bnd bnd),
+dl_tot AS (SELECT count(*)::BIGINT AS n, sum(lab)::BIGINT AS p FROM dl_b)
+SELECT bin, count(*)::BIGINT AS n_events, sum(lab)::BIGINT AS n_pos,
+       ((1000000 * sum(lab)) // count(*))::BIGINT AS rate_ppm,
+       CASE WHEN (SELECT p FROM dl_tot) = 0 THEN 0
+            ELSE ((1000000::HUGEINT * sum(lab) * (SELECT n FROM dl_tot))
+                  // (count(*) * (SELECT p FROM dl_tot)))::BIGINT
+       END AS lift_ppm
+FROM dl_binned GROUP BY bin ORDER BY bin
+"""

@@ -346,3 +346,42 @@ def test_compression_quality_signal_and_determinism(ray_session):
         assert out.loc[i, "ratio_ppm"] == exp
     # templated text compresses harder than natural text
     assert out.loc[0, "ratio_ppm"] < out.loc[1, "ratio_ppm"]
+
+
+# --------------------------------------------- decile_lift
+
+def test_decile_lift_matches_reference(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.evalm import decile_lift
+
+    rng = np.random.RandomState(7)
+    n = 500
+    cents = rng.randint(0, 200, n).tolist()
+    # higher values more likely positive -> lift should rise with bin
+    labels = [int(rng.rand() < c / 250) for c in cents]
+    types = [["click", "purchase"][l] for l in labels]
+    out = decile_lift(rd.from_arrow(_events_tbl(cents, types))
+                      .repartition(4)).to_pandas()
+
+    # reference: duckdb-rule deciles over the sorted multiset
+    import math
+    s = sorted(cents)
+    bounds = [s[(k * n + 9) // 10 - 1] for k in range(1, 10)]
+    import bisect
+    bins = [1 + bisect.bisect_left(bounds, c) for c in cents]
+    p_tot = sum(labels)
+    exp = {}
+    for b in sorted(set(bins)):
+        idx = [i for i, bb in enumerate(bins) if bb == b]
+        n_b = len(idx)
+        p_b = sum(labels[i] for i in idx)
+        exp[b] = (n_b, p_b, 1_000_000 * p_b // n_b,
+                  1_000_000 * p_b * n // (n_b * p_tot))
+    assert list(out["bin"]) == sorted(exp)
+    for _, r in out.iterrows():
+        assert (r["n_events"], r["n_pos"], r["rate_ppm"],
+                r["lift_ppm"]) == exp[r["bin"]]
+    # totals preserved
+    assert out["n_events"].sum() == n
+    assert out["n_pos"].sum() == p_tot
