@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_time": _q_user_active_time,
         "compression_quality": _q_compression_quality,
         "decile_lift": _q_decile_lift,
+        "basket_affinity": _q_basket_affinity,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -387,6 +388,14 @@ def _decile_lift_oracle() -> str:
     from kgruntime.ops.evalm import decile_lift_sql
 
     return decile_lift_sql()
+
+
+def _q_basket_affinity(sf_dir):
+    """Part-type co-purchase lift
+    (kgruntime/relational.py:q_basket_affinity)."""
+    from kgruntime.relational import q_basket_affinity
+
+    return q_basket_affinity(sf_dir)
 
 
 def _q_doc_stats(sf_dir):
@@ -2472,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_cube": R.Q_REVENUE_CUBE_SQL,
         "user_active_time": _user_active_time_oracle(),
         "decile_lift": _decile_lift_oracle(),
+        "basket_affinity": R.Q_BASKET_AFFINITY_SQL,
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -1598,3 +1598,104 @@ FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY o_orderpriority, o_orderstatus
 """
+
+
+def q_basket_affinity(sf_dir: str):
+    """Market-basket affinity between part types — for every pair of
+    part types bought by the same customer: ``(type_a, type_b, n_ab,
+    lift_ppm)`` with lift = P(a,b) / (P(a)·P(b)) in exact integer ppm.
+    The co-purchase signal product-recommendation pipelines start from.
+
+    Scale shape: two bucketed hash joins (lineitem→orders on orderkey,
+    then →part on partkey — both int-keyed, no driver-side maps), a
+    per-batch polars distinct combiner before the (customer, type)
+    groupby, pair explosion inside per-customer ``map_groups`` (groups
+    bounded by a customer's distinct type count, pairs by its square),
+    and a |types|²-bounded pair count.  Marginals and the customer
+    count are |types|- and bounded-row aggregates; the driver only ever
+    holds type-vocabulary-sized tables.
+    """
+    from ray.data.aggregate import Count
+
+    from .ops.join import bucketed_hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    ct = bucketed_hash_join(li, orders, "l_orderkey", "o_orderkey")
+    ctt = bucketed_hash_join(ct.select_columns(["l_partkey",
+                                                "o_custkey"]),
+                             part, "l_partkey", "p_partkey")
+
+    def dedup_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(t.select(["o_custkey", "p_type"])) \
+            .unique().to_arrow()
+
+    # distinct (customer, type): bounded by |custs| × |types| — far
+    # below the fact table; materialized because pairs AND marginals
+    # consume it (the double-lazy-plan lesson)
+    dist = ctt.map_batches(dedup_partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(["o_custkey", "p_type"]).count() \
+        .select_columns(["o_custkey", "p_type"]).materialize()
+
+    # pair explosion as a bucketed SELF-join on the customer key, not
+    # per-customer map_groups: thousands of tiny groups pay Python
+    # per-group overhead, the join stays vectorized end-to-end
+    def rename_b(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["cust_b", "type_b"])
+
+    right = dist.map_batches(rename_b, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    joined = bucketed_hash_join(dist, right, "o_custkey", "cust_b")
+
+    def keep_ordered(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        m = _pc.less(t["p_type"], t["type_b"])
+        f = t.filter(m)
+        return pa.table({"type_a": f["p_type"], "type_b": f["type_b"]})
+
+    paircnt = joined.map_batches(keep_ordered, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby(["type_a", "type_b"]) \
+        .aggregate(Count(alias_name="n_ab")).take_all()
+
+    marg = {r["p_type"]: int(r["count()"])
+            for r in dist.groupby("p_type").count().take_all()}
+    n_cust = dist.groupby("o_custkey").count().count()
+
+    rows = sorted((r["type_a"], r["type_b"], int(r["n_ab"]))
+                  for r in paircnt)
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_ab": pa.array([r[2] for r in rows], pa.int64()),
+        "lift_ppm": pa.array(
+            [(1_000_000 * r[2] * n_cust) // (marg[r[0]] * marg[r[1]])
+             for r in rows], pa.int64()),
+    })
+
+
+Q_BASKET_AFFINITY_SQL = """
+WITH ba_ct AS (
+  SELECT DISTINCT o_custkey AS cust, p_type AS typ
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN part ON l_partkey = p_partkey),
+ba_n AS (SELECT count(DISTINCT cust)::BIGINT AS n FROM ba_ct),
+ba_m AS (SELECT typ, count(*)::BIGINT AS c FROM ba_ct GROUP BY typ),
+ba_p AS (
+  SELECT a.typ AS type_a, b.typ AS type_b, count(*)::BIGINT AS n_ab
+  FROM ba_ct a JOIN ba_ct b ON a.cust = b.cust AND a.typ < b.typ
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_ab,
+       ((1000000::HUGEINT * n_ab * (SELECT n FROM ba_n))
+        // (ma.c * mb.c))::BIGINT AS lift_ppm
+FROM ba_p
+JOIN ba_m ma ON ma.typ = type_a
+JOIN ba_m mb ON mb.typ = type_b
+ORDER BY type_a, type_b
+"""

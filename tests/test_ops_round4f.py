@@ -385,3 +385,34 @@ def test_decile_lift_matches_reference(ray_session):
     # totals preserved
     assert out["n_events"].sum() == n
     assert out["n_pos"].sum() == p_tot
+
+
+# --------------------------------------------- basket_affinity
+
+def test_basket_affinity_lift_semantics(ray_session):
+    from kgruntime.relational import q_basket_affinity
+
+    out = q_basket_affinity("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["type_a"] < out["type_b"]).all()
+    # pairs are unique and sorted
+    keys = list(zip(out["type_a"], out["type_b"]))
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+
+    # cross-check one pair against duckdb on the same files
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ("lineitem", "orders", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    ref = con.execute("""
+        WITH ct AS (SELECT DISTINCT o_custkey c, p_type t
+                    FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+                                  JOIN part ON l_partkey=p_partkey)
+        SELECT a.t, b.t, count(*) FROM ct a JOIN ct b
+        ON a.c=b.c AND a.t<b.t GROUP BY 1,2 ORDER BY 1,2
+    """).fetchall()
+    got = [(r["type_a"], r["type_b"], r["n_ab"])
+           for _, r in out.iterrows()]
+    assert got == [(a, b, n) for a, b, n in ref]
