@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_quality": _q_compression_quality,
         "decile_lift": _q_decile_lift,
         "basket_affinity": _q_basket_affinity,
+        "ann_recall_audit": _q_ann_recall,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1382,6 +1383,28 @@ def _q_ann_ivf(sf_dir):
         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
 
 
+def _q_ann_recall(sf_dir):
+    """IVF-vs-brute recall audit
+    (kgruntime/ops/ann.py:ann_recall_audit)."""
+    import ray.data as rd
+
+    from kgruntime.ops.ann import ann_recall_audit
+
+    def emb():
+        return rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+
+    q, ids = _load_queries(sf_dir)
+    return ann_recall_audit(emb, q, ids, k=_ANN_K)
+
+
+def _ann_recall_oracle() -> str:
+    from kgruntime.ops.ann import ann_recall_audit_sql
+
+    return ann_recall_audit_sql(k=_ANN_K, n_queries=_ANN_N_QUERIES)
+
+
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
 
 
@@ -2482,6 +2505,7 @@ def oracle_sql() -> dict[str, str]:
         "user_active_time": _user_active_time_oracle(),
         "decile_lift": _decile_lift_oracle(),
         "basket_affinity": R.Q_BASKET_AFFINITY_SQL,
+        "ann_recall_audit": _ann_recall_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

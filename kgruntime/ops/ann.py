@@ -500,7 +500,18 @@ def ivf_topk_sql(k: int = 5, n_centroids: int = 16,
     cosine ranking with vec_id tie-breaks (the same ranking convention
     as the passing ``ann_topk`` oracle)."""
     return rf"""
-        WITH {_kmeans_index_cte_sql(n_centroids, train_size, iters, scale)},
+        WITH {_ivf_cte_sql(k, n_centroids, n_probe, train_size, iters,
+                           n_queries, scale)}
+        SELECT query_id, neighbor_id FROM scored WHERE rnk <= {k}
+        ORDER BY query_id, neighbor_id
+    """
+
+
+def _ivf_cte_sql(k: int, n_centroids: int, n_probe: int, train_size: int,
+                 iters: int, n_queries: int, scale: int) -> str:
+    """The ivf_topk CTE chain (index build → q → probe → cand →
+    scored), shared by ``ivf_topk_sql`` and ``ann_recall_audit_sql``."""
+    return rf"""{_kmeans_index_cte_sql(n_centroids, train_size, iters, scale)},
         q AS (SELECT vec_id FROM embeddings ORDER BY vec_id
               LIMIT {n_queries}),
         probe AS (
@@ -522,9 +533,76 @@ def ivf_topk_sql(k: int = 5, n_centroids: int = 16,
                      c.neighbor_id ASC) AS rnk
           FROM cand c
           JOIN embeddings qe ON qe.vec_id = c.query_id
-          JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
-        SELECT query_id, neighbor_id FROM scored WHERE rnk <= {k}
-        ORDER BY query_id, neighbor_id
+          JOIN embeddings ne ON ne.vec_id = c.neighbor_id)"""
+
+
+def ann_recall_audit(emb_ds_factory, queries: np.ndarray,
+                     query_ids: list[int], k: int = 5,
+                     n_centroids: int = 16, n_probe: int = 4,
+                     train_size: int = 4096, iters: int = 5,
+                     sample_mod: int | None = None):
+    """ANN index-quality audit — per query, the recall of IVF top-k
+    against the exact brute-force top-k on the SAME corpus:
+    ``(query_id, n_hit, recall_ppm)``.  The accuracy-vs-cost check run
+    before trusting an approximate index at 100 TB (the ANN sibling of
+    ``minhash_error_audit``).
+
+    ``emb_ds_factory`` is a zero-arg callable returning a fresh
+    embeddings Dataset — each kernel consumes its own stream, so
+    neither pipeline re-executes the other's lineage.  Both kernels are
+    the existing distributed ops (broadcast state, streamed scoring);
+    the driver only intersects |queries| × k id pairs.
+    """
+    bf = brute_force_topk(emb_ds_factory(), queries, query_ids,
+                          k=k).to_pandas()
+    iv = ivf_topk(emb_ds_factory(), queries, query_ids, k=k,
+                  n_centroids=n_centroids, n_probe=n_probe,
+                  train_size=train_size, iters=iters,
+                  sample_mod=sample_mod).to_pandas()
+    ivf_pairs = set(zip(iv["query_id"], iv["neighbor_id"]))
+    rows = []
+    for qid in sorted(set(bf["query_id"])):
+        nbrs = bf.loc[bf["query_id"] == qid, "neighbor_id"]
+        n_hit = sum((qid, n) in ivf_pairs for n in nbrs)
+        rows.append((int(qid), n_hit, (1_000_000 * n_hit) // k))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_hit": pa.array([r[1] for r in rows], pa.int64()),
+        "recall_ppm": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def ann_recall_audit_sql(k: int = 5, n_centroids: int = 16,
+                         n_probe: int = 4, train_size: int = 4096,
+                         iters: int = 5, n_queries: int = 10,
+                         scale: int = _UNIT_SCALE) -> str:
+    """Composed twin: the IVF CTE chain plus a brute-force ranking over
+    the same query CTE, joined into per-query recall ppm."""
+    return rf"""
+        WITH {_ivf_cte_sql(k, n_centroids, n_probe, train_size, iters,
+                           n_queries, scale)},
+        bf AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                     qe.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                     e.vec_id ASC) AS rnk
+          FROM q
+          JOIN embeddings qe ON qe.vec_id = q.vec_id
+          CROSS JOIN embeddings e
+          WHERE e.vec_id != q.vec_id),
+        ivf_k AS (SELECT query_id, neighbor_id FROM scored
+                  WHERE rnk <= {k}),
+        bf_k AS (SELECT query_id, neighbor_id FROM bf WHERE rnk <= {k})
+        SELECT b.query_id,
+               count(i.neighbor_id)::BIGINT AS n_hit,
+               ((1000000 * count(i.neighbor_id)) // {k})::BIGINT
+                 AS recall_ppm
+        FROM bf_k b
+        LEFT JOIN ivf_k i ON i.query_id = b.query_id
+                         AND i.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id ORDER BY b.query_id
     """
 
 

@@ -416,3 +416,42 @@ def test_basket_affinity_lift_semantics(ray_session):
     got = [(r["type_a"], r["type_b"], r["n_ab"])
            for _, r in out.iterrows()]
     assert got == [(a, b, n) for a, b, n in ref]
+
+
+# --------------------------------------------- ann_recall_audit
+
+def test_ann_recall_audit_bounds_and_self_consistency(ray_session):
+    import os
+
+    import ray.data as rd
+
+    from kgruntime.ops.ann import (ann_recall_audit, brute_force_topk,
+                                   ivf_topk)
+
+    sf = "/root/testdata/sf0.001"
+    path = os.path.join(sf, "embeddings.parquet")
+
+    def emb():
+        return rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    import duckdb
+    t = duckdb.sql(f"SELECT vec_id, embedding FROM read_parquet('{path}') "
+                   "ORDER BY vec_id LIMIT 5").arrow()
+    ids = t["vec_id"].to_pylist()
+    q = t["embedding"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).astype(np.float64) \
+        .reshape(len(ids), -1)
+
+    k = 5
+    out = ann_recall_audit(emb, q, ids, k=k).to_pandas()
+    assert list(out["query_id"]) == sorted(ids)
+    assert ((out["n_hit"] >= 0) & (out["n_hit"] <= k)).all()
+    assert (out["recall_ppm"] == 1_000_000 * out["n_hit"] // k).all()
+
+    # recomputing the intersection by hand agrees
+    bf = brute_force_topk(emb(), q, ids, k=k).to_pandas()
+    iv = ivf_topk(emb(), q, ids, k=k).to_pandas()
+    ivp = set(zip(iv["query_id"], iv["neighbor_id"]))
+    for _, r in out.iterrows():
+        nbrs = bf.loc[bf["query_id"] == r["query_id"], "neighbor_id"]
+        assert r["n_hit"] == sum((r["query_id"], n) in ivp for n in nbrs)
