@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decile_lift": _q_decile_lift,
         "basket_affinity": _q_basket_affinity,
         "ann_recall_audit": _q_ann_recall,
+        "bot_regularity": _q_bot_regularity,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1405,6 +1406,20 @@ def _ann_recall_oracle() -> str:
     return ann_recall_audit_sql(k=_ANN_K, n_queries=_ANN_N_QUERIES)
 
 
+def _q_bot_regularity(sf_dir):
+    """Inter-event regularity bot audit
+    (kgruntime/ops/sessions.py:bot_regularity_audit)."""
+    from kgruntime.ops.sessions import bot_regularity_audit
+
+    return bot_regularity_audit(_events_ds(sf_dir))
+
+
+def _bot_regularity_oracle() -> str:
+    from kgruntime.ops.sessions import bot_regularity_audit_sql
+
+    return bot_regularity_audit_sql()
+
+
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
 
 
@@ -2506,6 +2521,7 @@ def oracle_sql() -> dict[str, str]:
         "decile_lift": _decile_lift_oracle(),
         "basket_affinity": R.Q_BASKET_AFFINITY_SQL,
         "ann_recall_audit": _ann_recall_oracle(),
+        "bot_regularity": _bot_regularity_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -1805,3 +1805,80 @@ SELECT user_id, count(*)::BIGINT AS n_intervals,
        sum(e1 - s0)::BIGINT AS active_us
 FROM uat_isl GROUP BY user_id ORDER BY user_id
 """
+
+
+def bot_regularity_audit(events_ds, min_gaps: int = 5,
+                         max_mean_gap_us: int = 60_000_000,
+                         max_rvar_ppm: int = 10_000):
+    """Bot-likeness audit from inter-event timing — per user:
+    ``(user_id, n_events, mean_gap_us, rvar_ppm, is_bot)`` where
+    rvar_ppm is the exact relative variance of consecutive gaps,
+    ``10⁶ · (n·Σg² − (Σg)²) // (Σg)²``, and ``is_bot`` flags users
+    with ≥ ``min_gaps`` gaps, machine-fast mean cadence and
+    near-constant intervals (human traffic is bursty; schedulers
+    aren't).  All arithmetic is Python-bigint / HUGEINT exact — Σg²
+    overflows int64 at day-scale gaps, so the per-group reduction
+    deliberately leaves numpy for the two scalar sums.
+
+    Scale shape: one native ``groupby(user_id)``; each group reduces
+    in-task to a single stats row (gaps from the group's own sorted
+    timestamps — no cross-user state, no second exchange).
+    """
+    def stats(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = np.sort(g["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False))
+        n = len(us)
+        gaps = np.diff(us)
+        ng = len(gaps)
+        sg = int(gaps.sum())
+        sg2 = sum(int(x) * int(x) for x in gaps)   # bigint-exact
+        mean_gap = sg // ng if ng else 0
+        var2n = ng * sg2 - sg * sg
+        rvar = (1_000_000 * var2n) // (sg * sg) if sg > 0 else 0
+        is_bot = int(ng >= min_gaps and mean_gap < max_mean_gap_us
+                     and rvar < max_rvar_ppm)
+        return pa.table({
+            "user_id": g["user_id"].slice(0, 1),
+            "n_events": pa.array([n], pa.int64()),
+            "mean_gap_us": pa.array([mean_gap], pa.int64()),
+            "rvar_ppm": pa.array([rvar], pa.int64()),
+            "is_bot": pa.array([is_bot], pa.int64()),
+        })
+
+    return events_ds.select_columns(["user_id", "ts"]) \
+        .groupby("user_id").map_groups(stats, batch_format="pyarrow") \
+        .sort("user_id")
+
+
+def bot_regularity_audit_sql(min_gaps: int = 5,
+                             max_mean_gap_us: int = 60_000_000,
+                             max_rvar_ppm: int = 10_000,
+                             table: str = "events") -> str:
+    return f"""
+WITH bra_g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+  FROM {table}),
+bra_s AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         count(gap)::BIGINT AS ng,
+         coalesce(sum(gap), 0)::HUGEINT AS sg,
+         coalesce(sum(gap::HUGEINT * gap), 0)::HUGEINT AS sg2
+  FROM bra_g GROUP BY user_id),
+bra_r AS (
+  SELECT user_id, n_events, ng,
+         CASE WHEN ng > 0 THEN (sg // ng)::BIGINT ELSE 0 END
+           AS mean_gap_us,
+         CASE WHEN sg > 0
+              THEN ((1000000 * (ng * sg2 - sg * sg))
+                    // (sg * sg))::BIGINT
+              ELSE 0 END AS rvar_ppm
+  FROM bra_s)
+SELECT user_id, n_events, mean_gap_us, rvar_ppm,
+       (ng >= {min_gaps} AND mean_gap_us < {max_mean_gap_us}
+        AND rvar_ppm < {max_rvar_ppm})::BIGINT AS is_bot
+FROM bra_r ORDER BY user_id
+"""

@@ -455,3 +455,40 @@ def test_ann_recall_audit_bounds_and_self_consistency(ray_session):
     for _, r in out.iterrows():
         nbrs = bf.loc[bf["query_id"] == r["query_id"], "neighbor_id"]
         assert r["n_hit"] == sum((r["query_id"], n) in ivp for n in nbrs)
+
+
+# --------------------------------------------- bot_regularity_audit
+
+def test_bot_regularity_flags_constant_cadence(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import bot_regularity_audit
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")            # one second
+    rows = []
+    # user 1: perfect 10s cadence, 10 events -> bot
+    rows += [(1, base + 10 * i * s) for i in range(10)]
+    # user 2: bursty human-ish gaps
+    for i, off in enumerate([0, 3, 50, 51, 400, 1000, 1003, 5000]):
+        rows.append((2, base + off * s))
+    # user 3: regular but only 3 events (ng < 5) -> not flagged
+    rows += [(3, base + 5 * i * s) for i in range(3)]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    out = bot_regularity_audit(rd.from_arrow(tbl).repartition(2)) \
+        .to_pandas().set_index("user_id")
+
+    assert out.loc[1, "is_bot"] == 1
+    assert out.loc[1, "mean_gap_us"] == 10_000_000
+    assert out.loc[1, "rvar_ppm"] == 0
+    assert out.loc[2, "is_bot"] == 0
+    assert out.loc[3, "is_bot"] == 0
+    # exact relative variance for user 2
+    gaps = np.diff(sorted([3, 0, 50, 51, 400, 1000, 1003, 5000])) \
+        * 1_000_000
+    sg, sg2 = int(gaps.sum()), sum(int(g) * int(g) for g in gaps)
+    exp = 1_000_000 * (len(gaps) * sg2 - sg * sg) // (sg * sg)
+    assert out.loc[2, "rvar_ppm"] == exp
