@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_affinity": _q_basket_affinity,
         "ann_recall_audit": _q_ann_recall,
         "bot_regularity": _q_bot_regularity,
+        "mmr_diverse_topk": _q_mmr_topk,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1420,6 +1421,27 @@ def _bot_regularity_oracle() -> str:
     return bot_regularity_audit_sql()
 
 
+def _q_mmr_topk(sf_dir):
+    """MMR-diversified retrieval (kgruntime/ops/ann.py:mmr_topk)."""
+    import ray.data as rd
+
+    from kgruntime.ops.ann import mmr_topk
+
+    def emb():
+        return rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+
+    q, ids = _load_queries(sf_dir)
+    return mmr_topk(emb, q, ids, k=_ANN_K)
+
+
+def _mmr_topk_oracle() -> str:
+    from kgruntime.ops.ann import mmr_topk_sql
+
+    return mmr_topk_sql(k=_ANN_K, n_queries=_ANN_N_QUERIES)
+
+
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
 
 
@@ -2522,6 +2544,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_affinity": R.Q_BASKET_AFFINITY_SQL,
         "ann_recall_audit": _ann_recall_oracle(),
         "bot_regularity": _bot_regularity_oracle(),
+        "mmr_diverse_topk": _mmr_topk_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

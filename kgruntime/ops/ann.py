@@ -1642,3 +1642,148 @@ SELECT COALESCE(l.doc_id, e.doc_id)::BIGINT AS doc_id,
 FROM rf_lex l FULL OUTER JOIN rf_emb e USING (doc_id)
 ORDER BY rrf_score DESC, doc_id LIMIT {k}
 """
+
+
+def mmr_topk(emb_ds_factory, queries: np.ndarray, query_ids: list[int],
+             k: int = 5, m: int = 20, scale: int = _UNIT_SCALE):
+    """Maximal-marginal-relevance diversified retrieval — per query,
+    select ``k`` of its ``m`` brute-force candidates greedily by
+    ``dot(q, c) − max_{s∈selected} dot(c, s)`` (MMR at λ = ½, the ½
+    scales out of the argmax): ``(query_id, rank, neighbor_id)``.
+    Plain top-k returns near-duplicate neighbors; MMR trades relevance
+    for coverage — the retrieval-diversity op RAG stacks bolt on.
+
+    Scale shape: candidate generation is the existing distributed
+    brute-force kernel (broadcast queries, streamed scoring, float
+    ranking identical to the ann_topk oracle); ONE column-pruned
+    filtered pass fetches the ≤ |queries|·m + |queries| candidate
+    embeddings; the greedy loop runs on the driver over that bounded
+    set in exact int64 fixed-point dots (dim·scale² ≈ 6·10¹³ « 2⁶³),
+    so selection replays bit-for-bit in the unrolled SQL twin.
+    """
+    import ray
+
+    cand = brute_force_topk(emb_ds_factory(), queries, query_ids,
+                            k=m).to_pandas()
+    need = sorted(set(cand["neighbor_id"]) | set(query_ids))
+    need_ref = ray.put(np.array(need, np.int64))
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        import ray as _ray
+
+        ids = _cached_state(need_ref, lambda: _ray.get(need_ref))
+        return t.filter(_pc.is_in(t["vec_id"],
+                                  value_set=pa.array(ids, pa.int64())))
+
+    sub = pa.Table.from_pylist(
+        emb_ds_factory().map_batches(pick, batch_format="pyarrow",
+                                     zero_copy_batch=True).take_all())
+    ids_arr = _ids_vector(sub)
+    units = _units_matrix(_emb_matrix(sub), scale)
+    uv = {int(i): units[j] for j, i in enumerate(ids_arr)}
+
+    out_q, out_r, out_n = [], [], []
+    for qi, qid in enumerate(query_ids):
+        nbrs = sorted(cand.loc[cand["query_id"] == qid, "neighbor_id"]
+                      .astype(int))
+        qu = _units_matrix(queries[qi], scale)
+        dotq = {n: int(qu @ uv[n]) for n in nbrs}
+        sel: list[int] = []
+        rest = list(nbrs)
+        while rest and len(sel) < k:
+            if not sel:
+                best = max(rest, key=lambda n: (dotq[n], -n))
+            else:
+                best = max(
+                    rest,
+                    key=lambda n: (dotq[n] - max(int(uv[n] @ uv[s])
+                                                 for s in sel), -n))
+            sel.append(best)
+            rest.remove(best)
+        for r, n in enumerate(sel, 1):
+            out_q.append(int(qid)); out_r.append(r); out_n.append(n)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "neighbor_id": pa.array(out_n, pa.int64()),
+    })
+
+
+def mmr_topk_sql(k: int = 5, m: int = 20, n_queries: int = 10,
+                 scale: int = _UNIT_SCALE) -> str:
+    """Unrolled-round twin of :func:`mmr_topk`: float-cosine candidate
+    CTE (the ann_topk shape), integer unit dots via subscript join, and
+    k greedy selection rounds (round i picks the argmax of
+    dotq − max dot to the round-(i−1) selection set)."""
+    rounds = []
+    for i in range(2, k + 1):
+        rounds.append(f"""mmr_r{i} AS (
+  SELECT d.query_id, d.neighbor_id,
+         d.dotq - (SELECT max(p.dot) FROM mmr_pair p
+                   JOIN mmr_sel{i - 1} s
+                     ON s.query_id = p.query_id
+                    AND s.neighbor_id = p.nb
+                   WHERE p.query_id = d.query_id
+                     AND p.na = d.neighbor_id) AS sc
+  FROM mmr_dq d
+  WHERE NOT EXISTS (SELECT 1 FROM mmr_sel{i - 1} s
+                    WHERE s.query_id = d.query_id
+                      AND s.neighbor_id = d.neighbor_id)),
+mmr_s{i} AS (
+  SELECT query_id, {i}::BIGINT AS rank, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY sc DESC, neighbor_id ASC) AS rn FROM mmr_r{i})
+  WHERE rn = 1),
+mmr_sel{i} AS (
+  SELECT query_id, neighbor_id FROM mmr_sel{i - 1}
+  UNION ALL SELECT query_id, neighbor_id FROM mmr_s{i})""")
+    union = "\nUNION ALL\n".join(
+        [f"SELECT * FROM mmr_s{i}" for i in range(1, k + 1)])
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH mmr_q AS (SELECT vec_id, embedding FROM embeddings
+               ORDER BY vec_id LIMIT {n_queries}),
+mmr_cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+               q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+               e.vec_id ASC) AS rnk
+    FROM mmr_q q CROSS JOIN embeddings e
+    WHERE e.vec_id != q.vec_id)
+  WHERE rnk <= {m}),
+mmr_ux AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS u
+  FROM embeddings
+  WHERE vec_id IN (SELECT neighbor_id FROM mmr_cand)
+     OR vec_id IN (SELECT vec_id FROM mmr_q)),
+mmr_dq AS (
+  SELECT c.query_id, c.neighbor_id, sum(x.u * y.u)::BIGINT AS dotq
+  FROM mmr_cand c
+  JOIN mmr_ux x ON x.vec_id = c.query_id
+  JOIN mmr_ux y ON y.vec_id = c.neighbor_id AND y.i = x.i
+  GROUP BY 1, 2),
+mmr_pair AS (
+  SELECT c1.query_id, c1.neighbor_id AS na, c2.neighbor_id AS nb,
+         sum(x.u * y.u)::BIGINT AS dot
+  FROM mmr_cand c1
+  JOIN mmr_cand c2 ON c2.query_id = c1.query_id
+                  AND c2.neighbor_id != c1.neighbor_id
+  JOIN mmr_ux x ON x.vec_id = c1.neighbor_id
+  JOIN mmr_ux y ON y.vec_id = c2.neighbor_id AND y.i = x.i
+  GROUP BY 1, 2, 3),
+mmr_s1 AS (
+  SELECT query_id, 1::BIGINT AS rank, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY dotq DESC, neighbor_id ASC) AS rn FROM mmr_dq)
+  WHERE rn = 1),
+mmr_sel1 AS (SELECT query_id, neighbor_id FROM mmr_s1),
+{rounds_sql}
+{union}
+ORDER BY query_id, rank
+"""

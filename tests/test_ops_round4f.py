@@ -492,3 +492,59 @@ def test_bot_regularity_flags_constant_cadence(ray_session):
     sg, sg2 = int(gaps.sum()), sum(int(g) * int(g) for g in gaps)
     exp = 1_000_000 * (len(gaps) * sg2 - sg * sg) // (sg * sg)
     assert out.loc[2, "rvar_ppm"] == exp
+
+
+# --------------------------------------------- mmr_topk
+
+def test_mmr_topk_diversifies_vs_plain_topk(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import _units_matrix, brute_force_topk, mmr_topk
+
+    # 2 tight clusters of near-identical vectors + 1 loner; the query
+    # sits in cluster A: plain top-3 stays inside A, MMR must escape.
+    rng = np.random.RandomState(3)
+    base_a = rng.rand(8); base_b = rng.rand(8); base_c = rng.rand(8)
+    vecs = [base_a + 1e-4 * rng.rand(8) for _ in range(4)] \
+        + [base_b + 1e-4 * rng.rand(8) for _ in range(3)] \
+        + [base_c]
+    vecs = [(v / np.linalg.norm(v)).astype(np.float64) for v in vecs]
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+
+    def emb():
+        return rd.from_arrow(tbl).repartition(2)
+
+    q = np.array([vecs[0]])
+    out = mmr_topk(emb, q, [0], k=3, m=7).to_pandas()
+    assert list(out["rank"]) == [1, 2, 3]
+    mmr_set = set(out["neighbor_id"])
+    plain = brute_force_topk(emb(), q, [0], k=3).to_pandas()
+    plain_set = set(plain["neighbor_id"])
+    # plain top-3 all from cluster A (ids 1-3); MMR keeps a cluster-A
+    # hit at rank 1 (its round-1 criterion is the integer dot, which
+    # may pick a different near-identical A member than the float
+    # cosine) but pulls in at least one vector from outside cluster A
+    assert plain_set <= {1, 2, 3}
+    assert out.loc[out["rank"] == 1, "neighbor_id"].iloc[0] in {1, 2, 3}
+    assert any(n >= 4 for n in mmr_set)
+    del plain
+
+    # greedy reference replay on integer dots
+    units = {i: _units_matrix(v) for i, v in enumerate(vecs)}
+    qu = _units_matrix(vecs[0])
+    cand = sorted(plain_set | set(
+        brute_force_topk(emb(), q, [0], k=7).to_pandas()["neighbor_id"]))
+    dotq = {n: int(qu @ units[n]) for n in cand}
+    sel, rest = [], list(cand)
+    while rest and len(sel) < 3:
+        if not sel:
+            best = max(rest, key=lambda n: (dotq[n], -n))
+        else:
+            best = max(rest, key=lambda n: (
+                dotq[n] - max(int(units[n] @ units[s]) for s in sel), -n))
+        sel.append(best); rest.remove(best)
+    assert list(out["neighbor_id"]) == sel
