@@ -193,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_audit": _q_ann_recall,
         "bot_regularity": _q_bot_regularity,
         "mmr_diverse_topk": _q_mmr_topk,
+        # --- round-4g registrations (below slot 50; rotate into the
+        # r5 window, locally gated by check_oracle.py) ---
+        "pit_training_features": _q_pit_features,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1407,6 +1410,20 @@ def _ann_recall_oracle() -> str:
     return ann_recall_audit_sql(k=_ANN_K, n_queries=_ANN_N_QUERIES)
 
 
+def _q_pit_features(sf_dir):
+    """Point-in-time training features for purchase label events
+    (kgruntime/ops/sessions.py:pit_training_features)."""
+    from kgruntime.ops.sessions import pit_training_features
+
+    return pit_training_features(_events_ds(sf_dir))
+
+
+def _pit_features_oracle() -> str:
+    from kgruntime.ops.sessions import pit_training_features_sql
+
+    return pit_training_features_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2545,6 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_audit": _ann_recall_oracle(),
         "bot_regularity": _bot_regularity_oracle(),
         "mmr_diverse_topk": _mmr_topk_oracle(),
+        "pit_training_features": _pit_features_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -1882,3 +1882,123 @@ SELECT user_id, n_events, mean_gap_us, rvar_ppm,
         AND rvar_ppm < {max_rvar_ppm})::BIGINT AS is_bot
 FROM bra_r ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# point-in-time training features (feature backfill for label events)
+# ---------------------------------------------------------------------------
+
+def pit_training_features(events_ds):
+    """Point-in-time-correct training features: for every *purchase*
+    (the label event), features computed ONLY from that user's events
+    strictly before the label timestamp — the feature-backfill shape a
+    feature store runs when generating a training set (no future
+    leakage by construction).
+
+    Output (one row per purchase):
+      * ``n_prior_events``            — all-time prior event count
+      * ``prior_purchase_cents_30d``  — exact cents of prior purchases
+                                        in ``[ts-30d, ts)``
+      * ``n_types_7d``                — distinct event types seen in
+                                        ``[ts-7d, ts)``
+      * ``mins_since_prev``           — whole minutes since the user's
+                                        previous event (−1 if first)
+
+    Shape: ONE shuffle (the per-user groupby); inside each group a
+    vectorized ``np.searchsorted`` sweep over the user's time-sorted
+    arrays — O(n log n) per user vs the O(labels × events) band join
+    the SQL twin runs.  All features are exact integers (cents,
+    counts, floor-minutes), so the value hash is merge-order-free.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    d30 = 30 * 86_400_000_000
+    d7 = 7 * 86_400_000_000
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "n_prior_events": pa.array([], pa.int64()),
+        "prior_purchase_cents_30d": pa.array([], pa.int64()),
+        "n_types_7d": pa.array([], pa.int64()),
+        "mins_since_prev": pa.array([], pa.int64()),
+    })
+
+    def group(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        et = g["event_type"].take(pa.array(order))
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        if not is_p.any():
+            return empty
+        v = g["value"].to_numpy(zero_copy_only=False)[order] * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+
+        lts = ts[is_p]                        # label timestamps
+        # all-time strictly-prior count (ties on ts excluded, matching
+        # the twin's e.ts < l.ts)
+        n_prior = np.searchsorted(ts, lts, side="left")
+        # prior purchase cents in [ts-30d, ts): prefix sums over the
+        # purchase-only sorted arrays
+        pts = ts[is_p]
+        pcum = np.concatenate(([0], np.cumsum(cents[is_p])))
+        lo = np.searchsorted(pts, lts - d30, side="left")
+        hi = np.searchsorted(pts, lts, side="left")
+        p30 = pcum[hi] - pcum[lo]
+        # distinct types in [ts-7d, ts): one presence test per type in
+        # the group (type cardinality is tiny)
+        ntypes = np.zeros(len(lts), np.int64)
+        for t in pc.unique(et).to_pylist():
+            tts = ts[pc.equal(et, t).to_numpy(zero_copy_only=False)]
+            lo7 = np.searchsorted(tts, lts - d7, side="left")
+            hi7 = np.searchsorted(tts, lts, side="left")
+            ntypes += (hi7 > lo7)
+        # minutes since the previous event in (ts, event_id) order
+        prev = np.concatenate(([np.int64(-1)], ts[:-1]))
+        lbl_pos = np.flatnonzero(is_p)
+        mins = np.where(lbl_pos == 0, np.int64(-1),
+                        (lts - prev[lbl_pos]) // 60_000_000)
+        return pa.table({
+            "event_id": pa.array(eid[is_p], pa.int64()),
+            "user_id": pa.array(g["user_id"].to_numpy(
+                zero_copy_only=False)[order][is_p], pa.int64()),
+            "n_prior_events": pa.array(n_prior, pa.int64()),
+            "prior_purchase_cents_30d": pa.array(p30, pa.int64()),
+            "n_types_7d": pa.array(ntypes, pa.int64()),
+            "mins_since_prev": pa.array(mins, pa.int64()),
+        })
+
+    return events_ds.select_columns(
+        ["user_id", "ts", "event_type", "event_id", "value"]) \
+        .groupby("user_id").map_groups(group, batch_format="pyarrow")
+
+
+def pit_training_features_sql() -> str:
+    return """
+WITH pit_ord AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+pit_labels AS (
+  SELECT event_id, user_id, ts, prev_ts
+  FROM pit_ord WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+       count(e.event_id) AS n_prior_events,
+       coalesce(sum(CASE WHEN e.event_type = 'purchase'
+                          AND e.ts >= l.ts - INTERVAL 30 DAY
+                         THEN CAST(round(e.value * 100) AS BIGINT)
+                    END), 0)::BIGINT AS prior_purchase_cents_30d,
+       count(DISTINCT CASE WHEN e.ts >= l.ts - INTERVAL 7 DAY
+                           THEN e.event_type END) AS n_types_7d,
+       CASE WHEN l.prev_ts IS NULL THEN -1
+            ELSE (epoch_us(l.ts) - epoch_us(l.prev_ts)) // 60000000
+       END AS mins_since_prev
+FROM pit_labels l LEFT JOIN events e
+  ON e.user_id = l.user_id AND e.ts < l.ts
+GROUP BY l.event_id, l.user_id, l.ts, l.prev_ts
+ORDER BY l.event_id
+"""

@@ -1,0 +1,104 @@
+"""Round-4 (seventh wave) operators: point-in-time training features
+and later 4g additions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# --------------------------------------------- pit_training_features
+
+_US_MIN = 60_000_000
+_US_DAY = 86_400_000_000
+
+
+def _pit_brute(rows):
+    """Reference: per purchase, features over strictly-earlier events.
+
+    rows: list of (event_id, user_id, ts_us, event_type, cents)."""
+    out = {}
+    for eid, uid, ts, et, cents in rows:
+        if et != "purchase":
+            continue
+        mine = [r for r in rows if r[1] == uid]
+        prior = [r for r in mine if r[2] < ts]
+        p30 = sum(r[4] for r in prior
+                  if r[3] == "purchase" and r[2] >= ts - 30 * _US_DAY)
+        t7 = {r[3] for r in prior if r[2] >= ts - 7 * _US_DAY}
+        ordered = sorted(mine, key=lambda r: (r[2], r[0]))
+        pos = ordered.index((eid, uid, ts, et, cents))
+        mins = -1 if pos == 0 else (ts - ordered[pos - 1][2]) // _US_MIN
+        out[eid] = (len(prior), p30, len(t7), mins)
+    return out
+
+
+def _events_from(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] / 100.0 for r in rows], pa.float64()),
+    })).repartition(3)
+
+
+def test_pit_features_match_brute_force(ray_session):
+    from kgruntime.ops.sessions import pit_training_features
+
+    t0 = 1_700_000_000_000_000
+    rows = [
+        # user 1: purchase as very first event (mins_since_prev = -1)
+        (1, 1, t0, "purchase", 500),
+        (2, 1, t0 + 3 * _US_DAY, "click", 0),
+        (3, 1, t0 + 8 * _US_DAY, "view", 0),
+        # purchase exactly 30d after the first: the 30d window is
+        # [ts-30d, ts) -> the t0 purchase IS included (>= boundary)
+        (4, 1, t0 + 30 * _US_DAY, "purchase", 700),
+        # purchase with a tie on ts against a click (tie excluded:
+        # strictly-earlier only)
+        (5, 1, t0 + 31 * _US_DAY, "click", 0),
+        (6, 1, t0 + 31 * _US_DAY, "purchase", 900),
+        # user 2: clicks only -> no label rows
+        (7, 2, t0, "click", 0),
+        (8, 2, t0 + _US_MIN, "click", 0),
+        # user 3: purchase 7d + 1us after a view (outside 7d window)
+        (9, 3, t0, "view", 0),
+        (10, 3, t0 + 7 * _US_DAY + 1, "purchase", 100),
+    ]
+    got = pit_training_features(_events_from(rows)).to_pandas() \
+        .set_index("event_id").sort_index()
+    exp = _pit_brute(rows)
+    assert set(got.index) == set(exp)
+    for eid, (np_, p30, t7, mins) in exp.items():
+        r = got.loc[eid]
+        assert r["n_prior_events"] == np_, eid
+        assert r["prior_purchase_cents_30d"] == p30, eid
+        assert r["n_types_7d"] == t7, eid
+        assert r["mins_since_prev"] == mins, eid
+
+
+def test_pit_features_random_vs_brute(ray_session):
+    from kgruntime.ops.sessions import pit_training_features
+
+    rng = np.random.RandomState(7)
+    t0 = 1_700_000_000_000_000
+    rows = []
+    for eid in range(200):
+        rows.append((
+            eid,
+            int(rng.randint(0, 12)),
+            t0 + int(rng.randint(0, 40 * _US_DAY)),
+            ["click", "view", "purchase"][rng.randint(3)],
+            int(rng.randint(0, 10_000)),
+        ))
+    got = pit_training_features(_events_from(rows)).to_pandas() \
+        .set_index("event_id")
+    exp = _pit_brute(rows)
+    assert set(got.index) == set(exp)
+    for eid, (np_, p30, t7, mins) in exp.items():
+        r = got.loc[eid]
+        assert (r["n_prior_events"], r["prior_purchase_cents_30d"],
+                r["n_types_7d"], r["mins_since_prev"]) == \
+            (np_, p30, t7, mins), eid
