@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4g registrations (below slot 50; rotate into the
         # r5 window, locally gated by check_oracle.py) ---
         "pit_training_features": _q_pit_features,
+        "source_overlap_matrix": _q_source_overlap,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1424,6 +1425,20 @@ def _pit_features_oracle() -> str:
     return pit_training_features_sql()
 
 
+def _q_source_overlap(sf_dir):
+    """Cross-source content-overlap matrix
+    (kgruntime/ops/dedup.py:source_overlap_matrix)."""
+    from kgruntime.ops.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_docs_ds(sf_dir))
+
+
+def _source_overlap_oracle() -> str:
+    from kgruntime.ops.dedup import source_overlap_matrix_sql
+
+    return source_overlap_matrix_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2563,6 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "bot_regularity": _bot_regularity_oracle(),
         "mmr_diverse_topk": _mmr_topk_oracle(),
         "pit_training_features": _pit_features_oracle(),
+        "source_overlap_matrix": _source_overlap_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -2783,3 +2783,117 @@ SELECT e.doc_id,
 FROM sn_e e JOIN sn_m m ON m.gr = e.gr
 GROUP BY e.doc_id ORDER BY e.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-source content overlap matrix (shingle granularity)
+# ---------------------------------------------------------------------------
+
+def source_overlap_matrix(docs_ds, k: int = 3):
+    """Pairwise cross-source content overlap at ``k``-token shingle
+    granularity: for every unordered pair of sources, how many distinct
+    shingles appear in BOTH, plus the exact Jaccard overlap in ppm —
+    the "how much does crawl A duplicate crawl B" audit run before
+    mixing corpora (whole-text overlap is a special case but is
+    trivially zero on distinct-text corpora; shingles measure partial
+    copying too).
+
+    Scale shape: source cardinality is catalog-small (asserted ≤ 62),
+    so presence is a per-shingle BITMASK.  Three native vectorized hash
+    aggregations, no per-group Python and no pair blow-up:
+
+      1. batch-local distinct (md5-60 shingle hash, source_bit), then a
+         global ``groupby(h, bit).count()`` — after this every
+         (shingle, source) exists exactly once, so
+      2. ``groupby(h).sum(bit)`` IS the presence-OR (each bit summed
+         at most once), and
+      3. ``groupby(mask).count()`` leaves ≤ 2^n_sources rows — the
+         only thing the driver ever sees; pair expansion happens there
+         in exact integers.
+
+    Text never crosses an exchange (8-byte shingle hashes do).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    srcs = sorted(docs_ds.select_columns(["source"]).unique("source"))
+    assert len(srcs) <= 62, "bitmask overlap assumes catalog-small sources"
+    bit = {s: 1 << i for i, s in enumerate(srcs)}
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_h, out_b = [], []
+        for s, txt in zip(t["source"].to_pylist(),
+                          t["text"].to_pylist()):
+            toks = [w for w in txt.split(" ") if w]
+            if len(toks) < k:
+                continue
+            hs = {_md5_60_memo(" ".join(toks[i:i + k]))
+                  for i in range(len(toks) - k + 1)}
+            out_h.extend(hs)
+            out_b.extend([bit[s]] * len(hs))
+        b = pa.table({
+            "h": pa.array(np.array(out_h, np.uint64).astype(np.int64),
+                          pa.int64()),
+            "bitv": pa.array(out_b, pa.int64()),
+        })
+        return b.group_by(["h", "bitv"], use_threads=False) \
+            .aggregate([]).select(["h", "bitv"])
+
+    masks = docs_ds.select_columns(["text", "source"]) \
+        .map_batches(explode, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["h", "bitv"]).aggregate(Count()) \
+        .groupby("h").aggregate(Sum("bitv", alias_name="mask")) \
+        .groupby("mask").aggregate(Count(alias_name="n")) \
+        .take_all()
+
+    counts = [(int(r["mask"]), int(r["n"])) for r in masks]
+    tot = {i: sum(n for m, n in counts if (m >> i) & 1)
+           for i in range(len(srcs))}
+    out = {"src_a": [], "src_b": [], "n_shared": [], "overlap_ppm": []}
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            shared = sum(n for m, n in counts
+                         if (m >> i) & 1 and (m >> j) & 1)
+            if shared == 0:
+                continue
+            out["src_a"].append(srcs[i])
+            out["src_b"].append(srcs[j])
+            out["n_shared"].append(shared)
+            out["overlap_ppm"].append(
+                (1_000_000 * shared) // (tot[i] + tot[j] - shared))
+    return pa.table({
+        "src_a": pa.array(out["src_a"], pa.string()),
+        "src_b": pa.array(out["src_b"], pa.string()),
+        "n_shared": pa.array(out["n_shared"], pa.int64()),
+        "overlap_ppm": pa.array(out["overlap_ppm"], pa.int64()),
+    })
+
+
+def source_overlap_matrix_sql(k: int = 3) -> str:
+    """DuckDB twin: distinct k-token shingles per source (same
+    single-space split + empty filter as shingle_novelty_sql); gram
+    STRINGS stand in for the Ray side's md5-60 values."""
+    return f"""
+WITH som_t AS (
+  SELECT source, list_filter(string_split(text, ' '), w -> w != '') AS s
+  FROM documents),
+som_g AS (
+  SELECT source, unnest(list_distinct(list_transform(
+           range(1, len(s) - {k} + 2),
+           i -> array_to_string(s[i : i + {k} - 1], ' ')))) AS gr
+  FROM som_t WHERE len(s) >= {k}),
+som_h AS (SELECT DISTINCT gr, source FROM som_g),
+som_tot AS (SELECT source, count(*) AS n FROM som_h GROUP BY source),
+som_p AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM som_h a JOIN som_h b
+    ON a.gr = b.gr AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT p.src_a, p.src_b, p.n_shared,
+       ((1000000 * p.n_shared)
+        // (ta.n + tb.n - p.n_shared))::BIGINT AS overlap_ppm
+FROM som_p p
+JOIN som_tot ta ON ta.source = p.src_a
+JOIN som_tot tb ON tb.source = p.src_b
+ORDER BY p.src_a, p.src_b
+"""

@@ -102,3 +102,63 @@ def test_pit_features_random_vs_brute(ray_session):
         assert (r["n_prior_events"], r["prior_purchase_cents_30d"],
                 r["n_types_7d"], r["mins_since_prev"]) == \
             (np_, p30, t7, mins), eid
+
+
+# --------------------------------------------- source_overlap_matrix
+
+def _docs_from(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(3)
+
+
+def _overlap_brute(rows, k):
+    per_src = {}
+    for txt, src in rows:
+        toks = [w for w in txt.split(" ") if w]
+        gs = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        per_src.setdefault(src, set()).update(gs)
+    out = {}
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            sh = len(per_src[a] & per_src[b])
+            if sh:
+                un = len(per_src[a] | per_src[b])
+                out[(a, b)] = (sh, 1_000_000 * sh // un)
+    return out
+
+
+def test_source_overlap_matrix_vs_brute(ray_session):
+    from kgruntime.ops.dedup import source_overlap_matrix
+
+    rows = [
+        ("a b c d e", "s1"),
+        ("c d e f g", "s2"),       # shares shingle "c d e" with s1
+        ("x y z x y z x y", "s3"),  # repeated shingles, no overlap
+        ("a b c q r", "s2"),        # s2 also shares "a b c"
+        ("a b", "s1"),              # too short for k=3: no shingles
+    ]
+    got = source_overlap_matrix(_docs_from(rows), k=3).to_pandas()
+    exp = _overlap_brute(rows, 3)
+    assert {(r.src_a, r.src_b) for r in got.itertuples()} == set(exp)
+    for r in got.itertuples():
+        assert (r.n_shared, r.overlap_ppm) == exp[(r.src_a, r.src_b)]
+
+
+def test_source_overlap_matrix_random_vs_brute(ray_session):
+    from kgruntime.ops.dedup import source_overlap_matrix
+
+    rng = np.random.RandomState(11)
+    vocab = ["w%d" % i for i in range(9)]
+    rows = [(" ".join(rng.choice(vocab, rng.randint(3, 15))),
+             "s%d" % rng.randint(4)) for _ in range(60)]
+    got = source_overlap_matrix(_docs_from(rows), k=3).to_pandas()
+    exp = _overlap_brute(rows, 3)
+    assert {(r.src_a, r.src_b) for r in got.itertuples()} == set(exp)
+    for r in got.itertuples():
+        assert (r.n_shared, r.overlap_ppm) == exp[(r.src_a, r.src_b)]
