@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5 window, locally gated by check_oracle.py) ---
         "pit_training_features": _q_pit_features,
         "source_overlap_matrix": _q_source_overlap,
+        "near_split_leakage": _q_near_split_leakage,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1439,6 +1440,20 @@ def _source_overlap_oracle() -> str:
     return source_overlap_matrix_sql()
 
 
+def _q_near_split_leakage(sf_dir):
+    """Near-duplicate cross-split contamination audit
+    (kgruntime/ops/sample.py:near_split_leakage)."""
+    from kgruntime.ops.sample import near_split_leakage
+
+    return near_split_leakage(_docs_ds(sf_dir))
+
+
+def _near_split_leakage_oracle() -> str:
+    from kgruntime.ops.sample import near_split_leakage_sql
+
+    return near_split_leakage_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2579,6 +2594,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_diverse_topk": _mmr_topk_oracle(),
         "pit_training_features": _pit_features_oracle(),
         "source_overlap_matrix": _source_overlap_oracle(),
+        "near_split_leakage": _near_split_leakage_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -628,3 +628,65 @@ SELECT any_value(cut)::BIGINT AS cut_us,
         WHERE in_train = 1 AND in_test = 1)::BIGINT AS n_leak_users
 FROM eb_e
 """
+
+
+def near_split_leakage(docs_ds, threshold: float = 0.7,
+                       num_perm: int = 64, bands: int = 16,
+                       fractions: dict[str, float] | None = None):
+    """NEAR-duplicate cross-split contamination — the approximate
+    complement of ``split_leakage``: MinHash-LSH near-dup pairs
+    (estimated Jaccard ≥ ``threshold``) whose two docs were assigned to
+    DIFFERENT splits.  Exact-identical leaks are a special case; this
+    catches the paraphrase/truncation leaks that survive exact
+    dedup — the eval-contamination audit every split pipeline needs.
+
+    Output: (doc_a, doc_b, split_a, split_b, jaccard_est).
+
+    Scale shape: exactly ``minhash_near_dups``'s banded signature-only
+    exchange; the split decoration is a PURE function of doc_id
+    (``split_array``'s Knuth hash), so it costs zero additional
+    exchanges — computed per batch on the surviving pair rows.
+    """
+    from .dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(docs_ds, threshold=threshold,
+                              num_perm=num_perm, bands=bands)
+
+    def decorate(t: pa.Table) -> pa.Table:
+        sa = split_array(t["doc_a"], fractions)
+        sb = split_array(t["doc_b"], fractions)
+        keep = pc.invert(pc.equal(sa, sb))
+        return pa.table({
+            "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+            "split_a": sa, "split_b": sb,
+            "jaccard_est": t["jaccard_est"],
+        }).filter(keep)
+
+    return pairs.map_batches(decorate, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def near_split_leakage_sql(threshold: float = 0.7, num_perm: int = 64,
+                           bands: int = 16,
+                           fractions: dict[str, float] | None = None) -> str:
+    from .dedup import _minhash_pairs_cte_sql
+
+    names, cuts = _split_cuts(fractions)
+    body = _minhash_pairs_cte_sql(threshold, num_perm, bands, 3, 13, 200)
+
+    def case(col: str) -> str:
+        arms = " ".join(
+            f"WHEN ({col} * {_KNUTH}) % {_M32} < {hi} THEN '{s}'"
+            for s, hi in zip(names[:-1], cuts))
+        return f"CASE {arms} ELSE '{names[-1]}' END"
+
+    return f"""
+WITH {body}
+SELECT doc_a, doc_b,
+       {case('doc_a')} AS split_a,
+       {case('doc_b')} AS split_b,
+       jaccard_est
+FROM mh_pairs
+WHERE {case('doc_a')} <> {case('doc_b')}
+ORDER BY doc_a, doc_b
+"""

@@ -162,3 +162,42 @@ def test_source_overlap_matrix_random_vs_brute(ray_session):
     assert {(r.src_a, r.src_b) for r in got.itertuples()} == set(exp)
     for r in got.itertuples():
         assert (r.n_shared, r.overlap_ppm) == exp[(r.src_a, r.src_b)]
+
+
+# --------------------------------------------- near_split_leakage
+
+def test_near_split_leakage_is_cross_split_near_dups(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import minhash_near_dups
+    from kgruntime.ops.sample import near_split_leakage, split_array
+
+    rng = np.random.RandomState(3)
+    vocab = ["tok%d" % i for i in range(40)]
+    base = [" ".join(rng.choice(vocab, 30)) for _ in range(20)]
+    texts, ids = [], []
+    for i, b in enumerate(base):
+        texts.append(b)
+        ids.append(2 * i)
+        # near-dup twin: same text with one token changed
+        toks = b.split()
+        toks[5] = "tok_x"
+        texts.append(" ".join(toks))
+        ids.append(2 * i + 1)
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = rd.from_arrow(docs).repartition(4)
+
+    leaks = near_split_leakage(ds).to_pandas()
+    pairs = minhash_near_dups(rd.from_arrow(docs)).to_pandas()
+    s = {i: split_array(pa.array([i], pa.int64()))[0].as_py()
+         for i in ids}
+    exp = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)
+           if s[a] != s[b]}
+    assert exp, "fixture must produce at least one cross-split pair"
+    assert {(a, b) for a, b in zip(leaks.doc_a, leaks.doc_b)} == exp
+    for r in leaks.itertuples():
+        assert r.split_a == s[r.doc_a] and r.split_b == s[r.doc_b]
+        assert r.split_a != r.split_b
