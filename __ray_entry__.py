@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pit_training_features": _q_pit_features,
         "source_overlap_matrix": _q_source_overlap,
         "near_split_leakage": _q_near_split_leakage,
+        "dsir_importance": _q_dsir,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1454,6 +1455,20 @@ def _near_split_leakage_oracle() -> str:
     return near_split_leakage_sql()
 
 
+def _q_dsir(sf_dir):
+    """DSIR-style hashed-bigram importance scoring vs the en-domain
+    target (kgruntime/ops/text.py:dsir_importance)."""
+    from kgruntime.ops.text import dsir_importance
+
+    return dsir_importance(_docs_ds(sf_dir))
+
+
+def _dsir_oracle() -> str:
+    from kgruntime.ops.text import dsir_importance_sql
+
+    return dsir_importance_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2595,6 +2610,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_training_features": _pit_features_oracle(),
         "source_overlap_matrix": _source_overlap_oracle(),
         "near_split_leakage": _near_split_leakage_oracle(),
+        "dsir_importance": _dsir_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

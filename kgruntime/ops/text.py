@@ -2141,3 +2141,138 @@ def compression_quality(docs_ds, level: int = 6):
 
     return docs_ds.select_columns(["doc_id", "text"]) \
         .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- DSIR-style hashed-bigram importance scoring (data selection) ---
+
+_DSIR_SCALE = 1 << 20
+
+
+def dsir_importance(docs_ds, target_lang: str = "en",
+                    num_buckets: int = 1024):
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023) re-expressed in exact integers: score every doc by how much
+    its hashed-bigram distribution resembles a TARGET domain (here:
+    ``lang == target_lang`` docs) relative to the raw corpus, then flag
+    docs whose average importance ratio ≥ 1 for selection.
+
+    Per hashed bucket ``b`` (md5-60 of the bigram mod ``num_buckets``):
+    ``w[b] = (target_cnt+1) * 2^20 // (raw_cnt+1)`` — the add-1-
+    smoothed importance ratio in fixed point.  Per doc: the mean of
+    ``w`` over its bigram OCCURRENCES (floor), selected iff ≥ 2^20.
+
+    Scale shape: pass 1 pre-aggregates per-batch (bucket, tgt, raw)
+    partials so ONE groupby of ≤ num_buckets·n_blocks tiny rows builds
+    the weight table; the table (num_buckets ints, ~8 KB) broadcasts
+    into pass 2, which scores each batch independently — no further
+    exchange.  Docs with < 2 tokens have no bigrams and are absent
+    (matching the twin's ``len(t) >= 2`` guard).
+    """
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from .dedup import _md5_60_memo
+
+    def _explode(t: pa.Table, cols: list[str]) -> "pl.DataFrame":
+        df = pl.DataFrame({c: pl.from_arrow(t[c].combine_chunks())
+                           for c in cols})
+        return df.with_columns(
+            pl.col("text").str.split(" ")
+              .list.eval(pl.element().filter(pl.element() != ""))
+              .alias("w1")).drop("text") \
+            .explode("w1") \
+            .with_columns(pl.col("w1").shift(-1).over("doc_id")
+                          .alias("w2")) \
+            .drop_nulls("w2") \
+            .with_columns((pl.col("w1") + " " + pl.col("w2"))
+                          .alias("bg")).drop(["w1", "w2"])
+
+    def _buckets_for(bgs: "pl.Series") -> "pl.DataFrame":
+        uniq = bgs.unique().sort()
+        bk = np.array([_md5_60_memo(s) % num_buckets for s in uniq],
+                      np.int64)
+        return pl.DataFrame({"bg": uniq, "bucket": pl.Series(bk)})
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = _explode(t, ["doc_id", "text", "lang"])
+        if ex.height == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "tgt": pa.array([], pa.int64()),
+                             "raw": pa.array([], pa.int64())})
+        ex = ex.join(_buckets_for(ex["bg"]), on="bg")
+        agg = ex.group_by("bucket").agg(
+            (pl.col("lang") == target_lang).sum().cast(pl.Int64)
+            .alias("tgt"),
+            pl.len().cast(pl.Int64).alias("raw"))
+        return agg.to_arrow().cast(pa.schema(
+            [("bucket", pa.int64()), ("tgt", pa.int64()),
+             ("raw", pa.int64())]))
+
+    wt = docs_ds.select_columns(["doc_id", "text", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").aggregate(Sum("tgt", alias_name="tgt"),
+                                     Sum("raw", alias_name="raw")) \
+        .take_all()
+    W = np.ones(num_buckets, np.int64) * _DSIR_SCALE  # unseen: (0+1)/(0+1)
+    for r in wt:
+        W[int(r["bucket"])] = \
+            ((int(r["tgt"]) + 1) * _DSIR_SCALE) // (int(r["raw"]) + 1)
+
+    def score(t: pa.Table) -> pa.Table:
+        ex = _explode(t, ["doc_id", "text"])
+        if ex.height == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "avg_weight": pa.array([], pa.int64()),
+                             "selected": pa.array([], pa.int64())})
+        ex = ex.join(_buckets_for(ex["bg"]), on="bg")
+        ex = ex.with_columns(
+            pl.Series("w", W[ex["bucket"].to_numpy()]))
+        agg = ex.group_by("doc_id").agg(
+            pl.len().cast(pl.Int64).alias("n_bigrams"),
+            pl.col("w").sum().cast(pl.Int64).alias("score"))
+        agg = agg.with_columns(
+            (pl.col("score") // pl.col("n_bigrams")).alias("avg_weight"))
+        agg = agg.with_columns(
+            (pl.col("avg_weight") >= _DSIR_SCALE).cast(pl.Int64)
+            .alias("selected"))
+        return agg.select(["doc_id", "n_bigrams", "avg_weight",
+                           "selected"]).to_arrow().cast(pa.schema(
+            [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+             ("avg_weight", pa.int64()), ("selected", pa.int64())]))
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dsir_importance_sql(target_lang: str = "en",
+                        num_buckets: int = 1024) -> str:
+    return f"""
+WITH dsir_t AS (
+  SELECT doc_id, lang,
+         list_filter(str_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+dsir_p AS (
+  SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS bg
+  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+        FROM dsir_t WHERE len(t) >= 2)),
+dsir_b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(bg), 1, 15))::BIGINT % {num_buckets}
+           AS bucket
+  FROM dsir_p),
+dsir_w AS (
+  SELECT bucket,
+         ((sum((lang = '{target_lang}')::BIGINT) + 1) * {_DSIR_SCALE})
+           // (count(*) + 1) AS w
+  FROM dsir_b GROUP BY bucket),
+dsir_s AS (
+  SELECT d.doc_id, count(*) AS n_bigrams, sum(w.w) AS score
+  FROM dsir_b d JOIN dsir_w w USING (bucket)
+  GROUP BY d.doc_id)
+SELECT doc_id, n_bigrams,
+       (score // n_bigrams)::BIGINT AS avg_weight,
+       (score // n_bigrams >= {_DSIR_SCALE})::BIGINT AS selected
+FROM dsir_s ORDER BY doc_id
+"""

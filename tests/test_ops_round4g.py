@@ -201,3 +201,61 @@ def test_near_split_leakage_is_cross_split_near_dups(ray_session):
     for r in leaks.itertuples():
         assert r.split_a == s[r.doc_a] and r.split_b == s[r.doc_b]
         assert r.split_a != r.split_b
+
+
+# --------------------------------------------- dsir_importance
+
+def test_dsir_importance_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import _md5_60
+    from kgruntime.ops.text import _DSIR_SCALE, dsir_importance
+
+    rng = np.random.RandomState(5)
+    voc_en = ["alpha", "beta", "gamma", "delta"]
+    voc_de = ["eins", "zwei", "drei", "vier"]
+    rows = []
+    for i in range(40):
+        lang = "en" if i % 2 == 0 else "de"
+        voc = voc_en if lang == "en" else voc_de
+        # some cross-vocab docs to mix bucket stats
+        pool = voc + (voc_de if i % 5 == 0 else [])
+        rows.append((i, " ".join(rng.choice(pool, rng.randint(1, 12))),
+                     lang))
+    B = 64
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    })
+    got = dsir_importance(rd.from_arrow(docs).repartition(4),
+                          target_lang="en", num_buckets=B) \
+        .to_pandas().set_index("doc_id")
+
+    # brute force
+    bk = {}
+    occ = []  # (doc_id, lang, bucket)
+    for did, txt, lang in rows:
+        toks = [w for w in txt.split(" ") if w]
+        for a, b in zip(toks, toks[1:]):
+            bg = a + " " + b
+            if bg not in bk:
+                bk[bg] = _md5_60(bg.encode()) % B
+            occ.append((did, lang, bk[bg]))
+    w = {}
+    for b in {o[2] for o in occ}:
+        tgt = sum(1 for o in occ if o[2] == b and o[1] == "en")
+        raw = sum(1 for o in occ if o[2] == b)
+        w[b] = (tgt + 1) * _DSIR_SCALE // (raw + 1)
+    exp = {}
+    for did in {o[0] for o in occ}:
+        ws = [w[o[2]] for o in occ if o[0] == did]
+        avg = sum(ws) // len(ws)
+        exp[did] = (len(ws), avg, int(avg >= _DSIR_SCALE))
+    assert set(got.index) == set(exp)
+    for did, (n, avg, sel) in exp.items():
+        r = got.loc[did]
+        assert (r["n_bigrams"], r["avg_weight"], r["selected"]) == \
+            (n, avg, sel), did
+    # the fixture must exercise both selection outcomes
+    assert 0 < got["selected"].sum() < len(got)
