@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": _q_source_overlap,
         "near_split_leakage": _q_near_split_leakage,
         "dsir_importance": _q_dsir,
+        "rec_negative_samples": R.q_rec_negative_samples,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -2611,6 +2612,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_matrix": _source_overlap_oracle(),
         "near_split_leakage": _near_split_leakage_oracle(),
         "dsir_importance": _dsir_oracle(),
+        "rec_negative_samples": R.Q_REC_NEGATIVE_SAMPLES_SQL,
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -1699,3 +1699,103 @@ JOIN ba_m ma ON ma.typ = type_a
 JOIN ba_m mb ON mb.typ = type_b
 ORDER BY type_a, type_b
 """
+
+
+def q_rec_negative_samples(sf_dir: str, n_users: int = 20, k: int = 5):
+    """Deterministic negative sampling for recommender training: for
+    each of the ``n_users`` smallest custkeys that have orders, the
+    ``k`` parts they NEVER purchased with the smallest
+    ``md5-60(cust || '|' || part)`` — a uniform random-looking but
+    retry/resume-stable draw from the anti-join space (the classic
+    implicit-feedback negatives step).  Output: (custkey, partkey,
+    neg_rank).
+
+    Scale shape: the user panel is bounded (``n_users``), so its
+    positive part-sets broadcast as plain sets (each bounded by a
+    customer's purchase history); the PART CATALOG is the big side and
+    is never collected — each batch of parts scores n_users × batch
+    hashes vectorized-per-user and keeps its local top-k per user, so
+    the driver merge sees ≤ n_users · k · n_blocks rows.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .ops.dedup import _md5_60
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    users = sorted(orders.select_columns(["o_custkey"])
+                   .unique("o_custkey"))[:n_users]
+    uset = set(users)
+
+    okeys = [(r["o_orderkey"], r["o_custkey"]) for r in
+             orders.map_batches(
+                 lambda t: t.filter(pc.is_in(
+                     t["o_custkey"], value_set=pa.array(users))),
+                 batch_format="pyarrow", zero_copy_batch=True)
+             .take_all()]
+    o2c = {ok: c for ok, c in okeys}
+    okey_arr = pa.array(list(o2c), pa.int64())
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pos_rows = li.map_batches(
+        lambda t: t.filter(pc.is_in(t["l_orderkey"],
+                                    value_set=okey_arr)),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    pos: dict[int, set[int]] = {c: set() for c in users}
+    for r in pos_rows:
+        pos[o2c[r["l_orderkey"]]].add(r["l_partkey"])
+
+    def cand(t: pa.Table) -> pa.Table:
+        parts = t["p_partkey"].to_pylist()
+        out_c, out_p, out_h = [], [], []
+        for c in users:
+            banned = pos[c]
+            ph = [(_md5_60(f"{c}|{p}".encode()), p)
+                  for p in parts if p not in banned]
+            if len(ph) > k:
+                ph = sorted(ph)[:k]
+            for h, p in ph:
+                out_c.append(c)
+                out_p.append(p)
+                out_h.append(h)
+        return pa.table({"custkey": pa.array(out_c, pa.int64()),
+                         "partkey": pa.array(out_p, pa.int64()),
+                         "h": pa.array(out_h, pa.int64())})
+
+    rows = _read(sf_dir, "part", columns=["p_partkey"]) \
+        .map_batches(cand, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all()
+    by_user: dict[int, list] = {c: [] for c in users}
+    for r in rows:
+        by_user[r["custkey"]].append((r["h"], r["partkey"]))
+    out_c, out_p, out_r = [], [], []
+    for c in users:
+        for rank, (h, p) in enumerate(sorted(by_user[c])[:k], 1):
+            out_c.append(c)
+            out_p.append(p)
+            out_r.append(rank)
+    return pa.table({"custkey": pa.array(out_c, pa.int64()),
+                     "partkey": pa.array(out_p, pa.int64()),
+                     "neg_rank": pa.array(out_r, pa.int64())})
+
+
+Q_REC_NEGATIVE_SAMPLES_SQL = """
+WITH rns_u AS (
+  SELECT DISTINCT o_custkey AS c FROM orders ORDER BY c LIMIT 20),
+rns_pos AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IN (SELECT c FROM rns_u)),
+rns_cand AS (
+  SELECT u.c, p.p_partkey AS p,
+         ('0x' || substr(md5(u.c || '|' || p.p_partkey), 1, 15))::BIGINT
+           AS h
+  FROM rns_u u CROSS JOIN part p
+  WHERE NOT EXISTS (SELECT 1 FROM rns_pos q
+                    WHERE q.c = u.c AND q.p = p.p_partkey)),
+rns_r AS (
+  SELECT c, p, row_number() OVER (PARTITION BY c ORDER BY h, p) AS rn
+  FROM rns_cand)
+SELECT c AS custkey, p AS partkey, rn AS neg_rank
+FROM rns_r WHERE rn <= 5 ORDER BY custkey, neg_rank
+"""

@@ -259,3 +259,27 @@ def test_dsir_importance_vs_brute(ray_session):
             (n, avg, sel), did
     # the fixture must exercise both selection outcomes
     assert 0 < got["selected"].sum() < len(got)
+
+
+# --------------------------------------------- rec_negative_samples
+
+def test_rec_negative_samples_excludes_positives_sf0001(ray_session):
+    import duckdb
+
+    from kgruntime.relational import q_rec_negative_samples
+
+    sf = "/root/testdata/sf0.001"
+    got = q_rec_negative_samples(sf).to_pandas()
+    pos = duckdb.sql(f"""
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM '{sf}/orders.parquet' o
+        JOIN '{sf}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+    """).df()
+    pset = set(zip(pos.c, pos.p))
+    assert len(got) == 20 * 5
+    assert not any((c, p) in pset
+                   for c, p in zip(got.custkey, got.partkey))
+    # ranks are 1..k per user, pairs unique
+    for c, grp in got.groupby("custkey"):
+        assert sorted(grp.neg_rank) == [1, 2, 3, 4, 5]
+    assert len(set(zip(got.custkey, got.partkey))) == len(got)
