@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_split_leakage": _q_near_split_leakage,
         "dsir_importance": _q_dsir,
         "rec_negative_samples": R.q_rec_negative_samples,
+        "markov_next_event": _q_markov_next_event,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1470,6 +1471,21 @@ def _dsir_oracle() -> str:
     return dsir_importance_sql()
 
 
+def _q_markov_next_event(sf_dir):
+    """Markov next-event predictor trained on train-split users,
+    exact accuracy on test users
+    (kgruntime/ops/sessions.py:markov_next_event_accuracy)."""
+    from kgruntime.ops.sessions import markov_next_event_accuracy
+
+    return markov_next_event_accuracy(_events_ds(sf_dir))
+
+
+def _markov_oracle() -> str:
+    from kgruntime.ops.sessions import markov_next_event_accuracy_sql
+
+    return markov_next_event_accuracy_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2613,6 +2629,7 @@ def oracle_sql() -> dict[str, str]:
         "near_split_leakage": _near_split_leakage_oracle(),
         "dsir_importance": _dsir_oracle(),
         "rec_negative_samples": R.Q_REC_NEGATIVE_SAMPLES_SQL,
+        "markov_next_event": _markov_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -2002,3 +2002,121 @@ FROM pit_labels l LEFT JOIN events e
 GROUP BY l.event_id, l.user_id, l.ts, l.prev_ts
 ORDER BY l.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event model: train on train-split users, eval on test
+# ---------------------------------------------------------------------------
+
+def markov_next_event_accuracy(events_ds):
+    """Train/eval a first-order Markov next-event-type predictor with a
+    user-level hash split (80/20 via the same Knuth hash as
+    ``split_assign``, so no user leaks across sides): the predictor is
+    argmax of train transition counts (ties broken by lexicographic
+    next-type), scored on the test users' consecutive pairs.
+
+    Output per prev_type seen on BOTH sides:
+    (prev_type, n_pairs, n_correct, acc_ppm) — exact integers.
+
+    Scale shape: ONE per-user groupby computes each user's ordered
+    consecutive-pair counts and tags them train/test from the pure
+    user_id hash (zero extra exchange); a native
+    ``groupby(split, prev, nxt).sum`` leaves a |types|²-bounded matrix
+    — the only thing the driver sees; argmax + accuracy finish there.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .sample import _KNUTH, _M32
+
+    cut = int(0.2 * _M32)   # sorted-name cuts: test < 0.2, train rest
+
+    _schema = pa.schema([("split", pa.string()), ("prev", pa.string()),
+                         ("nxt", pa.string()), ("cnt", pa.int64())])
+
+    def group(g: pd.DataFrame) -> pa.Table:
+        # Arrow out: this feeds a downstream groupby (the 20×
+        # pandas-block sort lesson)
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return _schema.empty_table()
+        uid = int(g["user_id"].iloc[0])
+        split = "test" if (uid * _KNUTH) % _M32 < cut else "train"
+        pairs = pd.DataFrame({"prev": et[:-1], "nxt": et[1:]})
+        out = pairs.groupby(["prev", "nxt"], sort=False).size() \
+            .rename("cnt").reset_index()
+        out.insert(0, "split", split)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .cast(_schema)
+
+    mat = events_ds.select_columns(
+        ["user_id", "ts", "event_id", "event_type"]) \
+        .groupby("user_id").map_groups(group, batch_format="pandas") \
+        .groupby(["split", "prev", "nxt"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")).take_all()
+
+    train: dict[str, list] = {}
+    test: dict[str, dict] = {}
+    for r in mat:
+        if r["split"] == "train":
+            train.setdefault(r["prev"], []).append(
+                (-int(r["cnt"]), r["nxt"]))
+        else:
+            test.setdefault(r["prev"], {})[r["nxt"]] = int(r["cnt"])
+    pred = {p: min(v)[1] for p, v in train.items()}
+
+    out = {"prev_type": [], "n_pairs": [], "n_correct": [],
+           "acc_ppm": []}
+    for p in sorted(set(pred) & set(test)):
+        n = sum(test[p].values())
+        c = test[p].get(pred[p], 0)
+        out["prev_type"].append(p)
+        out["n_pairs"].append(n)
+        out["n_correct"].append(c)
+        out["acc_ppm"].append((1_000_000 * c) // n)
+    return pa.table({
+        "prev_type": pa.array(out["prev_type"], pa.string()),
+        "n_pairs": pa.array(out["n_pairs"], pa.int64()),
+        "n_correct": pa.array(out["n_correct"], pa.int64()),
+        "acc_ppm": pa.array(out["acc_ppm"], pa.int64()),
+    })
+
+
+def markov_next_event_accuracy_sql() -> str:
+    from .sample import _KNUTH, _M32
+
+    cut = int(0.2 * _M32)
+    return f"""
+WITH mk_o AS (
+  SELECT user_id, event_type,
+         CASE WHEN (user_id * {_KNUTH}) % {_M32} < {cut}
+              THEN 'test' ELSE 'train' END AS split,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+mk_p AS (
+  SELECT split, event_type AS prev, nxt FROM mk_o
+  WHERE nxt IS NOT NULL),
+mk_tr AS (
+  SELECT prev, nxt, count(*) AS cnt FROM mk_p
+  WHERE split = 'train' GROUP BY prev, nxt),
+mk_pred AS (
+  SELECT prev, nxt AS pred FROM (
+    SELECT prev, nxt, row_number() OVER (
+      PARTITION BY prev ORDER BY cnt DESC, nxt) AS rn
+    FROM mk_tr) WHERE rn = 1),
+mk_te AS (
+  SELECT prev, nxt, count(*) AS cnt FROM mk_p
+  WHERE split = 'test' GROUP BY prev, nxt),
+mk_a AS (
+  SELECT t.prev, sum(t.cnt) AS n_pairs,
+         coalesce(sum(CASE WHEN t.nxt = pr.pred THEN t.cnt END), 0)
+           AS n_correct
+  FROM mk_te t JOIN mk_pred pr ON pr.prev = t.prev
+  GROUP BY t.prev)
+SELECT prev AS prev_type, n_pairs::BIGINT AS n_pairs,
+       n_correct::BIGINT AS n_correct,
+       ((1000000 * n_correct) // n_pairs)::BIGINT AS acc_ppm
+FROM mk_a ORDER BY prev_type
+"""

@@ -283,3 +283,52 @@ def test_rec_negative_samples_excludes_positives_sf0001(ray_session):
     for c, grp in got.groupby("custkey"):
         assert sorted(grp.neg_rank) == [1, 2, 3, 4, 5]
     assert len(set(zip(got.custkey, got.partkey))) == len(got)
+
+
+# --------------------------------------------- markov_next_event_accuracy
+
+def test_markov_next_event_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sample import _KNUTH, _M32
+    from kgruntime.ops.sessions import markov_next_event_accuracy
+
+    rng = np.random.RandomState(9)
+    types = ["click", "view", "purchase"]
+    rows = []
+    eid = 0
+    t0 = 1_700_000_000_000_000
+    for uid in range(30):
+        for j in range(rng.randint(2, 12)):
+            rows.append((eid, uid, t0 + j * 60_000_000,
+                         types[rng.randint(3)]))
+            eid += 1
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })).repartition(4)
+    got = markov_next_event_accuracy(ds).to_pandas() \
+        .set_index("prev_type")
+
+    cut = int(0.2 * _M32)
+    tr, te = {}, {}
+    for uid in range(30):
+        mine = sorted(r for r in rows if r[1] == uid)
+        side = tr if (uid * _KNUTH) % _M32 >= cut else te
+        for a, b in zip(mine, mine[1:]):
+            side.setdefault(a[3], {})
+            side[a[3]][b[3]] = side[a[3]].get(b[3], 0) + 1
+    pred = {p: min(((-c, n) for n, c in v.items()))[1]
+            for p, v in tr.items()}
+    exp = {}
+    for p in set(pred) & set(te):
+        n = sum(te[p].values())
+        c = te[p].get(pred[p], 0)
+        exp[p] = (n, c, 1_000_000 * c // n)
+    assert exp, "fixture must cover both splits"
+    assert set(got.index) == set(exp)
+    for p, (n, c, a) in exp.items():
+        r = got.loc[p]
+        assert (r["n_pairs"], r["n_correct"], r["acc_ppm"]) == (n, c, a)
