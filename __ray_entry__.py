@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance": _q_dsir,
         "rec_negative_samples": R.q_rec_negative_samples,
         "markov_next_event": _q_markov_next_event,
+        "rp_projection_recall": _q_rp_recall,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1486,6 +1487,26 @@ def _markov_oracle() -> str:
     return markov_next_event_accuracy_sql()
 
 
+def _q_rp_recall(sf_dir):
+    """Signed-random-projection recall audit
+    (kgruntime/ops/ann.py:rp_projection_recall)."""
+    import ray.data as rd
+
+    from kgruntime.ops.ann import rp_projection_recall
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q, ids = _load_queries(sf_dir)
+    return rp_projection_recall(emb, q, ids, k=_ANN_K)
+
+
+def _rp_recall_oracle() -> str:
+    from kgruntime.ops.ann import rp_projection_recall_sql
+
+    return rp_projection_recall_sql(dim=_EMB_DIM, k=_ANN_K,
+                                    n_queries=_ANN_N_QUERIES)
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2630,6 +2651,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": _dsir_oracle(),
         "rec_negative_samples": R.Q_REC_NEGATIVE_SAMPLES_SQL,
         "markov_next_event": _markov_oracle(),
+        "rp_projection_recall": _rp_recall_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -1787,3 +1787,166 @@ mmr_sel1 AS (SELECT query_id, neighbor_id FROM mmr_s1),
 {union}
 ORDER BY query_id, rank
 """
+
+
+# --- signed random-projection (Johnson-Lindenstrauss) recall audit ---------
+
+class _RPRecallScorer:
+    """Task-pool scorer (built once per worker via ``_cached_state``):
+    per-batch top-k partials under the full-dim exact ranking AND the
+    ``n_proj``-dim signed-random-projection ranking."""
+
+    def __init__(self, ref, k: int, n_proj: int, seed: int):
+        import ray
+
+        queries, query_ids = ray.get(ref)
+        self.uq = _units_matrix(np.asarray(queries, np.float64))
+        rng = np.random.RandomState(seed)
+        self.S = (rng.randint(0, 2, size=(n_proj, self.uq.shape[1]))
+                  * 2 - 1).astype(np.int64)
+        self.vq = self.uq @ self.S.T            # exact int projections
+        self.query_ids = np.asarray(list(query_ids), np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.int64()),
+                          "method": pa.array([], pa.string())})
+        if batch.num_rows == 0 or len(self.query_ids) == 0:
+            return empty
+        ids = _ids_vector(batch)
+        ud = _units_matrix(_emb_matrix(batch))
+        vd = ud @ self.S.T
+        keys = {"exact": self.uq @ ud.T, "rp": self.vq @ vd.T}
+        k = min(self.k, len(ids))
+        qs, ns, ks, ms = [], [], [], []
+        for method, s in keys.items():
+            part = np.argpartition(-s, k - 1, axis=1)[:, :k]
+            qs.append(np.repeat(self.query_ids, k))
+            ns.append(ids[part].ravel())
+            ks.append(np.take_along_axis(s, part, axis=1).ravel())
+            ms.extend([method] * (len(self.query_ids) * k))
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(qs), pa.int64()),
+             pa.array(np.concatenate(ns), pa.int64()),
+             pa.array(np.concatenate(ks), pa.int64()),
+             pa.array(ms, pa.string())],
+            names=["query_id", "neighbor_id", "key", "method"])
+
+
+def rp_projection_recall(emb_ds, queries: np.ndarray,
+                         query_ids: list[int], k: int = 5,
+                         n_proj: int = 16, seed: int = 29):
+    """Recall@k of inner-product search in a ``n_proj``-dim signed
+    random projection (Rademacher ±1 — the integer-exact
+    Johnson-Lindenstrauss / Achlioptas family) against full-dim exact
+    search — the "what does a 4× dim reduction cost" audit run before
+    shipping a compressed index.  Returns (query_id, n_match,
+    recall_ppm).
+
+    Both rankings use EXACT INT64 sort keys (ties → neighbor_id ASC):
+    exact ``Σ u_q·u_d`` over round(x·10⁶) units; projected
+    ``Σ (S u_q)·(S u_d)`` with the seeded ±1 matrix S — so the DuckDB
+    twin replays both top-k sets and the recall bit-for-bit.
+
+    Task-pool shape (ann_topk precedent): broadcast query matrix
+    fetched once per worker process; per-batch work is two integer
+    matmuls; the exchange carries 2·k partial rows per (query, batch).
+    """
+    import ray
+
+    ref = ray.put((np.asarray(queries, np.float64), list(query_ids)))
+
+    def score(batch: pa.Table, ref=ref) -> pa.Table:
+        scorer = _cached_state(
+            ref, lambda: _RPRecallScorer(ref, k + 1, n_proj, seed))
+        return scorer(batch)
+
+    partials = emb_ds.map_batches(score, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .filter(expr="query_id != neighbor_id")
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        meth = group["method"].to_pylist()
+        tops = {}
+        for want in ("exact", "rp"):
+            idx = [i for i, m in enumerate(meth) if m == want]
+            order = sorted(idx, key=lambda i: (-key[i], nid[i]))
+            seen, picked = set(), []
+            for i in order:
+                if nid[i] not in seen:
+                    seen.add(nid[i])
+                    picked.append(nid[i])
+                if len(picked) == k:
+                    break
+            tops[want] = set(picked)
+        n_match = len(tops["exact"] & tops["rp"])
+        return pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "n_match": pa.array([n_match], pa.int64()),
+            "recall_ppm": pa.array([n_match * 1_000_000 // k],
+                                   pa.int64())})
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")
+
+
+def rp_projection_recall_sql(dim: int, k: int = 5, n_queries: int = 10,
+                             n_proj: int = 16, seed: int = 29,
+                             scale: int = _UNIT_SCALE) -> str:
+    """DuckDB twin: the same seeded ±1 planes embedded as 0/1 literal
+    strings (lsh_keys_cte_sql precedent), same integer units, same sort
+    keys, same intersection count."""
+    rng = np.random.RandomState(seed)
+    S = rng.randint(0, 2, size=(n_proj, dim)) * 2 - 1
+    rows = ", ".join(
+        "({}, '{}')".format(
+            j, "".join("1" if v == 1 else "0" for v in S[j]))
+        for j in range(n_proj))
+    return f"""
+WITH rp_e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS u
+  FROM embeddings),
+rp_q AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+         LIMIT {n_queries}),
+rp_pl AS (SELECT * FROM (VALUES {rows}) AS t(j, s)),
+rp_v AS MATERIALIZED (
+  SELECT e.vec_id, p.j,
+         sum(CASE WHEN substr(p.s, e.i::INT, 1) = '1'
+                  THEN e.u ELSE -e.u END) AS v
+  FROM rp_e e CROSS JOIN rp_pl p
+  GROUP BY e.vec_id, p.j),
+rp_dot_e AS (
+  SELECT qe.vec_id AS qid, de.vec_id AS nid, sum(qe.u * de.u) AS s
+  FROM rp_e qe JOIN rp_q ON rp_q.vec_id = qe.vec_id
+  JOIN rp_e de ON de.i = qe.i AND de.vec_id != qe.vec_id
+  GROUP BY 1, 2),
+rp_dot_p AS (
+  SELECT qv.vec_id AS qid, dv.vec_id AS nid, sum(qv.v * dv.v) AS s
+  FROM rp_v qv JOIN rp_q ON rp_q.vec_id = qv.vec_id
+  JOIN rp_v dv ON dv.j = qv.j AND dv.vec_id != qv.vec_id
+  GROUP BY 1, 2),
+rp_rank_e AS (
+  SELECT qid, nid, row_number() OVER (
+    PARTITION BY qid ORDER BY s DESC, nid ASC) AS rn FROM rp_dot_e),
+rp_rank_p AS (
+  SELECT qid, nid, row_number() OVER (
+    PARTITION BY qid ORDER BY s DESC, nid ASC) AS rn FROM rp_dot_p),
+rp_match AS (
+  SELECT a.qid, count(*) AS n_match
+  FROM (SELECT qid, nid FROM rp_rank_e WHERE rn <= {k}) a
+  JOIN (SELECT qid, nid FROM rp_rank_p WHERE rn <= {k}) b
+    ON b.qid = a.qid AND b.nid = a.nid
+  GROUP BY a.qid)
+SELECT q.vec_id AS query_id,
+       coalesce(m.n_match, 0)::BIGINT AS n_match,
+       (coalesce(m.n_match, 0) * 1000000 // {k})::BIGINT AS recall_ppm
+FROM rp_q q LEFT JOIN rp_match m ON m.qid = q.vec_id
+ORDER BY query_id
+"""

@@ -332,3 +332,47 @@ def test_markov_next_event_vs_brute(ray_session):
     for p, (n, c, a) in exp.items():
         r = got.loc[p]
         assert (r["n_pairs"], r["n_correct"], r["acc_ppm"]) == (n, c, a)
+
+
+# --------------------------------------------- rp_projection_recall
+
+def test_rp_projection_recall_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import (_units_matrix, rp_projection_recall)
+
+    rng = np.random.RandomState(13)
+    n, dim, k, n_proj, seed = 60, 24, 4, 12, 29
+    X = rng.randn(n, dim)
+    ids = list(range(n))
+    emb = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, x)) for x in X],
+                              pa.list_(pa.float32())),
+    })
+    # query set = first 5 vectors; the Ray op reads float32-rounded
+    # values, so brute-force from the same table contents
+    Xf = np.array(emb["embedding"].combine_chunks().flatten()
+                  .to_numpy(zero_copy_only=False),
+                  np.float64).reshape(n, dim)
+    q_ids = ids[:5]
+    Q = Xf[:5]
+    got = rp_projection_recall(
+        rd.from_arrow(emb).repartition(4), Q, q_ids, k=k,
+        n_proj=n_proj, seed=seed).to_pandas().set_index("query_id")
+
+    U = _units_matrix(Xf)
+    S = (np.random.RandomState(seed)
+         .randint(0, 2, size=(n_proj, dim)) * 2 - 1).astype(np.int64)
+    V = U @ S.T
+    for qi, qid in enumerate(q_ids):
+        se = U[qi] @ U.T
+        sp = V[qi] @ V.T
+        cand = [i for i in ids if i != qid]
+        top_e = set(sorted(cand, key=lambda i: (-se[i], i))[:k])
+        top_p = set(sorted(cand, key=lambda i: (-sp[i], i))[:k])
+        m = len(top_e & top_p)
+        r = got.loc[qid]
+        assert (r["n_match"], r["recall_ppm"]) == (m, m * 1_000_000 // k)
+    # projection must be lossy-but-informative on random data
+    assert 0 < got["n_match"].sum() <= 5 * k
