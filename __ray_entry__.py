@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rec_negative_samples": R.q_rec_negative_samples,
         "markov_next_event": _q_markov_next_event,
         "rp_projection_recall": _q_rp_recall,
+        "dp_noisy_counts": _q_dp_noisy,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1507,6 +1508,20 @@ def _rp_recall_oracle() -> str:
                                     n_queries=_ANN_N_QUERIES)
 
 
+def _q_dp_noisy(sf_dir):
+    """Deterministic discrete-Laplace noisy count release
+    (kgruntime/ops/stats.py:dp_noisy_counts)."""
+    from kgruntime.ops.stats import dp_noisy_counts
+
+    return dp_noisy_counts(_events_ds(sf_dir))
+
+
+def _dp_noisy_oracle() -> str:
+    from kgruntime.ops.stats import dp_noisy_counts_sql
+
+    return dp_noisy_counts_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2652,6 +2667,7 @@ def oracle_sql() -> dict[str, str]:
         "rec_negative_samples": R.Q_REC_NEGATIVE_SAMPLES_SQL,
         "markov_next_event": _markov_oracle(),
         "rp_projection_recall": _rp_recall_oracle(),
+        "dp_noisy_counts": _dp_noisy_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -757,3 +757,95 @@ JOIN mad_med m USING ({key})
 JOIN mad_mad x USING ({key})
 GROUP BY c.{key} ORDER BY c.{key}
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic differential-privacy-style noisy release
+# ---------------------------------------------------------------------------
+
+def _dlaplace_thresholds(zmax: int = 8) -> list[tuple[int, int]]:
+    """Integer inverse-CDF thresholds for a discrete Laplace (two-sided
+    geometric, b = 1, truncated to [−zmax, zmax]) on a 60-bit uniform:
+    ``(z, floor(CDF(z) · 2^60))`` in z order.  The noise draw is the
+    first z whose threshold exceeds the hash.  The constants derive
+    once from IEEE ``exp`` on the driver and are INLINED into the SQL
+    twin, so both engines compare against bit-identical literals (the
+    ``_poisson1_thresholds`` pattern)."""
+    import math
+
+    zs = list(range(-zmax, zmax + 1))
+    w = [math.exp(-abs(z)) for z in zs]
+    tot = sum(w)
+    out, cum = [], 0.0
+    for z, wi in zip(zs, w):
+        cum += wi
+        out.append((z, int(cum / tot * (1 << 60))))
+    return out
+
+
+def dp_noisy_counts(events_ds, zmax: int = 8):
+    """Differentially-private-STYLE release of per-(event_type, day)
+    counts: true counts plus deterministic discrete-Laplace(b=1) noise
+    drawn from ``md5-60(event_type|day)``, clamped at 0 — the noisy
+    histogram a privacy layer publishes instead of raw counts.  (A
+    real DP deployment needs a secret seed; the seeded-hash draw here
+    makes the RELEASE MECHANISM exactly testable and retry-stable,
+    which is the engine property under test.)
+
+    Output: (event_type, day, noisy_count).
+
+    Scale shape: ONE native groupby builds the (type, day) count table
+    (bounded by |types| × |days|, not the corpus); the noise decoration
+    is a pure per-row function.
+    """
+    thr = _dlaplace_thresholds(zmax)
+    T = np.array([t for _, t in thr], np.uint64)
+    Z = np.array([z for z, _ in thr], np.int64)
+
+    def decorate(t: pa.Table) -> pa.Table:
+        from .dedup import _md5_60
+
+        et = t["event_type"].to_pylist()
+        day = t["day"].to_numpy(zero_copy_only=False)
+        c = t["count()"].to_numpy(zero_copy_only=False)
+        h = np.array([_md5_60(f"{e}|{d}".encode())
+                      for e, d in zip(et, day)], np.uint64)
+        idx = np.minimum(np.searchsorted(T, h, side="right"), len(Z) - 1)
+        noisy = np.maximum(c + Z[idx], 0)
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pa.array(day, pa.int64()),
+            "noisy_count": pa.array(noisy, pa.int64()),
+        })
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    return events_ds.select_columns(["event_type", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["event_type", "day"]).count() \
+        .map_batches(decorate, batch_format="pyarrow")
+
+
+def dp_noisy_counts_sql(zmax: int = 8) -> str:
+    thr = _dlaplace_thresholds(zmax)
+    arms = " ".join(f"WHEN h < {t} THEN {z}" for z, t in thr[:-1])
+    return f"""
+WITH dpc_g AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, day),
+dpc_h AS (
+  SELECT event_type, day, c,
+         ('0x' || substr(md5(event_type || '|' || day::VARCHAR),
+                         1, 15))::BIGINT AS h
+  FROM dpc_g)
+SELECT event_type, day,
+       greatest(c + CASE {arms} ELSE {zmax} END, 0)::BIGINT
+         AS noisy_count
+FROM dpc_h ORDER BY event_type, day
+"""

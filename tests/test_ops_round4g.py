@@ -376,3 +376,54 @@ def test_rp_projection_recall_vs_brute(ray_session):
         assert (r["n_match"], r["recall_ppm"]) == (m, m * 1_000_000 // k)
     # projection must be lossy-but-informative on random data
     assert 0 < got["n_match"].sum() <= 5 * k
+
+
+# --------------------------------------------- dp_noisy_counts
+
+def test_dp_noisy_counts_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import _md5_60
+    from kgruntime.ops.stats import _dlaplace_thresholds, dp_noisy_counts
+
+    rng = np.random.RandomState(21)
+    t0 = 1_700_000_000_000_000
+    US_DAY = 86_400_000_000
+    rows = [(i, ["click", "view"][rng.randint(2)],
+             t0 + int(rng.randint(0, 5)) * US_DAY + i)
+            for i in range(300)]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })).repartition(4)
+    got = dp_noisy_counts(ds).to_pandas() \
+        .set_index(["event_type", "day"])
+
+    thr = _dlaplace_thresholds()
+    true = {}
+    for _, et, ts in rows:
+        key = (et, ts // US_DAY)
+        true[key] = true.get(key, 0) + 1
+    assert set(got.index) == set(true)
+    noises = set()
+    for (et, day), c in true.items():
+        h = _md5_60(f"{et}|{day}".encode())
+        z = next((z for z, t in thr if h < t), thr[-1][0])
+        noises.add(z)
+        assert got.loc[(et, day)]["noisy_count"] == max(c + z, 0)
+    assert len(noises) > 1, "fixture should draw varied noise"
+
+
+def test_dlaplace_thresholds_shape():
+    from kgruntime.ops.stats import _dlaplace_thresholds
+
+    thr = _dlaplace_thresholds()
+    zs = [z for z, _ in thr]
+    ts = [t for _, t in thr]
+    assert zs == list(range(-8, 9))
+    assert ts == sorted(ts)
+    assert ts[-1] <= 1 << 60
+    # symmetric mass: P(0) is the largest single step
+    steps = np.diff([0] + ts)
+    assert np.argmax(steps) == 8
