@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_next_event": _q_markov_next_event,
         "rp_projection_recall": _q_rp_recall,
         "dp_noisy_counts": _q_dp_noisy,
+        "encoding_advisor": _q_encoding_advisor,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1522,6 +1523,20 @@ def _dp_noisy_oracle() -> str:
     return dp_noisy_counts_sql()
 
 
+def _q_encoding_advisor(sf_dir):
+    """Columnar encoding advisor over events
+    (kgruntime/ops/dq.py:encoding_advisor)."""
+    from kgruntime.ops.dq import encoding_advisor
+
+    return encoding_advisor(_events_ds(sf_dir))
+
+
+def _encoding_advisor_oracle() -> str:
+    from kgruntime.ops.dq import encoding_advisor_sql
+
+    return encoding_advisor_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2668,6 +2683,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_next_event": _markov_oracle(),
         "rp_projection_recall": _rp_recall_oracle(),
         "dp_noisy_counts": _dp_noisy_oracle(),
+        "encoding_advisor": _encoding_advisor_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

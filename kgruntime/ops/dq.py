@@ -208,3 +208,193 @@ SELECT * FROM (
   WHERE c.c_custkey IS NULL
 ) ORDER BY check_name
 """
+
+
+# ---------------------------------------------------------------------------
+# columnar encoding advisor
+# ---------------------------------------------------------------------------
+
+_EA_COLS = [("event_type", "str"), ("props", "str"), ("user_id", "int")]
+
+
+def _ea_bits(n_distinct: int) -> int:
+    """Dictionary index width: bit_length(n_distinct − 1), min 1 —
+    computed the same way on both sides (no float log2: at exact powers
+    of two a libm difference would flip the ceiling)."""
+    return max(1, (max(n_distinct, 1) - 1).bit_length())
+
+
+def encoding_advisor(events_ds):
+    """Columnar encoding advisor over the events table — for each
+    audited column, the exact stats an encoding chooser needs
+    (row count, distinct count, run count in ``event_id`` order, value
+    bytes) and a deterministic size model for PLAIN vs DICT vs RLE:
+
+      * plain = value_bytes (+ 4·n offsets for strings)
+      * dict  = distinct_value_bytes + ceil(n · bit_length(distinct−1) / 8)
+      * rle   = n_runs · (4 + ceil(value_bytes / n))
+
+    Output: (column, n_rows, n_distinct, n_runs, plain_bytes,
+    dict_bytes, rle_bytes, best) with best the cheapest (ties:
+    plain < dict < rle).
+
+    Scale shape: bytes/rows are per-batch partial sums (n_cols rows per
+    block); distincts are one narrow ``groupby(value)`` per column with
+    batch-deduped combiners, finished by a streamed Sum of per-batch
+    (1, bytes) partials; runs use THE distributed sorted-adjacency
+    shape (``sorted_neighbor_overlap``): after one sort by event_id
+    each batch counts its internal value changes and ships only its
+    first/last values (2 rows × n_cols per batch) to the driver for
+    boundary stitching — result independent of block boundaries.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def _val_bytes(t: pa.Table, col: str, kind: str):
+        if kind == "str":
+            return pc.sum(pc.utf8_length(t[col])).as_py() or 0
+        return 8 * t.num_rows
+
+    # --- rows + total bytes: one narrow pass, n_cols partial rows/block
+    def size_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "column": pa.array([c for c, _ in _EA_COLS], pa.string()),
+            "n": pa.array([t.num_rows] * len(_EA_COLS), pa.int64()),
+            "b": pa.array([_val_bytes(t, c, k) for c, k in _EA_COLS],
+                          pa.int64())})
+
+    sizes = {r["column"]: (r["n"], r["b"]) for r in
+             events_ds.select_columns([c for c, _ in _EA_COLS])
+             .map_batches(size_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("column").aggregate(Sum("n", alias_name="n"),
+                                          Sum("b", alias_name="b"))
+             .take_all()}
+
+    # --- distincts: per column, batch-dedup combiner -> narrow groupby
+    distincts = {}
+    for col, kind in _EA_COLS:
+        def dedup(t: pa.Table, col=col) -> pa.Table:
+            return t.select([col]).group_by([col], use_threads=False) \
+                .aggregate([]).select([col])
+
+        def fin(t: pa.Table, col=col, kind=kind) -> pa.Table:
+            return pa.table({
+                "nd": pa.array([t.num_rows], pa.int64()),
+                "db": pa.array([_val_bytes(t, col, kind)], pa.int64())})
+
+        agg = events_ds.select_columns([col]) \
+            .map_batches(dedup, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby(col).aggregate(Count()) \
+            .map_batches(fin, batch_format="pyarrow") \
+            .aggregate(Sum("nd"), Sum("db"))
+        distincts[col] = (int(agg["sum(nd)"]), int(agg["sum(db)"]))
+
+    # --- runs: distributed sorted adjacency with boundary stitching
+    def run_partial(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "changes": [], "first_v": [], "last_v": [],
+                "first_eid": [], "last_eid": []}
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        for col, kind in _EA_COLS:
+            v = t[col].to_pylist()
+            rows["column"].append(col)
+            rows["changes"].append(
+                sum(1 for i in range(len(v) - 1) if v[i] != v[i + 1]))
+            rows["first_v"].append(str(v[0]) if len(v) else "")
+            rows["last_v"].append(str(v[-1]) if len(v) else "")
+            rows["first_eid"].append(int(eid[0]) if len(v) else -1)
+            rows["last_eid"].append(int(eid[-1]) if len(v) else -1)
+        return pa.table({
+            "column": pa.array(rows["column"], pa.string()),
+            "changes": pa.array(rows["changes"], pa.int64()),
+            "first_v": pa.array(rows["first_v"], pa.string()),
+            "last_v": pa.array(rows["last_v"], pa.string()),
+            "first_eid": pa.array(rows["first_eid"], pa.int64()),
+            "last_eid": pa.array(rows["last_eid"], pa.int64())})
+
+    bnd = events_ds.select_columns(
+        ["event_id"] + [c for c, _ in _EA_COLS]) \
+        .sort("event_id") \
+        .map_batches(run_partial, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all()
+    runs = {}
+    for col, _ in _EA_COLS:
+        parts = sorted((r for r in bnd
+                        if r["column"] == col and r["first_eid"] >= 0),
+                       key=lambda r: r["first_eid"])
+        changes = sum(r["changes"] for r in parts)
+        changes += sum(1 for a, b in zip(parts, parts[1:])
+                       if a["last_v"] != b["first_v"])
+        runs[col] = changes + 1 if parts else 0
+
+    out = {"column": [], "n_rows": [], "n_distinct": [], "n_runs": [],
+           "plain_bytes": [], "dict_bytes": [], "rle_bytes": [],
+           "best": []}
+    for col, kind in _EA_COLS:
+        n, b = int(sizes[col][0]), int(sizes[col][1])
+        nd, db = distincts[col]
+        nr = runs[col]
+        plain = b + (4 * n if kind == "str" else 0)
+        dict_ = db + (n * _ea_bits(nd) + 7) // 8
+        rle = nr * (4 + (b + n - 1) // n) if n else 0
+        best = min((("plain", plain), ("dict", dict_), ("rle", rle)),
+                   key=lambda kv: (kv[1], ("plain", "dict", "rle")
+                                   .index(kv[0])))[0]
+        out["column"].append(col)
+        out["n_rows"].append(n)
+        out["n_distinct"].append(nd)
+        out["n_runs"].append(nr)
+        out["plain_bytes"].append(plain)
+        out["dict_bytes"].append(dict_)
+        out["rle_bytes"].append(rle)
+        out["best"].append(best)
+    return pa.table({
+        "column": pa.array(out["column"], pa.string()),
+        "n_rows": pa.array(out["n_rows"], pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+        "n_runs": pa.array(out["n_runs"], pa.int64()),
+        "plain_bytes": pa.array(out["plain_bytes"], pa.int64()),
+        "dict_bytes": pa.array(out["dict_bytes"], pa.int64()),
+        "rle_bytes": pa.array(out["rle_bytes"], pa.int64()),
+        "best": pa.array(out["best"], pa.string()),
+    })
+
+
+def encoding_advisor_sql() -> str:
+    """DuckDB twin: per column, the same exact stats and the same
+    integer size model; bit width via length(bin(n_distinct − 1))."""
+    blocks = []
+    for col, kind in _EA_COLS:
+        vb = f"strlen({col}::VARCHAR)" if kind == "str" else "8"
+        dvb = f"sum(strlen(v::VARCHAR))" if kind == "str" \
+            else "8 * count(*)"
+        plain = "tb + 4 * n" if kind == "str" else "tb"
+        blocks.append(f"""
+  SELECT '{col}' AS "column", n, nd, nr, {plain} AS plain_bytes,
+         db + (n * bits + 7) // 8 AS dict_bytes,
+         nr * (4 + (tb + n - 1) // n) AS rle_bytes
+  FROM (
+    SELECT (SELECT count(*) FROM events) AS n,
+           (SELECT count(DISTINCT {col}) FROM events) AS nd,
+           (SELECT sum({vb})::BIGINT FROM events) AS tb,
+           (SELECT {dvb}::BIGINT FROM
+              (SELECT DISTINCT {col} AS v FROM events)) AS db,
+           (SELECT sum(({col} IS DISTINCT FROM pv)::BIGINT) FROM
+              (SELECT {col}, lag({col}) OVER (ORDER BY event_id) AS pv
+               FROM events)) AS nr,
+           (SELECT CASE WHEN count(DISTINCT {col}) <= 1 THEN 1
+                   ELSE length(bin(count(DISTINCT {col}) - 1)) END
+            FROM events) AS bits)""")
+    union = " UNION ALL ".join(blocks)
+    return f"""
+WITH ea_all AS ({union})
+SELECT "column", n::BIGINT AS n_rows, nd::BIGINT AS n_distinct,
+       nr::BIGINT AS n_runs, plain_bytes::BIGINT AS plain_bytes,
+       dict_bytes::BIGINT AS dict_bytes, rle_bytes::BIGINT AS rle_bytes,
+       CASE WHEN plain_bytes <= dict_bytes
+             AND plain_bytes <= rle_bytes THEN 'plain'
+            WHEN dict_bytes <= rle_bytes THEN 'dict'
+            ELSE 'rle' END AS best
+FROM ea_all ORDER BY "column"
+"""

@@ -427,3 +427,58 @@ def test_dlaplace_thresholds_shape():
     # symmetric mass: P(0) is the largest single step
     steps = np.diff([0] + ts)
     assert np.argmax(steps) == 8
+
+
+# --------------------------------------------- encoding_advisor
+
+def test_encoding_advisor_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dq import _ea_bits, encoding_advisor
+
+    rng = np.random.RandomState(17)
+    n = 200
+    et = [["click", "view"][rng.randint(2)] for _ in range(n)]
+    props = ["p%d" % rng.randint(50) for _ in range(n)]
+    uid = [int(rng.randint(8)) for _ in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "props": pa.array(props, pa.string()),
+        "user_id": pa.array(uid, pa.int64()),
+    })).repartition(5)
+    got = encoding_advisor(ds).to_pandas().set_index("column")
+
+    def runs(vals):
+        return 1 + sum(1 for a, b in zip(vals, vals[1:]) if a != b)
+
+    for col, vals, kind in [("event_type", et, "str"),
+                            ("props", props, "str"),
+                            ("user_id", uid, "int")]:
+        nd = len(set(vals))
+        tb = sum(len(v) for v in vals) if kind == "str" else 8 * n
+        db = sum(len(v) for v in set(vals)) if kind == "str" \
+            else 8 * nd
+        nr = runs(vals)
+        r = got.loc[col]
+        assert r["n_rows"] == n and r["n_distinct"] == nd
+        assert r["n_runs"] == nr, col
+        plain = tb + (4 * n if kind == "str" else 0)
+        dict_ = db + (n * _ea_bits(nd) + 7) // 8
+        rle = nr * (4 + (tb + n - 1) // n)
+        assert (r["plain_bytes"], r["dict_bytes"], r["rle_bytes"]) == \
+            (plain, dict_, rle), col
+        best = min((("plain", plain), ("dict", dict_), ("rle", rle)),
+                   key=lambda kv: (kv[1], ("plain", "dict", "rle")
+                                   .index(kv[0])))[0]
+        assert r["best"] == best, col
+
+
+def test_ea_bits_exact_powers():
+    from kgruntime.ops.dq import _ea_bits
+
+    assert _ea_bits(1) == 1
+    assert _ea_bits(2) == 1
+    assert _ea_bits(3) == 2
+    assert _ea_bits(256) == 8
+    assert _ea_bits(257) == 9
