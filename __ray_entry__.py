@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rp_projection_recall": _q_rp_recall,
         "dp_noisy_counts": _q_dp_noisy,
         "encoding_advisor": _q_encoding_advisor,
+        "join_skew_audit": _q_join_skew,
+        "range_partition_plan": _q_range_plan,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1537,6 +1539,38 @@ def _encoding_advisor_oracle() -> str:
     return encoding_advisor_sql()
 
 
+def _q_join_skew(sf_dir):
+    """Join-key skew audit over lineitem.l_partkey
+    (kgruntime/ops/stats.py:join_skew_audit)."""
+    import ray.data as rd
+
+    from kgruntime.ops.stats import join_skew_audit
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey"])
+    return join_skew_audit(li)
+
+
+def _join_skew_oracle() -> str:
+    from kgruntime.ops.stats import join_skew_audit_sql
+
+    return join_skew_audit_sql()
+
+
+def _q_range_plan(sf_dir):
+    """Balanced range-partition boundary planning + exact validation
+    (kgruntime/ops/shard.py:range_partition_planner)."""
+    from kgruntime.ops.shard import range_partition_planner
+
+    return range_partition_planner(_events_ds(sf_dir))
+
+
+def _range_plan_oracle() -> str:
+    from kgruntime.ops.shard import range_partition_planner_sql
+
+    return range_partition_planner_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2684,6 +2718,8 @@ def oracle_sql() -> dict[str, str]:
         "rp_projection_recall": _rp_recall_oracle(),
         "dp_noisy_counts": _dp_noisy_oracle(),
         "encoding_advisor": _encoding_advisor_oracle(),
+        "join_skew_audit": _join_skew_oracle(),
+        "range_partition_plan": _range_plan_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

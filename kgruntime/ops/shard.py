@@ -446,3 +446,127 @@ SELECT doc_id, stratum,
        ((rnk * {n_strata} + stratum) % {n_shards})::BIGINT AS shard_id
 FROM cur_r ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# range-partition planner (balanced sort/shuffle boundary planning)
+# ---------------------------------------------------------------------------
+
+_RPP_SENTINEL = 1 << 62
+
+
+def range_partition_planner(events_ds, k: int = 8, sample_n: int = 200):
+    """Plan balanced RANGE-partition boundaries for a sort key (event
+    value in exact cents) from a deterministic sample, then VALIDATE
+    the plan with exact per-range counts — the boundary-planning step
+    a distributed sort/range-shuffle runs before moving any data.
+
+    Sample: the ``sample_n`` events with the smallest
+    ``md5-60(event_id)`` (hash order ≈ uniform, retry/resume-stable —
+    the reservoir idiom).  Boundaries: the sample's k-quantiles under
+    the verified 1-based ``ceil(q·n)`` ``quantile_disc`` rule.
+
+    Output per planned range: (bucket, upper_cents — 2^62 sentinel for
+    the last, n_rows, skew_ppm) where skew_ppm is the exact signed
+    deviation of ``n_rows·k`` from the uniform share, in ppm.
+
+    Scale shape: the sample is a per-batch local-min-k prune
+    (≤ sample_n rows per block to the driver); boundaries (k−1 ints)
+    broadcast back; validation is one vectorized ``searchsorted``
+    bucketize pass pre-aggregated per batch (k rows per block) into a
+    tiny groupby — the corpus never shuffles; that is the point of
+    planning before sorting.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .dedup import _md5_60
+
+    def cents_of(t: pa.Table):
+        v = pc.multiply(t["value"], 100.0)
+        return pc.cast(pc.round(v, round_mode="half_towards_infinity"),
+                       pa.int64())
+
+    def local_sample(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        h = np.array([_md5_60(str(int(i)).encode()) for i in ids],
+                     np.int64)
+        c = cents_of(t).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:sample_n]
+        return pa.table({"h": pa.array(h[order], pa.int64()),
+                         "event_id": pa.array(ids[order], pa.int64()),
+                         "cents": pa.array(c[order], pa.int64())})
+
+    cand = events_ds.select_columns(["event_id", "value"]) \
+        .map_batches(local_sample, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all()
+    cand.sort(key=lambda r: (r["h"], r["event_id"]))
+    sample = sorted(int(r["cents"]) for r in cand[:sample_n])
+    n = len(sample)
+    # quantile_disc boundaries: 1-based ceil(q·n) (decile_lift rule);
+    # ceil as (a+k-1)//k with positive operands, because DuckDB's //
+    # truncates (the int8-twin lesson) while Python's floors
+    bounds = [sample[(i * n + k - 1) // k - 1] for i in range(1, k)]
+    b_arr = np.array(bounds, np.int64)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        c = cents_of(t).to_numpy(zero_copy_only=False)
+        bk = np.searchsorted(b_arr, c, side="right")
+        cnt = np.bincount(bk, minlength=k)
+        return pa.table({"bucket": pa.array(np.arange(k), pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    rows = events_ds.select_columns(["event_id", "value"]) \
+        .map_batches(bucketize, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n")) \
+        .take_all()
+    per = {int(r["bucket"]): int(r["n"]) for r in rows}
+    total = sum(per.values())
+    return pa.table({
+        "bucket": pa.array(range(k), pa.int64()),
+        "upper_cents": pa.array(bounds + [_RPP_SENTINEL], pa.int64()),
+        "n_rows": pa.array([per.get(b, 0) for b in range(k)],
+                           pa.int64()),
+        "skew_ppm": pa.array(
+            [(1_000_000 * per.get(b, 0) * k) // total - 1_000_000
+             for b in range(k)], pa.int64()),
+    })
+
+
+def range_partition_planner_sql(k: int = 8, sample_n: int = 200) -> str:
+    return f"""
+WITH rpp_c AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events),
+rpp_s AS (
+  SELECT cents FROM rpp_c ORDER BY h, event_id LIMIT {sample_n}),
+rpp_r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+         count(*) OVER () AS n
+  FROM rpp_s),
+rpp_b AS (
+  SELECT i.i AS bno, min(r.cents) AS b
+  FROM (SELECT unnest(range(1, {k})) AS i) i
+  JOIN rpp_r r ON r.rn = (i.i * r.n + {k} - 1) // {k}
+  GROUP BY i.i),
+rpp_k AS (
+  SELECT c.event_id,
+         (SELECT count(*) FROM rpp_b WHERE rpp_b.b <= c.cents)
+           AS bucket
+  FROM rpp_c c),
+rpp_n AS (
+  SELECT g.i AS bucket, count(k.event_id) AS n
+  FROM (SELECT unnest(range(0, {k})) AS i) g
+  LEFT JOIN rpp_k k ON k.bucket = g.i
+  GROUP BY g.i),
+rpp_t AS (SELECT sum(n) AS total FROM rpp_n)
+SELECT n.bucket, coalesce(b.b, {_RPP_SENTINEL}) AS upper_cents,
+       n.n::BIGINT AS n_rows,
+       ((1000000 * n.n * {k}) // t.total - 1000000)::BIGINT AS skew_ppm
+FROM rpp_n n
+LEFT JOIN rpp_b b ON b.bno = n.bucket + 1
+CROSS JOIN rpp_t t
+ORDER BY n.bucket
+"""

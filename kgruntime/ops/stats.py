@@ -849,3 +849,84 @@ SELECT event_type, day,
          AS noisy_count
 FROM dpc_h ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# join-key skew audit
+# ---------------------------------------------------------------------------
+
+def join_skew_audit(fact_ds, key: str = "l_partkey", top: int = 10):
+    """Join-key skew report — the pre-join audit that decides whether a
+    shuffle join needs salting: the ``top`` hottest keys with their
+    exact corpus share, plus the exact Herfindahl concentration index
+    of the whole key distribution, in ppm.
+
+    Output: (rank, {key}, cnt, share_ppm, hhi_ppm) — hhi repeated per
+    row (it is the distribution's scalar).
+
+    Scale shape: ONE native ``groupby(key).count()`` (the counts table
+    is |keys|-sized, far below the fact table — materialized because
+    two consumers read it); hot keys via per-batch local top-k prune
+    (top × n_blocks driver rows); Σc² via per-batch PYTHON-INT partials
+    split into (hi, lo) int64 halves and recombined exactly on the
+    driver — c² overflows int64 once a key holds > 3×10⁹ rows, and a
+    100-TB hot key can (the SQL twin sums HUGEINT for the same
+    reason).
+    """
+    counts = fact_ds.select_columns([key]) \
+        .groupby(key).count().materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = t["count()"].to_pylist()
+        s2 = sum(int(x) * int(x) for x in c)
+        return pa.table({
+            "n_keys": pa.array([len(c)], pa.int64()),
+            "n_rows": pa.array([sum(c)], pa.int64()),
+            "s2_hi": pa.array([s2 >> 60], pa.int64()),
+            "s2_lo": pa.array([s2 & ((1 << 60) - 1)], pa.int64())})
+
+    mom = counts.map_batches(moments, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    n_keys = sum(r["n_keys"] for r in mom)
+    n_rows = sum(r["n_rows"] for r in mom)
+    s2 = sum((int(r["s2_hi"]) << 60) + int(r["s2_lo"]) for r in mom)
+    hhi_ppm = (s2 * 1_000_000) // (n_rows * n_rows) if n_rows else 0
+
+    def local_top(t: pa.Table) -> pa.Table:
+        c = t["count()"].to_numpy(zero_copy_only=False)
+        k = t[key].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -c))[:top]
+        return pa.table({key: pa.array(k[order], pa.int64()),
+                         "cnt": pa.array(c[order], pa.int64())})
+
+    cand = counts.map_batches(local_top, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    best = sorted(((int(r["cnt"]), int(r[key])) for r in cand),
+                  key=lambda t: (-t[0], t[1]))[:top]
+    return pa.table({
+        "rank": pa.array(range(1, len(best) + 1), pa.int64()),
+        key: pa.array([k for _, k in best], pa.int64()),
+        "cnt": pa.array([c for c, _ in best], pa.int64()),
+        "share_ppm": pa.array([(c * 1_000_000) // n_rows
+                               for c, _ in best], pa.int64()),
+        "hhi_ppm": pa.array([hhi_ppm] * len(best), pa.int64()),
+    })
+
+
+def join_skew_audit_sql(key: str = "l_partkey",
+                        table: str = "lineitem", top: int = 10) -> str:
+    return f"""
+WITH jsk_c AS (
+  SELECT {key} AS k, count(*) AS c FROM {table} GROUP BY {key}),
+jsk_s AS (
+  SELECT sum(c) AS n_rows, sum(c::HUGEINT * c) AS s2 FROM jsk_c),
+jsk_t AS (
+  SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rank
+  FROM jsk_c)
+SELECT t.rank, t.k AS {key}, t.c AS cnt,
+       (t.c * 1000000 // s.n_rows)::BIGINT AS share_ppm,
+       ((s.s2 * 1000000) // (s.n_rows::HUGEINT * s.n_rows))::BIGINT
+         AS hhi_ppm
+FROM jsk_t t CROSS JOIN jsk_s s
+WHERE t.rank <= {top} ORDER BY t.rank
+"""

@@ -482,3 +482,71 @@ def test_ea_bits_exact_powers():
     assert _ea_bits(3) == 2
     assert _ea_bits(256) == 8
     assert _ea_bits(257) == 9
+
+
+# --------------------------------------------- join_skew_audit
+
+def test_join_skew_audit_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import join_skew_audit
+
+    rng = np.random.RandomState(31)
+    # zipf-ish skew: key 0 hot
+    keys = np.concatenate([np.zeros(50, np.int64),
+                           rng.randint(1, 30, 150)])
+    ds = rd.from_arrow(pa.table({"l_partkey":
+                                 pa.array(keys, pa.int64())})) \
+        .repartition(4)
+    got = join_skew_audit(ds, top=5).to_pandas()
+
+    from collections import Counter
+    cnt = Counter(int(x) for x in keys)
+    total = len(keys)
+    s2 = sum(c * c for c in cnt.values())
+    best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(got["rank"]) == [1, 2, 3, 4, 5]
+    for i, (k, c) in enumerate(best):
+        r = got.iloc[i]
+        assert (r["l_partkey"], r["cnt"]) == (k, c)
+        assert r["share_ppm"] == c * 1_000_000 // total
+        assert r["hhi_ppm"] == s2 * 1_000_000 // (total * total)
+    assert got.iloc[0]["l_partkey"] == 0  # the planted hot key wins
+
+
+# --------------------------------------------- range_partition_planner
+
+def test_range_partition_planner_covers_and_balances(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.shard import (_RPP_SENTINEL,
+                                     range_partition_planner)
+
+    rng = np.random.RandomState(41)
+    n = 2000
+    vals = np.round(rng.gamma(2.0, 50.0, n), 2)
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    })).repartition(5)
+    k = 8
+    got = range_partition_planner(ds, k=k, sample_n=400).to_pandas()
+    assert list(got["bucket"]) == list(range(k))
+    # counts cover every row exactly once
+    assert got["n_rows"].sum() == n
+    # boundaries strictly ordered (sentinel last)
+    ub = list(got["upper_cents"])
+    assert ub[-1] == _RPP_SENTINEL
+    assert all(a <= b for a, b in zip(ub, ub[1:]))
+    # exact bucket membership: recount with numpy
+    cents = np.copysign(np.floor(np.abs(vals * 100) + 0.5),
+                        vals).astype(np.int64)
+    b = np.array(ub[:-1], np.int64)
+    recount = np.bincount(np.searchsorted(b, cents, side="right"),
+                          minlength=k)
+    assert list(got["n_rows"]) == list(recount)
+    # skew_ppm consistent with counts
+    for r in got.itertuples():
+        assert r.skew_ppm == (1_000_000 * r.n_rows * k) // n - 1_000_000
+    # a 400-point sample should land within ±40% of uniform
+    assert max(abs(got["skew_ppm"])) < 400_000
