@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoding_advisor": _q_encoding_advisor,
         "join_skew_audit": _q_join_skew,
         "range_partition_plan": _q_range_plan,
+        "community_modularity": _q_modularity,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1571,6 +1572,27 @@ def _range_plan_oracle() -> str:
     return range_partition_planner_sql()
 
 
+def _q_modularity(sf_dir):
+    """Exact-integer modularity audit of the LPA partition over the
+    strong-tie co-occurrence graph
+    (kgruntime/ops/graph.py:community_modularity)."""
+    import ray.data as rd
+
+    from kgruntime.ops.graph import community_modularity
+    from kgruntime.ops.sessions import cooccurrence_edges
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    edges = cooccurrence_edges(ev).filter(expr="n_shared >= 5")
+    return community_modularity(edges, rounds=4)
+
+
+def _modularity_oracle() -> str:
+    from kgruntime.ops.graph import community_modularity_sql
+
+    return community_modularity_sql(rounds=4)
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2720,6 +2742,7 @@ def oracle_sql() -> dict[str, str]:
         "encoding_advisor": _encoding_advisor_oracle(),
         "join_skew_audit": _join_skew_oracle(),
         "range_partition_plan": _range_plan_oracle(),
+        "community_modularity": _modularity_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

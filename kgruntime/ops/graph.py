@@ -587,3 +587,124 @@ WITH {cooccur_cte_body(cap, table)},
 SELECT u AS user_id, lbl::BIGINT AS community
 FROM lp_l{rounds} ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# community modularity audit
+# ---------------------------------------------------------------------------
+
+def community_modularity(edges_ds, rounds: int = 4):
+    """Exact-integer Newman modularity of the label-propagation
+    partition — the "did community detection actually find structure"
+    audit: per community its node count, internal edge count ``l_c``
+    and degree sum ``d_c``, plus the global
+    ``Q = Σ_c (l_c/m − (d_c/2m)²)`` in exact ppm
+    (``Q·4m² = Σ_c (4·m·l_c − d_c²)`` — integer arithmetic with the
+    numerator kept in PYTHON ints because ``4m²`` overflows int64 past
+    ~1.5e9 edges; the twin sums HUGEINT for the same reason).
+
+    Output: (community, n_nodes, l_c, d_c, q_ppm) with q_ppm the
+    partition scalar repeated per row; signed division uses the
+    truncation-safe abs trick on both sides.
+
+    Scale shape: labels are node-bounded (lpa_communities contract)
+    and broadcast via ``ray.put``; ONE streamed decorate pass over the
+    edge list emits per-batch (community, l, d) partials into a
+    community-bounded groupby — the edges are never shuffled.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    edges = edges_ds.select_columns(["user_a", "user_b"]).materialize()
+    lab = lpa_communities(edges, rounds=rounds)
+    if len(lab) == 0:
+        return pa.table({"community": pa.array([], pa.int64()),
+                         "n_nodes": pa.array([], pa.int64()),
+                         "l_c": pa.array([], pa.int64()),
+                         "d_c": pa.array([], pa.int64()),
+                         "q_ppm": pa.array([], pa.int64())})
+    nodes = lab["user_id"].to_numpy(np.int64)
+    labels = lab["community"].to_numpy(np.int64)
+    ref = ray.put((nodes, labels))
+
+    def part(t: pa.Table, ref=ref) -> pa.Table:
+        nd, lb = ray.get(ref)
+        a = t["user_a"].to_numpy(zero_copy_only=False)
+        b = t["user_b"].to_numpy(zero_copy_only=False)
+        la = lb[np.searchsorted(nd, a)]
+        lbv = lb[np.searchsorted(nd, b)]
+        intra = pd.Series(la[la == lbv]).value_counts()
+        deg = pd.Series(np.concatenate([la, lbv])).value_counts()
+        comm = sorted(set(intra.index) | set(deg.index))
+        return pa.table({
+            "community": pa.array(comm, pa.int64()),
+            "l": pa.array([int(intra.get(c, 0)) for c in comm],
+                          pa.int64()),
+            "d": pa.array([int(deg.get(c, 0)) for c in comm],
+                          pa.int64())})
+
+    rows = edges.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("community").aggregate(Sum("l", alias_name="l"),
+                                        Sum("d", alias_name="d")) \
+        .take_all()
+    lc = {int(r["community"]): int(r["l"]) for r in rows}
+    dc = {int(r["community"]): int(r["d"]) for r in rows}
+    m = edges.count()
+    n_nodes = pd.Series(labels).value_counts()
+    comms = sorted(set(labels))
+    num = sum(4 * m * lc.get(c, 0) - dc.get(c, 0) ** 2 for c in comms)
+    den = 4 * m * m
+    q_ppm = (1_000_000 * num) // den if num >= 0 \
+        else -((1_000_000 * -num) // den)
+    return pa.table({
+        "community": pa.array(comms, pa.int64()),
+        "n_nodes": pa.array([int(n_nodes[c]) for c in comms],
+                            pa.int64()),
+        "l_c": pa.array([lc.get(c, 0) for c in comms], pa.int64()),
+        "d_c": pa.array([dc.get(c, 0) for c in comms], pa.int64()),
+        "q_ppm": pa.array([q_ppm] * len(comms), pa.int64()),
+    })
+
+
+def community_modularity_sql(rounds: int = 4, cap: int = 200,
+                             min_shared: int = 5,
+                             table: str = "events") -> str:
+    """Twin: the lpa chain's final labels + the same strong-tie edges,
+    rolled into per-community l_c/d_c and the HUGEINT Q numerator."""
+    base = lpa_communities_sql(rounds=rounds, cap=cap,
+                               min_shared=min_shared, table=table)
+    # reuse everything up to the final SELECT of the lpa twin
+    head = base[:base.rindex("SELECT u AS user_id")].rstrip()
+    return f"""{head},
+cm_l AS (SELECT u, lbl FROM lp_l{rounds}),
+cm_m AS (SELECT count(*) AS m FROM lp_e),
+cm_lc AS (
+  SELECT la.lbl AS community, count(*) AS l_c
+  FROM lp_e e JOIN cm_l la ON la.u = e.a
+  JOIN cm_l lb ON lb.u = e.b
+  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+cm_dc AS (
+  SELECT l.lbl AS community, count(*) AS d_c
+  FROM lp_d d JOIN cm_l l ON l.u = d.node GROUP BY l.lbl),
+cm_n AS (
+  SELECT lbl AS community, count(*) AS n_nodes FROM cm_l
+  GROUP BY lbl),
+cm_q AS (
+  SELECT sum(4 * m.m::HUGEINT * coalesce(lc.l_c, 0)
+             - dc.d_c::HUGEINT * dc.d_c) AS num,
+         4 * any_value(m.m)::HUGEINT * any_value(m.m) AS den
+  FROM cm_dc dc LEFT JOIN cm_lc lc ON lc.community = dc.community
+  CROSS JOIN cm_m m)
+SELECT n.community, n.n_nodes::BIGINT AS n_nodes,
+       coalesce(lc.l_c, 0)::BIGINT AS l_c, dc.d_c::BIGINT AS d_c,
+       (CASE WHEN q.num >= 0 THEN (1000000 * q.num) // q.den
+             ELSE -((1000000 * -q.num) // q.den) END)::BIGINT AS q_ppm
+FROM cm_n n
+LEFT JOIN cm_lc lc ON lc.community = n.community
+JOIN cm_dc dc ON dc.community = n.community
+CROSS JOIN cm_q q
+ORDER BY n.community
+"""

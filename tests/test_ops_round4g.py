@@ -550,3 +550,46 @@ def test_range_partition_planner_covers_and_balances(ray_session):
         assert r.skew_ppm == (1_000_000 * r.n_rows * k) // n - 1_000_000
     # a 400-point sample should land within ±40% of uniform
     assert max(abs(got["skew_ppm"])) < 400_000
+
+
+# --------------------------------------------- community_modularity
+
+def _edges_ds(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "user_a": pa.array([a for a, _ in pairs], pa.int64()),
+        "user_b": pa.array([b for _, b in pairs], pa.int64()),
+    })).repartition(3)
+
+
+def test_community_modularity_two_cliques(ray_session):
+    from kgruntime.ops.graph import community_modularity
+
+    # two 4-cliques joined by one bridge edge
+    c1, c2 = [0, 1, 2, 3], [10, 11, 12, 13]
+    pairs = [(a, b) for i, a in enumerate(c1) for b in c1[i + 1:]] + \
+            [(a, b) for i, a in enumerate(c2) for b in c2[i + 1:]] + \
+            [(3, 10)]
+    got = community_modularity(_edges_ds(pairs), rounds=4).to_pandas()
+
+    # LPA on two cliques must find exactly two communities
+    assert len(got) == 2
+    assert sorted(got["n_nodes"]) == [4, 4]
+    m = len(pairs)
+    # brute-force Q from the reported per-community stats
+    num = sum(4 * m * r.l_c - r.d_c ** 2 for r in got.itertuples())
+    q = (1_000_000 * num) // (4 * m * m) if num >= 0 \
+        else -((1_000_000 * -num) // (4 * m * m))
+    assert got["q_ppm"].iloc[0] == q
+    assert q > 300_000  # strong structure
+    # degree sums cover every edge end exactly twice
+    assert got["d_c"].sum() == 2 * m
+    assert got["l_c"].sum() == m - 1  # all but the bridge are internal
+
+
+def test_community_modularity_empty_edges(ray_session):
+    from kgruntime.ops.graph import community_modularity
+
+    got = community_modularity(_edges_ds([]), rounds=2)
+    assert got.num_rows == 0
