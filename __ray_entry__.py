@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_skew_audit": _q_join_skew,
         "range_partition_plan": _q_range_plan,
         "community_modularity": _q_modularity,
+        "stickiness_dau_mau": _q_stickiness,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1593,6 +1594,20 @@ def _modularity_oracle() -> str:
     return community_modularity_sql(rounds=4)
 
 
+def _q_stickiness(sf_dir):
+    """Monthly DAU/MAU stickiness
+    (kgruntime/ops/sessions.py:stickiness_dau_mau)."""
+    from kgruntime.ops.sessions import stickiness_dau_mau
+
+    return stickiness_dau_mau(_events_ds(sf_dir))
+
+
+def _stickiness_oracle() -> str:
+    from kgruntime.ops.sessions import stickiness_dau_mau_sql
+
+    return stickiness_dau_mau_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2743,6 +2758,7 @@ def oracle_sql() -> dict[str, str]:
         "join_skew_audit": _join_skew_oracle(),
         "range_partition_plan": _range_plan_oracle(),
         "community_modularity": _modularity_oracle(),
+        "stickiness_dau_mau": _stickiness_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

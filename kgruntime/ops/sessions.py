@@ -2120,3 +2120,82 @@ SELECT prev AS prev_type, n_pairs::BIGINT AS n_pairs,
        ((1000000 * n_correct) // n_pairs)::BIGINT AS acc_ppm
 FROM mk_a ORDER BY prev_type
 """
+
+
+def stickiness_dau_mau(events_ds):
+    """Per-calendar-month DAU/MAU stickiness — the engagement ratio
+    every growth dashboard tracks: ``(mon, n_active_days, sum_dau,
+    mau, stickiness_ppm)`` with
+    ``stickiness_ppm = 10⁶·Σ_day DAU(day) // (n_active_days · MAU)``
+    (mean daily actives over monthly actives, exact integers; months
+    indexed as ``year·12 + month − 1``).
+
+    Scale shape: both inputs are batch-deduped distinct (user, day) /
+    (user, mon) rows into native groupbys — the exchanges carry
+    per-batch-distinct 16-byte int pairs, and every rollup after that
+    is calendar-bounded.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.timestamp("us"))
+        day = pc.divide(pc.cast(ts, pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        mon = pc.add(pc.multiply(pc.cast(pc.year(ts), pa.int64()),
+                                 pa.scalar(12, pa.int64())),
+                     pc.cast(pc.subtract(pc.month(ts), 1), pa.int64()))
+        b = pa.table({"user_id": t["user_id"], "day": day, "mon": mon})
+        return b.group_by(["user_id", "day", "mon"],
+                          use_threads=False).aggregate([]) \
+            .select(["user_id", "day", "mon"])
+
+    ud = events_ds.select_columns(["user_id", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    dau = ud.groupby(["user_id", "day", "mon"]).aggregate(Count()) \
+        .groupby(["day", "mon"]).aggregate(Count(alias_name="dau")) \
+        .groupby("mon").aggregate(Sum("dau", alias_name="sum_dau"),
+                                  Count(alias_name="n_active_days")) \
+        .take_all()
+    mau = {r["mon"]: r["mau"] for r in
+           ud.groupby(["user_id", "mon"]).aggregate(Count())
+           .groupby("mon").aggregate(Count(alias_name="mau"))
+           .take_all()}
+    mons = sorted(r["mon"] for r in dau)
+    by = {r["mon"]: r for r in dau}
+    return pa.table({
+        "mon": pa.array(mons, pa.int64()),
+        "n_active_days": pa.array(
+            [int(by[m]["n_active_days"]) for m in mons], pa.int64()),
+        "sum_dau": pa.array([int(by[m]["sum_dau"]) for m in mons],
+                            pa.int64()),
+        "mau": pa.array([int(mau[m]) for m in mons], pa.int64()),
+        "stickiness_ppm": pa.array(
+            [(1_000_000 * int(by[m]["sum_dau"]))
+             // (int(by[m]["n_active_days"]) * int(mau[m]))
+             for m in mons], pa.int64()),
+    })
+
+
+def stickiness_dau_mau_sql() -> str:
+    return """
+WITH st_ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+         year(ts) * 12 + month(ts) - 1 AS mon
+  FROM events),
+st_dau AS (
+  SELECT mon, day, count(DISTINCT user_id) AS dau
+  FROM st_ud GROUP BY mon, day),
+st_m AS (
+  SELECT mon, sum(dau) AS sum_dau, count(*) AS n_active_days
+  FROM st_dau GROUP BY mon),
+st_mau AS (
+  SELECT mon, count(DISTINCT user_id) AS mau FROM st_ud GROUP BY mon)
+SELECT m.mon, m.n_active_days::BIGINT AS n_active_days,
+       m.sum_dau::BIGINT AS sum_dau, u.mau::BIGINT AS mau,
+       ((1000000 * m.sum_dau) // (m.n_active_days * u.mau))::BIGINT
+         AS stickiness_ppm
+FROM st_m m JOIN st_mau u ON u.mon = m.mon ORDER BY m.mon
+"""

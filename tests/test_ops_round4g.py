@@ -593,3 +593,44 @@ def test_community_modularity_empty_edges(ray_session):
 
     got = community_modularity(_edges_ds([]), rounds=2)
     assert got.num_rows == 0
+
+
+# --------------------------------------------- stickiness_dau_mau
+
+def test_stickiness_dau_mau_vs_brute(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import stickiness_dau_mau
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for i in range(400):
+        d = dt.datetime(2024, 1 + rng.randint(3), 1 + rng.randint(28),
+                        rng.randint(24))
+        rows.append((i, int(rng.randint(25)),
+                     int(d.timestamp() * 1_000_000)))
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })).repartition(4)
+    got = stickiness_dau_mau(ds).to_pandas().set_index("mon")
+
+    per_mon_day, per_mon = {}, {}
+    for _, uid, us in rows:
+        t = dt.datetime.utcfromtimestamp(us / 1_000_000)
+        mon = t.year * 12 + t.month - 1
+        day = us // 86_400_000_000
+        per_mon_day.setdefault(mon, {}).setdefault(day, set()).add(uid)
+        per_mon.setdefault(mon, set()).add(uid)
+    assert set(got.index) == set(per_mon)
+    assert len(per_mon) == 3
+    for mon, days in per_mon_day.items():
+        sum_dau = sum(len(v) for v in days.values())
+        nd, mau = len(days), len(per_mon[mon])
+        r = got.loc[mon]
+        assert (r["n_active_days"], r["sum_dau"], r["mau"]) == \
+            (nd, sum_dau, mau)
+        assert r["stickiness_ppm"] == 1_000_000 * sum_dau // (nd * mau)
