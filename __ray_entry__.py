@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_plan": _q_range_plan,
         "community_modularity": _q_modularity,
         "stickiness_dau_mau": _q_stickiness,
+        "cdc_upsert_merge": _q_cdc_merge,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1608,6 +1609,20 @@ def _stickiness_oracle() -> str:
     return stickiness_dau_mau_sql()
 
 
+def _q_cdc_merge(sf_dir):
+    """CDC upsert/delete merge with change-beats-base semantics
+    (kgruntime/ops/dedup.py:cdc_upsert_merge)."""
+    from kgruntime.ops.dedup import cdc_upsert_merge
+
+    return cdc_upsert_merge(_events_ds(sf_dir))
+
+
+def _cdc_merge_oracle() -> str:
+    from kgruntime.ops.dedup import cdc_upsert_merge_sql
+
+    return cdc_upsert_merge_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2759,6 +2774,7 @@ def oracle_sql() -> dict[str, str]:
         "range_partition_plan": _range_plan_oracle(),
         "community_modularity": _modularity_oracle(),
         "stickiness_dau_mau": _stickiness_oracle(),
+        "cdc_upsert_merge": _cdc_merge_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

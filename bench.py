@@ -152,7 +152,10 @@ def run_queries(sf_dir: str) -> dict:
               "phrase_search_hits",
               # round-4e flagship ops
               "lexical_topk", "cdc_chunk_dedup", "mg_heavy_trigrams",
-              "entity_clusters"]
+              "entity_clusters",
+              # round-4g flagship ops
+              "pit_training_features", "dsir_importance",
+              "source_overlap_matrix", "near_split_leakage"]
     out = {}
     for name in picked:
         t0 = time.perf_counter()

@@ -2897,3 +2897,122 @@ JOIN som_tot ta ON ta.source = p.src_a
 JOIN som_tot tb ON tb.source = p.src_b
 ORDER BY p.src_a, p.src_b
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert/delete merge (MERGE INTO semantics)
+# ---------------------------------------------------------------------------
+
+def cdc_upsert_merge(events_ds):
+    """MERGE INTO semantics over the events snapshot: a deterministic
+    CDC change stream (keyed on the FULL key range, so it carries
+    updates, deletes AND inserts of absent keys — ids with
+    ``md5-60('u'||id) % 10 == 0`` upsert a synthesized row, ``== 1``
+    delete) is merged key-by-key with change-beats-base semantics, and
+    the merged table rolls up to (event_type, n_rows, sum_cents).
+
+    Scale shape: the merge is ONE native ``groupby(event_id).max`` over
+    a COMPOSITE int64 — ``src<<62 | del<<61 | type_code<<48 | cents``
+    (the grouped_mode argmax idiom): change rows carry src=1 so MAX
+    picks them over base rows, the winner decodes vectorized, deletes
+    drop, and a second bounded groupby rolls up.  No per-key Python,
+    16-byte exchange rows; cents < 2^48 asserted (composite safety).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    types = sorted(events_ds.select_columns(["event_type"])
+                   .unique("event_type"))
+    if "click" not in types:
+        types = sorted(types + ["click"])
+    code = {t: i for i, t in enumerate(types)}
+    assert len(types) < (1 << 13)
+    ins_code = code["click"]
+    mx = events_ds.max("event_id")
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v) \
+            .astype(np.int64)
+        assert (cents >= 0).all() and (cents < (1 << 48)).all()
+        codes = np.array([code[s] for s in
+                          t["event_type"].to_pylist()], np.int64)
+        k = (codes << 48) | cents
+        return pa.table({"event_id": t["event_id"],
+                         "k": pa.array(k, pa.int64())})
+
+    def change_rows(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        h = np.array([_md5_60(f"u{int(i)}".encode()) for i in ids],
+                     np.int64)
+        r = h % 10
+        sel = r <= 1
+        ids, h, r = ids[sel], h[sel], r[sel]
+        is_del = (r == 1).astype(np.int64)
+        cents = np.where(is_del == 1, 0, h % 10000)
+        k = (1 << 62) | (is_del << 61) | (ins_code << 48) | cents
+        return pa.table({"event_id": pa.array(ids, pa.int64()),
+                         "k": pa.array(k, pa.int64())})
+
+    base = events_ds.select_columns(
+        ["event_id", "event_type", "value"]) \
+        .map_batches(base_rows, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    changes = rd.range(mx + 1).map_batches(
+        change_rows, batch_format="pyarrow")
+
+    def decode(t: pa.Table) -> pa.Table:
+        k = t["max(k)"].to_numpy(zero_copy_only=False)
+        keep = ((k >> 61) & 1) == 0
+        k = k[keep]
+        codes = (k >> 48) & 0x1FFF
+        cents = k & ((1 << 48) - 1)
+        import pandas as pd
+
+        g = pd.DataFrame({"c": codes, "cents": cents}) \
+            .groupby("c").agg(n=("cents", "size"), s=("cents", "sum")) \
+            .reset_index()
+        return pa.table({"c": pa.array(g["c"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    rows = base.union(changes).groupby("event_id") \
+        .aggregate(Max("k")) \
+        .map_batches(decode, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("n", alias_name="n"),
+                                Sum("s", alias_name="s")).take_all()
+    rows.sort(key=lambda r: r["c"])
+    return pa.table({
+        "event_type": pa.array([types[int(r["c"])] for r in rows],
+                               pa.string()),
+        "n_rows": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "sum_cents": pa.array([int(r["s"]) for r in rows], pa.int64()),
+    })
+
+
+def cdc_upsert_merge_sql() -> str:
+    return """
+WITH um_base AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+um_ch AS (
+  SELECT i AS event_id,
+         CASE WHEN h % 10 = 0 THEN 'U' ELSE 'D' END AS op,
+         'click' AS event_type, h % 10000 AS cents
+  FROM (
+    SELECT i, ('0x' || substr(md5('u' || i::VARCHAR), 1, 15))::BIGINT
+             AS h
+    FROM (SELECT unnest(range(0,
+            (SELECT max(event_id) + 1 FROM events))) AS i))
+  WHERE h % 10 <= 1),
+um_m AS (
+  SELECT CASE WHEN c.op = 'D' THEN NULL
+              WHEN c.op = 'U' THEN c.event_type
+              ELSE b.event_type END AS event_type,
+         CASE WHEN c.op = 'U' THEN c.cents ELSE b.cents END AS cents
+  FROM um_base b FULL OUTER JOIN um_ch c USING (event_id))
+SELECT event_type, count(*) AS n_rows, sum(cents)::BIGINT AS sum_cents
+FROM um_m WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""

@@ -634,3 +634,48 @@ def test_stickiness_dau_mau_vs_brute(ray_session):
         assert (r["n_active_days"], r["sum_dau"], r["mau"]) == \
             (nd, sum_dau, mau)
         assert r["stickiness_ppm"] == 1_000_000 * sum_dau // (nd * mau)
+
+
+# --------------------------------------------- cdc_upsert_merge
+
+def test_cdc_upsert_merge_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import _md5_60, cdc_upsert_merge
+
+    rng = np.random.RandomState(29)
+    n = 150
+    # leave gaps in the id space so some changes are pure INSERTS
+    ids = sorted(rng.choice(300, n, replace=False))
+    types = ["click", "view", "purchase"]
+    rows = [(int(i), types[rng.randint(3)],
+             round(float(rng.uniform(0.01, 200.0)), 2)) for i in ids]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })).repartition(4)
+    got = cdc_upsert_merge(ds).to_pandas().set_index("event_type")
+
+    # brute force
+    table = {}
+    for i, t, v in rows:
+        cents = int(np.copysign(np.floor(abs(v * 100) + 0.5), v))
+        table[i] = (t, cents)
+    mx = max(ids)
+    for i in range(mx + 1):
+        h = _md5_60(f"u{i}".encode())
+        if h % 10 == 0:
+            table[i] = ("click", h % 10000)
+        elif h % 10 == 1:
+            table.pop(i, None)
+    exp = {}
+    for t, cents in table.values():
+        a, b = exp.get(t, (0, 0))
+        exp[t] = (a + 1, b + cents)
+    assert set(got.index) == set(exp)
+    for t, (cn, cs) in exp.items():
+        assert (got.loc[t]["n_rows"], got.loc[t]["sum_cents"]) == \
+            (cn, cs), t
+    # fixture must exercise inserts (keys absent from base)
+    assert any(i not in ids and i in table for i in range(mx + 1))
