@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_modularity": _q_modularity,
         "stickiness_dau_mau": _q_stickiness,
         "cdc_upsert_merge": _q_cdc_merge,
+        "feature_cross_hash": _q_feature_cross,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1623,6 +1624,20 @@ def _cdc_merge_oracle() -> str:
     return cdc_upsert_merge_sql()
 
 
+def _q_feature_cross(sf_dir):
+    """Feature-hashing collision audit for the user×type×dow cross
+    (kgruntime/ops/text.py:feature_cross_hash)."""
+    from kgruntime.ops.text import feature_cross_hash
+
+    return feature_cross_hash(_events_ds(sf_dir))
+
+
+def _feature_cross_oracle() -> str:
+    from kgruntime.ops.text import feature_cross_hash_sql
+
+    return feature_cross_hash_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2775,6 +2790,7 @@ def oracle_sql() -> dict[str, str]:
         "community_modularity": _modularity_oracle(),
         "stickiness_dau_mau": _stickiness_oracle(),
         "cdc_upsert_merge": _cdc_merge_oracle(),
+        "feature_cross_hash": _feature_cross_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -2276,3 +2276,89 @@ SELECT doc_id, n_bigrams,
        (score // n_bigrams >= {_DSIR_SCALE})::BIGINT AS selected
 FROM dsir_s ORDER BY doc_id
 """
+
+
+# --- feature-hashing collision audit ---
+
+def feature_cross_hash(events_ds, num_buckets: int = 1 << 14):
+    """Feature-hashing audit for the (user × event_type × day-of-week)
+    cross: how many distinct crosses exist, how many hash buckets they
+    occupy at ``num_buckets``, and how many crosses collide — the
+    "is my hashing-trick width big enough" check run before training on
+    hashed crosses.  Output (one row): (n_crosses, n_buckets_used,
+    n_collided, collision_ppm).
+
+    Scale shape: per-batch distinct combos (arrow group_by combiner),
+    ONE global groupby on the 8-byte cross hash (collision-free md5-60
+    keyspace for distinctness; the BUCKET is its mod), then a
+    bucket-keyed count — every exchange row is two int64s.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .dedup import _md5_60
+
+    def combos(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.timestamp("us"))
+        # isodow alignment (Monday=1..Sunday=7) — the q_events_dow_hour
+        # pairing; Arrow's default Monday=0 would desync the cross key
+        dow = pc.day_of_week(ts, count_from_zero=False, week_start=1)
+        b = pa.table({"u": t["user_id"], "et": t["event_type"],
+                      "dow": pc.cast(dow, pa.int64())})
+        b = b.group_by(["u", "et", "dow"], use_threads=False) \
+            .aggregate([])
+        h = np.array([_md5_60(f"{u}|{e}|{d}".encode())
+                      for u, e, d in zip(b["u"].to_pylist(),
+                                         b["et"].to_pylist(),
+                                         b["dow"].to_pylist())],
+                     np.int64)
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    buckets = events_ds.select_columns(["user_id", "event_type", "ts"]) \
+        .map_batches(combos, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("h").aggregate(Count()) \
+        .map_batches(lambda t: pa.table(
+            {"bucket": pc.call_function(
+                "subtract", [t["h"], pc.multiply(
+                    pc.divide(t["h"],
+                              pa.scalar(num_buckets, pa.int64())),
+                    pa.scalar(num_buckets, pa.int64()))])}),
+            batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Count(alias_name="n")) \
+        .take_all()
+    n_buckets_used = len(buckets)
+    n_crosses = sum(int(r["n"]) for r in buckets)
+    n_collided = sum(int(r["n"]) for r in buckets if int(r["n"]) > 1)
+    return pa.table({
+        "n_crosses": pa.array([n_crosses], pa.int64()),
+        "n_buckets_used": pa.array([n_buckets_used], pa.int64()),
+        "n_collided": pa.array([n_collided], pa.int64()),
+        "collision_ppm": pa.array(
+            [(1_000_000 * n_collided) // max(n_crosses, 1)],
+            pa.int64()),
+    })
+
+
+def feature_cross_hash_sql(num_buckets: int = 1 << 14) -> str:
+    return f"""
+WITH fx_c AS (
+  SELECT DISTINCT user_id AS u, event_type AS et,
+         isodow(ts) AS dow
+  FROM events),
+fx_h AS (
+  SELECT ('0x' || substr(md5(u || '|' || et || '|' || dow), 1, 15))
+           ::BIGINT % {num_buckets} AS bucket
+  FROM fx_c),
+fx_b AS (SELECT bucket, count(*) AS n FROM fx_h GROUP BY bucket),
+fx_s AS (
+  SELECT count(*) AS n_buckets_used, sum(n) AS n_crosses,
+         coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS n_collided
+  FROM fx_b)
+SELECT n_crosses::BIGINT AS n_crosses,
+       n_buckets_used::BIGINT AS n_buckets_used,
+       n_collided::BIGINT AS n_collided,
+       ((1000000 * n_collided)
+        // greatest(n_crosses, 1))::BIGINT AS collision_ppm
+FROM fx_s
+"""

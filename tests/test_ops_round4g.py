@@ -679,3 +679,44 @@ def test_cdc_upsert_merge_vs_brute(ray_session):
             (cn, cs), t
     # fixture must exercise inserts (keys absent from base)
     assert any(i not in ids and i in table for i in range(mx + 1))
+
+
+# --------------------------------------------- feature_cross_hash
+
+def test_feature_cross_hash_vs_brute(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import _md5_60
+    from kgruntime.ops.text import feature_cross_hash
+
+    rng = np.random.RandomState(37)
+    rows = []
+    for i in range(300):
+        d = dt.datetime(2024, 3, 1 + rng.randint(14), rng.randint(24))
+        rows.append((i, int(rng.randint(20)),
+                     ["click", "view"][rng.randint(2)],
+                     int(d.timestamp() * 1_000_000)))
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    })).repartition(4)
+    B = 64  # tiny width to force collisions
+    got = feature_cross_hash(ds, num_buckets=B).to_pandas().iloc[0]
+
+    crosses = set()
+    for _, uid, et, us in rows:
+        t = dt.datetime.utcfromtimestamp(us / 1_000_000)
+        crosses.add((uid, et, t.isoweekday()))
+    from collections import Counter
+    bk = Counter(_md5_60(f"{u}|{e}|{d}".encode()) % B
+                 for u, e, d in crosses)
+    n_coll = sum(c for c in bk.values() if c > 1)
+    assert got["n_crosses"] == len(crosses)
+    assert got["n_buckets_used"] == len(bk)
+    assert got["n_collided"] == n_coll
+    assert got["collision_ppm"] == 1_000_000 * n_coll // len(crosses)
+    assert n_coll > 0, "tiny width must collide"
