@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stickiness_dau_mau": _q_stickiness,
         "cdc_upsert_merge": _q_cdc_merge,
         "feature_cross_hash": _q_feature_cross,
+        "zorder_layout_audit": _q_zorder,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1638,6 +1639,20 @@ def _feature_cross_oracle() -> str:
     return feature_cross_hash_sql()
 
 
+def _q_zorder(sf_dir):
+    """Z-order vs insertion layout pruning audit
+    (kgruntime/ops/shard.py:zorder_layout_audit)."""
+    from kgruntime.ops.shard import zorder_layout_audit
+
+    return zorder_layout_audit(_events_ds(sf_dir))
+
+
+def _zorder_oracle() -> str:
+    from kgruntime.ops.shard import zorder_layout_audit_sql
+
+    return zorder_layout_audit_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2791,6 +2806,7 @@ def oracle_sql() -> dict[str, str]:
         "stickiness_dau_mau": _stickiness_oracle(),
         "cdc_upsert_merge": _cdc_merge_oracle(),
         "feature_cross_hash": _feature_cross_oracle(),
+        "zorder_layout_audit": _zorder_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

@@ -570,3 +570,204 @@ LEFT JOIN rpp_b b ON b.bno = n.bucket + 1
 CROSS JOIN rpp_t t
 ORDER BY n.bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout pruning audit
+# ---------------------------------------------------------------------------
+
+def _interleave16(u: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """16-bit Morton code from two 8-bit keys (u odd bits, d even)."""
+    z = np.zeros_like(u)
+    for b in range(8):
+        z |= (((u >> b) & 1) << (2 * b + 1)) | (((d >> b) & 1) << (2 * b))
+    return z
+
+
+def zorder_layout_audit(events_ds, n_files: int = 32,
+                        d_lo: int = 0, d_hi: int = 2,
+                        u_lo: int = 0, u_hi: int = 31):
+    """Data-layout audit: how much file pruning a Z-ORDER (Morton)
+    clustering of (user_id, day) buys over insertion order for a
+    TWO-dimensional scan (``user in [u_lo,u_hi] AND relative day in
+    [d_lo,d_hi]``) — the decision every lakehouse OPTIMIZE/ZORDER call
+    makes.  Both layouts assign each event to one of ``n_files`` files
+    (insertion: even event_id ranges; zorder: ROW-BALANCED Morton-code
+    ranges — the exact 16-bit z histogram is code-bounded (≤ 65536
+    rows), so balanced boundaries come from its prefix counts with NO
+    row sort: ``file(z) = rows_before(z) · n_files // total``, a pure
+    function of z on both engines); per file the pruner keeps
+    min/max of BOTH query columns and a file is SCANNED iff both
+    [min,max] intervals intersect the query box.
+
+    Output per layout: (layout, n_files_used, files_scanned,
+    rows_in_scanned, rows_matched, scan_ppm) — scan_ppm the exact share
+    of rows a pruned reader still touches.  Insertion order correlates
+    with time only, so it prunes the day dimension; z-order trades a
+    little day locality for user locality and prunes the box.
+
+    Scale shape: ONE streamed pass emits per-batch (layout, file,
+    min/max day, min/max user, n_rows, n_match) partials — 2·n_files
+    rows per block — into a bounded groupby; the driver folds
+    ≤ 2·n_files rows.  Day indexes are rebased on the corpus min day
+    (one tiny aggregate) so the window is position-independent.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    def day_of(t: pa.Table):
+        return pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))
+
+    base = events_ds.select_columns(["ts"]).map_batches(
+        lambda t: pa.table({"d": day_of(t)}),
+        batch_format="pyarrow", zero_copy_batch=True).min("d")
+    mx = events_ds.max("event_id")
+
+    # exact z histogram (≤ 65536 rows) -> balanced file-of-z lookup
+    from ray.data.aggregate import Count as _Count
+
+    def z_only(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = day_of(t).to_numpy(zero_copy_only=False) - base
+        return pa.table({"z": pa.array(
+            _interleave16(uid % 256, day % 256), pa.int64())})
+
+    hist = sorted((int(r["z"]), int(r["count()"])) for r in
+                  events_ds.select_columns(["user_id", "ts"])
+                  .map_batches(z_only, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("z").aggregate(_Count()).take_all())
+    total_rows = sum(c for _, c in hist)
+    zs = np.array([z for z, _ in hist], np.int64)
+    before = np.concatenate(
+        ([0], np.cumsum([c for _, c in hist])[:-1]))
+    file_of_z = (before * n_files // total_rows).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = day_of(t).to_numpy(zero_copy_only=False) - base
+        z = _interleave16(uid % 256, day % 256)
+        zfile = file_of_z[np.searchsorted(zs, z)]
+        match = ((day >= d_lo) & (day <= d_hi)
+                 & (uid >= u_lo) & (uid <= u_hi)).astype(np.int64)
+        out = {"layout": [], "file": [], "mn": [], "mxd": [],
+               "mnu": [], "mxu": [], "n": [], "m": []}
+        for layout, f in (("insertion", eid * n_files // (mx + 1)),
+                          ("zorder", zfile)):
+            import pandas as pd
+
+            g = pd.DataFrame({"f": f, "d": day, "u": uid, "m": match}) \
+                .groupby("f").agg(mn=("d", "min"), mxd=("d", "max"),
+                                  mnu=("u", "min"), mxu=("u", "max"),
+                                  n=("d", "size"), m=("m", "sum")) \
+                .reset_index()
+            out["layout"].extend([layout] * len(g))
+            out["file"].extend(g["f"].tolist())
+            out["mn"].extend(g["mn"].tolist())
+            out["mxd"].extend(g["mxd"].tolist())
+            out["mnu"].extend(g["mnu"].tolist())
+            out["mxu"].extend(g["mxu"].tolist())
+            out["n"].extend(g["n"].tolist())
+            out["m"].extend(g["m"].tolist())
+        return pa.table({
+            "layout": pa.array(out["layout"], pa.string()),
+            "file": pa.array(out["file"], pa.int64()),
+            "mn": pa.array(out["mn"], pa.int64()),
+            "mxd": pa.array(out["mxd"], pa.int64()),
+            "mnu": pa.array(out["mnu"], pa.int64()),
+            "mxu": pa.array(out["mxu"], pa.int64()),
+            "n": pa.array(out["n"], pa.int64()),
+            "m": pa.array(out["m"], pa.int64())})
+
+    files = events_ds.select_columns(["event_id", "user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["layout", "file"]).aggregate(
+            Min("mn", alias_name="mn"), Max("mxd", alias_name="mxd"),
+            Min("mnu", alias_name="mnu"), Max("mxu", alias_name="mxu"),
+            Sum("n", alias_name="n"), Sum("m", alias_name="m")) \
+        .take_all()
+    out = {"layout": [], "n_files_used": [], "files_scanned": [],
+           "rows_in_scanned": [], "rows_matched": [], "scan_ppm": []}
+    for layout in ("insertion", "zorder"):
+        fs = [r for r in files if r["layout"] == layout]
+        total = sum(int(r["n"]) for r in fs)
+        scanned = [r for r in fs
+                   if int(r["mxd"]) >= d_lo and int(r["mn"]) <= d_hi
+                   and int(r["mxu"]) >= u_lo and int(r["mnu"]) <= u_hi]
+        rows_in = sum(int(r["n"]) for r in scanned)
+        out["layout"].append(layout)
+        out["n_files_used"].append(len(fs))
+        out["files_scanned"].append(len(scanned))
+        out["rows_in_scanned"].append(rows_in)
+        out["rows_matched"].append(sum(int(r["m"]) for r in fs))
+        out["scan_ppm"].append((1_000_000 * rows_in) // total)
+    return pa.table({
+        "layout": pa.array(out["layout"], pa.string()),
+        "n_files_used": pa.array(out["n_files_used"], pa.int64()),
+        "files_scanned": pa.array(out["files_scanned"], pa.int64()),
+        "rows_in_scanned": pa.array(out["rows_in_scanned"], pa.int64()),
+        "rows_matched": pa.array(out["rows_matched"], pa.int64()),
+        "scan_ppm": pa.array(out["scan_ppm"], pa.int64()),
+    })
+
+
+def zorder_layout_audit_sql(n_files: int = 32, d_lo: int = 0,
+                            d_hi: int = 2, u_lo: int = 0,
+                            u_hi: int = 31) -> str:
+    z_terms = " + ".join(
+        f"((((u >> {b}) & 1) << {2 * b + 1})"
+        f" + (((d >> {b}) & 1) << {2 * b}))" for b in range(8))
+    return f"""
+WITH zl_b AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) // 86400000000
+           - (SELECT min(epoch_us(ts) // 86400000000) FROM events)
+           AS day
+  FROM events),
+zl_k AS (
+  SELECT event_id, day, user_id, user_id % 256 AS u, day % 256 AS d
+  FROM zl_b),
+zl_z AS (SELECT event_id, day, user_id, ({z_terms}) AS z FROM zl_k),
+zl_h AS (SELECT z, count(*) AS c FROM zl_z GROUP BY z),
+zl_cf AS (
+  SELECT z,
+         coalesce(sum(c) OVER (ORDER BY z
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           * {n_files} // (SELECT count(*) FROM events) AS f
+  FROM zl_h),
+zl_f AS (
+  SELECT 'insertion' AS layout,
+         event_id * {n_files} // (SELECT max(event_id) + 1 FROM events)
+           AS f,
+         day, user_id FROM zl_k
+  UNION ALL
+  SELECT 'zorder', cf.f, zz.day, zz.user_id
+  FROM zl_z zz JOIN zl_cf cf ON cf.z = zz.z),
+zl_s AS (
+  SELECT layout, f, min(day) AS mn, max(day) AS mxd,
+         min(user_id) AS mnu, max(user_id) AS mxu,
+         count(*) AS n,
+         sum((day >= {d_lo} AND day <= {d_hi}
+              AND user_id >= {u_lo} AND user_id <= {u_hi})::BIGINT)
+           AS m
+  FROM zl_f GROUP BY layout, f),
+zl_o AS (
+  SELECT layout, count(*) AS n_files_used,
+         sum((mxd >= {d_lo} AND mn <= {d_hi} AND mxu >= {u_lo}
+              AND mnu <= {u_hi})::BIGINT) AS files_scanned,
+         coalesce(sum(CASE WHEN mxd >= {d_lo} AND mn <= {d_hi}
+                            AND mxu >= {u_lo} AND mnu <= {u_hi}
+                           THEN n END), 0) AS rows_in_scanned,
+         sum(m) AS rows_matched, sum(n) AS total
+  FROM zl_s GROUP BY layout)
+SELECT layout, n_files_used::BIGINT AS n_files_used,
+       files_scanned::BIGINT AS files_scanned,
+       rows_in_scanned::BIGINT AS rows_in_scanned,
+       rows_matched::BIGINT AS rows_matched,
+       ((1000000 * rows_in_scanned) // total)::BIGINT AS scan_ppm
+FROM zl_o ORDER BY layout
+"""

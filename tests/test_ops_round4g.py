@@ -720,3 +720,51 @@ def test_feature_cross_hash_vs_brute(ray_session):
     assert got["n_collided"] == n_coll
     assert got["collision_ppm"] == 1_000_000 * n_coll // len(crosses)
     assert n_coll > 0, "tiny width must collide"
+
+
+# --------------------------------------------- zorder_layout_audit
+
+def test_zorder_layout_audit_2d_win(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.shard import zorder_layout_audit
+
+    # events whose insertion order is UNcorrelated with the query box:
+    # ids assigned randomly, so insertion files can't prune anything,
+    # while z-order clusters the (user, day) plane
+    rng = np.random.RandomState(43)
+    n = 2000
+    t0 = 1_700_000_000_000_000
+    US_DAY = 86_400_000_000
+    uid = rng.randint(0, 200, n)
+    day = rng.randint(0, 30, n)
+    perm = rng.permutation(n)
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array(perm, pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(t0 + day * US_DAY, pa.timestamp("us")),
+    })).repartition(4)
+    got = zorder_layout_audit(ds, n_files=32, d_lo=0, d_hi=4,
+                              u_lo=0, u_hi=40).to_pandas() \
+        .set_index("layout")
+    # exact row accounting
+    match = int(np.sum((day <= 4) & (uid <= 40)))
+    assert (got["rows_matched"] == match).all()
+    assert got.loc["insertion"]["n_files_used"] == 32
+    # random insertion order -> every file spans the whole box: no prune
+    assert got.loc["insertion"]["scan_ppm"] == 1_000_000
+    # z-order must prune substantially on the 2-D box
+    assert got.loc["zorder"]["scan_ppm"] < 500_000
+    assert got.loc["zorder"]["files_scanned"] < 32
+
+
+def test_interleave16_bits():
+    from kgruntime.ops.shard import _interleave16
+
+    u = np.array([0b10101010], np.int64)
+    d = np.array([0b01010101], np.int64)
+    z = _interleave16(u, d)[0]
+    # odd bits from u, even bits from d
+    exp = sum(((0b10101010 >> b) & 1) << (2 * b + 1)
+              | ((0b01010101 >> b) & 1) << (2 * b) for b in range(8))
+    assert z == exp
