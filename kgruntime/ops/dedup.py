@@ -2799,22 +2799,26 @@ def source_overlap_matrix(docs_ds, k: int = 3):
     copying too).
 
     Scale shape: source cardinality is catalog-small (asserted ≤ 62),
-    so presence is a per-shingle BITMASK.  Three native vectorized hash
-    aggregations, no per-group Python and no pair blow-up:
+    so presence is a per-shingle BITMASK.  ONE bucketed exchange plus a
+    tiny mask rollup, no per-shingle-group Python and no pair blow-up:
 
-      1. batch-local distinct (md5-60 shingle hash, source_bit), then a
-         global ``groupby(h, bit).count()`` — after this every
-         (shingle, source) exists exactly once, so
-      2. ``groupby(h).sum(bit)`` IS the presence-OR (each bit summed
-         at most once), and
-      3. ``groupby(mask).count()`` leaves ≤ 2^n_sources rows — the
+      1. batch-local distinct (md5-60 shingle hash, source_bit) rows
+         keyed by ``bucket = h % num_buckets`` (the shingle_novelty
+         shape — every occurrence of a shingle lands in one bucket);
+      2. each bucket group drop-duplicates (h, bit) and sums distinct
+         bits per h — the presence-OR — then pre-counts its masks,
+         emitting ≤ 2^n_sources rows per bucket (Arrow out: the
+         20× pandas-block lesson);
+      3. a final ``groupby(mask).sum`` leaves ≤ 2^n_sources rows — the
          only thing the driver ever sees; pair expansion happens there
          in exact integers.
 
     Text never crosses an exchange (8-byte shingle hashes do).
     """
-    from ray.data.aggregate import Count, Sum
+    import pandas as pd
+    from ray.data.aggregate import Sum
 
+    num_buckets = 256
     srcs = sorted(docs_ds.select_columns(["source"]).unique("source"))
     assert len(srcs) <= 62, "bitmask overlap assumes catalog-small sources"
     bit = {s: 1 << i for i, s in enumerate(srcs)}
@@ -2830,20 +2834,29 @@ def source_overlap_matrix(docs_ds, k: int = 3):
                   for i in range(len(toks) - k + 1)}
             out_h.extend(hs)
             out_b.extend([bit[s]] * len(hs))
+        h = np.array(out_h, np.uint64).astype(np.int64)
         b = pa.table({
-            "h": pa.array(np.array(out_h, np.uint64).astype(np.int64),
-                          pa.int64()),
+            "bucket": pa.array(h % num_buckets, pa.int64()),
+            "h": pa.array(h, pa.int64()),
             "bitv": pa.array(out_b, pa.int64()),
         })
-        return b.group_by(["h", "bitv"], use_threads=False) \
-            .aggregate([]).select(["h", "bitv"])
+        return b.group_by(["bucket", "h", "bitv"], use_threads=False) \
+            .aggregate([]).select(["bucket", "h", "bitv"])
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        m = g.drop_duplicates(["h", "bitv"]) \
+            .groupby("h", sort=False)["bitv"].sum()
+        cnt = m.value_counts()
+        return pa.table({
+            "mask": pa.array(cnt.index.to_numpy(np.int64)),
+            "n": pa.array(cnt.to_numpy(np.int64))})
 
     masks = docs_ds.select_columns(["text", "source"]) \
         .map_batches(explode, batch_format="pyarrow",
                      zero_copy_batch=True) \
-        .groupby(["h", "bitv"]).aggregate(Count()) \
-        .groupby("h").aggregate(Sum("bitv", alias_name="mask")) \
-        .groupby("mask").aggregate(Count(alias_name="n")) \
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas") \
+        .groupby("mask").aggregate(Sum("n", alias_name="n")) \
         .take_all()
 
     counts = [(int(r["mask"]), int(r["n"])) for r in masks]
