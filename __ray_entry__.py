@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_upsert_merge": _q_cdc_merge,
         "feature_cross_hash": _q_feature_cross,
         "zorder_layout_audit": _q_zorder,
+        "max_coverage_picks": _q_max_coverage,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1653,6 +1654,20 @@ def _zorder_oracle() -> str:
     return zorder_layout_audit_sql()
 
 
+def _q_max_coverage(sf_dir):
+    """Greedy max-coverage corpus selection
+    (kgruntime/ops/text.py:max_coverage_selection)."""
+    from kgruntime.ops.text import max_coverage_selection
+
+    return max_coverage_selection(_docs_ds(sf_dir))
+
+
+def _max_coverage_oracle() -> str:
+    from kgruntime.ops.text import max_coverage_selection_sql
+
+    return max_coverage_selection_sql()
+
+
 def _q_bot_regularity(sf_dir):
     """Inter-event regularity bot audit
     (kgruntime/ops/sessions.py:bot_regularity_audit)."""
@@ -2807,6 +2822,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_upsert_merge": _cdc_merge_oracle(),
         "feature_cross_hash": _feature_cross_oracle(),
         "zorder_layout_audit": _zorder_oracle(),
+        "max_coverage_picks": _max_coverage_oracle(),
         "top_terms_per_source": _top_terms_source_sql(),
         "user_components": _user_components_sql(),
         "curate_corpus": _curate_corpus_sql(),

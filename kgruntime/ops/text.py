@@ -2362,3 +2362,115 @@ SELECT n_crosses::BIGINT AS n_crosses,
         // greatest(n_crosses, 1))::BIGINT AS collision_ppm
 FROM fx_s
 """
+
+
+# --- greedy max-coverage corpus selection (facility location) ---
+
+def max_coverage_selection(docs_ds, k_picks: int = 5, k: int = 3):
+    """Greedy maximum-coverage corpus selection: pick ``k_picks`` docs
+    that together cover the most distinct ``k``-token shingles — the
+    classic (1−1/e)-approximate facility-location objective used to
+    choose a small diverse seed corpus.  Deterministic ties → smallest
+    doc_id.  Output: (pick_rank, doc_id, gain) with gain = NEW
+    shingles the pick covers.
+
+    Scale shape (the MMR unrolled-round shape): each of the ``k_picks``
+    rounds is one streamed pass — the covered-set (md5-60 ints, bounded
+    by the SELECTED docs' shingles, KB-scale) broadcasts via
+    ``ray.put``; every batch scores its docs vectorized-per-doc and
+    emits only its LOCAL best row (gain, doc_id, gram list), so the
+    driver folds n_blocks candidate rows per round.
+    """
+    import ray
+
+    from .dedup import _md5_60_memo
+
+    picked: list[tuple[int, int, int]] = []   # (rank, doc_id, gain)
+    picked_ids: set[int] = set()
+    covered: frozenset = frozenset()
+
+    docs = docs_ds.select_columns(["doc_id", "text"]).materialize()
+    for rnd in range(1, k_picks + 1):
+        ref = ray.put((covered, picked_ids))
+
+        def best_local(t: pa.Table, ref=ref) -> pa.Table:
+            cov, skip = ray.get(ref)
+            best_key, best_gs = None, None
+            for d, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                if d in skip:
+                    continue
+                toks = [w for w in txt.split(" ") if w]
+                if len(toks) < k:
+                    gs: set = set()
+                else:
+                    gs = {_md5_60_memo(" ".join(toks[i:i + k]))
+                          for i in range(len(toks) - k + 1)}
+                key = (-len(gs - cov), d)
+                if best_key is None or key < best_key:
+                    best_key, best_gs = key, gs
+            if best_key is None:
+                return pa.table({"gain": pa.array([], pa.int64()),
+                                 "doc_id": pa.array([], pa.int64()),
+                                 "gs": pa.array([], pa.list_(
+                                     pa.int64()))})
+            return pa.table({
+                "gain": pa.array([-best_key[0]], pa.int64()),
+                "doc_id": pa.array([best_key[1]], pa.int64()),
+                "gs": pa.array([sorted(best_gs)],
+                               pa.list_(pa.int64()))})
+
+        cand = docs.map_batches(best_local, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        if not cand:
+            break
+        win = min(cand, key=lambda r: (-int(r["gain"]),
+                                       int(r["doc_id"])))
+        picked.append((rnd, int(win["doc_id"]), int(win["gain"])))
+        picked_ids.add(int(win["doc_id"]))
+        covered = covered | set(int(g) for g in win["gs"])
+    return pa.table({
+        "pick_rank": pa.array([p[0] for p in picked], pa.int64()),
+        "doc_id": pa.array([p[1] for p in picked], pa.int64()),
+        "gain": pa.array([p[2] for p in picked], pa.int64()),
+    })
+
+
+def max_coverage_selection_sql(k_picks: int = 5, k: int = 3) -> str:
+    """Unrolled-round DuckDB twin (the mmr_diverse_topk shape): gram
+    STRINGS stand in for md5-60 ints; each round's winner is the max
+    new-coverage doc, ties to smallest doc_id."""
+    parts = [f"""mc_t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS s
+  FROM documents),
+mc_g AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, len(s) - {k} + 2),
+           i -> array_to_string(s[i : i + {k} - 1], ' '))) AS gs
+  FROM mc_t WHERE len(s) >= {k}),
+mc_s1 AS MATERIALIZED (
+  SELECT doc_id, gs, len(gs) AS gain FROM mc_g
+  ORDER BY gain DESC, doc_id LIMIT 1),
+mc_c1 AS (SELECT list_distinct(gs) AS cov FROM mc_s1)"""]
+    for r in range(2, k_picks + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT doc_id FROM mc_s{i}" for i in range(1, r))
+        parts.append(f"""mc_s{r} AS MATERIALIZED (
+  SELECT g.doc_id, g.gs,
+         len(list_filter(g.gs,
+             x -> NOT list_contains(c.cov, x))) AS gain
+  FROM mc_g g CROSS JOIN mc_c{r - 1} c
+  WHERE g.doc_id NOT IN ({prev_sel})
+  ORDER BY gain DESC, g.doc_id LIMIT 1),
+mc_c{r} AS (
+  SELECT list_distinct(list_concat(c.cov, s.gs)) AS cov
+  FROM mc_c{r - 1} c CROSS JOIN mc_s{r} s)""")
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS pick_rank, doc_id, gain FROM mc_s{i}"
+        for i in range(1, k_picks + 1))
+    chain = ",\n".join(parts)
+    return f"""
+WITH {chain}
+SELECT pick_rank, doc_id, gain FROM ({union})
+ORDER BY pick_rank
+"""

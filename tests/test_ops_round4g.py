@@ -768,3 +768,42 @@ def test_interleave16_bits():
     exp = sum(((0b10101010 >> b) & 1) << (2 * b + 1)
               | ((0b01010101 >> b) & 1) << (2 * b) for b in range(8))
     assert z == exp
+
+
+# --------------------------------------------- max_coverage_selection
+
+def test_max_coverage_selection_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import max_coverage_selection
+
+    rng = np.random.RandomState(47)
+    vocab = ["w%d" % i for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(3, 20)))
+             for _ in range(40)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    got = max_coverage_selection(ds, k_picks=4, k=3).to_pandas()
+
+    # brute-force greedy on gram strings
+    def grams(t):
+        toks = [w for w in t.split(" ") if w]
+        return {" ".join(toks[i:i + 3])
+                for i in range(len(toks) - 2)} if len(toks) >= 3 \
+            else set()
+
+    gsets = {i: grams(t) for i, t in enumerate(texts)}
+    cov, picked, exp = set(), set(), []
+    for rank in range(1, 5):
+        best = min(((-(len(gsets[i] - cov)), i)
+                    for i in gsets if i not in picked))
+        gain, i = -best[0], best[1]
+        exp.append((rank, i, gain))
+        picked.add(i)
+        cov |= gsets[i]
+    assert [(r.pick_rank, r.doc_id, r.gain)
+            for r in got.itertuples()] == exp
+    # greedy gains are non-increasing
+    assert all(a >= b for a, b in zip(got["gain"], got["gain"][1:]))
