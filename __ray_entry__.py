@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_cross_hash": _q_feature_cross,
         "zorder_layout_audit": _q_zorder,
         "max_coverage_picks": _q_max_coverage,
+        "gzjsonl_roundtrip_stats": _q_gzjsonl_roundtrip,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -643,6 +644,14 @@ def _roundtrip_stats(sf_dir, writer, reader, fmt):
     return reader(out).groupby("source").aggregate(
         Count(alias_name="n_docs"),
         Sum("n_chars", alias_name="total_chars"))
+
+
+def _q_gzjsonl_roundtrip(sf_dir):
+    from kgruntime.sources.documents import (read_documents_jsonl_gz,
+                                             write_documents_jsonl_gz)
+
+    return _roundtrip_stats(sf_dir, write_documents_jsonl_gz,
+                            read_documents_jsonl_gz, "gzjsonl")
 
 
 def _q_orc_roundtrip(sf_dir):
@@ -2757,6 +2766,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_drift": _vocab_drift_oracle(),
         "orc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "ipc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
+        "gzjsonl_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

@@ -283,3 +283,48 @@ def read_documents_ipc(path: str, columns=_FLAT_DOC_COLS):
     return rd.read_binary_files(path) \
         .map_batches(decode, batch_format="pyarrow") \
         .map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_documents_jsonl_gz(docs_ds, path: str):
+    """Write a documents Dataset as a partitioned gzip-compressed
+    JSONL directory (the standard compressed web-corpus interchange —
+    one ``part-*.jsonl.gz`` per batch, content-addressed like the
+    ORC/IPC sinks)."""
+    def encode(t: pa.Table) -> bytes:
+        import gzip
+        import io
+
+        buf = io.StringIO()
+        t.to_pandas().to_json(buf, orient="records", lines=True)
+        return gzip.compress(buf.getvalue().encode(), mtime=0)
+
+    return _write_file_batches(docs_ds, path, "jsonl.gz", encode)
+
+
+def read_documents_jsonl_gz(path: str, columns=_FLAT_DOC_COLS):
+    """Read a flat documents corpus from a directory of gzipped JSONL
+    files: ``read_binary_files`` distributes the file list; each task
+    decompresses with stdlib gzip and parses with the vectorized
+    pyarrow JSON reader (one file per block, same parallel shape as
+    read_parquet)."""
+    import ray.data as rd
+
+    def decode(t: pa.Table) -> pa.Table:
+        import gzip
+        import io
+
+        import pyarrow.json as pj
+
+        def body(b: bytes) -> bytes:
+            # read_binary_files auto-decompresses *.gz via the Arrow
+            # filesystem layer; keep the explicit path for raw bytes
+            return gzip.decompress(b) if b[:2] == b"\x1f\x8b" else b
+
+        tables = [pj.read_json(io.BytesIO(body(b.as_py())))
+                  for b in t["bytes"]]
+        return pa.concat_tables(tables, promote_options="default")
+
+    norm = _normalize_flat_docs(columns)
+    return rd.read_binary_files(path) \
+        .map_batches(decode, batch_format="pyarrow") \
+        .map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

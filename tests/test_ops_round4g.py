@@ -807,3 +807,40 @@ def test_max_coverage_selection_vs_brute(ray_session):
             for r in got.itertuples()] == exp
     # greedy gains are non-increasing
     assert all(a >= b for a, b in zip(got["gain"], got["gain"][1:]))
+
+
+# --------------------------------------------- gzip JSONL source/sink
+
+def test_gzjsonl_roundtrip_exact(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kgruntime.sources.documents import (read_documents_jsonl_gz,
+                                             write_documents_jsonl_gz)
+
+    docs = pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array([f'd{i} "quote" \\ and ünicode' for i in
+                          range(30)], pa.string()),
+        "lang": pa.array(["en"] * 30, pa.string()),
+        "source": pa.array(["s%d" % (i % 3) for i in range(30)],
+                           pa.string()),
+        "n_chars": pa.array([7] * 30, pa.int64()),
+    })
+    out = str(tmp_path / "gz")
+    write_documents_jsonl_gz(rd.from_arrow(docs).repartition(3), out)
+    import glob
+    import gzip
+
+    files = glob.glob(out + "/*.jsonl.gz")
+    assert len(files) >= 2, "partitioned output, never one giant file"
+    # files are REALLY gzip on disk
+    with open(files[0], "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"
+    back = read_documents_jsonl_gz(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = docs.to_pandas()
+    assert back[["doc_id", "text", "lang", "source", "n_chars"]] \
+        .equals(exp)
+    # decode path also handles raw (pre-decompressed) bytes
+    raw = gzip.decompress(open(files[0], "rb").read())
+    assert raw[:1] == b"{"
