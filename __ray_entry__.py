@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout_audit": _q_zorder,
         "max_coverage_picks": _q_max_coverage,
         "gzjsonl_roundtrip_stats": _q_gzjsonl_roundtrip,
+        "scd2_segment_revenue": R.q_scd2_segment_revenue,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -2767,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "ipc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "gzjsonl_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
+        "scd2_segment_revenue": R.Q_SCD2_SEGMENT_REVENUE_SQL,
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

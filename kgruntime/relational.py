@@ -1799,3 +1799,137 @@ rns_r AS (
 SELECT c AS custkey, p AS partkey, rn AS neg_rank
 FROM rns_r WHERE rn <= 5 ORDER BY custkey, neg_rank
 """
+
+
+_SCD2_D0 = 9131            # epoch day of 1995-01-01
+_SCD2_INF = 1 << 40
+
+
+def q_scd2_segment_revenue(sf_dir: str):
+    """SCD2 (slowly-changing-dimension) as-of join: each customer has
+    THREE deterministic dimension versions with md5-derived validity
+    windows and a version-specific segment attribute; every order joins
+    the version valid AT ITS ORDER DATE (not today's — the
+    point-in-time-correctness warehouse/feature-store rule), and
+    revenue rolls up by the historical segment.  Output:
+    (segment, n_orders, revenue_cents).
+
+    Scale shape: the versioned dim is 3 rows per customer built in one
+    streamed pass; ONE bucketed hash join on custkey (int-keyed, the
+    basket_affinity join path) carries (day, cents) fact rows against
+    ≤3 dim rows per key; the validity filter is a vectorized
+    post-filter and the rollup is segment-bounded.
+    """
+    import pyarrow.compute as pc
+
+    from .ops.dedup import _md5_60
+    from .ops.join import bucketed_hash_join
+
+    def dim_rows(t: pa.Table) -> pa.Table:
+        cks = t["c_custkey"].to_pylist()
+        out_ck, out_s, out_e, out_seg = [], [], [], []
+        for ck in cks:
+            off1 = _md5_60(f"v1|{ck}".encode()) % 2400
+            off2 = _md5_60(f"v2|{ck}".encode()) % 600
+            cut1 = _SCD2_D0 + off1
+            cut2 = cut1 + 1 + off2
+            for v, (s, e) in enumerate([(-_SCD2_INF, cut1),
+                                        (cut1, cut2),
+                                        (cut2, _SCD2_INF)]):
+                out_ck.append(ck)
+                out_s.append(s)
+                out_e.append(e)
+                out_seg.append(
+                    "seg%d" % (_md5_60(f"s{v}|{ck}".encode()) % 5))
+        return pa.table({"ck": pa.array(out_ck, pa.int64()),
+                         "vs": pa.array(out_s, pa.int64()),
+                         "ve": pa.array(out_e, pa.int64()),
+                         "segment": pa.array(out_seg, pa.string())})
+
+    dim = _read(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(dim_rows, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def fact_rows(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                    pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))
+        v = pc.multiply(t["o_totalprice"], 100.0)
+        cents = pc.cast(pc.round(v, round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"ock": t["o_custkey"], "day": day,
+                         "cents": cents})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate",
+                            "o_totalprice"]) \
+        .map_batches(fact_rows, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    joined = bucketed_hash_join(orders, dim, "ock", "ck")
+
+    def pick_and_roll(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keep = pc.and_(pc.greater_equal(t["day"], t["vs"]),
+                       pc.less(t["day"], t["ve"]))
+        f = t.filter(keep)
+        g = pd.DataFrame({"segment": f["segment"].to_pylist(),
+                          "cents": f["cents"].to_numpy(
+                              zero_copy_only=False)}) \
+            .groupby("segment").agg(n=("cents", "size"),
+                                    s=("cents", "sum")).reset_index()
+        return pa.table({
+            "segment": pa.array(g["segment"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    rows = joined.map_batches(pick_and_roll, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("segment").aggregate(Sum("n", alias_name="n"),
+                                      Sum("s", alias_name="s")) \
+        .take_all()
+    rows.sort(key=lambda r: r["segment"])
+    return pa.table({
+        "segment": pa.array([r["segment"] for r in rows], pa.string()),
+        "n_orders": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "revenue_cents": pa.array([int(r["s"]) for r in rows],
+                                  pa.int64()),
+    })
+
+
+Q_SCD2_SEGMENT_REVENUE_SQL = f"""
+WITH scd_h AS (
+  SELECT c_custkey AS ck,
+         ('0x' || substr(md5('v1|' || c_custkey), 1, 15))::BIGINT
+           % 2400 AS off1,
+         ('0x' || substr(md5('v2|' || c_custkey), 1, 15))::BIGINT
+           % 600 AS off2
+  FROM customer),
+scd_d AS (
+  SELECT ck, 0 AS v, -{_SCD2_INF} AS vs, {_SCD2_D0} + off1 AS ve
+  FROM scd_h
+  UNION ALL
+  SELECT ck, 1, {_SCD2_D0} + off1, {_SCD2_D0} + off1 + 1 + off2
+  FROM scd_h
+  UNION ALL
+  SELECT ck, 2, {_SCD2_D0} + off1 + 1 + off2, {_SCD2_INF} FROM scd_h),
+scd_g AS (
+  SELECT ck, vs, ve,
+         'seg' || (('0x' || substr(md5('s' || v || '|' || ck), 1, 15))
+                   ::BIGINT % 5) AS segment
+  FROM scd_d),
+scd_o AS (
+  SELECT o_custkey AS ck,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT g.segment, count(*) AS n_orders,
+       sum(o.cents)::BIGINT AS revenue_cents
+FROM scd_o o JOIN scd_g g
+  ON g.ck = o.ck AND o.day >= g.vs AND o.day < g.ve
+GROUP BY g.segment ORDER BY g.segment
+"""

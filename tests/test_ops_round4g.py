@@ -844,3 +844,28 @@ def test_gzjsonl_roundtrip_exact(ray_session, tmp_path):
     # decode path also handles raw (pre-decompressed) bytes
     raw = gzip.decompress(open(files[0], "rb").read())
     assert raw[:1] == b"{"
+
+
+# --------------------------------------------- scd2_segment_revenue
+
+def test_scd2_segment_revenue_vs_duckdb(ray_session):
+    import duckdb
+
+    from kgruntime.relational import (Q_SCD2_SEGMENT_REVENUE_SQL,
+                                      q_scd2_segment_revenue)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_scd2_segment_revenue(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ["customer", "orders"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    exp = con.execute(Q_SCD2_SEGMENT_REVENUE_SQL).df()
+    assert got["segment"].tolist() == exp["segment"].tolist()
+    assert got["n_orders"].tolist() == exp["n_orders"].tolist()
+    assert got["revenue_cents"].tolist() == \
+        exp["revenue_cents"].astype(int).tolist()
+    # every order lands in exactly one version window
+    n_orders = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/orders.parquet'").fetchone()[0]
+    assert got["n_orders"].sum() == n_orders
