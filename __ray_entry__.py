@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_coverage_picks": _q_max_coverage,
         "gzjsonl_roundtrip_stats": _q_gzjsonl_roundtrip,
         "scd2_segment_revenue": R.q_scd2_segment_revenue,
+        "retrieval_rank_agreement": _q_rank_agreement,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1052,6 +1053,30 @@ def _rrf_fusion_oracle() -> str:
     from kgruntime.ops.ann import rrf_fusion_sql
 
     return rrf_fusion_sql(_LEX_QUERY)
+
+
+def _q_rank_agreement(sf_dir):
+    """Kendall-tau agreement between the lexical and embedding top-r
+    rankings (kgruntime/ops/ann.py:rank_agreement)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from kgruntime.ops.ann import rank_agreement
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = duckdb.sql(f"SELECT embedding FROM read_parquet('{path}') "
+                   f"ORDER BY vec_id LIMIT 1").arrow()
+    qvec = t["embedding"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return rank_agreement(_docs_ds(sf_dir), emb, _LEX_QUERY, qvec)
+
+
+def _rank_agreement_oracle() -> str:
+    from kgruntime.ops.ann import rank_agreement_sql
+
+    return rank_agreement_sql(_LEX_QUERY)
 
 
 def _q_entity_clusters(sf_dir):
@@ -2769,6 +2794,7 @@ def oracle_sql() -> dict[str, str]:
         "ipc_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "gzjsonl_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "scd2_segment_revenue": R.Q_SCD2_SEGMENT_REVENUE_SQL,
+        "retrieval_rank_agreement": _rank_agreement_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

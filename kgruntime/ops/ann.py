@@ -1950,3 +1950,77 @@ SELECT q.vec_id AS query_id,
 FROM rp_q q LEFT JOIN rp_match m ON m.qid = q.vec_id
 ORDER BY query_id
 """
+
+
+# --- lexical-vs-embedding rank agreement (Kendall tau) ---------------------
+
+def rank_agreement(docs_ds, emb_ds, query_text: str,
+                   query_vec: np.ndarray, r: int = 50,
+                   lex_scale: int = 10 ** 6):
+    """Rank-agreement audit between the lexical and embedding
+    retrievers: exact Kendall tau over the docs BOTH rankers place in
+    their top-``r`` — the "do my two retrieval signals even agree"
+    check run before fusing them.  Output (one row): (n_common,
+    n_concordant, n_discordant, tau_ppm) with
+    ``tau = (C − D) / (C + D)`` in truncation-safe signed ppm (ranks
+    are distinct, so there are no tie pairs).
+
+    Scale shape: both rankings are the rrf_fusion sweeps (distributed
+    scoring + top-r local prune, ≤r rows to the driver per side); the
+    tau fold touches ≤ r² driver-side pairs of two small ints.
+    """
+    from .text import lexical_topk
+
+    lex_rows = lexical_topk(docs_ds, query_text, k=r,
+                            scale=lex_scale).take_all()
+    lex_rank = {int(x["doc_id"]): i + 1 for i, x in enumerate(lex_rows)}
+    emb_ids = _int_dot_topr(emb_ds, _units_matrix(query_vec), r)
+    emb_rank = {d: i + 1 for i, d in enumerate(emb_ids)}
+
+    common = sorted(set(lex_rank) & set(emb_rank))
+    C = D = 0
+    for i, a in enumerate(common):
+        for b in common[i + 1:]:
+            prod = (lex_rank[a] - lex_rank[b]) \
+                * (emb_rank[a] - emb_rank[b])
+            if prod > 0:
+                C += 1
+            elif prod < 0:
+                D += 1
+    num = C - D
+    den = C + D
+    tau = 0 if den == 0 else (
+        (1_000_000 * num) // den if num >= 0
+        else -((1_000_000 * -num) // den))
+    return pa.table({
+        "n_common": pa.array([len(common)], pa.int64()),
+        "n_concordant": pa.array([C], pa.int64()),
+        "n_discordant": pa.array([D], pa.int64()),
+        "tau_ppm": pa.array([tau], pa.int64()),
+    })
+
+
+def rank_agreement_sql(query_text: str, r: int = 50,
+                       lex_scale: int = 10 ** 6) -> str:
+    """Twin: the rrf_fusion twin's two ranking chains, folded into the
+    exact pairwise concordance counts instead of an RRF score."""
+    base = rrf_fusion_sql(query_text, r=r, lex_scale=lex_scale)
+    head = base[:base.rindex("SELECT COALESCE")].rstrip()
+    return f"""{head},
+ra_c AS (
+  SELECT l.doc_id, l.rnk AS lr, e.rnk AS er
+  FROM rf_lex l JOIN rf_emb e USING (doc_id)),
+ra_p AS (
+  SELECT coalesce(sum(((a.lr - b.lr) * (a.er - b.er) > 0)::BIGINT), 0)
+           AS c,
+         coalesce(sum(((a.lr - b.lr) * (a.er - b.er) < 0)::BIGINT), 0)
+           AS d
+  FROM ra_c a JOIN ra_c b ON a.doc_id < b.doc_id)
+SELECT (SELECT count(*) FROM ra_c)::BIGINT AS n_common,
+       c::BIGINT AS n_concordant, d::BIGINT AS n_discordant,
+       (CASE WHEN c + d = 0 THEN 0
+             WHEN c >= d THEN (1000000 * (c - d)) // (c + d)
+             ELSE -((1000000 * (d - c)) // (c + d)) END)::BIGINT
+         AS tau_ppm
+FROM ra_p
+"""

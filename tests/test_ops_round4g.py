@@ -869,3 +869,46 @@ def test_scd2_segment_revenue_vs_duckdb(ray_session):
     n_orders = duckdb.sql(
         f"SELECT count(*) FROM '{sf}/orders.parquet'").fetchone()[0]
     assert got["n_orders"].sum() == n_orders
+
+
+# --------------------------------------------- rank_agreement
+
+def test_rank_agreement_extremes(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import rank_agreement
+
+    # identical rankings -> tau = 1: make embeddings where inner
+    # product order follows doc frequency of the query word exactly,
+    # and docs where lexical score does too
+    n, dim = 12, 4
+    texts = [" ".join(["hit"] * (n - i) + ["pad"] * (i + 1))
+             for i in range(n)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    vecs = np.zeros((n, dim))
+    vecs[:, 0] = np.arange(n, 0, -1)  # same order as lexical
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    q = np.zeros(dim)
+    q[0] = 1.0
+    got = rank_agreement(docs, emb, "hit", q, r=n).to_pandas().iloc[0]
+    assert got["tau_ppm"] == 1_000_000
+    assert got["n_discordant"] == 0
+    assert got["n_common"] >= 2
+
+    # reversed embedding order -> tau = -1
+    vecs[:, 0] = np.arange(n)
+    emb2 = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    got2 = rank_agreement(docs, emb2, "hit", q, r=n).to_pandas().iloc[0]
+    assert got2["tau_ppm"] == -1_000_000
+    assert got2["n_concordant"] == 0
