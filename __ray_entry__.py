@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gzjsonl_roundtrip_stats": _q_gzjsonl_roundtrip,
         "scd2_segment_revenue": R.q_scd2_segment_revenue,
         "retrieval_rank_agreement": _q_rank_agreement,
+        "epoch_shuffle_audit": _q_epoch_shuffle,
+        "dedup_sensitivity_sweep": _q_dedup_sweep,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1077,6 +1079,34 @@ def _rank_agreement_oracle() -> str:
     from kgruntime.ops.ann import rank_agreement_sql
 
     return rank_agreement_sql(_LEX_QUERY)
+
+
+def _q_epoch_shuffle(sf_dir):
+    """Deterministic per-epoch shuffle-order audit
+    (kgruntime/ops/sample.py:epoch_shuffle_audit)."""
+    from kgruntime.ops.sample import epoch_shuffle_audit
+
+    return epoch_shuffle_audit(_docs_ds(sf_dir))
+
+
+def _epoch_shuffle_oracle() -> str:
+    from kgruntime.ops.sample import epoch_shuffle_audit_sql
+
+    return epoch_shuffle_audit_sql()
+
+
+def _q_dedup_sweep(sf_dir):
+    """Normalization-ladder dedup sensitivity sweep
+    (kgruntime/ops/dedup.py:dedup_sensitivity_sweep)."""
+    from kgruntime.ops.dedup import dedup_sensitivity_sweep
+
+    return dedup_sensitivity_sweep(_docs_ds(sf_dir))
+
+
+def _dedup_sweep_oracle() -> str:
+    from kgruntime.ops.dedup import dedup_sensitivity_sweep_sql
+
+    return dedup_sensitivity_sweep_sql()
 
 
 def _q_entity_clusters(sf_dir):
@@ -2795,6 +2825,8 @@ def oracle_sql() -> dict[str, str]:
         "gzjsonl_roundtrip_stats": _ROUNDTRIP_STATS_SQL,
         "scd2_segment_revenue": R.Q_SCD2_SEGMENT_REVENUE_SQL,
         "retrieval_rank_agreement": _rank_agreement_oracle(),
+        "epoch_shuffle_audit": _epoch_shuffle_oracle(),
+        "dedup_sensitivity_sweep": _dedup_sweep_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

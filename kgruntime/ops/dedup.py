@@ -3029,3 +3029,103 @@ SELECT event_type, count(*) AS n_rows, sum(cents)::BIGINT AS sum_cents
 FROM um_m WHERE event_type IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup sensitivity sweep (normalization-level ladder)
+# ---------------------------------------------------------------------------
+
+_SWEEP_LEVELS = ["raw", "casefold", "normalized", "prefix100"]
+
+
+def dedup_sensitivity_sweep(docs_ds):
+    """How much duplication each normalization level exposes — the
+    ladder a dedup-policy decision walks: exact on raw text, casefold,
+    full normalize (the ``normalized_text_hash`` canon: casefold +
+    non-alnum→space + collapse), and first-100-token prefix
+    (truncation dups).  Output per level: (level, n_docs, n_distinct,
+    n_dup_docs).
+
+    Scale shape: ONE pass computes all four 128-bit hashes per doc
+    (4 rows/doc of level+hex), one ``groupby(level, h).count()``
+    exchange, then per-batch (level, groups, docs) partials into a
+    4-row rollup.  Text never crosses an exchange.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def hashes(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        lower = pc.utf8_lower(t["text"])
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            lower, r"[^a-z0-9]+", " ")).to_pylist()
+        lower = lower.to_pylist()
+        prefix = [" ".join([w for w in x.split(" ") if w][:100])
+                  for x in texts]
+        out_l, out_h = [], []
+        for level, vals in zip(_SWEEP_LEVELS,
+                               (texts, lower, norm, prefix)):
+            out_l.extend([level] * len(vals))
+            out_h.extend(hashlib.blake2b(v.encode(),
+                                         digest_size=16).hexdigest()
+                         for v in vals)
+        return pa.table({"level": pa.array(out_l, pa.string()),
+                         "h": pa.array(out_h, pa.string())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = pd.DataFrame({"level": t["level"].to_pylist(),
+                          "c": t["count()"].to_numpy(
+                              zero_copy_only=False)}) \
+            .groupby("level").agg(nd=("c", "size"), n=("c", "sum")) \
+            .reset_index()
+        return pa.table({
+            "level": pa.array(g["level"], pa.string()),
+            "nd": pa.array(g["nd"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    rows = docs_ds.select_columns(["text"]) \
+        .map_batches(hashes, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["level", "h"]).count() \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("level").aggregate(Sum("nd", alias_name="nd"),
+                                    Sum("n", alias_name="n")) \
+        .take_all()
+    by = {r["level"]: r for r in rows}
+    return pa.table({
+        "level": pa.array(_SWEEP_LEVELS, pa.string()),
+        "n_docs": pa.array([int(by[s]["n"]) for s in _SWEEP_LEVELS],
+                           pa.int64()),
+        "n_distinct": pa.array([int(by[s]["nd"])
+                                for s in _SWEEP_LEVELS], pa.int64()),
+        "n_dup_docs": pa.array(
+            [int(by[s]["n"]) - int(by[s]["nd"])
+             for s in _SWEEP_LEVELS], pa.int64()),
+    })
+
+
+def dedup_sensitivity_sweep_sql() -> str:
+    """Twin: normalized STRINGS stand in for the Ray side's blake2b
+    hashes (the established collision-free-hash idiom)."""
+    return r"""
+WITH dss_v AS (
+  SELECT 'raw' AS level, text AS v FROM documents
+  UNION ALL
+  SELECT 'casefold', lower(text) FROM documents
+  UNION ALL
+  SELECT 'normalized',
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+  FROM documents
+  UNION ALL
+  SELECT 'prefix100',
+         array_to_string(
+           list_filter(string_split(text, ' '), w -> w != '')[1:100],
+           ' ')
+  FROM documents)
+SELECT level, count(*) AS n_docs,
+       count(DISTINCT v) AS n_distinct,
+       (count(*) - count(DISTINCT v))::BIGINT AS n_dup_docs
+FROM dss_v GROUP BY level ORDER BY level
+"""

@@ -690,3 +690,71 @@ FROM mh_pairs
 WHERE {case('doc_a')} <> {case('doc_b')}
 ORDER BY doc_a, doc_b
 """
+
+
+def epoch_shuffle_audit(docs_ds, n_epochs: int = 3, k: int = 8):
+    """Multi-epoch data-order audit: the deterministic per-epoch global
+    shuffle a training loader needs — epoch ``e`` orders docs by
+    ``md5-60(e || '|' || doc_id)`` (a fresh uniform permutation per
+    epoch, identical on every worker/retry/resume, no coordination).
+    Emits the first ``k`` docs of each epoch's order:
+    (epoch, rank, doc_id) — enough for a loader to verify its order
+    against the engine's.
+
+    Scale shape: one streamed pass per nothing — a SINGLE map over the
+    corpus computes all epochs' hashes per batch and keeps each
+    epoch's local k smallest (n_epochs·k rows per block to the
+    driver); the driver merges n_blocks·n_epochs·k rows.  The FULL
+    epoch order is implicit (sort by the same hash) and never
+    materializes.
+    """
+    from .dedup import _md5_60
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_e, out_h, out_d = [], [], []
+        for e in range(n_epochs):
+            h = np.array([_md5_60(f"{e}|{int(d)}".encode())
+                          for d in ids], np.int64)
+            order = np.lexsort((ids, h))[:k]
+            out_e.extend([e] * len(order))
+            out_h.extend(h[order].tolist())
+            out_d.extend(ids[order].tolist())
+        return pa.table({"epoch": pa.array(out_e, pa.int64()),
+                         "h": pa.array(out_h, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    rows = docs_ds.select_columns(["doc_id"]) \
+        .map_batches(local, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all()
+    out = {"epoch": [], "rank": [], "doc_id": []}
+    for e in range(n_epochs):
+        cand = sorted((int(r["h"]), int(r["doc_id"])) for r in rows
+                      if r["epoch"] == e)[:k]
+        for i, (_, d) in enumerate(cand, 1):
+            out["epoch"].append(e)
+            out["rank"].append(i)
+            out["doc_id"].append(d)
+    return pa.table({
+        "epoch": pa.array(out["epoch"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+    })
+
+
+def epoch_shuffle_audit_sql(n_epochs: int = 3, k: int = 8) -> str:
+    return f"""
+WITH ep_h AS (
+  SELECT e.e AS epoch, d.doc_id,
+         ('0x' || substr(md5(e.e || '|' || d.doc_id), 1, 15))::BIGINT
+           AS h
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, {n_epochs})) AS e) e),
+ep_r AS (
+  SELECT epoch, doc_id,
+         row_number() OVER (PARTITION BY epoch
+                            ORDER BY h, doc_id) AS rank
+  FROM ep_h)
+SELECT epoch, rank, doc_id FROM ep_r
+WHERE rank <= {k} ORDER BY epoch, rank
+"""

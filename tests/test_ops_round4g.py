@@ -912,3 +912,74 @@ def test_rank_agreement_extremes(ray_session):
     got2 = rank_agreement(docs, emb2, "hit", q, r=n).to_pandas().iloc[0]
     assert got2["tau_ppm"] == -1_000_000
     assert got2["n_concordant"] == 0
+
+
+# --------------------------------------------- epoch_shuffle_audit
+
+def test_epoch_shuffle_audit_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import _md5_60
+    from kgruntime.ops.sample import epoch_shuffle_audit
+
+    ids = list(range(100, 160))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64())})).repartition(5)
+    got = epoch_shuffle_audit(ds, n_epochs=3, k=6).to_pandas()
+    orders = {}
+    for e in range(3):
+        order = sorted(ids, key=lambda d: (
+            _md5_60(f"{e}|{d}".encode()), d))[:6]
+        orders[e] = order
+        sub = got[got.epoch == e].sort_values("rank")
+        assert sub["doc_id"].tolist() == order
+    # epochs produce different permutations
+    assert orders[0] != orders[1] != orders[2]
+
+
+# --------------------------------------------- dedup_sensitivity_sweep
+
+def test_dedup_sensitivity_sweep_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import dedup_sensitivity_sweep
+
+    texts = [
+        "Hello, World!",
+        "hello world",          # dup of #0 only after normalization
+        "HELLO WORLD",          # dup of #1 after casefold? no: "HELLO
+                                # WORLD".lower() == "hello world" yes
+        "Hello, World!",        # raw dup of #0
+        " ".join("t%d" % i for i in range(150)),
+        " ".join("t%d" % i for i in range(150)) + " tail extra",
+        # same first 100 tokens as #4 -> prefix100 dup
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    got = dedup_sensitivity_sweep(ds).to_pandas().set_index("level")
+
+    import re
+
+    def count(fn):
+        vals = [fn(t) for t in texts]
+        return len(vals), len(set(vals))
+
+    for level, fn in [
+            ("raw", lambda t: t),
+            ("casefold", str.lower),
+            ("normalized", lambda t: re.sub(
+                r"[^a-z0-9]+", " ", t.lower()).strip()),
+            ("prefix100", lambda t: " ".join(
+                [w for w in t.split(" ") if w][:100]))]:
+        n, nd = count(fn)
+        r = got.loc[level]
+        assert (r["n_docs"], r["n_distinct"], r["n_dup_docs"]) == \
+            (n, nd, n - nd), level
+    # the ladder is monotone: more normalization, more dups
+    assert got.loc["raw"]["n_dup_docs"] <= \
+        got.loc["casefold"]["n_dup_docs"] <= \
+        got.loc["normalized"]["n_dup_docs"]
+    assert got.loc["prefix100"]["n_dup_docs"] >= \
+        got.loc["raw"]["n_dup_docs"]
