@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_rank_agreement": _q_rank_agreement,
         "epoch_shuffle_audit": _q_epoch_shuffle,
         "dedup_sensitivity_sweep": _q_dedup_sweep,
+        "triplet_mining": _q_triplet_mining,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1397,6 +1398,35 @@ def _q_peak_concurrency(sf_dir):
     from kgruntime.ops.sessions import peak_concurrent_users
 
     return peak_concurrent_users(_events_ds(sf_dir))
+
+
+def _q_triplet_mining(sf_dir):
+    """Contrastive triplet mining: hardest positive + hardest negative
+    per anchor (kgruntime/ops/ann.py:triplet_mining)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from kgruntime.ops.ann import triplet_mining
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = rd.read_parquet(path,
+                          columns=["vec_id", "embedding", "label"])
+    t = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM read_parquet('{path}') "
+        f"ORDER BY vec_id LIMIT {_ANN_N_QUERIES}").arrow()
+    ids = t["vec_id"].to_pylist()
+    labels = t["label"].to_pylist()
+    q = t["embedding"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False) \
+        .astype(np.float64, copy=False).reshape(len(ids), -1)
+    return triplet_mining(emb, q, ids, labels)
+
+
+def _triplet_mining_oracle() -> str:
+    from kgruntime.ops.ann import triplet_mining_sql
+
+    return triplet_mining_sql(n_queries=_ANN_N_QUERIES)
 
 
 def _q_hard_negatives(sf_dir):
@@ -2827,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_rank_agreement": _rank_agreement_oracle(),
         "epoch_shuffle_audit": _epoch_shuffle_oracle(),
         "dedup_sensitivity_sweep": _dedup_sweep_oracle(),
+        "triplet_mining": _triplet_mining_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

@@ -2024,3 +2024,143 @@ SELECT (SELECT count(*) FROM ra_c)::BIGINT AS n_common,
          AS tau_ppm
 FROM ra_p
 """
+
+
+# --- triplet mining (anchor, hardest positive, hardest negative) -----------
+
+class _TripletScorer:
+    """Task-pool scorer: per anchor, the batch-local hardest SAME-label
+    (excluding self) and hardest DIFFERENT-label candidates."""
+
+    def __init__(self, ref):
+        import ray
+
+        queries, query_ids, query_labels = ray.get(ref)
+        self.uq = _units_matrix(np.asarray(queries, np.float64))
+        self.query_ids = np.asarray(list(query_ids), np.int64)
+        self.query_labels = np.asarray(list(query_labels), np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "cand_id": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.int64()),
+                          "kind": pa.array([], pa.string())})
+        if batch.num_rows == 0 or len(self.query_ids) == 0:
+            return empty
+        ids = _ids_vector(batch)
+        # id-ascending batch order so argmax's first-max tie-break IS
+        # the min-id tie-break the twin uses
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        labels = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        ud = _units_matrix(_emb_matrix(batch))[order]
+        s = self.uq @ ud.T
+        low = np.iinfo(np.int64).min + 1
+        same = (self.query_labels[:, None] == labels[None, :]) \
+            & (self.query_ids[:, None] != ids[None, :])
+        diff = self.query_labels[:, None] != labels[None, :]
+        qs, cs, ks, kinds = [], [], [], []
+        for kind, mask in (("pos", same), ("neg", diff)):
+            sm = np.where(mask, s, low)
+            best = np.argmax(sm, axis=1)
+            keep = sm[np.arange(len(best)), best] != low
+            qs.append(self.query_ids[keep])
+            cs.append(ids[best[keep]])
+            ks.append(sm[np.arange(len(best)), best][keep])
+            kinds.extend([kind] * int(keep.sum()))
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(qs), pa.int64()),
+             pa.array(np.concatenate(cs), pa.int64()),
+             pa.array(np.concatenate(ks), pa.int64()),
+             pa.array(kinds, pa.string())],
+            names=["query_id", "cand_id", "key", "kind"])
+
+
+def triplet_mining(emb_ds, queries: np.ndarray, query_ids: list[int],
+                   query_labels: list[int]):
+    """Contrastive triplet mining: per anchor, the HARDEST positive
+    (most-similar same-label vector, ≠ self) and the HARDEST negative
+    (most-similar different-label vector), plus the exact integer
+    margin ``pos_key − neg_key`` — negative margins are the triplets a
+    metric-learning run needs most.  Output: (query_id, positive_id,
+    negative_id, margin).
+
+    Ranking key = exact fixed-point inner product (int64 units), ties
+    → candidate id ASC.  Task-pool shape (hard_negatives precedent):
+    broadcast anchor matrix, 2 partial rows per (anchor, batch).
+    """
+    import ray
+
+    ref = ray.put((np.asarray(queries, np.float64), list(query_ids),
+                   [int(x) for x in query_labels]))
+
+    def score(batch: pa.Table, ref=ref) -> pa.Table:
+        scorer = _cached_state(ref, lambda: _TripletScorer(ref))
+        return scorer(batch)
+
+    rows = emb_ds.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    best: dict[tuple[int, str], tuple[int, int]] = {}
+    for r in rows:
+        kk = (int(r["query_id"]), r["kind"])
+        cand = (-int(r["key"]), int(r["cand_id"]))
+        if kk not in best or cand < best[kk]:
+            best[kk] = cand
+    out = {"query_id": [], "positive_id": [], "negative_id": [],
+           "margin": []}
+    for q in sorted(set(query_ids)):
+        p = best.get((q, "pos"))
+        n = best.get((q, "neg"))
+        if p is None or n is None:
+            continue
+        out["query_id"].append(q)
+        out["positive_id"].append(p[1])
+        out["negative_id"].append(n[1])
+        out["margin"].append(-p[0] - (-n[0]))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "positive_id": pa.array(out["positive_id"], pa.int64()),
+        "negative_id": pa.array(out["negative_id"], pa.int64()),
+        "margin": pa.array(out["margin"], pa.int64()),
+    })
+
+
+def triplet_mining_sql(n_queries: int = 10,
+                       scale: int = _UNIT_SCALE) -> str:
+    return f"""
+WITH tm_e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS u
+  FROM embeddings),
+tm_q AS (SELECT vec_id, label FROM embeddings ORDER BY vec_id
+         LIMIT {n_queries}),
+tm_dot AS (
+  SELECT qe.vec_id AS qid, de.vec_id AS nid, sum(qe.u * de.u) AS s
+  FROM tm_e qe JOIN tm_q ON tm_q.vec_id = qe.vec_id
+  JOIN tm_e de ON de.i = qe.i AND de.vec_id != qe.vec_id
+  GROUP BY 1, 2),
+tm_pos AS (
+  SELECT qid, nid, s FROM (
+    SELECT d.qid, d.nid, d.s, row_number() OVER (
+      PARTITION BY d.qid ORDER BY d.s DESC, d.nid ASC) AS rn
+    FROM tm_dot d
+    JOIN tm_q ON tm_q.vec_id = d.qid
+    JOIN embeddings ne ON ne.vec_id = d.nid
+    WHERE ne.label = tm_q.label) WHERE rn = 1),
+tm_neg AS (
+  SELECT qid, nid, s FROM (
+    SELECT d.qid, d.nid, d.s, row_number() OVER (
+      PARTITION BY d.qid ORDER BY d.s DESC, d.nid ASC) AS rn
+    FROM tm_dot d
+    JOIN tm_q ON tm_q.vec_id = d.qid
+    JOIN embeddings ne ON ne.vec_id = d.nid
+    WHERE ne.label != tm_q.label) WHERE rn = 1)
+SELECT q.vec_id AS query_id, p.nid AS positive_id,
+       n.nid AS negative_id, (p.s - n.s)::BIGINT AS margin
+FROM tm_q q
+JOIN tm_pos p ON p.qid = q.vec_id
+JOIN tm_neg n ON n.qid = q.vec_id
+ORDER BY query_id
+"""

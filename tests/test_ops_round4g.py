@@ -983,3 +983,40 @@ def test_dedup_sensitivity_sweep_vs_brute(ray_session):
         got.loc["normalized"]["n_dup_docs"]
     assert got.loc["prefix100"]["n_dup_docs"] >= \
         got.loc["raw"]["n_dup_docs"]
+
+
+# --------------------------------------------- triplet_mining
+
+def test_triplet_mining_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import _units_matrix, triplet_mining
+
+    rng = np.random.RandomState(53)
+    n, dim = 50, 16
+    X = rng.randn(n, dim)
+    labels = [int(rng.randint(3)) for _ in range(n)]
+    emb = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, x)) for x in X],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    Xf = np.array(emb["embedding"].combine_chunks().flatten()
+                  .to_numpy(zero_copy_only=False),
+                  np.float64).reshape(n, dim)
+    q_ids, q_labels, Q = list(range(5)), labels[:5], Xf[:5]
+    got = triplet_mining(rd.from_arrow(emb).repartition(4),
+                         Q, q_ids, q_labels).to_pandas() \
+        .set_index("query_id")
+
+    U = _units_matrix(Xf)
+    for qi, qid in enumerate(q_ids):
+        s = U[qi] @ U.T
+        pos = min(((-s[i], i) for i in range(n)
+                   if labels[i] == q_labels[qi] and i != qid))
+        neg = min(((-s[i], i) for i in range(n)
+                   if labels[i] != q_labels[qi]))
+        r = got.loc[qid]
+        assert (r["positive_id"], r["negative_id"]) == (pos[1], neg[1])
+        assert r["margin"] == -pos[0] - (-neg[0])
