@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle_audit": _q_epoch_shuffle,
         "dedup_sensitivity_sweep": _q_dedup_sweep,
         "triplet_mining": _q_triplet_mining,
+        "pareto_front_parts": R.q_pareto_front_parts,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -2858,6 +2859,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle_audit": _epoch_shuffle_oracle(),
         "dedup_sensitivity_sweep": _dedup_sweep_oracle(),
         "triplet_mining": _triplet_mining_oracle(),
+        "pareto_front_parts": R.Q_PARETO_FRONT_PARTS_SQL,
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

@@ -1933,3 +1933,91 @@ FROM scd_o o JOIN scd_g g
   ON g.ck = o.ck AND o.day >= g.vs AND o.day < g.ve
 GROUP BY g.segment ORDER BY g.segment
 """
+
+
+def q_pareto_front_parts(sf_dir: str):
+    """Skyline (Pareto front) of the part catalog: parts where no other
+    part is both cheaper-or-equal AND larger-or-equal (with at least
+    one strict) — the classic multi-criteria shortlist query
+    (minimize ``p_retailprice``, maximize ``p_size``).  Output:
+    (p_partkey, price_cents, p_size).
+
+    Scale shape: the skyline-of-skylines identity — every global
+    skyline point survives its own batch's LOCAL skyline, so each batch
+    emits only its local front (skyline-sized, not batch-sized) and the
+    driver merges the union with one more dominance pass.  Ties: two
+    identical (price, size) points dominate each other under the
+    at-least-one-strict rule, so BOTH survive (mirrored in the twin).
+    """
+    import pyarrow.compute as pc
+
+    def local_front(t: pa.Table) -> pa.Table:
+        v = pc.multiply(t["p_retailprice"], 100.0)
+        price = pc.cast(pc.round(v, round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        keys = t["p_partkey"].to_numpy(zero_copy_only=False)
+        keep = _skyline_mask(price, size)
+        return pa.table({"p_partkey": pa.array(keys[keep], pa.int64()),
+                         "price_cents": pa.array(price[keep],
+                                                 pa.int64()),
+                         "p_size": pa.array(size[keep], pa.int64())})
+
+    rows = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_retailprice", "p_size"]) \
+        .map_batches(local_front, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all()
+    price = np.array([r["price_cents"] for r in rows], np.int64)
+    size = np.array([r["p_size"] for r in rows], np.int64)
+    keys = np.array([r["p_partkey"] for r in rows], np.int64)
+    keep = _skyline_mask(price, size)
+    order = np.argsort(keys[keep])
+    return pa.table({
+        "p_partkey": pa.array(keys[keep][order], pa.int64()),
+        "price_cents": pa.array(price[keep][order], pa.int64()),
+        "p_size": pa.array(size[keep][order], pa.int64()),
+    })
+
+
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Vectorized 2-D dominance test, O(n log n): sort by (price asc,
+    size desc) and sweep.  A point is dominated iff a strictly cheaper
+    point has size ≥ its size, OR an equal-price point has strictly
+    larger size.  Exact duplicates both survive (no strict
+    inequality), matching the twin's at-least-one-strict rule."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-size, price))
+    p, s = price[order], size[order]
+    keep = np.ones(n, bool)
+    best_strict = np.iinfo(np.int64).min  # max size at strictly lower p
+    i = 0
+    while i < n:
+        j = i
+        while j < n and p[j] == p[i]:
+            j += 1
+        smax = int(s[i:j].max())
+        grp = s[i:j]
+        keep[i:j] = (grp >= smax) & (grp > best_strict)
+        best_strict = max(best_strict, smax)
+        i = j
+    out = np.zeros(n, bool)
+    out[order] = keep
+    return out
+
+
+Q_PARETO_FRONT_PARTS_SQL = """
+WITH pf AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         p_size::BIGINT AS p_size
+  FROM part)
+SELECT a.p_partkey, a.price_cents, a.p_size
+FROM pf a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pf b
+  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+ORDER BY a.p_partkey
+"""

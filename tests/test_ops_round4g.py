@@ -1020,3 +1020,41 @@ def test_triplet_mining_vs_brute(ray_session):
         r = got.loc[qid]
         assert (r["positive_id"], r["negative_id"]) == (pos[1], neg[1])
         assert r["margin"] == -pos[0] - (-neg[0])
+
+
+# --------------------------------------------- pareto skyline
+
+def test_skyline_mask_vs_brute():
+    from kgruntime.relational import _skyline_mask
+
+    rng = np.random.RandomState(59)
+    for _ in range(100):
+        n = rng.randint(1, 50)
+        price = rng.randint(0, 15, n).astype(np.int64)
+        size = rng.randint(0, 15, n).astype(np.int64)
+        got = _skyline_mask(price, size)
+        for a in range(n):
+            dom = any(
+                (price[b] <= price[a] and size[b] >= size[a]
+                 and (price[b] < price[a] or size[b] > size[a]))
+                for b in range(n))
+            assert got[a] == (not dom)
+
+
+def test_pareto_front_parts_sf0001(ray_session):
+    import duckdb
+
+    from kgruntime.relational import (Q_PARETO_FRONT_PARTS_SQL,
+                                      q_pareto_front_parts)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_pareto_front_parts(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{sf}/part.parquet')")
+    exp = con.execute(Q_PARETO_FRONT_PARTS_SQL).df()
+    assert got["p_partkey"].tolist() == exp["p_partkey"].tolist()
+    assert got["price_cents"].tolist() == \
+        exp["price_cents"].astype(int).tolist()
+    assert got["p_size"].tolist() == exp["p_size"].astype(int).tolist()
+    assert len(got) >= 1
