@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_sensitivity_sweep": _q_dedup_sweep,
         "triplet_mining": _q_triplet_mining,
         "pareto_front_parts": R.q_pareto_front_parts,
+        "media_bmp_features": _q_media_bmp,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -2306,6 +2307,18 @@ def _q_media_png(sf_dir):
 
     refs = [f"media://doc-{i:06d}/png" for i in range(100)]
     return decode_features(rd.from_arrow(synth_png_table(refs)))
+
+
+def _q_media_bmp(sf_dir):
+    """REAL codec path: payloads are actual 24-bit BMP bytes (stdlib
+    struct + numpy row decode, ops/bmp.py); features derive from true
+    pixels — rows-only (binary inputs are synthesized)."""
+    import ray.data as rd
+
+    from kgruntime.ops.media import decode_features, synth_bmp_table
+
+    refs = [f"media://doc-{i:06d}/bmp" for i in range(100)]
+    return decode_features(rd.from_arrow(synth_bmp_table(refs)))
 
 
 def _q_media_jpeg(sf_dir):

@@ -102,6 +102,13 @@ class MediaDecoder:
             feats[:self.feat_dim]
         return out
 
+    def _bmp_features(self, payload: bytes) -> np.ndarray:
+        """REAL decode path: 24-bit BI_RGB BMP payloads (stdlib struct
+        + numpy row decode — see ops/bmp.py) → pixel features."""
+        from .bmp import decode_bmp
+
+        return self._pixel_features(decode_bmp(payload))
+
     def _wav_features(self, payload: bytes) -> np.ndarray:
         """REAL decode path: PCM WAV payloads (RIFF chunks + numpy
         sample decode — see ops/wav.py) → waveform-derived features."""
@@ -121,6 +128,8 @@ class MediaDecoder:
             return self._jpeg_features(payload)     # REAL codec path
         if payload[:4] == WAV_MAGIC:
             return self._wav_features(payload)      # REAL codec path
+        if payload[:2] == b"BM":
+            return self._bmp_features(payload)      # REAL codec path
         if not self.fake:
             raise NotImplementedError(
                 "non-PNG/JPEG/WAV compressed decode needs PIL/ffmpeg — "
@@ -358,6 +367,30 @@ def synth_png_table(refs: list[str], w: int = 32, h: int = 24,
             hashlib.sha256(f"{seed}:{r}".encode()).digest()[:4], "little")
         rng = np.random.RandomState(rseed)
         payloads.append(encode_png(
+            rng.randint(0, 256, (h, w, 3)).astype(np.uint8)))
+    return pa.Table.from_arrays(
+        [pa.array(refs, pa.string()),
+         pa.array(["image"] * len(refs), pa.string()),
+         pa.array(payloads, pa.binary()),
+         pa.array([w] * len(refs), pa.int32()),
+         pa.array([h] * len(refs), pa.int32()),
+         pa.array([-1] * len(refs), pa.int32())],
+        schema=MEDIA_SCHEMA)
+
+
+def synth_bmp_table(refs: list[str], w: int = 32, h: int = 24,
+                    seed: int = 11) -> pa.Table:
+    """Media table whose payloads are REAL 24-bit BMP bytes (per-ref
+    seeded pixels, encoded by ops/bmp.py) — exercises the genuine
+    uncompressed codec path end-to-end in this container."""
+    from .bmp import encode_bmp
+
+    payloads = []
+    for r in refs:
+        rseed = int.from_bytes(
+            hashlib.sha256(f"{seed}:{r}".encode()).digest()[:4], "little")
+        rng = np.random.RandomState(rseed)
+        payloads.append(encode_bmp(
             rng.randint(0, 256, (h, w, 3)).astype(np.uint8)))
     return pa.Table.from_arrays(
         [pa.array(refs, pa.string()),

@@ -1058,3 +1058,68 @@ def test_pareto_front_parts_sf0001(ray_session):
         exp["price_cents"].astype(int).tolist()
     assert got["p_size"].tolist() == exp["p_size"].astype(int).tolist()
     assert len(got) >= 1
+
+
+# --------------------------------------------- BMP codec
+
+def test_bmp_roundtrip_exact():
+    from kgruntime.ops.bmp import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(61)
+    for h, w in [(1, 1), (3, 5), (24, 32), (7, 3)]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        data = encode_bmp(img)
+        assert data[:2] == b"BM"
+        back = decode_bmp(data)
+        assert back.shape == img.shape
+        assert (back == img).all(), (h, w)
+    # row padding: widths not divisible by 4 must still roundtrip
+    img = rng.randint(0, 256, (5, 2, 3)).astype(np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+def test_bmp_top_down_and_rejects():
+    import struct
+
+    import pytest as _pytest
+
+    from kgruntime.ops.bmp import decode_bmp, encode_bmp
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    data = bytearray(encode_bmp(img))
+    # flip to top-down (negative height) and reverse rows in body
+    struct.pack_into("<i", data, 14 + 8, -2)
+    row_bytes = (2 * 3 + 3) & ~3
+    off = len(data) - 2 * row_bytes
+    r0 = bytes(data[off:off + row_bytes])
+    r1 = bytes(data[off + row_bytes:])
+    data[off:off + row_bytes] = r1
+    data[off + row_bytes:] = r0
+    assert (decode_bmp(bytes(data)) == img).all()
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX123456")
+    # 8-bit palette BMP must be loudly unsupported
+    bad = bytearray(encode_bmp(img))
+    struct.pack_into("<H", bad, 14 + 14, 8)
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
+
+
+def test_media_bmp_features_real_pixels(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.bmp import decode_bmp
+    from kgruntime.ops.media import decode_features, synth_bmp_table
+
+    refs = [f"media://t-{i}/bmp" for i in range(6)]
+    tbl = synth_bmp_table(refs)
+    out = decode_features(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("media_ref")
+    # features must derive from the REAL pixels: recompute channel-0
+    # mean from the decoded payload and compare to feature[0]
+    for r, payload in zip(refs, tbl["payload"].to_pylist()):
+        img = decode_bmp(payload)
+        exp = float(img[:, :, 0].astype(np.float32).mean()) / 255.0
+        got = out.loc[r]["features"][0]
+        assert abs(got - exp) < 1e-6
