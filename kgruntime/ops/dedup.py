@@ -2827,7 +2827,8 @@ def source_overlap_matrix(docs_ds, k: int = 3):
     from ray.data.aggregate import Sum
 
     num_buckets = 256
-    srcs = sorted(docs_ds.select_columns(["source"]).unique("source"))
+    srcs = sorted(docs_ds.select_columns(["source"]).unique("source")
+                  or [])
     assert len(srcs) <= 62, "bitmask overlap assumes catalog-small sources"
     bit = {s: 1 << i for i, s in enumerate(srcs)}
 
@@ -2943,13 +2944,17 @@ def cdc_upsert_merge(events_ds):
     from ray.data.aggregate import Max, Sum
 
     types = sorted(events_ds.select_columns(["event_type"])
-                   .unique("event_type"))
+                   .unique("event_type") or [])
     if "click" not in types:
         types = sorted(types + ["click"])
     code = {t: i for i, t in enumerate(types)}
     assert len(types) < (1 << 13)
     ins_code = code["click"]
     mx = events_ds.max("event_id")
+    if mx is None:                  # empty base: empty merged table
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_rows": pa.array([], pa.int64()),
+                         "sum_cents": pa.array([], pa.int64())})
 
     def base_rows(t: pa.Table) -> pa.Table:
         v = t["value"].to_numpy(zero_copy_only=False) * 100.0
@@ -3102,6 +3107,8 @@ def dedup_sensitivity_sweep(docs_ds):
                                     Sum("n", alias_name="n")) \
         .take_all()
     by = {r["level"]: r for r in rows}
+    if not by:                      # empty corpus: zero rows per level
+        by = {s: {"n": 0, "nd": 0} for s in _SWEEP_LEVELS}
     return pa.table({
         "level": pa.array(_SWEEP_LEVELS, pa.string()),
         "n_docs": pa.array([int(by[s]["n"]) for s in _SWEEP_LEVELS],

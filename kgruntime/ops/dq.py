@@ -263,6 +263,15 @@ def encoding_advisor(events_ds):
             "b": pa.array([_val_bytes(t, c, k) for c, k in _EA_COLS],
                           pa.int64())})
 
+    _empty = pa.table({
+        "column": pa.array([], pa.string()),
+        "n_rows": pa.array([], pa.int64()),
+        "n_distinct": pa.array([], pa.int64()),
+        "n_runs": pa.array([], pa.int64()),
+        "plain_bytes": pa.array([], pa.int64()),
+        "dict_bytes": pa.array([], pa.int64()),
+        "rle_bytes": pa.array([], pa.int64()),
+        "best": pa.array([], pa.string())})
     sizes = {r["column"]: (r["n"], r["b"]) for r in
              events_ds.select_columns([c for c, _ in _EA_COLS])
              .map_batches(size_partial, batch_format="pyarrow",
@@ -270,6 +279,8 @@ def encoding_advisor(events_ds):
              .groupby("column").aggregate(Sum("n", alias_name="n"),
                                           Sum("b", alias_name="b"))
              .take_all()}
+    if not sizes or any(s[0] in (None, 0) for s in sizes.values()):
+        return _empty       # empty table: nothing to advise
 
     # --- distincts: per column, batch-dedup combiner -> narrow groupby
     distincts = {}

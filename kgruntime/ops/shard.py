@@ -503,6 +503,11 @@ def range_partition_planner(events_ds, k: int = 8, sample_n: int = 200):
     cand.sort(key=lambda r: (r["h"], r["event_id"]))
     sample = sorted(int(r["cents"]) for r in cand[:sample_n])
     n = len(sample)
+    if n == 0:                      # empty input: nothing to plan
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "upper_cents": pa.array([], pa.int64()),
+                         "n_rows": pa.array([], pa.int64()),
+                         "skew_ppm": pa.array([], pa.int64())})
     # quantile_disc boundaries: 1-based ceil(q·n) (decile_lift rule);
     # ceil as (a+k-1)//k with positive operands, because DuckDB's //
     # truncates (the int8-twin lesson) while Python's floors
@@ -624,6 +629,13 @@ def zorder_layout_audit(events_ds, n_files: int = 32,
         lambda t: pa.table({"d": day_of(t)}),
         batch_format="pyarrow", zero_copy_batch=True).min("d")
     mx = events_ds.max("event_id")
+    if base is None or mx is None:  # empty input: nothing to audit
+        return pa.table({"layout": pa.array([], pa.string()),
+                         "n_files_used": pa.array([], pa.int64()),
+                         "files_scanned": pa.array([], pa.int64()),
+                         "rows_in_scanned": pa.array([], pa.int64()),
+                         "rows_matched": pa.array([], pa.int64()),
+                         "scan_ppm": pa.array([], pa.int64())})
 
     # exact z histogram (≤ 65536 rows) -> balanced file-of-z lookup
     from ray.data.aggregate import Count as _Count

@@ -1123,3 +1123,68 @@ def test_media_bmp_features_real_pixels(ray_session):
         exp = float(img[:, :, 0].astype(np.float32).mean()) / 255.0
         got = out.loc[r]["features"][0]
         assert abs(got - exp) < 1e-6
+
+
+# --------------------------------------------- empty-input hardening
+
+def _empty_events():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+    }))
+
+
+def _empty_docs():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    }))
+
+
+def test_round4g_ops_survive_empty_inputs(ray_session):
+    """Every round-4g operator must degrade to an empty/zero result on
+    an empty table, never crash (the pipeline-wide quarantine rule)."""
+    from kgruntime.ops.dedup import (cdc_upsert_merge,
+                                     dedup_sensitivity_sweep,
+                                     source_overlap_matrix)
+    from kgruntime.ops.dq import encoding_advisor
+    from kgruntime.ops.sessions import (markov_next_event_accuracy,
+                                        pit_training_features,
+                                        stickiness_dau_mau)
+    from kgruntime.ops.shard import (range_partition_planner,
+                                     zorder_layout_audit)
+    from kgruntime.ops.stats import dp_noisy_counts, join_skew_audit
+
+    ev, docs = _empty_events(), _empty_docs()
+
+    def nrows(r):
+        return r.num_rows if isinstance(r, pa.Table) else r.count()
+
+    assert nrows(pit_training_features(ev)) == 0
+    assert nrows(markov_next_event_accuracy(ev)) == 0
+    assert nrows(stickiness_dau_mau(ev)) == 0
+    assert nrows(dp_noisy_counts(ev)) == 0
+    assert nrows(range_partition_planner(ev)) == 0
+    assert nrows(zorder_layout_audit(ev)) == 0
+    assert nrows(cdc_upsert_merge(ev)) == 0
+    assert nrows(source_overlap_matrix(docs)) == 0
+    li = ev.map_batches(
+        lambda t: pa.table({"l_partkey": t["user_id"]}),
+        batch_format="pyarrow")
+    assert nrows(join_skew_audit(li)) == 0
+    sweep = dedup_sensitivity_sweep(docs).to_pandas()
+    assert len(sweep) == 4 and (sweep["n_docs"] == 0).all()
+    evp = ev.map_batches(
+        lambda t: t.append_column("props", pa.array([], pa.string())),
+        batch_format="pyarrow")
+    assert nrows(encoding_advisor(evp)) == 0
