@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triplet_mining": _q_triplet_mining,
         "pareto_front_parts": R.q_pareto_front_parts,
         "media_bmp_features": _q_media_bmp,
+        "peak_user_rate": _q_peak_rate,
+        "events_quarantine": _q_events_quarantine,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1096,6 +1098,35 @@ def _epoch_shuffle_oracle() -> str:
     from kgruntime.ops.sample import epoch_shuffle_audit_sql
 
     return epoch_shuffle_audit_sql()
+
+
+def _q_peak_rate(sf_dir):
+    """Per-user peak sliding-window event rate
+    (kgruntime/ops/sessions.py:peak_user_rate)."""
+    from kgruntime.ops.sessions import peak_user_rate
+
+    return peak_user_rate(_events_ds(sf_dir))
+
+
+def _peak_rate_oracle() -> str:
+    from kgruntime.ops.sessions import peak_user_rate_sql
+
+    return peak_user_rate_sql()
+
+
+def _q_events_quarantine(sf_dir):
+    """Record validation with quarantine split over a deterministically
+    corrupted ingest view
+    (kgruntime/ops/dq.py:validate_and_quarantine)."""
+    from kgruntime.ops.dq import validate_and_quarantine
+
+    return validate_and_quarantine(_events_ds(sf_dir))
+
+
+def _events_quarantine_oracle() -> str:
+    from kgruntime.ops.dq import validate_and_quarantine_sql
+
+    return validate_and_quarantine_sql()
 
 
 def _q_dedup_sweep(sf_dir):
@@ -2873,6 +2904,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_sensitivity_sweep": _dedup_sweep_oracle(),
         "triplet_mining": _triplet_mining_oracle(),
         "pareto_front_parts": R.Q_PARETO_FRONT_PARTS_SQL,
+        "peak_user_rate": _peak_rate_oracle(),
+        "events_quarantine": _events_quarantine_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

@@ -409,3 +409,95 @@ SELECT "column", n::BIGINT AS n_rows, nd::BIGINT AS n_distinct,
             ELSE 'rle' END AS best
 FROM ea_all ORDER BY "column"
 """
+
+
+# ---------------------------------------------------------------------------
+# record validation with quarantine split
+# ---------------------------------------------------------------------------
+
+_DQ_TS_BOUND_US = 1_893_456_000_000_000      # 2030-01-01 epoch µs
+_DQ_TS_SHIFT_US = 3_000_000_000_000_000      # ~95-year corruption shift
+
+
+def validate_and_quarantine(events_ds):
+    """Record-level validation with a QUARANTINE output — the
+    relational twin of the KG pipeline's parse-error quarantine: a
+    deterministically corrupted ingest view of events (md5-selected
+    ~15% of rows get a negative value, an unknown event_type, or an
+    out-of-range timestamp) runs through the rule engine, and every
+    failing row lands in quarantine with its FIRST failing rule:
+    (event_id, reason).
+
+    Rules, in precedence order: ``negative_value`` (value < 0),
+    ``unknown_type`` (event_type outside the known domain — the
+    distinct types of the clean table, broadcast),
+    ``ts_out_of_range`` (µs timestamp ≥ 2030-01-01).
+
+    Scale shape: corruption + rules are ONE vectorized pass; the only
+    driver-side state is the |types|-bounded domain set.  Valid rows
+    never leave their blocks (a production run would write them
+    through; here the quarantine table is the audited output).
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import _md5_60
+
+    domain = set(events_ds.select_columns(["event_type"])
+                 .unique("event_type") or [])
+
+    def check(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        h = np.array([_md5_60(f"q{int(i)}".encode()) for i in ids],
+                     np.int64) % 20
+        value = t["value"].to_numpy(zero_copy_only=False).copy()
+        value[h == 0] = -1.0
+        types = np.array(t["event_type"].to_pylist(), object)
+        types[h == 1] = "bogus"
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False) \
+            + np.where(h == 2, _DQ_TS_SHIFT_US, 0)
+        known = np.array([s in domain for s in types], bool)
+        reason = np.where(
+            value < 0, "negative_value",
+            np.where(~known, "unknown_type",
+                     np.where(ts_us >= _DQ_TS_BOUND_US,
+                              "ts_out_of_range", "")))
+        bad = reason != ""
+        return pa.table({
+            "event_id": pa.array(ids[bad], pa.int64()),
+            "reason": pa.array(reason[bad].tolist(), pa.string())})
+
+    return events_ds.select_columns(
+        ["event_id", "value", "event_type", "ts"]) \
+        .map_batches(check, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+
+def validate_and_quarantine_sql() -> str:
+    return f"""
+WITH vq_h AS (
+  SELECT event_id, value, event_type, epoch_us(ts) AS ts_us,
+         ('0x' || substr(md5('q' || event_id), 1, 15))::BIGINT % 20
+           AS h
+  FROM events),
+vq_c AS (
+  SELECT event_id,
+         CASE WHEN h = 0 THEN -1.0 ELSE value END AS value,
+         CASE WHEN h = 1 THEN 'bogus' ELSE event_type END
+           AS event_type,
+         ts_us + CASE WHEN h = 2 THEN {_DQ_TS_SHIFT_US} ELSE 0 END
+           AS ts_us
+  FROM vq_h)
+SELECT event_id,
+       CASE WHEN value < 0 THEN 'negative_value'
+            WHEN event_type NOT IN
+                 (SELECT DISTINCT event_type FROM events)
+              THEN 'unknown_type'
+            WHEN ts_us >= {_DQ_TS_BOUND_US} THEN 'ts_out_of_range'
+       END AS reason
+FROM vq_c
+WHERE value < 0
+   OR event_type NOT IN (SELECT DISTINCT event_type FROM events)
+   OR ts_us >= {_DQ_TS_BOUND_US}
+ORDER BY event_id
+"""

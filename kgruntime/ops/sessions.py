@@ -2199,3 +2199,52 @@ SELECT m.mon, m.n_active_days::BIGINT AS n_active_days,
          AS stickiness_ppm
 FROM st_m m JOIN st_mau u ON u.mon = m.mon ORDER BY m.mon
 """
+
+
+def peak_user_rate(events_ds, window_min: int = 60, cap: int = 20):
+    """Per-user peak request rate over ANY sliding window (not just
+    aligned ones): the maximum number of events inside a half-open
+    ``window_min``-minute window ending at one of the user's events —
+    the rate-limiter / abuse-throttle audit.  Output: (user_id,
+    n_events, peak_in_window, over_cap).
+
+    Scale shape: one per-user groupby; inside each group a vectorized
+    two-pointer (``searchsorted`` of each event's window start into the
+    sorted timestamps) — O(n log n) per user vs the O(n²) band join
+    the twin runs.  The sliding maximum equals the maximum over
+    event-ENDING windows because any window's count is dominated by
+    the one ending at its last contained event.
+    """
+    import numpy as np
+
+    win_us = window_min * 60_000_000
+
+    def group(g: pd.DataFrame) -> pa.Table:
+        us = np.sort(g["ts"].to_numpy().astype("datetime64[us]")
+                     .astype(np.int64))
+        lo = np.searchsorted(us, us - win_us + 1, side="left")
+        peak = int((np.arange(len(us)) - lo + 1).max())
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"].iloc[0])],
+                                pa.int64()),
+            "n_events": pa.array([len(us)], pa.int64()),
+            "peak_in_window": pa.array([peak], pa.int64()),
+            "over_cap": pa.array([int(peak > cap)], pa.int64())})
+
+    return events_ds.select_columns(["user_id", "ts"]) \
+        .groupby("user_id").map_groups(group, batch_format="pandas")
+
+
+def peak_user_rate_sql(window_min: int = 60, cap: int = 20) -> str:
+    return f"""
+WITH pur_w AS (
+  SELECT a.user_id, a.event_id, count(*) AS c
+  FROM events a JOIN events b
+    ON b.user_id = a.user_id
+   AND b.ts > a.ts - INTERVAL {window_min} MINUTE AND b.ts <= a.ts
+  GROUP BY a.user_id, a.event_id)
+SELECT user_id, count(*) AS n_events,
+       max(c)::BIGINT AS peak_in_window,
+       (max(c) > {cap})::BIGINT AS over_cap
+FROM pur_w GROUP BY user_id ORDER BY user_id
+"""

@@ -1188,3 +1188,86 @@ def test_round4g_ops_survive_empty_inputs(ray_session):
         lambda t: t.append_column("props", pa.array([], pa.string())),
         batch_format="pyarrow")
     assert nrows(encoding_advisor(evp)) == 0
+
+
+# --------------------------------------------- peak_user_rate
+
+def test_peak_user_rate_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import peak_user_rate
+
+    rng = np.random.RandomState(67)
+    t0 = 1_700_000_000_000_000
+    US_MIN = 60_000_000
+    rows = []
+    eid = 0
+    for uid in range(15):
+        n = rng.randint(1, 30)
+        ts = np.sort(rng.randint(0, 300 * US_MIN, n)) + t0
+        # inject duplicates sometimes
+        if n > 3:
+            ts[1] = ts[2]
+        for t in ts:
+            rows.append((eid, uid, int(t)))
+            eid += 1
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })).repartition(4)
+    got = peak_user_rate(ds, window_min=60, cap=5).to_pandas() \
+        .set_index("user_id")
+
+    win = 60 * US_MIN
+    for uid in range(15):
+        ts = sorted(r[2] for r in rows if r[1] == uid)
+        peak = max(sum(1 for b in ts if a - win < b <= a) for a in ts)
+        r = got.loc[uid]
+        assert (r["n_events"], r["peak_in_window"], r["over_cap"]) == \
+            (len(ts), peak, int(peak > 5)), uid
+
+
+# --------------------------------------------- validate_and_quarantine
+
+def test_validate_and_quarantine_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import _md5_60
+    from kgruntime.ops.dq import (_DQ_TS_BOUND_US, _DQ_TS_SHIFT_US,
+                                  validate_and_quarantine)
+
+    rng = np.random.RandomState(71)
+    t0 = 1_700_000_000_000_000
+    n = 400
+    rows = [(i, ["click", "view"][rng.randint(2)],
+             round(float(rng.uniform(0.01, 50.0)), 2),
+             t0 + int(rng.randint(0, 10**9)))
+            for i in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    })).repartition(4)
+    got = validate_and_quarantine(ds).to_pandas() \
+        .set_index("event_id")
+
+    exp = {}
+    for i, et, v, ts in rows:
+        h = _md5_60(f"q{i}".encode()) % 20
+        v2 = -1.0 if h == 0 else v
+        et2 = "bogus" if h == 1 else et
+        ts2 = ts + (_DQ_TS_SHIFT_US if h == 2 else 0)
+        if v2 < 0:
+            exp[i] = "negative_value"
+        elif et2 not in {"click", "view"}:
+            exp[i] = "unknown_type"
+        elif ts2 >= _DQ_TS_BOUND_US:
+            exp[i] = "ts_out_of_range"
+    assert set(got.index) == set(exp)
+    for i, reason in exp.items():
+        assert got.loc[i]["reason"] == reason
+    # all three reasons exercised by the corruption rates
+    assert set(exp.values()) == {"negative_value", "unknown_type",
+                                 "ts_out_of_range"}
