@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_bmp_features": _q_media_bmp,
         "peak_user_rate": _q_peak_rate,
         "events_quarantine": _q_events_quarantine,
+        "embedding_gram": _q_embedding_gram,
+        "join_strategy_advisor": R.q_join_strategy_advisor,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1127,6 +1129,24 @@ def _events_quarantine_oracle() -> str:
     from kgruntime.ops.dq import validate_and_quarantine_sql
 
     return validate_and_quarantine_sql()
+
+
+def _q_embedding_gram(sf_dir):
+    """Exact distributed gram matrix over fixed-point embedding units
+    (kgruntime/ops/ann.py:embedding_gram_matrix)."""
+    import ray.data as rd
+
+    from kgruntime.ops.ann import embedding_gram_matrix
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["embedding"])
+    return embedding_gram_matrix(emb)
+
+
+def _embedding_gram_oracle() -> str:
+    from kgruntime.ops.ann import embedding_gram_matrix_sql
+
+    return embedding_gram_matrix_sql()
 
 
 def _q_dedup_sweep(sf_dir):
@@ -2906,6 +2926,8 @@ def oracle_sql() -> dict[str, str]:
         "pareto_front_parts": R.Q_PARETO_FRONT_PARTS_SQL,
         "peak_user_rate": _peak_rate_oracle(),
         "events_quarantine": _events_quarantine_oracle(),
+        "embedding_gram": _embedding_gram_oracle(),
+        "join_strategy_advisor": R.Q_JOIN_STRATEGY_ADVISOR_SQL,
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

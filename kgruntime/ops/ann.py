@@ -2164,3 +2164,75 @@ JOIN tm_pos p ON p.qid = q.vec_id
 JOIN tm_neg n ON n.qid = q.vec_id
 ORDER BY query_id
 """
+
+
+# --- exact gram matrix (distributed X^T X) ---------------------------------
+
+def embedding_gram_matrix(emb_ds):
+    """Exact gram matrix ``Σ_vec u u^T`` of the fixed-point embedding
+    units (round(x·10⁶), the repo-wide convention) — the one-pass
+    distributed linear-algebra primitive under covariance/PCA/whitening.
+    Output: upper triangle as (i, j, v) rows, 1-based dims.
+
+    Scale shape: each batch computes its d×d partial with ONE int64
+    matmul (``ud.T @ ud``) and the driver folds n_blocks partials in
+    PYTHON ints — a batch partial stays < 2^63 for any batch under
+    ~9M rows (|u| ≤ 10⁶ ⇒ |u_i·u_j| ≤ 10¹²), while the GLOBAL sum can
+    overflow int64, so the fold is arbitrary-precision and the output
+    asserts |v| < 2^62 (the twin sums HUGEINT).  Exchange: d² ints per
+    block, nothing else.
+    """
+    d_holder = {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"flat": pa.array([], pa.list_(pa.int64())),
+                             "d": pa.array([], pa.int64())})
+        ud = _units_matrix(_emb_matrix(batch))
+        g = ud.T @ ud
+        return pa.table({
+            "flat": pa.array([g.ravel().tolist()],
+                             pa.list_(pa.int64())),
+            "d": pa.array([g.shape[0]], pa.int64())})
+
+    rows = emb_ds.select_columns(["embedding"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all()
+    if not rows:
+        return pa.table({"i": pa.array([], pa.int64()),
+                         "j": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
+    d = int(rows[0]["d"])
+    acc = [[0] * d for _ in range(d)]
+    for r in rows:
+        flat = r["flat"]
+        for i in range(d):
+            base = i * d
+            row = acc[i]
+            for j in range(d):
+                row[j] += int(flat[base + j])
+    out_i, out_j, out_v = [], [], []
+    for i in range(d):
+        for j in range(i, d):
+            v = acc[i][j]
+            assert abs(v) < (1 << 62), "gram entry exceeds int64 range"
+            out_i.append(i + 1)
+            out_j.append(j + 1)
+            out_v.append(v)
+    return pa.table({"i": pa.array(out_i, pa.int64()),
+                     "j": pa.array(out_j, pa.int64()),
+                     "v": pa.array(out_v, pa.int64())})
+
+
+def embedding_gram_matrix_sql(scale: int = _UNIT_SCALE) -> str:
+    return f"""
+WITH gm_e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS u
+  FROM embeddings)
+SELECT a.i, b.i AS j, sum(a.u::HUGEINT * b.u)::BIGINT AS v
+FROM gm_e a JOIN gm_e b
+  ON b.vec_id = a.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i ORDER BY a.i, b.i
+"""

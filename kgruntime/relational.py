@@ -2021,3 +2021,57 @@ WHERE NOT EXISTS (
     AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
 ORDER BY a.p_partkey
 """
+
+
+def q_join_strategy_advisor(sf_dir: str, broadcast_limit: int = 50_000,
+                            skew_factor: int = 20):
+    """Join-strategy advisor for the orders⋈customer join — the
+    optimizer decision this engine otherwise hard-codes, made
+    data-driven: measure both sides and the fact-side key skew, then
+    pick ``broadcast`` (dim side under the broadcast limit),
+    ``salted_bucketed`` (one key holds more than 1/skew_factor of the
+    fact side), or ``bucketed``.  Output (one row): (left_rows,
+    right_rows, max_key_cnt, strategy).
+
+    Scale shape: two metadata-cheap counts plus one native
+    ``groupby(key).count()`` with a streamed max — no joins executed,
+    which is the point of advising first.
+    """
+    from ray.data.aggregate import Max
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    left_rows = orders.count()
+    right_rows = _read(sf_dir, "customer",
+                       columns=["c_custkey"]).count()
+    mx = orders.groupby("o_custkey").count() \
+        .aggregate(Max("count()"))["max(count())"]
+    max_cnt = int(mx) if mx is not None else 0
+    if right_rows <= broadcast_limit:
+        strategy = "broadcast"
+    elif max_cnt * skew_factor > left_rows:
+        strategy = "salted_bucketed"
+    else:
+        strategy = "bucketed"
+    return pa.table({
+        "left_rows": pa.array([left_rows], pa.int64()),
+        "right_rows": pa.array([right_rows], pa.int64()),
+        "max_key_cnt": pa.array([max_cnt], pa.int64()),
+        "strategy": pa.array([strategy], pa.string()),
+    })
+
+
+Q_JOIN_STRATEGY_ADVISOR_SQL = """
+WITH jsa_l AS (SELECT count(*) AS left_rows FROM orders),
+jsa_r AS (SELECT count(*) AS right_rows FROM customer),
+jsa_k AS (
+  SELECT max(c) AS max_key_cnt FROM (
+    SELECT count(*) AS c FROM orders GROUP BY o_custkey))
+SELECT l.left_rows::BIGINT AS left_rows,
+       r.right_rows::BIGINT AS right_rows,
+       coalesce(k.max_key_cnt, 0)::BIGINT AS max_key_cnt,
+       CASE WHEN r.right_rows <= 50000 THEN 'broadcast'
+            WHEN k.max_key_cnt * 20 > l.left_rows
+              THEN 'salted_bucketed'
+            ELSE 'bucketed' END AS strategy
+FROM jsa_l l CROSS JOIN jsa_r r CROSS JOIN jsa_k k
+"""

@@ -1271,3 +1271,69 @@ def test_validate_and_quarantine_vs_brute(ray_session):
     # all three reasons exercised by the corruption rates
     assert set(exp.values()) == {"negative_value", "unknown_type",
                                  "ts_out_of_range"}
+
+
+# --------------------------------------------- embedding_gram_matrix
+
+def test_embedding_gram_matrix_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import _units_matrix, embedding_gram_matrix
+
+    rng = np.random.RandomState(73)
+    n, dim = 80, 12
+    X = rng.randn(n, dim)
+    emb = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, x)) for x in X],
+                              pa.list_(pa.float32())),
+    })
+    Xf = np.array(emb["embedding"].combine_chunks().flatten()
+                  .to_numpy(zero_copy_only=False),
+                  np.float64).reshape(n, dim)
+    got = embedding_gram_matrix(rd.from_arrow(emb).repartition(5)) \
+        .to_pandas()
+    U = _units_matrix(Xf)
+    G = U.T @ U
+    assert len(got) == dim * (dim + 1) // 2
+    for r in got.itertuples():
+        assert r.v == G[r.i - 1, r.j - 1], (r.i, r.j)
+
+
+def test_embedding_gram_matrix_empty(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import embedding_gram_matrix
+
+    emb = rd.from_arrow(pa.table({
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    assert embedding_gram_matrix(emb).num_rows == 0
+
+
+# --------------------------------------------- join_strategy_advisor
+
+def test_join_strategy_advisor_sf0001(ray_session):
+    import duckdb
+
+    from kgruntime.relational import q_join_strategy_advisor
+
+    sf = "/root/testdata/sf0.001"
+    got = q_join_strategy_advisor(sf).to_pandas().iloc[0]
+    n_orders = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/orders.parquet'").fetchone()[0]
+    n_cust = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/customer.parquet'").fetchone()[0]
+    mx = duckdb.sql(
+        f"SELECT max(c) FROM (SELECT count(*) AS c FROM "
+        f"'{sf}/orders.parquet' GROUP BY o_custkey)").fetchone()[0]
+    assert (got["left_rows"], got["right_rows"],
+            got["max_key_cnt"]) == (n_orders, n_cust, mx)
+    assert got["strategy"] == "broadcast"  # dim side is tiny here
+    # rule thresholds flip the decision
+    big = q_join_strategy_advisor(sf, broadcast_limit=0,
+                                  skew_factor=10**9) \
+        .to_pandas().iloc[0]
+    assert big["strategy"] == "salted_bucketed"
+    mid = q_join_strategy_advisor(sf, broadcast_limit=0,
+                                  skew_factor=1).to_pandas().iloc[0]
+    assert mid["strategy"] == "bucketed"
