@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quarantine": _q_events_quarantine,
         "embedding_gram": _q_embedding_gram,
         "join_strategy_advisor": R.q_join_strategy_advisor,
+        "ks_value_drift": _q_ks_drift,
+        "benford_audit": _q_benford,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1147,6 +1149,34 @@ def _embedding_gram_oracle() -> str:
     from kgruntime.ops.ann import embedding_gram_matrix_sql
 
     return embedding_gram_matrix_sql()
+
+
+def _q_ks_drift(sf_dir):
+    """Exact two-sample KS distance between click and purchase value
+    distributions (kgruntime/ops/stats.py:ks_two_samples)."""
+    from kgruntime.ops.stats import ks_two_samples
+
+    return ks_two_samples(_events_ds(sf_dir))
+
+
+def _ks_drift_oracle() -> str:
+    from kgruntime.ops.stats import ks_two_samples_sql
+
+    return ks_two_samples_sql()
+
+
+def _q_benford(sf_dir):
+    """Benford first-digit audit of event values
+    (kgruntime/ops/stats.py:benford_audit)."""
+    from kgruntime.ops.stats import benford_audit
+
+    return benford_audit(_events_ds(sf_dir))
+
+
+def _benford_oracle() -> str:
+    from kgruntime.ops.stats import benford_audit_sql
+
+    return benford_audit_sql()
 
 
 def _q_dedup_sweep(sf_dir):
@@ -2928,6 +2958,8 @@ def oracle_sql() -> dict[str, str]:
         "events_quarantine": _events_quarantine_oracle(),
         "embedding_gram": _embedding_gram_oracle(),
         "join_strategy_advisor": R.Q_JOIN_STRATEGY_ADVISOR_SQL,
+        "ks_value_drift": _ks_drift_oracle(),
+        "benford_audit": _benford_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

@@ -930,3 +930,183 @@ SELECT t.rank, t.k AS {key}, t.c AS cnt,
 FROM jsk_t t CROSS JOIN jsk_s s
 WHERE t.rank <= {top} ORDER BY t.rank
 """
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample Kolmogorov–Smirnov distance
+# ---------------------------------------------------------------------------
+
+def ks_two_samples(events_ds, type_a: str = "click",
+                   type_b: str = "purchase"):
+    """EXACT two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two event types — the drift test run between
+    cohorts or snapshots, with no sampling and no float CDFs:
+    ``D = max_x |F_a(x) − F_b(x)|`` computed as
+    ``max |cum_a·n_b − cum_b·n_a|`` over the merged support in pure
+    int64 (ties exact), reported in ppm with the argmax value.
+    Output (one row): (n_a, n_b, d_ppm, at_cents).
+
+    Scale shape: the grouped_quantiles histogram move — one native
+    ``groupby(cents, side).count`` whose row count is bounded by the
+    DISTINCT value domain (cents × 2 sides), never the corpus; the
+    cumulative sweep runs on that bounded table driver-side.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([type_a, type_b]))
+        f = t.filter(keep)
+        v = pc.multiply(f["value"], 100.0)
+        cents = pc.cast(pc.round(v, round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"cents": cents, "side": f["event_type"]})
+
+    hist = events_ds.select_columns(["event_type", "value"]) \
+        .map_batches(prep, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["cents", "side"]).aggregate(Count(alias_name="n")) \
+        .take_all()
+    ca: dict[int, int] = {}
+    cb: dict[int, int] = {}
+    for r in hist:
+        (ca if r["side"] == type_a else cb)[int(r["cents"])] = \
+            int(r["n"])
+    n_a, n_b = sum(ca.values()), sum(cb.values())
+    if n_a == 0 or n_b == 0:
+        return pa.table({"n_a": pa.array([n_a], pa.int64()),
+                         "n_b": pa.array([n_b], pa.int64()),
+                         "d_ppm": pa.array([0], pa.int64()),
+                         "at_cents": pa.array([0], pa.int64())})
+    best, at = -1, 0
+    cum_a = cum_b = 0
+    for c in sorted(set(ca) | set(cb)):
+        cum_a += ca.get(c, 0)
+        cum_b += cb.get(c, 0)
+        d = abs(cum_a * n_b - cum_b * n_a)
+        if d > best:
+            best, at = d, c
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "d_ppm": pa.array([(1_000_000 * best) // (n_a * n_b)],
+                          pa.int64()),
+        "at_cents": pa.array([at], pa.int64()),
+    })
+
+
+def ks_two_samples_sql(type_a: str = "click",
+                       type_b: str = "purchase") -> str:
+    return f"""
+WITH ks_v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type
+  FROM events WHERE event_type IN ('{type_a}', '{type_b}')),
+ks_h AS (
+  SELECT cents,
+         sum((event_type = '{type_a}')::BIGINT) AS a,
+         sum((event_type = '{type_b}')::BIGINT) AS b
+  FROM ks_v GROUP BY cents),
+ks_n AS (SELECT sum(a) AS n_a, sum(b) AS n_b FROM ks_h),
+ks_c AS (
+  SELECT cents,
+         sum(a) OVER (ORDER BY cents) AS cum_a,
+         sum(b) OVER (ORDER BY cents) AS cum_b
+  FROM ks_h),
+ks_d AS (
+  SELECT c.cents,
+         abs(c.cum_a::HUGEINT * n.n_b - c.cum_b::HUGEINT * n.n_a) AS d
+  FROM ks_c c CROSS JOIN ks_n n),
+ks_m AS (
+  SELECT cents, d, row_number() OVER (ORDER BY d DESC, cents) AS rk
+  FROM ks_d)
+SELECT n.n_a::BIGINT AS n_a, n.n_b::BIGINT AS n_b,
+       ((1000000 * m.d) // (n.n_a * n.n_b))::BIGINT AS d_ppm,
+       m.cents AS at_cents
+FROM ks_m m CROSS JOIN ks_n n WHERE m.rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+def _benford_ppm() -> list[int]:
+    """floor(log10(1 + 1/d)·10⁶) for d = 1..9 — derived once from IEEE
+    log10 on the driver and INLINED into the SQL twin (the threshold-
+    literal pattern), so both engines compare identical integers."""
+    import math
+
+    return [int(math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)]
+
+
+def benford_audit(events_ds):
+    """Benford's-law first-digit audit of event values — the classic
+    fabricated-numbers screen: per leading digit of the integer cents,
+    the exact count and share, Benford's expected share, and the signed
+    deviation, all in ppm.  Output: (digit, n, share_ppm, benford_ppm,
+    dev_ppm) for digits 1..9 (zero/negative cents excluded).
+
+    Scale shape: leading-digit extraction is per-batch (string head of
+    the int — no float log10, whose boundary rounding at powers of ten
+    could misbin), pre-aggregated to ≤9 rows per block into one tiny
+    groupby.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.multiply(t["value"], 100.0)
+        cents = pc.cast(pc.round(v, round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        cents = cents[cents > 0]
+        digits = np.array([int(str(int(c))[0]) for c in cents],
+                          np.int64)
+        cnt = np.bincount(digits, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    rows = events_ds.select_columns(["value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("digit").aggregate(Sum("n", alias_name="n")) \
+        .take_all()
+    per = {int(r["digit"]): int(r["n"]) for r in rows}
+    total = sum(per.values())
+    bf = _benford_ppm()
+    out = {"digit": [], "n": [], "share_ppm": [], "benford_ppm": [],
+           "dev_ppm": []}
+    for d in range(1, 10):
+        n = per.get(d, 0)
+        share = (1_000_000 * n) // total if total else 0
+        out["digit"].append(d)
+        out["n"].append(n)
+        out["share_ppm"].append(share)
+        out["benford_ppm"].append(bf[d - 1])
+        out["dev_ppm"].append(share - bf[d - 1])
+    return pa.table({k: pa.array(v, pa.int64())
+                     for k, v in out.items()})
+
+
+def benford_audit_sql() -> str:
+    bf = _benford_ppm()
+    bf_rows = ", ".join(f"({d}, {bf[d - 1]})" for d in range(1, 10))
+    return f"""
+WITH bf_c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+bf_d AS (
+  SELECT left(cents::VARCHAR, 1)::BIGINT AS digit
+  FROM bf_c WHERE cents > 0),
+bf_h AS (SELECT digit, count(*) AS n FROM bf_d GROUP BY digit),
+bf_t AS (SELECT sum(n) AS total FROM bf_h),
+bf_e AS (SELECT * FROM (VALUES {bf_rows}) AS t(digit, bppm))
+SELECT e.digit::BIGINT AS digit, coalesce(h.n, 0)::BIGINT AS n,
+       ((1000000 * coalesce(h.n, 0)) // t.total)::BIGINT AS share_ppm,
+       e.bppm::BIGINT AS benford_ppm,
+       ((1000000 * coalesce(h.n, 0)) // t.total - e.bppm)::BIGINT
+         AS dev_ppm
+FROM bf_e e
+LEFT JOIN bf_h h ON h.digit = e.digit
+CROSS JOIN bf_t t
+ORDER BY e.digit
+"""

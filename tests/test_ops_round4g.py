@@ -1337,3 +1337,84 @@ def test_join_strategy_advisor_sf0001(ray_session):
     mid = q_join_strategy_advisor(sf, broadcast_limit=0,
                                   skew_factor=1).to_pandas().iloc[0]
     assert mid["strategy"] == "bucketed"
+
+
+# --------------------------------------------- ks_two_samples
+
+def test_ks_two_samples_vs_scipy_style_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import pd  # noqa: F401  (import check)
+    from kgruntime.ops.stats import ks_two_samples
+
+    rng = np.random.RandomState(79)
+    rows = []
+    for i in range(500):
+        et = "click" if i % 2 == 0 else "purchase"
+        base = 10.0 if et == "click" else 25.0
+        rows.append((i, et, round(float(rng.gamma(2.0, base)), 2)))
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })).repartition(4)
+    got = ks_two_samples(ds).to_pandas().iloc[0]
+
+    a = sorted(int(round(r[2] * 100)) for r in rows if r[1] == "click")
+    b = sorted(int(round(r[2] * 100)) for r in rows
+               if r[1] == "purchase")
+    support = sorted(set(a) | set(b))
+    best, at = -1, 0
+    for c in support:
+        d = abs(sum(1 for x in a if x <= c) * len(b)
+                - sum(1 for x in b if x <= c) * len(a))
+        if d > best:
+            best, at = d, c
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    assert got["d_ppm"] == 1_000_000 * best // (len(a) * len(b))
+    assert got["at_cents"] == at
+    assert got["d_ppm"] > 100_000  # shifted distributions must differ
+
+
+def test_ks_two_samples_identical_is_zero(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import ks_two_samples
+
+    vals = [1.0, 2.0, 3.0] * 10
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["click", "purchase"] * 15, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    got = ks_two_samples(ds).to_pandas().iloc[0]
+    assert got["d_ppm"] == 0
+
+
+# --------------------------------------------- benford_audit
+
+def test_benford_audit_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.stats import _benford_ppm, benford_audit
+
+    rng = np.random.RandomState(83)
+    # log-uniform values follow Benford closely
+    vals = np.round(10 ** rng.uniform(-1, 3, 2000), 2)
+    ds = rd.from_arrow(pa.table({
+        "value": pa.array(vals, pa.float64())})).repartition(4)
+    got = benford_audit(ds).to_pandas().set_index("digit")
+
+    from collections import Counter
+    cents = [int(np.copysign(np.floor(abs(v * 100) + 0.5), v))
+             for v in vals]
+    cnt = Counter(int(str(c)[0]) for c in cents if c > 0)
+    total = sum(cnt.values())
+    bf = _benford_ppm()
+    for d in range(1, 10):
+        r = got.loc[d]
+        share = 1_000_000 * cnt.get(d, 0) // total
+        assert (r["n"], r["share_ppm"]) == (cnt.get(d, 0), share)
+        assert r["benford_ppm"] == bf[d - 1]
+        assert r["dev_ppm"] == share - bf[d - 1]
+    # log-uniform data: every digit within 3% of Benford
+    assert max(abs(got["dev_ppm"])) < 30_000
