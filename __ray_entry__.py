@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_strategy_advisor": R.q_join_strategy_advisor,
         "ks_value_drift": _q_ks_drift,
         "benford_audit": _q_benford,
+        "subtree_balance_rollup": _q_subtree_rollup,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1177,6 +1178,24 @@ def _benford_oracle() -> str:
     from kgruntime.ops.stats import benford_audit_sql
 
     return benford_audit_sql()
+
+
+def _q_subtree_rollup(sf_dir):
+    """Hierarchy subtree rollup by path doubling
+    (kgruntime/ops/graph.py:subtree_balance_rollup)."""
+    import ray.data as rd
+
+    from kgruntime.ops.graph import subtree_balance_rollup
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_acctbal"])
+    return subtree_balance_rollup(cust)
+
+
+def _subtree_rollup_oracle() -> str:
+    from kgruntime.ops.graph import subtree_balance_rollup_sql
+
+    return subtree_balance_rollup_sql()
 
 
 def _q_dedup_sweep(sf_dir):
@@ -2960,6 +2979,7 @@ def oracle_sql() -> dict[str, str]:
         "join_strategy_advisor": R.Q_JOIN_STRATEGY_ADVISOR_SQL,
         "ks_value_drift": _ks_drift_oracle(),
         "benford_audit": _benford_oracle(),
+        "subtree_balance_rollup": _subtree_rollup_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

@@ -708,3 +708,129 @@ JOIN cm_dc dc ON dc.community = n.community
 CROSS JOIN cm_q q
 ORDER BY n.community
 """
+
+
+# ---------------------------------------------------------------------------
+# hierarchy subtree rollup (pointer doubling)
+# ---------------------------------------------------------------------------
+
+def subtree_balance_rollup(customer_ds, fanout: int = 3):
+    """Hierarchical aggregation over a synthetic org tree on customers
+    (``parent(ck) = (ck−1)//fanout``, root 0): per node, the number of
+    descendants (self included) and the exact subtree balance in cents
+    — the category-tree / org-chart rollup shape relational engines do
+    with RECURSIVE CTEs.
+
+    Scale shape: the ancestor closure builds by PATH DOUBLING with an
+    explicit distance column — round k composes the accumulated
+    closure (distances 1..2^k) with the pure 2^k jump set, covering
+    distances 2^k+1..2^(k+1) each EXACTLY once (unique ancestor-chain
+    decomposition, so no dedup pass is needed); a depth-d tree takes
+    ⌈log₂ d⌉ bucketed-join rounds, not d, and the pair set stays
+    Σ-depth-bounded.  The rollup is one groupby over (pair + self)
+    contribution rows decorated with node cents via one more bucketed
+    join.  No driver state grows with the tree.
+    """
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.join import bucketed_hash_join
+
+    def base(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        v = t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v) \
+            .astype(np.int64)
+        return pa.table({"node": pa.array(ck, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    nodes = customer_ds.select_columns(["c_custkey", "c_acctbal"]) \
+        .map_batches(base, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "n_desc": pa.array([], pa.int64()),
+                         "subtree_cents": pa.array([], pa.int64())})
+
+    def parent_edges(t: pa.Table) -> pa.Table:
+        ck = t["node"].to_numpy(zero_copy_only=False)
+        m = ck > 0
+        # the leaf's cents ride along the closure rows so the final
+        # rollup needs NO decoration join
+        return pa.table({"node": pa.array(ck[m], pa.int64()),
+                         "anc": pa.array((ck[m] - 1) // fanout,
+                                         pa.int64()),
+                         "dist": pa.array(np.ones(int(m.sum()),
+                                                  np.int64)),
+                         "cents": pa.array(t["cents"].to_numpy(
+                             zero_copy_only=False)[m], pa.int64())})
+
+    closure = nodes.map_batches(parent_edges, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    jump = closure           # pure distance-2^k set, k = 0
+    jlen = 1
+    max_depth = max(1, math.ceil(
+        math.log(max(n_nodes, 2)) / math.log(fanout)) + 1)
+    while jlen < max_depth:
+        right = jump.map_batches(
+            lambda t: pa.table({"mid": t["node"], "anc2": t["anc"]}),
+            batch_format="pyarrow")
+        # distances (1..jlen) + jlen -> jlen+1 .. 2*jlen, each once
+        nxt = bucketed_hash_join(closure, right, "anc", "mid")
+
+        def emit(t: pa.Table, add=jlen) -> pa.Table:
+            return pa.table({
+                "node": t["node"], "anc": t["anc2"],
+                "dist": pa.array(t["dist"].to_numpy(
+                    zero_copy_only=False) + add, pa.int64()),
+                "cents": t["cents"]})
+
+        nxt = nxt.map_batches(emit, batch_format="pyarrow") \
+            .materialize()
+        if nxt.count() == 0:
+            break
+        closure = closure.union(nxt).materialize()
+        jump = nxt.filter(expr=f"dist == {2 * jlen}").materialize()
+        jlen *= 2
+
+    pairs = closure.map_batches(
+        lambda t: pa.table({"anc": t["anc"], "cents": t["cents"]}),
+        batch_format="pyarrow")
+    selfp = nodes.map_batches(
+        lambda t: pa.table({"anc": t["node"], "cents": t["cents"]}),
+        batch_format="pyarrow")
+    rolled = pairs.union(selfp).groupby("anc").aggregate(
+        Count(alias_name="n_desc"),
+        Sum("cents", alias_name="subtree_cents")).take_all()
+    rolled.sort(key=lambda r: r["anc"])
+    return pa.table({
+        "node": pa.array([int(r["anc"]) for r in rolled], pa.int64()),
+        "n_desc": pa.array([int(r["n_desc"]) for r in rolled],
+                           pa.int64()),
+        "subtree_cents": pa.array(
+            [int(r["subtree_cents"]) for r in rolled], pa.int64()),
+    })
+
+
+def subtree_balance_rollup_sql(fanout: int = 3) -> str:
+    return f"""
+WITH RECURSIVE sb_n AS (
+  SELECT c_custkey AS node,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+sb_r(node, anc) AS (
+  SELECT node, (node - 1) // {fanout} FROM sb_n WHERE node > 0
+  UNION
+  SELECT r.node, (r.anc - 1) // {fanout}
+  FROM sb_r r WHERE r.anc > 0),
+sb_all AS (
+  SELECT node, anc FROM sb_r
+  UNION ALL
+  SELECT node, node FROM sb_n)
+SELECT a.anc AS node, count(*) AS n_desc,
+       sum(n.cents)::BIGINT AS subtree_cents
+FROM sb_all a JOIN sb_n n ON n.node = a.node
+GROUP BY a.anc ORDER BY a.anc
+"""

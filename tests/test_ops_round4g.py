@@ -1418,3 +1418,43 @@ def test_benford_audit_vs_brute(ray_session):
         assert r["dev_ppm"] == share - bf[d - 1]
     # log-uniform data: every digit within 3% of Benford
     assert max(abs(got["dev_ppm"])) < 30_000
+
+
+# --------------------------------------------- subtree_balance_rollup
+
+def test_subtree_balance_rollup_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.graph import subtree_balance_rollup
+
+    rng = np.random.RandomState(89)
+    n, fanout = 200, 3
+    bal = np.round(rng.uniform(-100, 1000, n), 2)
+    ds = rd.from_arrow(pa.table({
+        "c_custkey": pa.array(range(n), pa.int64()),
+        "c_acctbal": pa.array(bal, pa.float64()),
+    })).repartition(4)
+    got = subtree_balance_rollup(ds, fanout=fanout).to_pandas() \
+        .set_index("node")
+
+    cents = [int(np.copysign(np.floor(abs(v * 100) + 0.5), v))
+             for v in bal]
+    desc = {i: [i] for i in range(n)}
+    # accumulate bottom-up: every node contributes to all ancestors
+    exp_n = {i: 0 for i in range(n)}
+    exp_c = {i: 0 for i in range(n)}
+    for i in range(n):
+        j = i
+        while True:
+            exp_n[j] += 1
+            exp_c[j] += cents[i]
+            if j == 0:
+                break
+            j = (j - 1) // fanout
+    assert set(got.index) == set(range(n))
+    for i in range(n):
+        assert (got.loc[i]["n_desc"], got.loc[i]["subtree_cents"]) == \
+            (exp_n[i], exp_c[i]), i
+    # root aggregates everything
+    assert got.loc[0]["n_desc"] == n
+    assert got.loc[0]["subtree_cents"] == sum(cents)
