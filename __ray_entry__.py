@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_value_drift": _q_ks_drift,
         "benford_audit": _q_benford,
         "subtree_balance_rollup": _q_subtree_rollup,
+        "streaming_emit_audit": _q_streaming_emit,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1196,6 +1197,20 @@ def _subtree_rollup_oracle() -> str:
     from kgruntime.ops.graph import subtree_balance_rollup_sql
 
     return subtree_balance_rollup_sql()
+
+
+def _q_streaming_emit(sf_dir):
+    """Watermark + allowed-lateness emit accounting vs batch truth
+    (kgruntime/ops/sessions.py:streaming_emit_audit)."""
+    from kgruntime.ops.sessions import streaming_emit_audit
+
+    return streaming_emit_audit(_events_ds(sf_dir))
+
+
+def _streaming_emit_oracle() -> str:
+    from kgruntime.ops.sessions import streaming_emit_audit_sql
+
+    return streaming_emit_audit_sql()
 
 
 def _q_dedup_sweep(sf_dir):
@@ -2980,6 +2995,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_value_drift": _ks_drift_oracle(),
         "benford_audit": _benford_oracle(),
         "subtree_balance_rollup": _subtree_rollup_oracle(),
+        "streaming_emit_audit": _streaming_emit_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

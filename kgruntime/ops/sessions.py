@@ -2248,3 +2248,143 @@ SELECT user_id, count(*) AS n_events,
        (max(c) > {cap})::BIGINT AS over_cap
 FROM pur_w GROUP BY user_id ORDER BY user_id
 """
+
+
+def streaming_emit_audit(events_ds, lateness_min: int = 30,
+                         bucket_size: int = 4096):
+    """What an event-time streaming engine WOULD have emitted vs the
+    batch truth: each event's ARRIVAL time is its event time plus a
+    deterministic md5-jitter of up to 2 h (simulated network delay —
+    the raw log arrives in perfect event-time order, which would make
+    the audit vacuous), the watermark is the exclusive running
+    event-time max over arrival order, and a row of tumbling hour
+    window ``w`` is ON-TIME if it arrives before the watermark passes
+    ``w_end``, LATE-BUT-INCLUDED while the watermark is within
+    ``w_end + lateness``, and DROPPED after that — the allowed-lateness
+    accounting every streaming job configures.  Output per window:
+    (whour, n_on_time, n_late_included, n_dropped, batch_count).
+
+    Scale shape: the late_event_audit prefix-scan skeleton transposed
+    to ARRIVAL-hour buckets — one per-bucket max groupby, broadcast
+    exclusive prefix maxima, local cummax finish emitting per-bucket
+    (window, status) count partials into a window-bounded groupby.  No
+    global sort.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from .ann import _cached_state
+
+    hr_us = 3_600_000_000
+    late_us = lateness_min * 60_000_000
+
+    from .dedup import _md5_60
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(t["ts"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        jitter = np.array([_md5_60(f"arr{int(i)}".encode()) % 7200
+                           for i in ids], np.int64) * 1_000_000
+        arrival = ts_us + jitter
+        return pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "arrival": pa.array(arrival, pa.int64()),
+            "bucket": pa.array(arrival // hr_us, pa.int64())})
+
+    prepped = events_ds.select_columns(["event_id", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    sums = prepped.groupby("bucket") \
+        .aggregate(Max("ts_us", alias_name="mx")).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    mx = sums["mx"].to_numpy(np.int64)
+    excl = np.concatenate([[np.iinfo(np.int64).min],
+                           np.maximum.accumulate(mx)[:-1]])
+    offs = dict(zip(sums["bucket"].to_numpy(np.int64).tolist(),
+                    excl.tolist()))
+    off_ref = ray.put(offs)
+
+    _schema = pa.schema([("whour", pa.int64()), ("on_time", pa.int64()),
+                         ("late_inc", pa.int64()),
+                         ("dropped", pa.int64())])
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        import ray as _ray
+
+        m = _cached_state(off_ref, lambda: _ray.get(off_ref))
+        df = df.sort_values(["arrival", "event_id"], kind="mergesort")
+        ts = df["ts_us"].to_numpy(np.int64)
+        seed = m[int(df["bucket"].iloc[0])]
+        run = np.maximum.accumulate(np.concatenate([[seed], ts[:-1]]))
+        first = run == np.iinfo(np.int64).min
+        run[first] = ts[first]   # first arrival: watermark = own ts
+        whour = ts // hr_us
+        wend = (whour + 1) * hr_us
+        dropped = run >= wend + late_us
+        late_inc = (~dropped) & (run >= wend)
+        on_time = ~dropped & ~late_inc
+        g = pd.DataFrame({"whour": whour,
+                          "on_time": on_time.astype(np.int64),
+                          "late_inc": late_inc.astype(np.int64),
+                          "dropped": dropped.astype(np.int64)}) \
+            .groupby("whour", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .cast(_schema)
+
+    rows = prepped.groupby("bucket").map_groups(
+        finish, batch_format="pandas") \
+        .groupby("whour").aggregate(
+            Sum("on_time", alias_name="n_on_time"),
+            Sum("late_inc", alias_name="n_late_included"),
+            Sum("dropped", alias_name="n_dropped")).take_all()
+    rows.sort(key=lambda r: r["whour"])
+    return pa.table({
+        "whour": pa.array([int(r["whour"]) for r in rows], pa.int64()),
+        "n_on_time": pa.array([int(r["n_on_time"]) for r in rows],
+                              pa.int64()),
+        "n_late_included": pa.array(
+            [int(r["n_late_included"]) for r in rows], pa.int64()),
+        "n_dropped": pa.array([int(r["n_dropped"]) for r in rows],
+                              pa.int64()),
+        "batch_count": pa.array(
+            [int(r["n_on_time"]) + int(r["n_late_included"])
+             + int(r["n_dropped"]) for r in rows], pa.int64()),
+    })
+
+
+def streaming_emit_audit_sql(lateness_min: int = 30) -> str:
+    hr_us = 3_600_000_000
+    late_us = lateness_min * 60_000_000
+    return f"""
+WITH sea_a AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts)
+           + (('0x' || substr(md5('arr' || event_id), 1, 15))::BIGINT
+              % 7200) * 1000000 AS arrival
+  FROM events),
+sea AS (
+  SELECT ts_us,
+         max(ts_us) OVER (ORDER BY arrival, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM sea_a),
+sea_s AS (
+  SELECT ts_us // {hr_us} AS whour,
+         CASE WHEN wm IS NULL THEN 'on_time'
+              WHEN wm >= (ts_us // {hr_us} + 1) * {hr_us} + {late_us}
+                THEN 'dropped'
+              WHEN wm >= (ts_us // {hr_us} + 1) * {hr_us}
+                THEN 'late'
+              ELSE 'on_time' END AS status
+  FROM sea)
+SELECT whour,
+       sum((status = 'on_time')::BIGINT)::BIGINT AS n_on_time,
+       sum((status = 'late')::BIGINT)::BIGINT AS n_late_included,
+       sum((status = 'dropped')::BIGINT)::BIGINT AS n_dropped,
+       count(*)::BIGINT AS batch_count
+FROM sea_s GROUP BY whour ORDER BY whour
+"""

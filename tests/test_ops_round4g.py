@@ -1458,3 +1458,52 @@ def test_subtree_balance_rollup_vs_brute(ray_session):
     # root aggregates everything
     assert got.loc[0]["n_desc"] == n
     assert got.loc[0]["subtree_cents"] == sum(cents)
+
+
+# --------------------------------------------- streaming_emit_audit
+
+def test_streaming_emit_audit_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import _md5_60
+    from kgruntime.ops.sessions import streaming_emit_audit
+
+    rng = np.random.RandomState(97)
+    t0 = 1_700_000_000_000_000
+    HR = 3_600_000_000
+    n = 300
+    rows = [(i, t0 + int(rng.randint(0, 24 * HR))) for i in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })).repartition(4)
+    late_min = 30
+    got = streaming_emit_audit(ds, lateness_min=late_min).to_pandas() \
+        .set_index("whour")
+
+    arr = sorted(((ts + (_md5_60(f"arr{i}".encode()) % 7200)
+                   * 1_000_000, i, ts) for i, ts in rows))
+    wm = None
+    stat = {}
+    late_us = late_min * 60_000_000
+    for a, i, ts in arr:
+        whour = ts // HR
+        wend = (whour + 1) * HR
+        if wm is None or wm < wend:
+            s = "on"
+        elif wm < wend + late_us:
+            s = "late"
+        else:
+            s = "drop"
+        d = stat.setdefault(whour, [0, 0, 0])
+        d[{"on": 0, "late": 1, "drop": 2}[s]] += 1
+        wm = a and (ts if wm is None else max(wm, ts))
+    assert set(got.index) == set(stat)
+    for w, (on, late, drop) in stat.items():
+        r = got.loc[w]
+        assert (r["n_on_time"], r["n_late_included"],
+                r["n_dropped"]) == (on, late, drop), w
+        assert r["batch_count"] == on + late + drop
+    # the jittered fixture must exercise all three outcomes
+    tot = got[["n_on_time", "n_late_included", "n_dropped"]].sum()
+    assert (tot > 0).all()
