@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": _q_benford,
         "subtree_balance_rollup": _q_subtree_rollup,
         "streaming_emit_audit": _q_streaming_emit,
+        "pq_quant_recall": _q_pq_recall,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1544,6 +1545,26 @@ def _triplet_mining_oracle() -> str:
     from kgruntime.ops.ann import triplet_mining_sql
 
     return triplet_mining_sql(n_queries=_ANN_N_QUERIES)
+
+
+def _q_pq_recall(sf_dir):
+    """Product-quantization (ADC) recall audit
+    (kgruntime/ops/ann.py:pq_quant_recall)."""
+    import ray.data as rd
+
+    from kgruntime.ops.ann import pq_quant_recall
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q, ids = _load_queries(sf_dir)
+    return pq_quant_recall(emb, q, ids, k=_ANN_K)
+
+
+def _pq_recall_oracle() -> str:
+    from kgruntime.ops.ann import pq_quant_recall_sql
+
+    return pq_quant_recall_sql(dim=_EMB_DIM, k=_ANN_K,
+                               n_queries=_ANN_N_QUERIES)
 
 
 def _q_hard_negatives(sf_dir):
@@ -2996,6 +3017,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": _benford_oracle(),
         "subtree_balance_rollup": _subtree_rollup_oracle(),
         "streaming_emit_audit": _streaming_emit_oracle(),
+        "pq_quant_recall": _pq_recall_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

@@ -2236,3 +2236,275 @@ FROM gm_e a JOIN gm_e b
   ON b.vec_id = a.vec_id AND b.i >= a.i
 GROUP BY a.i, b.i ORDER BY a.i, b.i
 """
+
+
+# --- product quantization (PQ / ADC) recall audit --------------------------
+
+def _pq_fit(emb_ds, m: int, n_centroids: int, train_size: int,
+            iters: int, sample_mod: int | None = None):
+    """Per-subspace integer k-means codebooks from ONE shared md5-60
+    hash sample (the ``_fit_quantizer`` recipe, sliced ``m`` ways).
+    Returns (list of int64 centroid matrices, dim)."""
+    from .dedup import _md5_60
+
+    if sample_mod is None:
+        sample_mod = max(1, emb_ds.count() // train_size)
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        keep = [_md5_60(str(i).encode()) % sample_mod == 0 for i in ids]
+        return t.filter(pa.array(keep))
+
+    rows = sorted(
+        emb_ds.map_batches(sample_batch,
+                           batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"])[:train_size]
+    sample = _units_matrix(np.array([r["embedding"] for r in rows],
+                                    np.float64))
+    dim = sample.shape[1]
+    assert dim % m == 0, "PQ requires dim divisible by m"
+    sub = dim // m
+    books = [_kmeans_fit_int(sample[:, s * sub:(s + 1) * sub],
+                             min(n_centroids, len(sample)), iters)
+             for s in range(m)]
+    return books, dim
+
+
+class _PQRecallScorer:
+    """Task-pool scorer: per-batch top-k partials under the exact
+    full-dim ranking AND the PQ asymmetric-distance (ADC) ranking."""
+
+    def __init__(self, ref, k: int):
+        import ray
+
+        queries, query_ids, books = ray.get(ref)
+        self.uq = _units_matrix(np.asarray(queries, np.float64))
+        self.books = books
+        sub = self.uq.shape[1] // len(books)
+        # per-(query, subspace) LUT of exact integer dots q_s · c
+        self.luts = [self.uq[:, s * sub:(s + 1) * sub] @ books[s].T
+                     for s in range(len(books))]
+        self.sub = sub
+        self.query_ids = np.asarray(list(query_ids), np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.int64()),
+                          "method": pa.array([], pa.string())})
+        if batch.num_rows == 0 or len(self.query_ids) == 0:
+            return empty
+        ids = _ids_vector(batch)
+        ud = _units_matrix(_emb_matrix(batch))
+        adc = np.zeros((len(self.query_ids), len(ids)), np.int64)
+        for s, book in enumerate(self.books):
+            codes = _assign_int(ud[:, s * self.sub:(s + 1) * self.sub],
+                                book)
+            adc += self.luts[s][:, codes]
+        keys = {"exact": self.uq @ ud.T, "pq": adc}
+        k = min(self.k, len(ids))
+        qs, ns, ks, ms = [], [], [], []
+        for method, sarr in keys.items():
+            part = np.argpartition(-sarr, k - 1, axis=1)[:, :k]
+            qs.append(np.repeat(self.query_ids, k))
+            ns.append(ids[part].ravel())
+            ks.append(np.take_along_axis(sarr, part, axis=1).ravel())
+            ms.extend([method] * (len(self.query_ids) * k))
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(qs), pa.int64()),
+             pa.array(np.concatenate(ns), pa.int64()),
+             pa.array(np.concatenate(ks), pa.int64()),
+             pa.array(ms, pa.string())],
+            names=["query_id", "neighbor_id", "key", "method"])
+
+
+def pq_quant_recall(emb_ds, queries: np.ndarray, query_ids: list[int],
+                    k: int = 5, m: int = 2, n_centroids: int = 8,
+                    train_size: int = 512, iters: int = 3,
+                    sample_mod: int | None = None):
+    """Recall@k of PRODUCT-QUANTIZED asymmetric-distance search
+    (Jégou et al.'s PQ/ADC: the vector splits into ``m`` subspaces,
+    each coded to its nearest of ``n_centroids`` integer-k-means
+    centroids; a query scores a code by summing per-subspace LUT dots)
+    against exact full-precision search — the compressed-index audit
+    next to int8 and JL.  Returns (query_id, n_match, recall_ppm).
+
+    EXACT integers end-to-end: the codebooks come from the shared
+    ``_kmeans_fit_int`` (so the DuckDB twin replays the training
+    bit-for-bit, per subspace), codes use the same
+    ``|c|² − 2·u·c`` argmin, and both rankings sort on int64 keys with
+    neighbor-id tie-breaks.  Task-pool shape: codebooks + queries
+    broadcast once; per-batch work is m assignment matmuls + a LUT
+    gather; the exchange carries 2·k partial rows per (query, batch).
+    """
+    import ray
+
+    books, _ = _pq_fit(emb_ds, m, n_centroids, train_size, iters,
+                       sample_mod)
+    ref = ray.put((np.asarray(queries, np.float64), list(query_ids),
+                   books))
+
+    def score(batch: pa.Table, ref=ref) -> pa.Table:
+        scorer = _cached_state(ref, lambda: _PQRecallScorer(ref, k + 1))
+        return scorer(batch)
+
+    partials = emb_ds.map_batches(score, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .filter(expr="query_id != neighbor_id")
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        meth = group["method"].to_pylist()
+        tops = {}
+        for want in ("exact", "pq"):
+            idx = [i for i, mm in enumerate(meth) if mm == want]
+            order = sorted(idx, key=lambda i: (-key[i], nid[i]))
+            seen, picked = set(), []
+            for i in order:
+                if nid[i] not in seen:
+                    seen.add(nid[i])
+                    picked.append(nid[i])
+                if len(picked) == k:
+                    break
+            tops[want] = set(picked)
+        n_match = len(tops["exact"] & tops["pq"])
+        return pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "n_match": pa.array([n_match], pa.int64()),
+            "recall_ppm": pa.array([n_match * 1_000_000 // k],
+                                   pa.int64())})
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")
+
+
+def _pq_kmeans_cte_sql(prefix: str, lo: int, hi: int, n_centroids: int,
+                       train_size: int, iters: int, scale: int) -> str:
+    """The ``_kmeans_index_cte_sql`` chain restricted to embedding dims
+    ``lo..hi`` (1-based, inclusive) under a CTE ``prefix`` — one chain
+    per PQ subspace.  Defines ``{prefix}assign(vec_id, cid)`` and
+    ``{prefix}c{iters}(cid, i, cu)``.  The sample CTE ``pq_samp`` is
+    shared and must be defined by the caller."""
+    p = prefix
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+        {p}d{r} AS (
+          SELECT se.vec_id, c.cid,
+                 sum(c.cu * c.cu - 2 * se.u * c.cu) AS dist
+          FROM {p}se se JOIN {p}c{r - 1} c ON c.i = se.i
+          GROUP BY se.vec_id, c.cid),
+        {p}a{r} AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+            FROM {p}d{r}) WHERE rn = 1),
+        {p}s{r} AS (
+          SELECT a.cid, se.i, sum(se.u) AS s, count(*) AS n
+          FROM {p}a{r} a JOIN {p}se se ON se.vec_id = a.vec_id
+          GROUP BY a.cid, se.i),
+        {p}c{r} AS (
+          SELECT pp.cid, pp.i,
+                 CAST(coalesce(
+                   CASE WHEN s.s >= 0 THEN (2 * s.s + s.n) // (2 * s.n)
+                        ELSE -((-2 * s.s + s.n) // (2 * s.n)) END,
+                   pp.cu) AS BIGINT) AS cu
+          FROM {p}c{r - 1} pp
+          LEFT JOIN {p}s{r} s ON s.cid = pp.cid AND s.i = pp.i)""")
+    rounds_sql = ",".join(rounds)
+    return rf"""{p}e AS (
+          SELECT vec_id, i, u FROM pq_e WHERE i BETWEEN {lo} AND {hi}),
+        {p}se AS (SELECT e.* FROM {p}e e JOIN pq_samp USING (vec_id)),
+        {p}init AS (
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM pq_samp ORDER BY vec_id LIMIT {n_centroids}),
+        {p}c0 AS (
+          SELECT ii.cid, e.i, e.u AS cu
+          FROM {p}init ii JOIN {p}e e ON e.vec_id = ii.vec_id),
+        {rounds_sql},
+        {p}dall AS (
+          SELECT e.vec_id, c.cid,
+                 sum(c.cu * c.cu - 2 * e.u * c.cu) AS dist
+          FROM {p}e e JOIN {p}c{iters} c ON c.i = e.i
+          GROUP BY e.vec_id, c.cid),
+        {p}assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+            FROM {p}dall) WHERE rn = 1)"""
+
+
+def pq_quant_recall_sql(dim: int, k: int = 5, m: int = 2,
+                        n_centroids: int = 8, train_size: int = 512,
+                        iters: int = 3, n_queries: int = 10,
+                        scale: int = _UNIT_SCALE) -> str:
+    """Composed twin: one per-subspace k-means chain each, per-query
+    LUTs, ADC ranking vs exact ranking, intersection recall."""
+    assert dim % m == 0
+    sub = dim // m
+    chains, luts, adds = [], [], []
+    for s in range(m):
+        p = f"pq{s}_"
+        chains.append(_pq_kmeans_cte_sql(
+            p, s * sub + 1, (s + 1) * sub, n_centroids, train_size,
+            iters, scale))
+        luts.append(f"""{p}lut AS (
+          SELECT qe.vec_id AS qid, c.cid, sum(qe.u * c.cu) AS w
+          FROM {p}e qe JOIN pq_q ON pq_q.vec_id = qe.vec_id
+          JOIN {p}c{iters} c ON c.i = qe.i
+          GROUP BY qe.vec_id, c.cid)""")
+        adds.append(f"""JOIN {p}assign a{s} ON a{s}.vec_id = e.vec_id
+          JOIN {p}lut l{s} ON l{s}.qid = q.vec_id
+                          AND l{s}.cid = a{s}.cid""")
+    lut_sum = " + ".join(f"l{s}.w" for s in range(m))
+    chain_sql = ",\n        ".join(chains)
+    lut_sql = ",\n        ".join(luts)
+    joins = "\n          ".join(adds)
+    return rf"""
+WITH pq_e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS u
+  FROM embeddings),
+pq_samp AS (
+  SELECT vec_id FROM embeddings
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        % greatest(1, (SELECT count(*) FROM embeddings)
+                      // {train_size}) = 0
+  ORDER BY vec_id LIMIT {train_size}),
+pq_q AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+         LIMIT {n_queries}),
+        {chain_sql},
+        {lut_sql},
+pq_adc AS (
+  SELECT q.vec_id AS qid, e.vec_id AS nid, {lut_sum} AS s
+  FROM pq_q q
+  CROSS JOIN (SELECT DISTINCT vec_id FROM pq_e) e
+  {joins}
+  WHERE e.vec_id != q.vec_id),
+pq_dot_e AS (
+  SELECT qe.vec_id AS qid, de.vec_id AS nid, sum(qe.u * de.u) AS s
+  FROM pq_e qe JOIN pq_q ON pq_q.vec_id = qe.vec_id
+  JOIN pq_e de ON de.i = qe.i AND de.vec_id != qe.vec_id
+  GROUP BY 1, 2),
+pq_rank_e AS (
+  SELECT qid, nid, row_number() OVER (
+    PARTITION BY qid ORDER BY s DESC, nid ASC) AS rn FROM pq_dot_e),
+pq_rank_p AS (
+  SELECT qid, nid, row_number() OVER (
+    PARTITION BY qid ORDER BY s DESC, nid ASC) AS rn FROM pq_adc),
+pq_match AS (
+  SELECT a.qid, count(*) AS n_match
+  FROM (SELECT qid, nid FROM pq_rank_e WHERE rn <= {k}) a
+  JOIN (SELECT qid, nid FROM pq_rank_p WHERE rn <= {k}) b
+    ON b.qid = a.qid AND b.nid = a.nid
+  GROUP BY a.qid)
+SELECT q.vec_id AS query_id,
+       coalesce(mt.n_match, 0)::BIGINT AS n_match,
+       (coalesce(mt.n_match, 0) * 1000000 // {k})::BIGINT AS recall_ppm
+FROM pq_q q LEFT JOIN pq_match mt ON mt.qid = q.vec_id
+ORDER BY query_id
+"""

@@ -1507,3 +1507,76 @@ def test_streaming_emit_audit_vs_brute(ray_session):
     # the jittered fixture must exercise all three outcomes
     tot = got[["n_on_time", "n_late_included", "n_dropped"]].sum()
     assert (tot > 0).all()
+
+
+# --------------------------------------------- pq_quant_recall
+
+def test_pq_quant_recall_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import (_assign_int, _kmeans_fit_int,
+                                   _units_matrix, pq_quant_recall)
+    from kgruntime.ops.dedup import _md5_60
+
+    rng = np.random.RandomState(101)
+    n, dim, m, kc, ts, iters, k = 60, 8, 2, 4, 32, 2, 4
+    X = rng.randn(n, dim)
+    emb = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, x)) for x in X],
+                              pa.list_(pa.float32())),
+    })
+    Xf = np.array(emb["embedding"].combine_chunks().flatten()
+                  .to_numpy(zero_copy_only=False),
+                  np.float64).reshape(n, dim)
+    q_ids, Q = list(range(5)), Xf[:5]
+    got = pq_quant_recall(rd.from_arrow(emb).repartition(4), Q, q_ids,
+                          k=k, m=m, n_centroids=kc, train_size=ts,
+                          iters=iters).to_pandas().set_index("query_id")
+
+    # brute force replay
+    mod = max(1, n // ts)
+    samp = sorted(i for i in range(n)
+                  if _md5_60(str(i).encode()) % mod == 0)[:ts]
+    U = _units_matrix(Xf)
+    sub = dim // m
+    books = [_kmeans_fit_int(U[samp][:, s * sub:(s + 1) * sub], kc,
+                             iters) for s in range(m)]
+    for qi, qid in enumerate(q_ids):
+        se = U[qi] @ U.T
+        adc = np.zeros(n, np.int64)
+        for s in range(m):
+            codes = _assign_int(U[:, s * sub:(s + 1) * sub], books[s])
+            lut = U[qi, s * sub:(s + 1) * sub] @ books[s].T
+            adc += lut[codes]
+        cand = [i for i in range(n) if i != qid]
+        te = set(sorted(cand, key=lambda i: (-se[i], i))[:k])
+        tp = set(sorted(cand, key=lambda i: (-adc[i], i))[:k])
+        mth = len(te & tp)
+        r = got.loc[qid]
+        assert (r["n_match"], r["recall_ppm"]) == \
+            (mth, mth * 1_000_000 // k), qid
+
+
+def test_pq_perfect_recall_on_codebook_points(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import pq_quant_recall
+
+    # vectors drawn FROM a tiny set of distinct prototypes: PQ codes
+    # reconstruct them exactly, so ADC ranking == exact ranking
+    rng = np.random.RandomState(103)
+    protos = rng.randn(4, 8) * 10
+    X = protos[rng.randint(0, 4, 48)]
+    emb = pa.table({
+        "vec_id": pa.array(range(48), pa.int64()),
+        "embedding": pa.array([list(map(float, x)) for x in X],
+                              pa.list_(pa.float32())),
+    })
+    Xf = np.array(emb["embedding"].combine_chunks().flatten()
+                  .to_numpy(zero_copy_only=False),
+                  np.float64).reshape(48, 8)
+    got = pq_quant_recall(rd.from_arrow(emb), Xf[:3], [0, 1, 2], k=3,
+                          m=2, n_centroids=4, train_size=48,
+                          iters=4).to_pandas()
+    assert (got["recall_ppm"] == 1_000_000).all()
