@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subtree_balance_rollup": _q_subtree_rollup,
         "streaming_emit_audit": _q_streaming_emit,
         "pq_quant_recall": _q_pq_recall,
+        "bitmap_index_queries": _q_bitmap_index,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1212,6 +1213,20 @@ def _streaming_emit_oracle() -> str:
     from kgruntime.ops.sessions import streaming_emit_audit_sql
 
     return streaming_emit_audit_sql()
+
+
+def _q_bitmap_index(sf_dir):
+    """Bitmap secondary index build + conjunctive predicate counts
+    (kgruntime/ops/shard.py:bitmap_index_queries)."""
+    from kgruntime.ops.shard import bitmap_index_queries
+
+    return bitmap_index_queries(_events_ds(sf_dir))
+
+
+def _bitmap_index_oracle() -> str:
+    from kgruntime.ops.shard import bitmap_index_queries_sql
+
+    return bitmap_index_queries_sql()
 
 
 def _q_dedup_sweep(sf_dir):
@@ -3018,6 +3033,7 @@ def oracle_sql() -> dict[str, str]:
         "subtree_balance_rollup": _subtree_rollup_oracle(),
         "streaming_emit_audit": _streaming_emit_oracle(),
         "pq_quant_recall": _pq_recall_oracle(),
+        "bitmap_index_queries": _bitmap_index_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

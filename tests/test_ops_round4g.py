@@ -1580,3 +1580,40 @@ def test_pq_perfect_recall_on_codebook_points(ray_session):
                           m=2, n_centroids=4, train_size=48,
                           iters=4).to_pandas()
     assert (got["recall_ppm"] == 1_000_000).all()
+
+
+# --------------------------------------------- bitmap_index_queries
+
+def test_bitmap_index_queries_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.shard import bitmap_index_queries
+
+    rng = np.random.RandomState(107)
+    t0 = 1_700_000_000_000_000
+    US_DAY = 86_400_000_000
+    n = 500
+    # ids beyond one 65536-partition to exercise multi-partition fold
+    ids = sorted(rng.choice(200_000, n, replace=False))
+    types = ["click", "purchase", "view"]
+    rows = [(int(i), types[rng.randint(3)],
+             t0 + int(rng.randint(0, 15)) * US_DAY) for i in ids]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })).repartition(4)
+    got = bitmap_index_queries(ds).to_pandas().set_index("query_id")
+
+    base = min(r[2] for r in rows) // US_DAY
+    day = {r[0]: r[2] // US_DAY - base for r in rows}
+    q0 = sum(1 for i, et, ts in rows
+             if et == "click" and 0 <= day[i] <= 2)
+    q1 = sum(1 for i, et, ts in rows
+             if et == "purchase" and 3 <= day[i] <= 9)
+    q2 = sum(1 for i, et, ts in rows if et == "view")
+    assert (got.loc[0]["n_rows"], got.loc[1]["n_rows"],
+            got.loc[2]["n_rows"]) == (q0, q1, q2)
+    assert q0 > 0 and q1 > 0 and q2 > 0
+    # multi-partition: ids really span > 1 bitmap partition
+    assert max(ids) >> 16 != min(ids) >> 16
