@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_emit_audit": _q_streaming_emit,
         "pq_quant_recall": _q_pq_recall,
         "bitmap_index_queries": _q_bitmap_index,
+        "multi_query_lexical": _q_multi_lexical,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1227,6 +1228,23 @@ def _bitmap_index_oracle() -> str:
     from kgruntime.ops.shard import bitmap_index_queries_sql
 
     return bitmap_index_queries_sql()
+
+
+_MQ_QUERIES = [_LEX_QUERY, "merge sort window", "vector batch stream"]
+
+
+def _q_multi_lexical(sf_dir):
+    """Batched lexical retrieval for three queries in one corpus scan
+    (kgruntime/ops/text.py:multi_query_lexical)."""
+    from kgruntime.ops.text import multi_query_lexical
+
+    return multi_query_lexical(_docs_ds(sf_dir), _MQ_QUERIES)
+
+
+def _multi_lexical_oracle() -> str:
+    from kgruntime.ops.text import multi_query_lexical_sql
+
+    return multi_query_lexical_sql(_MQ_QUERIES)
 
 
 def _q_dedup_sweep(sf_dir):
@@ -3034,6 +3052,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_emit_audit": _streaming_emit_oracle(),
         "pq_quant_recall": _pq_recall_oracle(),
         "bitmap_index_queries": _bitmap_index_oracle(),
+        "multi_query_lexical": _multi_lexical_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

@@ -2474,3 +2474,145 @@ WITH {chain}
 SELECT pick_rank, doc_id, gain FROM ({union})
 ORDER BY pick_rank
 """
+
+
+def multi_query_lexical(docs_ds, queries: list[str], k: int = 10,
+                        scale: int = 10 ** 6):
+    """Batched lexical retrieval: top-k docs for EVERY query in ONE
+    shared corpus scan — the serving shape when a query log replays
+    against a corpus (N separate ``lexical_topk`` runs would re-scan
+    the corpus N times).  Scoring is the same integer-exact RSJ ratio
+    as ``lexical_topk``; output: (query_id, doc_id, rank, score).
+
+    Scale shape: postings are emitted once for the UNION of all query
+    terms (the exchange is |union-term occurrences|); the df/weight
+    table is |union terms|-bounded and broadcasts; one streamed pass
+    over the materialized postings produces per-(query, doc) partial
+    scores into a single groupby, and per-query top-k is a per-block
+    prune (k rows per query per block to the driver).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    terms = sorted({w for q in queries for w in q.split(" ")})
+    tid_of = {t: i for i, t in enumerate(terms)}
+    q_tids = [np.array(sorted(tid_of[w] for w in set(q.split(" "))),
+                       np.int64) for q in queries]
+    n_docs = int(docs_ds.count())
+
+    post_schema = pa.schema([("doc_id", pa.int64()),
+                             ("term_id", pa.int64()),
+                             ("tf", pa.int64())])
+
+    def postings(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = pl.from_arrow(t.select(["doc_id", "text"])) \
+            .with_columns(pl.col("text").str.split(" ").alias("w")) \
+            .explode("w") \
+            .filter(pl.col("w").is_in(terms)) \
+            .with_columns(
+                pl.col("w").replace_strict(
+                    terms, list(range(len(terms))),
+                    return_dtype=pl.Int64).alias("term_id")) \
+            .group_by("doc_id", "term_id") \
+            .agg(pl.len().cast(pl.Int64).alias("tf")) \
+            .select("doc_id", "term_id", "tf")
+        out = g.to_arrow()
+        return out.cast(post_schema) if out.num_rows else \
+            post_schema.empty_table()
+
+    post = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(postings, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    df_rows = post.groupby("term_id") \
+        .aggregate(Count(alias_name="df")).take_all()
+    w_by_tid = np.zeros(len(terms), np.int64)
+    for r in df_rows:
+        dfv = int(r["df"])
+        w = ((n_docs - dfv) * scale) // (dfv + 1)
+        assert w < (1 << 44), "reduce scale= for this corpus size"
+        w_by_tid[int(r["term_id"])] = w
+
+    def score_part(t: pa.Table) -> pa.Table:
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        tid = t["term_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        out_q, out_d, out_s = [], [], []
+        for qi, tids in enumerate(q_tids):
+            m = np.isin(tid, tids)
+            if not m.any():
+                continue
+            import pandas as pd
+
+            g = pd.DataFrame({"d": doc[m],
+                              "s": tf[m] * w_by_tid[tid[m]]}) \
+                .groupby("d", sort=False)["s"].sum()
+            out_q.extend([qi] * len(g))
+            out_d.extend(g.index.tolist())
+            out_s.extend(g.tolist())
+        return pa.table({"q": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "s": pa.array(out_s, pa.int64())})
+
+    def local_top(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = pd.DataFrame({"q": t["q"].to_numpy(zero_copy_only=False),
+                          "doc_id": t["doc_id"].to_numpy(
+                              zero_copy_only=False),
+                          "s": t["s"].to_numpy(zero_copy_only=False)})
+        g = g.sort_values(["q", "s", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort").groupby("q").head(k)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = post.map_batches(score_part, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["q", "doc_id"]).aggregate(Sum("s", alias_name="s")) \
+        .map_batches(local_top, batch_format="pyarrow") \
+        .take_all()
+    out = {"query_id": [], "doc_id": [], "rank": [], "score": []}
+    for qi in range(len(queries)):
+        cand = sorted(((-int(r["s"]), int(r["doc_id"])) for r in rows
+                       if r["q"] == qi))[:k]
+        for rank, (negs, d) in enumerate(cand, 1):
+            out["query_id"].append(qi)
+            out["doc_id"].append(d)
+            out["rank"].append(rank)
+            out["score"].append(-negs)
+    return pa.table({kk: pa.array(v, pa.int64())
+                     for kk, v in out.items()})
+
+
+def multi_query_lexical_sql(queries: list[str], k: int = 10,
+                            scale: int = 10 ** 6,
+                            table: str = "documents") -> str:
+    terms = sorted({w for q in queries for w in q.split(" ")})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    blocks = []
+    for qi, q in enumerate(queries):
+        q_in = ", ".join(f"'{t}'" for t in sorted(set(q.split(" "))))
+        blocks.append(f"""
+  SELECT {qi} AS query_id, doc_id, rank, score FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+           score
+    FROM (SELECT doc_id, sum(tf * wt)::BIGINT AS score
+          FROM mq_tf JOIN mq_w USING (w)
+          WHERE w IN ({q_in}) GROUP BY doc_id))
+  WHERE rank <= {k}""")
+    union = " UNION ALL ".join(blocks)
+    return f"""
+WITH mq_tf AS MATERIALIZED (
+  SELECT doc_id, w, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM {table})
+  WHERE w IN ({in_list}) GROUP BY doc_id, w),
+mq_df AS (SELECT w, count(*)::BIGINT AS df FROM mq_tf GROUP BY w),
+mq_n AS (SELECT count(*)::BIGINT AS n FROM {table}),
+mq_w AS (SELECT w, ((n - df) * {scale}) // (df + 1) AS wt
+         FROM mq_df CROSS JOIN mq_n)
+SELECT * FROM ({union}) ORDER BY query_id, rank
+"""

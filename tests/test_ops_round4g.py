@@ -1617,3 +1617,34 @@ def test_bitmap_index_queries_vs_brute(ray_session):
     assert q0 > 0 and q1 > 0 and q2 > 0
     # multi-partition: ids really span > 1 bitmap partition
     assert max(ids) >> 16 != min(ids) >> 16
+
+
+# --------------------------------------------- multi_query_lexical
+
+def test_multi_query_lexical_matches_single(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.text import lexical_topk, multi_query_lexical
+
+    rng = np.random.RandomState(109)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(3, 25)))
+             for _ in range(80)]
+    docs = pa.table({
+        "doc_id": pa.array(range(80), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    queries = ["alpha beta", "gamma", "delta eps zeta"]
+    got = multi_query_lexical(
+        rd.from_arrow(docs).repartition(4), queries, k=5).to_pandas()
+
+    # batched result must equal three independent single-query runs
+    for qi, q in enumerate(queries):
+        single = lexical_topk(rd.from_arrow(docs), q, k=5).to_pandas()
+        sub = got[got.query_id == qi].sort_values("rank")
+        assert sub["doc_id"].tolist() == single["doc_id"].tolist(), q
+        assert sub["score"].tolist() == single["score"].tolist(), q
+    # ranks well-formed
+    for qi in range(3):
+        assert got[got.query_id == qi]["rank"].tolist() == \
+            list(range(1, 6))
