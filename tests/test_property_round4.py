@@ -143,3 +143,37 @@ def test_phrase_search_matches_reference(ray_session, docs, phrase):
             want[d] = (len(hits), hits[0])
     assert {int(r.doc_id): (int(r.n_matches), int(r.first_pos))
             for r in out.itertuples()} == want
+
+
+# --------------------------------------------- round-4g properties
+
+def test_interleave16_bijective():
+    import numpy as np
+
+    from kgruntime.ops.shard import _interleave16
+
+    u = np.repeat(np.arange(256, dtype=np.int64), 256)
+    d = np.tile(np.arange(256, dtype=np.int64), 256)
+    z = _interleave16(u, d)
+    assert len(np.unique(z)) == 65536       # bijection on the domain
+    assert z.min() == 0 and z.max() == 65535
+
+
+def test_ks_statistic_symmetric(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgruntime.ops.stats import ks_two_samples
+
+    rng = np.random.RandomState(113)
+    rows = [("click" if i % 3 else "purchase",
+             round(float(rng.gamma(2.0, 8.0)), 2)) for i in range(200)]
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+    }))
+    ab = ks_two_samples(ds, "click", "purchase").to_pandas().iloc[0]
+    ba = ks_two_samples(ds, "purchase", "click").to_pandas().iloc[0]
+    assert ab["d_ppm"] == ba["d_ppm"]       # |F_a - F_b| is symmetric
+    assert (ab["n_a"], ab["n_b"]) == (ba["n_b"], ba["n_a"])
