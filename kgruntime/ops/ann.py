@@ -2340,6 +2340,10 @@ def pq_quant_recall(emb_ds, queries: np.ndarray, query_ids: list[int],
     """
     import ray
 
+    if emb_ds.count() == 0 or len(query_ids) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "n_match": pa.array([], pa.int64()),
+                         "recall_ppm": pa.array([], pa.int64())})
     books, _ = _pq_fit(emb_ds, m, n_centroids, train_size, iters,
                        sample_mod)
     ref = ray.put((np.asarray(queries, np.float64), list(query_ids),

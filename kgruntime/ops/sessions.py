@@ -2298,6 +2298,12 @@ def streaming_emit_audit(events_ds, lateness_min: int = 30,
     prepped = events_ds.select_columns(["event_id", "ts"]) \
         .map_batches(prep, batch_format="pyarrow",
                      zero_copy_batch=True).materialize()
+    if prepped.count() == 0:     # empty stream: schema-drop gotcha
+        return pa.table({"whour": pa.array([], pa.int64()),
+                         "n_on_time": pa.array([], pa.int64()),
+                         "n_late_included": pa.array([], pa.int64()),
+                         "n_dropped": pa.array([], pa.int64()),
+                         "batch_count": pa.array([], pa.int64())})
 
     sums = prepped.groupby("bucket") \
         .aggregate(Max("ts_us", alias_name="mx")).to_pandas() \

@@ -1648,3 +1648,32 @@ def test_multi_query_lexical_matches_single(ray_session):
     for qi in range(3):
         assert got[got.query_id == qi]["rank"].tolist() == \
             list(range(1, 6))
+
+
+def test_late_round4g_ops_survive_empty_inputs(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.ann import pq_quant_recall
+    from kgruntime.ops.sessions import peak_user_rate, \
+        streaming_emit_audit
+    from kgruntime.ops.shard import bitmap_index_queries
+    from kgruntime.ops.stats import benford_audit, ks_two_samples
+    from kgruntime.ops.text import multi_query_lexical
+
+    ev = _empty_events()
+    docs = _empty_docs()
+
+    def nrows(r):
+        return r.num_rows if isinstance(r, pa.Table) else r.count()
+
+    assert nrows(peak_user_rate(ev)) == 0
+    assert nrows(streaming_emit_audit(ev)) == 0
+    assert nrows(bitmap_index_queries(ev)) == 0
+    assert ks_two_samples(ev).to_pandas().iloc[0]["d_ppm"] == 0
+    bf = benford_audit(ev).to_pandas()
+    assert len(bf) == 9 and (bf["n"] == 0).all()
+    assert nrows(multi_query_lexical(docs, ["a b", "c"])) == 0
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    assert nrows(pq_quant_recall(emb, np.zeros((0, 4)), [])) == 0
