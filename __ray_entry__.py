@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_quant_recall": _q_pq_recall,
         "bitmap_index_queries": _q_bitmap_index,
         "multi_query_lexical": _q_multi_lexical,
+        "k_anonymity_audit": _q_k_anonymity,
+        "personalized_pagerank": _q_ppr,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -898,6 +900,35 @@ def _q_pagerank(sf_dir):
         .sort_values("user_id").reset_index(drop=True)
 
 
+def _q_ppr(sf_dir):
+    """Personalized PageRank (seed teleport to the 5 smallest nodes)
+    (kgruntime/ops/graph.py:personalized_pagerank)."""
+    import pyarrow as pa
+
+    from kgruntime.ops.graph import personalized_pagerank
+    from kgruntime.ops.sessions import cooccurrence_edges
+
+    pairs = cooccurrence_edges(_events_ds(sf_dir)) \
+        .select_columns(["user_a", "user_b"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.Table.from_arrays([t["user_a"], t["user_b"]],
+                                 names=["src", "dst"]),
+            pa.Table.from_arrays([t["user_b"], t["user_a"]],
+                                 names=["src", "dst"])])
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    return personalized_pagerank(edges).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+
+def _ppr_oracle() -> str:
+    from kgruntime.ops.graph import personalized_pagerank_sql
+
+    return personalized_pagerank_sql()
+
+
 _ANN_N_QUERIES = 10
 _ANN_K = 5
 
@@ -1245,6 +1276,20 @@ def _multi_lexical_oracle() -> str:
     from kgruntime.ops.text import multi_query_lexical_sql
 
     return multi_query_lexical_sql(_MQ_QUERIES)
+
+
+def _q_k_anonymity(sf_dir):
+    """k-anonymity audit over (lang, source, n_chars bucket)
+    (kgruntime/ops/dq.py:k_anonymity_audit)."""
+    from kgruntime.ops.dq import k_anonymity_audit
+
+    return k_anonymity_audit(_docs_ds(sf_dir))
+
+
+def _k_anonymity_oracle() -> str:
+    from kgruntime.ops.dq import k_anonymity_audit_sql
+
+    return k_anonymity_audit_sql()
 
 
 def _q_dedup_sweep(sf_dir):
@@ -3053,6 +3098,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_quant_recall": _pq_recall_oracle(),
         "bitmap_index_queries": _bitmap_index_oracle(),
         "multi_query_lexical": _multi_lexical_oracle(),
+        "k_anonymity_audit": _k_anonymity_oracle(),
+        "personalized_pagerank": _ppr_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

@@ -501,3 +501,70 @@ WHERE value < 0
    OR ts_us >= {_DQ_TS_BOUND_US}
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+def k_anonymity_audit(docs_ds, ks: tuple = (2, 5, 10)):
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, n_chars//100): for each target k, how many QI
+    equivalence classes have fewer than k members and how many records
+    sit in such classes — the re-identification-risk screen run before
+    releasing a dataset (the k-anonymity complement of the
+    dp_noisy_counts release mechanism).  Output per k: (k, n_groups,
+    n_small_groups, n_risky_docs, risky_ppm).
+
+    Scale shape: ONE native groupby over the QI tuple (class-bounded,
+    never the corpus), then per-batch (k, groups, small, risky)
+    partials folded on a ≤|ks|-row rollup.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def prep(t: pa.Table) -> pa.Table:
+        bucket = pc.divide(t["n_chars"], pa.scalar(100, pa.int64()))
+        return pa.table({"lang": t["lang"], "source": t["source"],
+                         "nb": bucket})
+
+    classes = docs_ds.select_columns(["lang", "source", "n_chars"]) \
+        .map_batches(prep, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["lang", "source", "nb"]) \
+        .aggregate(Count(alias_name="n")).take_all()
+    sizes = [int(r["n"]) for r in classes]
+    total = sum(sizes)
+    out = {"k": [], "n_groups": [], "n_small_groups": [],
+           "n_risky_docs": [], "risky_ppm": []}
+    for k in ks:
+        small = [s for s in sizes if s < k]
+        risky = sum(small)
+        out["k"].append(int(k))
+        out["n_groups"].append(len(sizes))
+        out["n_small_groups"].append(len(small))
+        out["n_risky_docs"].append(risky)
+        out["risky_ppm"].append((1_000_000 * risky) // total
+                                if total else 0)
+    return pa.table({kk: pa.array(v, pa.int64())
+                     for kk, v in out.items()})
+
+
+def k_anonymity_audit_sql(ks: tuple = (2, 5, 10)) -> str:
+    k_list = ", ".join(str(k) for k in ks)
+    return f"""
+WITH ka_g AS (
+  SELECT lang, source, n_chars // 100 AS nb, count(*) AS n
+  FROM documents GROUP BY lang, source, nb),
+ka_t AS (SELECT count(*) AS n_groups, sum(n) AS total FROM ka_g),
+ka_k AS (SELECT unnest([{k_list}]) AS k)
+SELECT k.k::BIGINT AS k, t.n_groups::BIGINT AS n_groups,
+       (SELECT count(*) FROM ka_g g WHERE g.n < k.k)::BIGINT
+         AS n_small_groups,
+       coalesce((SELECT sum(g.n) FROM ka_g g WHERE g.n < k.k),
+                0)::BIGINT AS n_risky_docs,
+       ((1000000 * coalesce((SELECT sum(g.n) FROM ka_g g
+                             WHERE g.n < k.k), 0))
+        // t.total)::BIGINT AS risky_ppm
+FROM ka_k k CROSS JOIN ka_t t ORDER BY k.k
+"""

@@ -834,3 +834,122 @@ SELECT a.anc AS node, count(*) AS n_desc,
 FROM sb_all a JOIN sb_n n ON n.node = a.node
 GROUP BY a.anc ORDER BY a.anc
 """
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (seed teleport)
+# ---------------------------------------------------------------------------
+
+def personalized_pagerank(edges_ds, n_seeds: int = 5, iters: int = 5,
+                          scale: int = 10 ** 9, damp: int = 85,
+                          num_buckets: int = 32):
+    """Personalized PageRank over a symmetrized edge list: the teleport
+    mass goes ONLY to the ``n_seeds`` smallest node ids (the "rank
+    relative to a seed set" recsys/trust-propagation variant of
+    ``pagerank``).  Same integer-exact recurrence — ranks at ``scale``
+    fixed point, contributions ``r // deg``, update
+    ``[u ∈ seeds]·(scale·(100−damp))//(100·|seeds|)
+    + (damp·Σcontrib)//100`` — so the unrolled CTE twin replays it
+    bit-for-bit.  Returns (user_id, rank_scaled).
+
+    Scale shape: identical to ``pagerank`` (degree rides the edge list
+    once, each round is one bucketed join + one groupby-sum); the seed
+    set is a sorted-ids head, broadcast as a tiny frozenset.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .join import bucketed_hash_join
+
+    deg = edges_ds.groupby("src").aggregate(Count(alias_name="deg")) \
+        .materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "rank_scaled": pa.array([], pa.int64())})
+    nodes = sorted(r["src"] for r in
+                   deg.select_columns(["src"]).take_all())
+    seeds = frozenset(nodes[:n_seeds])
+    base = (scale * (100 - damp)) // (100 * len(seeds))
+
+    e2 = bucketed_hash_join(
+        edges_ds, deg.rename_columns({"src": "u"}),
+        left_on="src", right_on="u",
+        num_buckets=num_buckets).materialize()
+
+    r0 = scale // n_nodes
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["src"],
+                         "r": pa.array(np.full(t.num_rows, r0,
+                                               np.int64), pa.int64())})
+
+    ranks = deg.map_batches(init_ranks, batch_format="pyarrow") \
+        .materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        d = t["deg"].to_numpy(zero_copy_only=False)
+        return pa.table({"dst": t["dst"],
+                         "c": pa.array(r // d, pa.int64())})
+
+    def update(t: pa.Table) -> pa.Table:
+        s = t["c"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        b = np.where(np.isin(dst, np.array(sorted(seeds), np.int64)),
+                     base, 0)
+        return pa.table({"u": pa.array(dst, pa.int64()),
+                         "r": pa.array(b + (damp * s) // 100,
+                                       pa.int64())})
+
+    for _ in range(iters):
+        j = bucketed_hash_join(e2, ranks, left_on="src", right_on="u",
+                               num_buckets=num_buckets)
+        sums = j.map_batches(contrib, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .groupby("dst").aggregate(Sum("c", alias_name="c"))
+        ranks = sums.map_batches(update, batch_format="pyarrow") \
+            .materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([t["u"], t["r"]],
+                                    names=["user_id", "rank_scaled"])
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def personalized_pagerank_sql(n_seeds: int = 5, iters: int = 5,
+                              scale: int = 10 ** 9, damp: int = 85,
+                              cap: int = 200,
+                              table: str = "events") -> str:
+    """Twin: the pagerank chain with a seeds CTE and CASE teleport."""
+    from .sessions import cooccur_cte_body
+
+    parts = [cooccur_cte_body(cap, table)]
+    parts.append("""ed AS (
+  SELECT DISTINCT user_a AS src, user_b AS dst FROM p
+  UNION
+  SELECT DISTINCT user_b AS src, user_a AS dst FROM p)""")
+    parts.append(
+        "dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src)")
+    parts.append("nn AS (SELECT count(*) AS n FROM dg)")
+    parts.append(f"""sd AS (
+  SELECT src AS u FROM dg ORDER BY src LIMIT {n_seeds})""")
+    parts.append("sn AS (SELECT count(*) AS ns FROM sd)")
+    parts.append(
+        f"r0 AS (SELECT src AS u, (SELECT {scale}::BIGINT // n FROM nn)"
+        f"::BIGINT AS r FROM dg)")
+    for i in range(1, iters + 1):
+        parts.append(f"""r{i} AS (
+  SELECT e.dst AS u,
+         (CASE WHEN e.dst IN (SELECT u FROM sd)
+               THEN (SELECT ({scale}::BIGINT * {100 - damp})
+                     // (100 * ns) FROM sn) ELSE 0 END
+          + ({damp}::BIGINT * sum(r.r // d.deg)) // 100)::BIGINT AS r
+  FROM ed e
+  JOIN r{i - 1} r ON r.u = e.src
+  JOIN dg d ON d.src = e.src
+  GROUP BY e.dst)""")
+    return f"""
+WITH {', '.join(parts)}
+SELECT u AS user_id, r AS rank_scaled FROM r{iters} ORDER BY u
+"""

@@ -1677,3 +1677,67 @@ def test_late_round4g_ops_survive_empty_inputs(ray_session):
         "vec_id": pa.array([], pa.int64()),
         "embedding": pa.array([], pa.list_(pa.float32()))}))
     assert nrows(pq_quant_recall(emb, np.zeros((0, 4)), [])) == 0
+
+
+# --------------------------------------------- k_anonymity_audit
+
+def test_k_anonymity_audit_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dq import k_anonymity_audit
+
+    rng = np.random.RandomState(127)
+    rows = [(i, ["en", "de"][rng.randint(2)],
+             "s%d" % rng.randint(4), int(rng.randint(50, 450)))
+            for i in range(120)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+    })).repartition(4)
+    got = k_anonymity_audit(ds).to_pandas().set_index("k")
+
+    from collections import Counter
+    cls = Counter((r[1], r[2], r[3] // 100) for r in rows)
+    for k in (2, 5, 10):
+        small = [n for n in cls.values() if n < k]
+        r = got.loc[k]
+        assert r["n_groups"] == len(cls)
+        assert r["n_small_groups"] == len(small)
+        assert r["n_risky_docs"] == sum(small)
+        assert r["risky_ppm"] == 1_000_000 * sum(small) // 120
+    # risk is monotone in k
+    assert got["n_risky_docs"].is_monotonic_increasing
+
+
+# --------------------------------------------- personalized_pagerank
+
+def test_ppr_concentrates_on_seeds_and_reduces_to_pagerank(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.graph import pagerank, personalized_pagerank
+
+    # a path graph 0-1-2-...-9, symmetrized
+    pairs = [(i, i + 1) for i in range(9)]
+    edges = pa.table({
+        "src": pa.array([a for a, b in pairs]
+                        + [b for a, b in pairs], pa.int64()),
+        "dst": pa.array([b for a, b in pairs]
+                        + [a for a, b in pairs], pa.int64()),
+    })
+    ds = rd.from_arrow(edges)
+    ppr = personalized_pagerank(ds, n_seeds=2).to_pandas() \
+        .set_index("user_id")
+    # teleport mass only reaches near the seeds {0, 1}
+    assert ppr.loc[0]["rank_scaled"] > ppr.loc[9]["rank_scaled"]
+    assert ppr.loc[1]["rank_scaled"] > ppr.loc[8]["rank_scaled"]
+
+    # seeds = all nodes reduces to the uniform-teleport pagerank
+    ppr_all = personalized_pagerank(
+        rd.from_arrow(edges), n_seeds=10).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    pr = pagerank(rd.from_arrow(edges)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert ppr_all["rank_scaled"].tolist() == \
+        pr["rank_scaled"].tolist()
