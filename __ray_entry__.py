@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_query_lexical": _q_multi_lexical,
         "k_anonymity_audit": _q_k_anonymity,
         "personalized_pagerank": _q_ppr,
+        "copy_genealogy": _q_copy_genealogy,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1290,6 +1291,20 @@ def _k_anonymity_oracle() -> str:
     from kgruntime.ops.dq import k_anonymity_audit_sql
 
     return k_anonymity_audit_sql()
+
+
+def _q_copy_genealogy(sf_dir):
+    """Document copy-provenance edges
+    (kgruntime/ops/dedup.py:copy_genealogy)."""
+    from kgruntime.ops.dedup import copy_genealogy
+
+    return copy_genealogy(_docs_ds(sf_dir))
+
+
+def _copy_genealogy_oracle() -> str:
+    from kgruntime.ops.dedup import copy_genealogy_sql
+
+    return copy_genealogy_sql()
 
 
 def _q_dedup_sweep(sf_dir):
@@ -3100,6 +3115,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_query_lexical": _multi_lexical_oracle(),
         "k_anonymity_audit": _k_anonymity_oracle(),
         "personalized_pagerank": _ppr_oracle(),
+        "copy_genealogy": _copy_genealogy_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

@@ -3144,3 +3144,107 @@ SELECT level, count(*) AS n_docs,
        (count(*) - count(DISTINCT v))::BIGINT AS n_dup_docs
 FROM dss_v GROUP BY level ORDER BY level
 """
+
+
+# ---------------------------------------------------------------------------
+# document copy genealogy
+# ---------------------------------------------------------------------------
+
+def copy_genealogy(docs_ds, k: int = 8, num_buckets: int = 256,
+                   min_shared: int = 5):
+    """Document copy-genealogy edges: for every doc that shares ≥
+    ``min_shared`` distinct ``k``-token shingles with EARLIER docs, the
+    single most likely source — the earlier doc that FIRST introduced
+    the largest number of its shingles (ties → smallest source id).
+    Output: (doc_id, source_doc, n_shared) — the provenance edge list
+    behind the shingle_novelty copied-fraction scores.
+
+    Scale shape: the shingle_novelty bucket exchange (every occurrence
+    of a shingle lands in one ``h % num_buckets`` group, so the
+    bucket-local min doc IS the global first introduction); buckets
+    pre-count (source_doc=min, later_doc) pairs, one int-keyed groupby
+    sums them, and the per-doc argmax rides ``stats.grouped_topk``'s
+    partial top-1 prune — no per-doc Python beyond tiny survivor sets.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    _row_schema = pa.schema([("bucket", pa.int64()),
+                             ("h", pa.int64()),
+                             ("doc_id", pa.int64())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_h, out_d = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(),
+                          t["text"].to_pylist()):
+            toks = [w for w in txt.split(" ") if w]
+            if len(toks) < k:
+                continue
+            hs = {_md5_60_memo(" ".join(toks[i:i + k]))
+                  for i in range(len(toks) - k + 1)}
+            out_h.extend(hs)
+            out_d.extend([d] * len(hs))
+        h = np.array(out_h, np.uint64).astype(np.int64)
+        return pa.table({"bucket": h % num_buckets,
+                         "h": h,
+                         "doc_id": np.array(out_d, np.int64)},
+                        schema=_row_schema)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        md = g.groupby("h")["doc_id"].transform("min")
+        g = g.assign(src=md)
+        pairs = g[g["doc_id"] > g["src"]]
+        cnt = pairs.groupby(["doc_id", "src"], sort=False).size() \
+            .rename("n").reset_index()
+        return pa.table({
+            "doc_id": pa.array(cnt["doc_id"].to_numpy(np.int64)),
+            "source_doc": pa.array(cnt["src"].to_numpy(np.int64)),
+            "n": pa.array(cnt["n"].to_numpy(np.int64))})
+
+    from ..ops.stats import grouped_topk
+
+    pair_counts = docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas") \
+        .groupby(["doc_id", "source_doc"]) \
+        .aggregate(Sum("n", alias_name="n_shared")) \
+        .filter(expr=f"n_shared >= {min_shared}")
+
+    top = grouped_topk(pair_counts, key="doc_id", val="n_shared",
+                       k=1, tie_col="source_doc")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "source_doc", "n_shared"]]
+
+    return top.map_batches(fin, batch_format="pandas")
+
+
+def copy_genealogy_sql(k: int = 8, min_shared: int = 5,
+                       table: str = "documents") -> str:
+    return f"""
+WITH cg_t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS s
+  FROM {table}),
+cg_g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(s) - {k} + 2),
+           i -> array_to_string(s[i : i + {k} - 1], ' '))) AS gs
+  FROM cg_t WHERE len(s) >= {k}),
+cg_e AS (SELECT doc_id, unnest(gs) AS gr FROM cg_g),
+cg_m AS (SELECT gr, min(doc_id) AS src FROM cg_e GROUP BY gr),
+cg_p AS (
+  SELECT e.doc_id, m.src AS source_doc, count(*) AS n_shared
+  FROM cg_e e JOIN cg_m m ON m.gr = e.gr
+  WHERE e.doc_id > m.src
+  GROUP BY e.doc_id, m.src
+  HAVING count(*) >= {min_shared}),
+cg_r AS (
+  SELECT doc_id, source_doc, n_shared, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY n_shared DESC, source_doc ASC) AS rn
+  FROM cg_p)
+SELECT doc_id, source_doc, n_shared FROM cg_r WHERE rn = 1
+ORDER BY doc_id
+"""

@@ -1741,3 +1741,57 @@ def test_ppr_concentrates_on_seeds_and_reduces_to_pagerank(ray_session):
         .sort_values("user_id").reset_index(drop=True)
     assert ppr_all["rank_scaled"].tolist() == \
         pr["rank_scaled"].tolist()
+
+
+# --------------------------------------------- copy_genealogy
+
+def test_copy_genealogy_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dedup import copy_genealogy
+
+    rng = np.random.RandomState(131)
+    vocab = ["w%d" % i for i in range(12)]
+    base = [" ".join(rng.choice(vocab, 20)) for _ in range(10)]
+    texts = list(base)
+    # doc 10..14 copy doc i with a small edit -> provenance edges
+    for i in range(5):
+        toks = base[i].split()
+        toks[0] = "edit"
+        texts.append(" ".join(toks))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    K, MS = 4, 3
+    got = copy_genealogy(ds, k=K, min_shared=MS).to_pandas() \
+        .set_index("doc_id")
+
+    def grams(t):
+        toks = [w for w in t.split(" ") if w]
+        return {" ".join(toks[i:i + K])
+                for i in range(len(toks) - K + 1)}
+
+    gs = [grams(t) for t in texts]
+    first = {}
+    for d, g in enumerate(gs):
+        for x in g:
+            first.setdefault(x, d)
+    exp = {}
+    for d, g in enumerate(gs):
+        cnt = {}
+        for x in g:
+            s = first[x]
+            if s < d:
+                cnt[s] = cnt.get(s, 0) + 1
+        cand = [(n, s) for s, n in cnt.items() if n >= MS]
+        if cand:
+            best = max(cand, key=lambda t: (t[0], -t[1]))
+            exp[d] = (best[1], best[0])
+    assert set(got.index) == set(exp)
+    for d, (s, n) in exp.items():
+        assert (got.loc[d]["source_doc"], got.loc[d]["n_shared"]) == \
+            (s, n), d
+    # the five edited copies must point at their originals
+    for i in range(5):
+        assert got.loc[10 + i]["source_doc"] == i
