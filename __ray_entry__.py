@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_audit": _q_k_anonymity,
         "personalized_pagerank": _q_ppr,
         "copy_genealogy": _q_copy_genealogy,
+        "composition_drift": _q_composition_drift,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1305,6 +1306,20 @@ def _copy_genealogy_oracle() -> str:
     from kgruntime.ops.dedup import copy_genealogy_sql
 
     return copy_genealogy_sql()
+
+
+def _q_composition_drift(sf_dir):
+    """Per-source lang-mix L1 drift between corpus halves
+    (kgruntime/ops/dq.py:composition_drift)."""
+    from kgruntime.ops.dq import composition_drift
+
+    return composition_drift(_docs_ds(sf_dir))
+
+
+def _composition_drift_oracle() -> str:
+    from kgruntime.ops.dq import composition_drift_sql
+
+    return composition_drift_sql()
 
 
 def _q_dedup_sweep(sf_dir):
@@ -3116,6 +3131,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_audit": _k_anonymity_oracle(),
         "personalized_pagerank": _ppr_oracle(),
         "copy_genealogy": _copy_genealogy_oracle(),
+        "composition_drift": _composition_drift_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

@@ -568,3 +568,88 @@ SELECT k.k::BIGINT AS k, t.n_groups::BIGINT AS n_groups,
         // t.total)::BIGINT AS risky_ppm
 FROM ka_k k CROSS JOIN ka_t t ORDER BY k.k
 """
+
+
+# ---------------------------------------------------------------------------
+# categorical composition drift
+# ---------------------------------------------------------------------------
+
+def composition_drift(docs_ds):
+    """Per-source language-mix drift between two deterministic corpus
+    halves (doc_id parity stands in for before/after snapshots): the
+    exact L1 (total-variation ×2) distance between each source's lang
+    distributions, in ppm — the categorical complement of the
+    ``ks_value_drift`` numeric test.  Output per source:
+    (source, n_a, n_b, l1_ppm).
+
+    Scale shape: ONE native groupby over (source, lang, parity) —
+    catalog-bounded — and a driver fold over that tiny table.  Sources
+    seen in only one half get l1_ppm = 1,000,000 (total drift).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def prep(t: pa.Table) -> pa.Table:
+        par = pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64()))
+        return pa.table({"source": t["source"], "lang": t["lang"],
+                         "par": par})
+
+    rows = docs_ds.select_columns(["doc_id", "source", "lang"]) \
+        .map_batches(prep, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["source", "lang", "par"]) \
+        .aggregate(Count(alias_name="n")).take_all()
+    per: dict[str, dict[str, list[int]]] = {}
+    for r in rows:
+        d = per.setdefault(r["source"], {}).setdefault(
+            r["lang"], [0, 0])
+        d[int(r["par"])] += int(r["n"])
+    out = {"source": [], "n_a": [], "n_b": [], "l1_ppm": []}
+    for src in sorted(per):
+        langs = per[src]
+        n_a = sum(v[0] for v in langs.values())
+        n_b = sum(v[1] for v in langs.values())
+        if n_a == 0 or n_b == 0:
+            l1 = 1_000_000
+        else:
+            # Σ |p_a − p_b| over langs, exact: |a·n_b − b·n_a| summed
+            # then // (n_a·n_b), halved ppm scale folded in (L1 ≤ 2)
+            num = sum(abs(v[0] * n_b - v[1] * n_a)
+                      for v in langs.values())
+            l1 = (1_000_000 * num) // (2 * n_a * n_b)
+        out["source"].append(src)
+        out["n_a"].append(n_a)
+        out["n_b"].append(n_b)
+        out["l1_ppm"].append(l1)
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n_a": pa.array(out["n_a"], pa.int64()),
+        "n_b": pa.array(out["n_b"], pa.int64()),
+        "l1_ppm": pa.array(out["l1_ppm"], pa.int64()),
+    })
+
+
+def composition_drift_sql() -> str:
+    return """
+WITH cd_c AS (
+  SELECT source, lang, doc_id % 2 AS par, count(*) AS n
+  FROM documents GROUP BY source, lang, par),
+cd_l AS (
+  SELECT source, lang,
+         coalesce(sum(CASE WHEN par = 0 THEN n END), 0) AS a,
+         coalesce(sum(CASE WHEN par = 1 THEN n END), 0) AS b
+  FROM cd_c GROUP BY source, lang),
+cd_s AS (
+  SELECT source, sum(a) AS n_a, sum(b) AS n_b,
+         sum(abs(a::HUGEINT * (SELECT sum(b) FROM cd_l x
+                               WHERE x.source = cd_l.source)
+                 - b::HUGEINT * (SELECT sum(a) FROM cd_l y
+                                 WHERE y.source = cd_l.source)))
+           AS num
+  FROM cd_l GROUP BY source)
+SELECT source, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       (CASE WHEN n_a = 0 OR n_b = 0 THEN 1000000
+             ELSE (1000000 * num) // (2 * n_a * n_b)
+        END)::BIGINT AS l1_ppm
+FROM cd_s ORDER BY source
+"""

@@ -1795,3 +1795,47 @@ def test_copy_genealogy_vs_brute(ray_session):
     # the five edited copies must point at their originals
     for i in range(5):
         assert got.loc[10 + i]["source_doc"] == i
+
+
+# --------------------------------------------- composition_drift
+
+def test_composition_drift_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.dq import composition_drift
+
+    rng = np.random.RandomState(137)
+    rows = []
+    for i in range(300):
+        src = "s%d" % rng.randint(3)
+        # source s2 drifts: even ids mostly en, odd ids mostly de
+        if src == "s2":
+            lang = "en" if (i % 2 == 0) == (rng.rand() < 0.9) else "de"
+        else:
+            lang = ["en", "de", "fr"][rng.randint(3)]
+        rows.append((i, src, lang))
+    # a one-sided source: only even ids
+    rows += [(1000 + 2 * j, "s3", "en") for j in range(5)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(4)
+    got = composition_drift(ds).to_pandas().set_index("source")
+
+    from collections import Counter
+    for src in ["s0", "s1", "s2", "s3"]:
+        a = Counter(l for i, s, l in rows if s == src and i % 2 == 0)
+        b = Counter(l for i, s, l in rows if s == src and i % 2 == 1)
+        n_a, n_b = sum(a.values()), sum(b.values())
+        r = got.loc[src]
+        assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+        if n_a == 0 or n_b == 0:
+            assert r["l1_ppm"] == 1_000_000
+        else:
+            num = sum(abs(a.get(l, 0) * n_b - b.get(l, 0) * n_a)
+                      for l in set(a) | set(b))
+            assert r["l1_ppm"] == 1_000_000 * num // (2 * n_a * n_b)
+    # the planted drift shows: s2 far above s0/s1; s3 total
+    assert got.loc["s2"]["l1_ppm"] > 3 * got.loc["s0"]["l1_ppm"]
+    assert got.loc["s3"]["l1_ppm"] == 1_000_000
