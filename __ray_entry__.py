@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": _q_ppr,
         "copy_genealogy": _q_copy_genealogy,
         "composition_drift": _q_composition_drift,
+        "conversion_delay_pcts": _q_conv_delay,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -1320,6 +1321,20 @@ def _composition_drift_oracle() -> str:
     from kgruntime.ops.dq import composition_drift_sql
 
     return composition_drift_sql()
+
+
+def _q_conv_delay(sf_dir):
+    """Click→purchase delay p50/p90 per isodow
+    (kgruntime/ops/sessions.py:conversion_delay_percentiles)."""
+    from kgruntime.ops.sessions import conversion_delay_percentiles
+
+    return conversion_delay_percentiles(_events_ds(sf_dir))
+
+
+def _conv_delay_oracle() -> str:
+    from kgruntime.ops.sessions import conversion_delay_percentiles_sql
+
+    return conversion_delay_percentiles_sql()
 
 
 def _q_dedup_sweep(sf_dir):
@@ -3132,6 +3147,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_oracle(),
         "copy_genealogy": _copy_genealogy_oracle(),
         "composition_drift": _composition_drift_oracle(),
+        "conversion_delay_pcts": _conv_delay_oracle(),
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

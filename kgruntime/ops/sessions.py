@@ -2394,3 +2394,101 @@ SELECT whour,
        count(*)::BIGINT AS batch_count
 FROM sea_s GROUP BY whour ORDER BY whour
 """
+
+
+def conversion_delay_percentiles(events_ds):
+    """Funnel-latency distribution: for every purchase with a prior
+    click by the same user, the delay to the MOST RECENT prior click
+    (exact floor seconds), rolled into per-purchase-isodow p50/p90
+    order statistics under the verified 1-based ``ceil(q·n)``
+    quantile_disc rule.  Output: (dow, n_pairs, p50_s, p90_s).
+
+    Scale shape: the as-of backward match is the pit_training_features
+    per-user searchsorted sweep (one groupby); the quantile input is a
+    (dow, delay_s) COUNT histogram — bounded by the corpus time span
+    in seconds × 7, never the corpus — finished on the driver.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    empty = pa.table({"dow": pa.array([], pa.int64()),
+                      "delay_s": pa.array([], pa.int64())})
+
+    def group(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        et = g["event_type"].take(pa.array(order))
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        is_c = pc.equal(et, "click").to_numpy(zero_copy_only=False)
+        if not is_p.any() or not is_c.any():
+            return empty
+        cts = ts[is_c]
+        pts = ts[is_p]
+        idx = np.searchsorted(cts, pts, side="left") - 1
+        keep = idx >= 0
+        if not keep.any():
+            return empty
+        delay = (pts[keep] - cts[idx[keep]]) // 1_000_000
+        dow = pc.day_of_week(
+            pa.array(pts[keep].astype("datetime64[us]")),
+            count_from_zero=False, week_start=1)
+        return pa.table({"dow": pc.cast(dow, pa.int64()),
+                         "delay_s": pa.array(delay, pa.int64())})
+
+    hist = events_ds.select_columns(
+        ["user_id", "ts", "event_type", "event_id"]) \
+        .groupby("user_id").map_groups(group, batch_format="pyarrow") \
+        .groupby(["dow", "delay_s"]) \
+        .aggregate(Count(alias_name="n")).take_all()
+    per: dict[int, list[tuple[int, int]]] = {}
+    for r in hist:
+        per.setdefault(int(r["dow"]), []).append(
+            (int(r["delay_s"]), int(r["n"])))
+    out = {"dow": [], "n_pairs": [], "p50_s": [], "p90_s": []}
+    for dow in sorted(per):
+        h = sorted(per[dow])
+        n = sum(c for _, c in h)
+        cum = np.cumsum([c for _, c in h])
+        vals = [v for v, _ in h]
+
+        def q_at(rank1):                      # 1-based order statistic
+            return vals[int(np.searchsorted(cum, rank1, side="left"))]
+
+        out["dow"].append(dow)
+        out["n_pairs"].append(n)
+        out["p50_s"].append(q_at((n + 1) // 2))
+        out["p90_s"].append(q_at((9 * n + 9) // 10))
+    return pa.table({k: pa.array(v, pa.int64())
+                     for k, v in out.items()})
+
+
+def conversion_delay_percentiles_sql() -> str:
+    return """
+WITH cdp_p AS (
+  SELECT p.event_id, p.user_id, p.ts, isodow(p.ts) AS dow,
+         max(c.ts) AS last_click
+  FROM events p JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click'
+   AND c.ts < p.ts
+  WHERE p.event_type = 'purchase'
+  GROUP BY p.event_id, p.user_id, p.ts),
+cdp_d AS (
+  SELECT dow,
+         (epoch_us(ts) - epoch_us(last_click)) // 1000000 AS delay_s
+  FROM cdp_p),
+cdp_r AS (
+  SELECT dow, delay_s,
+         row_number() OVER (PARTITION BY dow ORDER BY delay_s) AS rk,
+         count(*) OVER (PARTITION BY dow) AS n
+  FROM cdp_d)
+SELECT dow::BIGINT AS dow, any_value(n)::BIGINT AS n_pairs,
+       max(CASE WHEN rk = (n + 1) // 2 THEN delay_s END)::BIGINT
+         AS p50_s,
+       max(CASE WHEN rk = (9 * n + 9) // 10 THEN delay_s END)::BIGINT
+         AS p90_s
+FROM cdp_r GROUP BY dow ORDER BY dow
+"""

@@ -1839,3 +1839,53 @@ def test_composition_drift_vs_brute(ray_session):
     # the planted drift shows: s2 far above s0/s1; s3 total
     assert got.loc["s2"]["l1_ppm"] > 3 * got.loc["s0"]["l1_ppm"]
     assert got.loc["s3"]["l1_ppm"] == 1_000_000
+
+
+# --------------------------------------------- conversion_delay_percentiles
+
+def test_conversion_delay_percentiles_vs_brute(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgruntime.ops.sessions import conversion_delay_percentiles
+
+    rng = np.random.RandomState(139)
+    rows = []
+    eid = 0
+    t0 = 1_700_000_000_000_000
+    for uid in range(25):
+        t = t0 + int(rng.randint(0, 10**10))
+        for _ in range(rng.randint(2, 14)):
+            t += int(rng.randint(1, 10**8))
+            rows.append((eid, uid, t,
+                         ["click", "view", "purchase"][rng.randint(3)]))
+            eid += 1
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })).repartition(4)
+    got = conversion_delay_percentiles(ds).to_pandas() \
+        .set_index("dow")
+
+    delays = {}
+    for e, u, t, et in rows:
+        if et != "purchase":
+            continue
+        clicks = [r[2] for r in rows
+                  if r[1] == u and r[3] == "click" and r[2] < t]
+        if not clicks:
+            continue
+        d = (t - max(clicks)) // 1_000_000
+        dow = dt.datetime.utcfromtimestamp(t / 1e6).isoweekday()
+        delays.setdefault(dow, []).append(d)
+    assert set(got.index) == set(delays)
+    for dow, ds_ in delays.items():
+        s = sorted(ds_)
+        n = len(s)
+        r = got.loc[dow]
+        assert r["n_pairs"] == n
+        assert r["p50_s"] == s[(n + 1) // 2 - 1]
+        assert r["p90_s"] == s[(9 * n + 9) // 10 - 1]
