@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copy_genealogy": _q_copy_genealogy,
         "composition_drift": _q_composition_drift,
         "conversion_delay_pcts": _q_conv_delay,
+        "supplier_performance": R.q_supplier_performance,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -3148,6 +3149,7 @@ def oracle_sql() -> dict[str, str]:
         "copy_genealogy": _copy_genealogy_oracle(),
         "composition_drift": _composition_drift_oracle(),
         "conversion_delay_pcts": _conv_delay_oracle(),
+        "supplier_performance": R.Q_SUPPLIER_PERFORMANCE_SQL,
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

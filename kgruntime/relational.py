@@ -2075,3 +2075,114 @@ SELECT l.left_rows::BIGINT AS left_rows,
             ELSE 'bucketed' END AS strategy
 FROM jsa_l l CROSS JOIN jsa_r r CROSS JOIN jsa_k k
 """
+
+
+def q_supplier_performance(sf_dir: str, late_days: int = 90):
+    """Supplier-side performance rollup (the one dimension the suite
+    barely exercised): per supplier NATION — active suppliers, items
+    shipped, exact revenue cents, and the share of line items shipped
+    more than ``late_days`` after their order date, in ppm.
+
+    Scale shape: lineitem→orders bucketed join on orderkey (for the
+    order date), then a supplier-keyed rollup pre-aggregated per batch;
+    the supplier→nation decoration happens on the |suppliers|-bounded
+    aggregate via a broadcast dict (dimension tables are
+    catalog-small), never on the fact stream.
+    """
+    import pyarrow.compute as pc
+
+    from .ops.join import bucketed_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+    joined = bucketed_hash_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        v = price * (1.0 - disc) * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v) \
+            .astype(np.int64)
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        odate = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        late = (ship > odate + late_days * 86_400_000_000) \
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "sk": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "cents": cents, "late": late}) \
+            .groupby("sk").agg(n=("cents", "size"),
+                               cents=("cents", "sum"),
+                               late=("late", "sum")).reset_index()
+        return pa.table({
+            "sk": pa.array(g["sk"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "cents": pa.array(g["cents"].to_numpy(np.int64)),
+            "late": pa.array(g["late"].to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    per_supp = joined.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .groupby("sk").aggregate(Sum("n", alias_name="n"),
+                                 Sum("cents", alias_name="cents"),
+                                 Sum("late", alias_name="late")) \
+        .take_all()
+
+    supp = {r["s_suppkey"]: r["s_nationkey"] for r in
+            _read(sf_dir, "supplier",
+                  columns=["s_suppkey", "s_nationkey"]).take_all()}
+    nation = {r["n_nationkey"]: r["n_name"] for r in
+              _read(sf_dir, "nation",
+                    columns=["n_nationkey", "n_name"]).take_all()}
+    agg: dict[str, list[int]] = {}
+    for r in per_supp:
+        nm = nation[supp[int(r["sk"])]]
+        d = agg.setdefault(nm, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += int(r["n"])
+        d[2] += int(r["cents"])
+        d[3] += int(r["late"])
+    names = sorted(agg)
+    return pa.table({
+        "n_name": pa.array(names, pa.string()),
+        "n_suppliers": pa.array([agg[n][0] for n in names], pa.int64()),
+        "n_items": pa.array([agg[n][1] for n in names], pa.int64()),
+        "revenue_cents": pa.array([agg[n][2] for n in names],
+                                  pa.int64()),
+        "late_ppm": pa.array(
+            [(1_000_000 * agg[n][3]) // agg[n][1] for n in names],
+            pa.int64()),
+    })
+
+
+def _supplier_performance_sql(late_days: int = 90) -> str:
+    return f"""
+WITH sp_l AS (
+  SELECT l.l_suppkey AS sk,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS cents,
+         (l.l_shipdate > o.o_orderdate
+          + INTERVAL {late_days} DAY)::BIGINT AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+sp_s AS (
+  SELECT sk, count(*) AS n, sum(cents) AS cents, sum(late) AS late
+  FROM sp_l GROUP BY sk)
+SELECT n.n_name, count(*) AS n_suppliers,
+       sum(ss.n)::BIGINT AS n_items,
+       sum(ss.cents)::BIGINT AS revenue_cents,
+       ((1000000 * sum(ss.late)) // sum(ss.n))::BIGINT AS late_ppm
+FROM sp_s ss
+JOIN supplier s ON s.s_suppkey = ss.sk
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+Q_SUPPLIER_PERFORMANCE_SQL = _supplier_performance_sql()

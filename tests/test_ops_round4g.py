@@ -1889,3 +1889,24 @@ def test_conversion_delay_percentiles_vs_brute(ray_session):
         assert r["n_pairs"] == n
         assert r["p50_s"] == s[(n + 1) // 2 - 1]
         assert r["p90_s"] == s[(9 * n + 9) // 10 - 1]
+
+
+# --------------------------------------------- supplier_performance
+
+def test_supplier_performance_vs_duckdb(ray_session):
+    import duckdb
+
+    from kgruntime.relational import (Q_SUPPLIER_PERFORMANCE_SQL,
+                                      q_supplier_performance)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_supplier_performance(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "supplier", "nation"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    exp = con.execute(Q_SUPPLIER_PERFORMANCE_SQL).df()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    for c in ["n_suppliers", "n_items", "revenue_cents", "late_ppm"]:
+        assert got[c].tolist() == exp[c].astype(int).tolist(), c
+    assert got["late_ppm"].between(0, 1_000_000).all()
