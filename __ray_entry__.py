@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composition_drift": _q_composition_drift,
         "conversion_delay_pcts": _q_conv_delay,
         "supplier_performance": R.q_supplier_performance,
+        "kg_star_query": _q_kg_star,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -2371,6 +2372,26 @@ def _q_kg_bgp(sf_dir):
     store = build_kg(_synth_docs(sf_dir))["canonical"]
     return bgp_2hop(store, rdf + "rest", rdf + "first").to_pandas() \
         .sort_values(["x", "y", "v"]).reset_index(drop=True)
+
+
+def _q_kg_star(sf_dir):
+    """PRoST-style star BGP over a predicate-partitioned (vertical)
+    store layout: ``?s rdf:type ?t . ?s foaf:name ?n`` — the store is
+    re-materialized hive-partitioned by predicate hash and each
+    pattern reads ONLY its predicate's partition
+    (kgruntime/stages/materialize.py:write_pred_partitioned/star_bgp);
+    rows-only (parser output, not SQL-visible)."""
+    from kgruntime.pipelines.kg import build_kg
+    from kgruntime.stages.materialize import (star_bgp,
+                                              write_pred_partitioned)
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    foaf = "http://xmlns.com/foaf/0.1/"
+    store = build_kg(_synth_docs(sf_dir))["canonical"]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = write_pred_partitioned(store, f"/tmp/kgio/vp-{tag}")
+    return star_bgp(path, rdf + "type", foaf + "name").to_pandas() \
+        .sort_values(["s", "a", "b"]).reset_index(drop=True)
 
 
 def _q_minhash(sf_dir):

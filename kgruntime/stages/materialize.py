@@ -341,3 +341,70 @@ def bgp_2hop(triples_ds, pred1: str, pred2: str):
             "y": pa.array([], pa.string()),
             "v": pa.array([], pa.string())}))
     return bucketed_hash_join(left, right, "y", "y_key")
+
+
+def write_pred_partitioned(triples_ds, path: str,
+                           num_pred_parts: int = 64) -> str:
+    """PRoST-style VERTICAL PARTITIONING of the triple store: parquet
+    hive-partitioned by ``pk = md5-60(pred) % num_pred_parts``, so a
+    BGP pattern's scan opens ONLY its predicate's partition directory
+    (partition pruning at the read — the complement of the
+    subject-hash store layout, which co-locates join keys instead).
+    Returns ``path``."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _md5_60
+
+    shutil.rmtree(path, ignore_errors=True)
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        pk = [_md5_60(p.encode()) % num_pred_parts
+              for p in t["pred"].to_pylist()]
+        return t.append_column("pk", pa.array(pk, pa.int64()))
+
+    triples_ds.map_batches(add_pk, batch_format="pyarrow") \
+        .write_parquet(path, partition_cols=["pk"])
+    return path
+
+
+def star_bgp(store_path: str, pred_a: str, pred_b: str,
+             num_pred_parts: int = 64):
+    """Star basic-graph-pattern over a predicate-partitioned store:
+    ``?s <pred_a> ?a . ?s <pred_b> ?b`` → (s, a, b).  Each pattern
+    reads ONLY its predicate's hive partition (``pk=`` filter pushed to
+    the directory listing), filters residual hash collisions, and the
+    star joins on the shared subject via one bucketed hash join.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..ops.dedup import _md5_60
+    from ..ops.join import bucketed_hash_join
+
+    def side(pred: str, out: list[str]):
+        import os
+
+        pk = _md5_60(pred.encode()) % num_pred_parts
+        # read ONLY this predicate's hive directory (the
+        # partitioned_export_prune idiom — pruning by path, no filter
+        # machinery version dependence)
+        ds = rd.read_parquet(os.path.join(store_path, f"pk={pk}"),
+                             columns=["subj", "pred", "obj"])
+
+        def f(t: pa.Table) -> pa.Table:
+            sel = t.filter(pc.equal(t["pred"], pred))
+            return pa.Table.from_arrays([sel["subj"], sel["obj"]],
+                                        names=out)
+        return ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    left = side(pred_a, ["s", "a"])
+    right = side(pred_b, ["s_key", "b"])
+    if left.count() == 0 or right.count() == 0:
+        return rd.from_arrow(pa.table({
+            "s": pa.array([], pa.string()),
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string())}))
+    return bucketed_hash_join(left, right, "s", "s_key")

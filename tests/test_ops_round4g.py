@@ -1910,3 +1910,41 @@ def test_supplier_performance_vs_duckdb(ray_session):
     for c in ["n_suppliers", "n_items", "revenue_cents", "late_ppm"]:
         assert got[c].tolist() == exp[c].astype(int).tolist(), c
     assert got["late_ppm"].between(0, 1_000_000).all()
+
+
+# --------------------------------------------- kg star query (PRoST VP)
+
+def test_kg_star_query_matches_direct_join(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kgruntime.stages.materialize import (star_bgp,
+                                              write_pred_partitioned)
+
+    triples = pa.table({
+        "subj": pa.array(["s1", "s1", "s2", "s2", "s3", "s3", "s4"],
+                         pa.string()),
+        "pred": pa.array(["p:type", "p:name", "p:type", "p:name",
+                          "p:type", "p:other", "p:name"], pa.string()),
+        "obj": pa.array(["T1", "Alice", "T2", "Bob", "T1", "x", "Eve"],
+                        pa.string()),
+    })
+    path = write_pred_partitioned(rd.from_arrow(triples).repartition(3),
+                                  str(tmp_path / "vp"))
+    got = star_bgp(path, "p:type", "p:name").to_pandas() \
+        .sort_values(["s", "a", "b"]).reset_index(drop=True)
+
+    df = triples.to_pandas()
+    t = df[df.pred == "p:type"][["subj", "obj"]] \
+        .rename(columns={"obj": "a"})
+    n = df[df.pred == "p:name"][["subj", "obj"]] \
+        .rename(columns={"obj": "b"})
+    exp = t.merge(n, on="subj").rename(columns={"subj": "s"}) \
+        .sort_values(["s", "a", "b"]).reset_index(drop=True)
+    assert got[["s", "a", "b"]].equals(exp[["s", "a", "b"]])
+    # subjects lacking one of the two predicates must be absent
+    assert "s3" not in set(got["s"]) and "s4" not in set(got["s"])
+    # the layout really is predicate-partitioned on disk
+    import os
+
+    parts = [d for d in os.listdir(path) if d.startswith("pk=")]
+    assert len(parts) >= 2
