@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_delay_pcts": _q_conv_delay,
         "supplier_performance": R.q_supplier_performance,
         "kg_star_query": _q_kg_star,
+        "trending_part_types": R.q_trending_part_types,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -3171,6 +3172,7 @@ def oracle_sql() -> dict[str, str]:
         "composition_drift": _composition_drift_oracle(),
         "conversion_delay_pcts": _conv_delay_oracle(),
         "supplier_performance": R.Q_SUPPLIER_PERFORMANCE_SQL,
+        "trending_part_types": R.Q_TRENDING_PART_TYPES_SQL,
         "int8_quant_recall": _int8_recall_oracle(),
         "peak_concurrent_users": _peak_concurrency_oracle(),
         "incremental_near_dups": _incremental_near_dups_oracle(),

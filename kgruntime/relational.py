@@ -2186,3 +2186,118 @@ GROUP BY n.n_name ORDER BY n.n_name
 
 
 Q_SUPPLIER_PERFORMANCE_SQL = _supplier_performance_sql()
+
+
+def q_trending_part_types(sf_dir: str, k: int = 3):
+    """Rank dynamics: per order month, the top-``k`` part types by
+    exact revenue cents, each with its previous-month rank and the
+    rank delta (0 when the type was unranked last month) — the
+    "what's trending" movement table.  Output: (mon, p_type, rnk,
+    prev_rnk, delta).
+
+    Scale shape: lineitem→orders and →part bucketed joins (the
+    basket_affinity paths), a per-batch (mon, type) cents combiner
+    into one native groupby — month × type bounded — and the ranking
+    window runs on that bounded table driver-side.
+    """
+    import pyarrow.compute as pc
+
+    from .ops.join import bucketed_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_extendedprice",
+                        "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    j1 = bucketed_hash_join(li, orders, "l_orderkey", "o_orderkey")
+    j2 = bucketed_hash_join(
+        j1.select_columns(["l_partkey", "l_extendedprice",
+                           "l_discount", "o_orderdate"]),
+        part, "l_partkey", "p_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        mon = pc.add(pc.multiply(pc.cast(pc.year(ts), pa.int64()),
+                                 pa.scalar(12, pa.int64())),
+                     pc.cast(pc.subtract(pc.month(ts), 1), pa.int64()))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        v = price * (1.0 - disc) * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v) \
+            .astype(np.int64)
+        g = pd.DataFrame({"mon": mon.to_numpy(zero_copy_only=False),
+                          "p_type": t["p_type"].to_pylist(),
+                          "cents": cents}) \
+            .groupby(["mon", "p_type"], sort=False)["cents"].sum() \
+            .reset_index()
+        return pa.table({
+            "mon": pa.array(g["mon"].to_numpy(np.int64)),
+            "p_type": pa.array(g["p_type"], pa.string()),
+            "cents": pa.array(g["cents"].to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    rows = j2.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["mon", "p_type"]) \
+        .aggregate(Sum("cents", alias_name="cents")).take_all()
+    per: dict[int, list[tuple[int, str]]] = {}
+    for r in rows:
+        per.setdefault(int(r["mon"]), []).append(
+            (-int(r["cents"]), r["p_type"]))
+    ranks: dict[int, dict[str, int]] = {}
+    for mon, lst in per.items():
+        ranks[mon] = {t: i + 1 for i, (_, t) in enumerate(sorted(lst))}
+    out = {"mon": [], "p_type": [], "rnk": [], "prev_rnk": [],
+           "delta": []}
+    for mon in sorted(ranks):
+        prev = ranks.get(mon - 1, {})
+        for t, rk in ranks[mon].items():
+            if rk > k:
+                continue
+            pr = prev.get(t, 0)
+            out["mon"].append(mon)
+            out["p_type"].append(t)
+            out["rnk"].append(rk)
+            out["prev_rnk"].append(pr)
+            out["delta"].append(pr - rk if pr else 0)
+    return pa.table({
+        "mon": pa.array(out["mon"], pa.int64()),
+        "p_type": pa.array(out["p_type"], pa.string()),
+        "rnk": pa.array(out["rnk"], pa.int64()),
+        "prev_rnk": pa.array(out["prev_rnk"], pa.int64()),
+        "delta": pa.array(out["delta"], pa.int64()),
+    })
+
+
+def _trending_part_types_sql(k: int = 3) -> str:
+    return f"""
+WITH tp_r AS (
+  SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS mon,
+         p.p_type,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY mon, p.p_type),
+tp_k AS (
+  SELECT mon, p_type,
+         row_number() OVER (PARTITION BY mon
+                            ORDER BY cents DESC, p_type) AS rnk
+  FROM tp_r)
+SELECT a.mon, a.p_type, a.rnk,
+       coalesce(b.rnk, 0)::BIGINT AS prev_rnk,
+       (CASE WHEN b.rnk IS NULL THEN 0 ELSE b.rnk - a.rnk END)::BIGINT
+         AS delta
+FROM tp_k a
+LEFT JOIN tp_k b ON b.mon = a.mon - 1 AND b.p_type = a.p_type
+WHERE a.rnk <= {k}
+ORDER BY a.mon, a.rnk
+"""
+
+
+Q_TRENDING_PART_TYPES_SQL = _trending_part_types_sql()

@@ -1948,3 +1948,28 @@ def test_kg_star_query_matches_direct_join(ray_session, tmp_path):
 
     parts = [d for d in os.listdir(path) if d.startswith("pk=")]
     assert len(parts) >= 2
+
+
+# --------------------------------------------- trending_part_types
+
+def test_trending_part_types_vs_duckdb(ray_session):
+    import duckdb
+
+    from kgruntime.relational import (Q_TRENDING_PART_TYPES_SQL,
+                                      q_trending_part_types)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_trending_part_types(sf).to_pandas() \
+        .sort_values(["mon", "rnk"]).reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "part"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    exp = con.execute(Q_TRENDING_PART_TYPES_SQL).df()
+    for c in ["mon", "p_type", "rnk", "prev_rnk", "delta"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+    # ranks are a contiguous 1..n prefix per month (a thin final month
+    # can have fewer than k ranked types); movement must occur
+    assert (got.groupby("mon")["rnk"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1)))).all()
+    assert (got["delta"] != 0).any()
