@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_performance": R.q_supplier_performance,
         "kg_star_query": _q_kg_star,
         "trending_part_types": R.q_trending_part_types,
+        "kg_incremental_build": _q_kg_incremental,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -2393,6 +2394,30 @@ def _q_kg_star(sf_dir):
     path = write_pred_partitioned(store, f"/tmp/kgio/vp-{tag}")
     return star_bgp(path, rdf + "type", foaf + "name").to_pandas() \
         .sort_values(["s", "a", "b"]).reset_index(drop=True)
+
+
+def _q_kg_incremental(sf_dir):
+    """Two-increment KG build (parse only the delta, rerun global
+    stages over the staged parsed layer) — reproduces the single-shot
+    store exactly (kgruntime/pipelines/kg.py:build_kg_incremental);
+    rows-only (parser output, not SQL-visible)."""
+    import shutil
+
+    from kgruntime.pipelines.kg import build_kg_incremental
+    from kgruntime.synth import make_documents_table
+
+    import ray.data as rd
+
+    n = _n_docs_for(sf_dir)
+    docs = make_documents_table(n, seed=42, malformed_every=0)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    staged = f"/tmp/kgio/incr-{tag}"
+    shutil.rmtree(staged, ignore_errors=True)
+    build_kg_incremental(rd.from_arrow(docs.slice(0, n // 2)), staged)
+    res = build_kg_incremental(rd.from_arrow(docs.slice(n // 2)),
+                               staged)
+    return res["canonical"].to_pandas() \
+        .sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
 
 
 def _q_minhash(sf_dir):

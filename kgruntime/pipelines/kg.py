@@ -357,3 +357,51 @@ def build_kg_fused(docs_ds, alias_table: dict, link_threshold: float = 0.85,
                               hot_subjects=hot_subjects)
     return {"errors": errors, "edges": edges, "assignment": assignment,
             "canonical": canonical}
+
+
+def build_kg_incremental(new_docs_ds, staged_dir: str,
+                         link_threshold: float = 0.85,
+                         dedup_buckets: int = 64):
+    """Incremental KG build: parse ONLY the new documents, stage their
+    parsed triples next to the previous increments' parquet, and rerun
+    the GLOBAL stages (mention derivation, corpus alias table, link
+    scoring, union-find, canonicalize, dedup) over the union — the
+    honest incremental contract: new evidence can merge entities that
+    earlier increments kept apart, so canonicalization must see the
+    merged corpus, but the expensive parse runs only on the delta and
+    the global stages cost ∝ derived-layer size (mentions/edges are
+    far below the raw corpus; the dedup shuffle is the usual 16-byte
+    hash exchange).
+
+    Returns {"canonical", "staged_dir"}; calling again with more docs
+    repeats the pattern.  Determinism end-to-end means an increment
+    sequence reproduces the single-shot ``build_kg`` store exactly
+    (parity-tested).
+    """
+    import ray.data as rd
+
+    n_prev = len(os.listdir(staged_dir)) if os.path.isdir(staged_dir) \
+        else 0
+    inc_dir = os.path.join(staged_dir, f"inc-{n_prev:04d}")
+    combined = extract_triples(new_docs_ds)
+    new_triples = combined.map_batches(keep_triples,
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    new_triples.write_parquet(inc_dir)
+
+    all_triples = rd.read_parquet(staged_dir)
+    mentions = mentions_dataset(all_triples)
+    alias_table = corpus_alias_table(mentions)
+    edges = link_edges_dataset(mentions, alias_table,
+                               threshold=link_threshold)
+    from ..stages.canon import union_find
+
+    assignment, mapping = union_find(edges)
+    if mapping is None:
+        canonical = canonicalize_triples(all_triples,
+                                         labels_ds=assignment,
+                                         via="join")
+    else:
+        canonical = canonicalize_triples(all_triples, mapping=mapping)
+    canonical = dedup_triples(canonical, num_buckets=dedup_buckets)
+    return {"canonical": canonical, "staged_dir": staged_dir}

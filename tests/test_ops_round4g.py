@@ -1973,3 +1973,36 @@ def test_trending_part_types_vs_duckdb(ray_session):
     assert (got.groupby("mon")["rnk"].apply(
         lambda s: sorted(s) == list(range(1, len(s) + 1)))).all()
     assert (got["delta"] != 0).any()
+
+
+# --------------------------------------------- build_kg_incremental
+
+def test_incremental_kg_build_matches_single_shot(ray_session,
+                                                  tmp_path):
+    import ray.data as rd
+
+    from kgruntime.pipelines.kg import build_kg, build_kg_incremental
+    from kgruntime.synth import make_documents_table
+
+    docs = make_documents_table(120, seed=42, malformed_every=0)
+    half = docs.num_rows // 2
+
+    full = build_kg(rd.from_arrow(docs))["canonical"].to_pandas()
+
+    staged = str(tmp_path / "stage")
+    r1 = build_kg_incremental(rd.from_arrow(docs.slice(0, half)),
+                              staged)
+    n1 = r1["canonical"].count()
+    r2 = build_kg_incremental(
+        rd.from_arrow(docs.slice(half)), staged)
+    inc = r2["canonical"].to_pandas()
+
+    cols = sorted(full.columns)
+    a = full[cols].sort_values(cols).reset_index(drop=True)
+    b = inc[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b), "incremental store must equal single-shot"
+    # the first increment alone was a genuine partial store
+    assert 0 < n1 < len(b)
+    import os
+
+    assert len(os.listdir(staged)) == 2  # two staged increments
