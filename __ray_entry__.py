@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_star_query": _q_kg_star,
         "trending_part_types": R.q_trending_part_types,
         "kg_incremental_build": _q_kg_incremental,
+        "kg_pred_catalog": _q_kg_pred_catalog,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -2418,6 +2419,18 @@ def _q_kg_incremental(sf_dir):
                                staged)
     return res["canonical"].to_pandas() \
         .sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+
+
+def _q_kg_pred_catalog(sf_dir):
+    """Per-predicate cardinality catalog over the canonical store —
+    the SPARQL-planner statistics table
+    (kgruntime/stages/materialize.py:predicate_catalog); rows-only
+    (parser output, not SQL-visible)."""
+    from kgruntime.pipelines.kg import build_kg
+    from kgruntime.stages.materialize import predicate_catalog
+
+    store = build_kg(_synth_docs(sf_dir))["canonical"]
+    return predicate_catalog(store)
 
 
 def _q_minhash(sf_dir):

@@ -408,3 +408,69 @@ def star_bgp(store_path: str, pred_a: str, pred_b: str,
             "a": pa.array([], pa.string()),
             "b": pa.array([], pa.string())}))
     return bucketed_hash_join(left, right, "s", "s_key")
+
+
+def predicate_catalog(triples_ds):
+    """Per-predicate cardinality catalog — the statistics a SPARQL
+    query planner keeps for join ordering: per predicate, triple
+    count, distinct subjects, distinct objects, and the exact
+    subject/object fan-outs in ppm (``n_triples·10⁶ // n_distinct``).
+    Output: (pred, n_triples, n_subj, n_obj, subj_fanout_ppm,
+    obj_fanout_ppm).
+
+    Scale shape: triple counts are one native predicate-keyed rollup;
+    distincts ship batch-deduped side-tagged (side, pred, value-hash)
+    rows through ONE groupby, then a predicate-bounded count — values
+    cross the exchange as 8-byte hashes, never as IRIs.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    tri = triples_ds.select_columns(["pred"]) \
+        .groupby("pred").aggregate(Count(alias_name="n")).take_all()
+    n_tri = {r["pred"]: int(r["n"]) for r in tri}
+
+    def explode(t: pa.Table) -> pa.Table:
+        preds = t["pred"].to_pylist()
+        out_side, out_pred, out_h = [], [], []
+        for side, col in (("s", "subj"), ("o", "obj")):
+            vals = t[col].to_pylist()
+            seen = set()
+            for p, v in zip(preds, vals):
+                h = int.from_bytes(hashlib.blake2b(
+                    v.encode(), digest_size=8).digest(), "big") >> 1
+                key = (p, h)
+                if key in seen:
+                    continue
+                seen.add(key)
+                out_side.append(side)
+                out_pred.append(p)
+                out_h.append(h)
+        return pa.table({"side": pa.array(out_side, pa.string()),
+                         "pred": pa.array(out_pred, pa.string()),
+                         "h": pa.array(out_h, pa.int64())})
+
+    dis = triples_ds.select_columns(["subj", "pred", "obj"]) \
+        .map_batches(explode, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["side", "pred", "h"]).aggregate(Count()) \
+        .groupby(["side", "pred"]).aggregate(Count(alias_name="nd")) \
+        .take_all()
+    n_subj = {r["pred"]: int(r["nd"]) for r in dis if r["side"] == "s"}
+    n_obj = {r["pred"]: int(r["nd"]) for r in dis if r["side"] == "o"}
+    preds = sorted(n_tri)
+    return pa.table({
+        "pred": pa.array(preds, pa.string()),
+        "n_triples": pa.array([n_tri[p] for p in preds], pa.int64()),
+        "n_subj": pa.array([n_subj.get(p, 0) for p in preds],
+                           pa.int64()),
+        "n_obj": pa.array([n_obj.get(p, 0) for p in preds],
+                          pa.int64()),
+        "subj_fanout_ppm": pa.array(
+            [(1_000_000 * n_tri[p]) // max(n_subj.get(p, 1), 1)
+             for p in preds], pa.int64()),
+        "obj_fanout_ppm": pa.array(
+            [(1_000_000 * n_tri[p]) // max(n_obj.get(p, 1), 1)
+             for p in preds], pa.int64()),
+    })

@@ -2006,3 +2006,31 @@ def test_incremental_kg_build_matches_single_shot(ray_session,
     import os
 
     assert len(os.listdir(staged)) == 2  # two staged increments
+
+
+# --------------------------------------------- predicate_catalog
+
+def test_predicate_catalog_vs_brute(ray_session):
+    import ray.data as rd
+
+    from kgruntime.stages.materialize import predicate_catalog
+
+    triples = pa.table({
+        "subj": pa.array(["a", "a", "b", "c", "c", "c", "d"],
+                         pa.string()),
+        "pred": pa.array(["p1", "p1", "p1", "p2", "p2", "p2", "p2"],
+                         pa.string()),
+        "obj": pa.array(["x", "y", "x", "z", "z", "w", "z"],
+                        pa.string()),
+    })
+    got = predicate_catalog(rd.from_arrow(triples).repartition(3)) \
+        .to_pandas().set_index("pred")
+
+    df = triples.to_pandas()
+    for p in ["p1", "p2"]:
+        sub = df[df.pred == p]
+        n, ns, no = len(sub), sub.subj.nunique(), sub.obj.nunique()
+        r = got.loc[p]
+        assert (r["n_triples"], r["n_subj"], r["n_obj"]) == (n, ns, no)
+        assert r["subj_fanout_ppm"] == 1_000_000 * n // ns
+        assert r["obj_fanout_ppm"] == 1_000_000 * n // no
