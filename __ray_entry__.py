@@ -55,14 +55,55 @@ def entry() -> Any:
 # queries
 # ---------------------------------------------------------------------------
 
+_FLAGSHIPS = ("kg_canonical_fused", "minhash_near_dups",
+              "near_dedup_corpus", "ann_topk_ivf", "kmeans_clusters",
+              "curate_corpus", "user_components")
+
+
+def _driver_checked() -> set[str]:
+    """Names that already have a driver CORRECTNESS row (any round)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(f) as fh:
+                seen |= set(json.load(fh))
+        except Exception:
+            pass
+    return seen
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Registry ORDER matters: the driver's correctness gate evaluates the
-    # first 50 entries only.  Round-4 rotation (VERDICT r3 item 1): the
-    # 13 late-round-3 registrations that never had a driver CORRECTNESS
-    # row lead, then this round's new ops, then a representative slice of
-    # r3-green flagship/dedup/ANN entries; everything below slot 50 has a
-    # green driver row from r1–r3 AND is re-checked every round by
-    # scripts/check_oracle.py over the FULL registry.
+    """Registry, ordered for the driver's 50-slot correctness window.
+
+    The order is SELF-MAINTAINING (VERDICT r4 item 1): entries that have
+    never had a driver CORRECTNESS row (per the committed
+    CORRECTNESS_r*.json artifacts) lead in registration order, then the
+    flagship set, then everything else.  A new registration therefore
+    rotates into the window automatically, and committing a round's
+    CORRECTNESS file re-derives the next round's window with zero manual
+    bookkeeping.  The FULL registry is gated locally every round by
+    scripts/check_oracle.py regardless of window position.
+    """
+    q = _registry()
+    seen = _driver_checked()
+    ordered: dict[str, Callable[[str], Any]] = {
+        k: v for k, v in q.items() if k not in seen}
+    for k in _FLAGSHIPS:
+        if k in q and k not in ordered:
+            ordered[k] = q[k]
+    for k, v in q.items():
+        if k not in ordered:
+            ordered[k] = v
+    return ordered
+
+
+def _registry() -> dict[str, Callable[[str], Any]]:
+    # Registration order only breaks ties inside queries()'s
+    # never-driver-checked group — the driver window itself is derived.
     from kgruntime import relational as R
 
     q: dict[str, Callable[[str], Any]] = {

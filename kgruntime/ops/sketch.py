@@ -473,17 +473,33 @@ def mg_heavy_trigrams(docs_ds, k: int = 24000):
                          "lb": pa.array(lbs, pa.int64())},
                         schema=_part_schema)
 
+    # merged survivor table stays DISTRIBUTED (≤ k·n_blocks rows —
+    # bounded by block count, not corpus size); the driver collects only
+    # (a) the one total-marker scalar and (b) the ≤ k candidates after
+    # the threshold is applied inside map_batches (VERDICT r4 item 3 —
+    # previously the whole survivor table came to the driver first)
     merged = docs_ds.select_columns(["doc_id", "text"]) \
         .map_batches(summary_partial, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("term").aggregate(Sum("lb", alias_name="lb")) \
-        .to_pandas()   # ≤ k·n_blocks emitted, merged table ≤ distinct
-                       # survivors — and candidates below are ≤ k
+        .materialize()
 
-    total = int(merged.loc[merged["term"] == _MG_TOTAL_KEY,
-                           "lb"].iloc[0]) if len(merged) else 0
-    cand = merged[(merged["term"] != _MG_TOTAL_KEY)
-                  & (merged["lb"] * (k + 1) > total)]["term"].tolist()
+    def total_row(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["term"], _MG_TOTAL_KEY))
+
+    tot_rows = merged.map_batches(
+        total_row, batch_format="pyarrow").take_all()
+    total = int(tot_rows[0]["lb"]) if tot_rows else 0
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(t["term"], _MG_TOTAL_KEY),
+                       pc.greater(pc.multiply(t["lb"], k + 1), total))
+        sel = t.filter(keep)
+        return pa.table({"term": sel["term"]},
+                        schema=pa.schema([("term", pa.string())]))
+
+    cand = [r["term"] for r in merged.map_batches(
+        cand_rows, batch_format="pyarrow").take_all()]
     assert len(cand) <= k, "MG candidate bound violated"
     cand_ref = ray.put(sorted(cand))
 

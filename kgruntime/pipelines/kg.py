@@ -373,23 +373,40 @@ def build_kg_incremental(new_docs_ds, staged_dir: str,
     far below the raw corpus; the dedup shuffle is the usual 16-byte
     hash exchange).
 
-    Returns {"canonical", "staged_dir"}; calling again with more docs
-    repeats the pattern.  Determinism end-to-end means an increment
-    sequence reproduces the single-shot ``build_kg`` store exactly
-    (parity-tested).
+    Returns {"canonical", "errors", "staged_dir"}; calling again with
+    more docs repeats the pattern.  Determinism end-to-end means an
+    increment sequence reproduces the single-shot ``build_kg`` store
+    exactly (parity-tested).
     """
+    import re
+
     import ray.data as rd
 
-    n_prev = len(os.listdir(staged_dir)) if os.path.isdir(staged_dir) \
-        else 0
-    inc_dir = os.path.join(staged_dir, f"inc-{n_prev:04d}")
+    # number the increment from existing inc-* entries ONLY (ADVICE r4:
+    # a stray marker/temp file must not shift the count into a collision
+    # that silently merges two increments' parquet)
+    inc_pat = re.compile(r"^inc-(\d+)$")
+    prev = [int(m.group(1)) for d in
+            (os.listdir(staged_dir) if os.path.isdir(staged_dir) else [])
+            if (m := inc_pat.match(d))]
+    inc_dir = os.path.join(staged_dir,
+                           f"inc-{(max(prev) + 1 if prev else 0):04d}")
     combined = extract_triples(new_docs_ds)
+    errors = combined.map_batches(keep_errors, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     new_triples = combined.map_batches(keep_triples,
                                        batch_format="pyarrow",
                                        zero_copy_batch=True)
     new_triples.write_parquet(inc_dir)
 
-    all_triples = rd.read_parquet(staged_dir)
+    # list-of-paths read_parquet wants FILES (Ray 2.49 rejects
+    # directories in list mode) — enumerate each increment's parquet
+    inc_files = [os.path.join(staged_dir, d, f)
+                 for d in sorted(os.listdir(staged_dir))
+                 if inc_pat.match(d)
+                 for f in sorted(os.listdir(os.path.join(staged_dir, d)))
+                 if f.endswith(".parquet")]
+    all_triples = rd.read_parquet(inc_files)
     mentions = mentions_dataset(all_triples)
     alias_table = corpus_alias_table(mentions)
     edges = link_edges_dataset(mentions, alias_table,
@@ -404,4 +421,5 @@ def build_kg_incremental(new_docs_ds, staged_dir: str,
     else:
         canonical = canonicalize_triples(all_triples, mapping=mapping)
     canonical = dedup_triples(canonical, num_buckets=dedup_buckets)
-    return {"canonical": canonical, "staged_dir": staged_dir}
+    return {"canonical": canonical, "errors": errors,
+            "staged_dir": staged_dir}
