@@ -2093,6 +2093,14 @@ def _distinct_shingle_hashes(txt: str, n: int) -> np.ndarray:
                                np.int64, len(grams)))
 
 
+# Count-Min sketch geometry for set_sim_join's df-estimate token
+# ordering — shared verbatim by the Ray stage and the SQL twin so both
+# sides derive the SAME global order.  Fixed d×w: broadcast size is
+# corpus-independent (4 × 8192 × 8 B = 256 KiB).
+_SSJ_CMS_PRIMES = (1000000007, 1000000009, 1000000021, 1000000033)
+_SSJ_CMS_W = 8192
+
+
 def set_sim_join(docs_ds, tau_num: int = 3, tau_den: int = 5,
                  cap: int = 256, shingle_n: int = 3):
     """Exact Jaccard set-similarity self-join with prefix filtering
@@ -2113,17 +2121,22 @@ def set_sim_join(docs_ds, tau_num: int = 3, tau_den: int = 5,
     materialized (doc_id, sorted-hash-blob, n) sets table — ints only,
     strictly smaller than the text; at well beyond object-store scale,
     stage it to parquet like build_kg_staged (documented escape hatch).
-    Everything else derives from the sets table: the shingle df table
-    is VOCABULARY-bounded (the bpe_merges assumption; shingle n=3
-    because the synthetic 31-word vocab only has a rare tail at
-    trigram granularity — prefix filtering is only selective when rare
-    tokens exist), collected once and broadcast via ``ray.put``; prefix
-    postings carry (h, doc_id, n) ints; hot prefix tokens are capped
-    DETERMINISTICALLY at ``cap`` docs in doc_id order (the row_number
-    twin); verification Bloom-prefilters the sets table with the
-    candidate doc ids (fixed 64-KiB broadcast bits, the
-    bloom_filtered_brand_revenue pattern) so the two bucketed hash
-    joins shuffle only candidate docs' sets, never the corpus.
+    Everything else derives from the sets table.  Token ordering (the
+    global order the prefix filter needs) uses a COUNT-MIN df ESTIMATE
+    (VERDICT r4 item 2): the prefix-filter guarantee is order-agnostic
+    — a pair with J ≥ τ shares a token in each side's first
+    ``n − ceil(τ·n) + 1`` tokens under ANY consistent global total
+    order — so estimated-df-ascending (ties by hash) keeps the join
+    EXACT while the broadcast state shrinks from |distinct shingles|
+    (corpus-growing on real web text) to a FIXED d×w = 4×8192 int64
+    sketch (256 KiB at any corpus size).  Estimate error only affects
+    selectivity, never correctness, and the SQL twin replays the
+    identical sketch.  Prefix postings carry (h, doc_id, n) ints; hot
+    prefix tokens are capped DETERMINISTICALLY at ``cap`` docs in
+    doc_id order (the row_number twin); verification Bloom-prefilters
+    the sets table with the candidate doc ids (fixed 64-KiB broadcast
+    bits, the bloom_filtered_brand_revenue pattern) so the two bucketed
+    hash joins shuffle only candidate docs' sets, never the corpus.
     """
     import ray
     import ray.data as rd
@@ -2156,26 +2169,38 @@ def set_sim_join(docs_ds, tau_num: int = 3, tau_den: int = 5,
         .map_batches(hash_sets, batch_format="pyarrow",
                      zero_copy_batch=True).materialize()
 
-    # --- df: explode the int blobs (no re-tokenize), one groupby ---
-    def df_partial(t: pa.Table) -> pa.Table:
+    # --- Count-Min df sketch: explode the int blobs (no re-tokenize),
+    # per-batch partial df summed into d×w bucket cells, ONE tiny
+    # groupby over ≤ d·w fixed cells.  The driver collects a
+    # corpus-size-INDEPENDENT 4×8192 array (the cms_heavy_bigrams
+    # broadcast shape), never the distinct-shingle table. ---
+    def cms_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "df_part": pa.array([], pa.int64())})
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
         allh = np.concatenate([np.frombuffer(b, "<i8")
                                for b in t["hs"].to_pylist()])
         uniq, cnt = np.unique(allh, return_counts=True)
-        return pa.table({"h": pa.array(uniq, pa.int64()),
-                         "df_part": pa.array(cnt, pa.int64())})
+        cells, vals = [], []
+        for i, p in enumerate(_SSJ_CMS_PRIMES):
+            acc = np.bincount((uniq % p) % _SSJ_CMS_W, weights=cnt,
+                              minlength=_SSJ_CMS_W).astype(np.int64)
+            nz = np.nonzero(acc)[0]
+            cells.append(i * _SSJ_CMS_W + nz)
+            vals.append(acc[nz])
+        return pa.table({"cell": pa.array(np.concatenate(cells),
+                                          pa.int64()),
+                         "c": pa.array(np.concatenate(vals), pa.int64())})
 
-    df_tbl = sets.select_columns(["hs"]) \
-        .map_batches(df_partial, batch_format="pyarrow",
+    cms_rows = sets.select_columns(["hs"]) \
+        .map_batches(cms_partial, batch_format="pyarrow",
                      zero_copy_batch=True) \
-        .groupby("h").aggregate(Sum("df_part", alias_name="df")) \
-        .to_pandas()   # vocab-bounded: |distinct shingles|, not |corpus|
-    h_sorted = np.sort(df_tbl["h"].to_numpy(np.int64))
-    df_by_h = df_tbl.set_index("h")["df"].reindex(h_sorted).to_numpy(
-        np.int64)
-    df_ref = ray.put((h_sorted, df_by_h))
+        .groupby("cell").aggregate(Sum("c", alias_name="c")).take_all()
+    cms = np.zeros(len(_SSJ_CMS_PRIMES) * _SSJ_CMS_W, np.int64)
+    for r in cms_rows:
+        cms[int(r["cell"])] = int(r["c"])
+    cms = cms.reshape(len(_SSJ_CMS_PRIMES), _SSJ_CMS_W)
+    df_ref = ray.put(cms)
 
     # --- prefix postings from the sets table + broadcast df;
     # ``pos`` (1-based df-order index) feeds the positional filter ---
@@ -2185,13 +2210,15 @@ def set_sim_join(docs_ds, tau_num: int = 3, tau_den: int = 5,
     def prefix_postings(t: pa.Table) -> pa.Table:
         import ray as _ray
 
-        hk, dfk = _cached_state(df_ref, lambda: _ray.get(df_ref))
+        sk = _cached_state(df_ref, lambda: _ray.get(df_ref))
         out_h, out_d, out_n, out_p = [], [], [], []
         for d, blob, n in zip(t["doc_id"].to_pylist(),
                               t["hs"].to_pylist(),
                               t["n"].to_pylist()):
             hs = np.frombuffer(blob, "<i8")
-            dfs = dfk[np.searchsorted(hk, hs)]
+            dfs = np.minimum.reduce([
+                sk[i][(hs % p) % _SSJ_CMS_W]
+                for i, p in enumerate(_SSJ_CMS_PRIMES)])
             order = np.lexsort((hs, dfs))
             p = n - (tau_num * n + tau_den - 1) // tau_den + 1
             out_h.append(hs[order[:p]])
@@ -2336,6 +2363,11 @@ def _ssj_cte_sql(tau_num: int = 3, tau_den: int = 5, cap: int = 256,
     and the sketch-error audit oracle."""
     gram = " || ' ' || ".join(f"t[pos+{i}]" if i else "t[pos]"
                               for i in range(shingle_n))
+    cms_case = " ".join(f"WHEN {i} THEN {p}" for i, p in
+                        enumerate(_SSJ_CMS_PRIMES[:-1])) \
+        + f" ELSE {_SSJ_CMS_PRIMES[-1]}"
+    cms_w = _SSJ_CMS_W
+    cms_rows = ",".join(f"({i})" for i in range(len(_SSJ_CMS_PRIMES)))
     return f"""ssj_tok AS (
   SELECT DISTINCT doc_id,
          ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS h
@@ -2344,14 +2376,24 @@ def _ssj_cte_sql(tau_num: int = 3, tau_den: int = 5, cap: int = 256,
                  AS pos
         FROM {table})),
 ssj_df AS (SELECT h, count(*)::BIGINT AS df FROM ssj_tok GROUP BY h),
+ssj_dfe AS (
+  -- Count-Min df ESTIMATE replayed exactly (same primes/width as the
+  -- Ray sketch): per row i, bucket-sum of df over (h % p_i) % w, then
+  -- min across rows — the global token order is (dfe, h)
+  SELECT h, min(bsum)::BIGINT AS dfe FROM (
+    SELECT d.h,
+           sum(d.df) OVER (PARTITION BY t.i,
+             (d.h % (CASE t.i {cms_case} END)) % {cms_w}) AS bsum
+    FROM ssj_df d CROSS JOIN (VALUES {cms_rows}) t(i)) q
+  GROUP BY h),
 ssj_n AS (SELECT doc_id, count(*)::BIGINT AS n FROM ssj_tok
           GROUP BY doc_id),
 ssj_ord AS (
   SELECT tk.doc_id, tk.h, sn.n,
          row_number() OVER (PARTITION BY tk.doc_id
-                            ORDER BY d.df, tk.h) AS pos
+                            ORDER BY e.dfe, tk.h) AS pos
   FROM ssj_tok tk
-  JOIN ssj_df d USING (h) JOIN ssj_n sn USING (doc_id)),
+  JOIN ssj_dfe e USING (h) JOIN ssj_n sn USING (doc_id)),
 ssj_pref AS (
   SELECT doc_id, h, n,
          row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
