@@ -282,6 +282,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "trending_part_types": R.q_trending_part_types,
         "kg_incremental_build": _q_kg_incremental,
         "kg_pred_catalog": _q_kg_pred_catalog,
+        "kg_planned_bgp": _q_kg_planned_bgp,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -2436,6 +2437,24 @@ def _q_kg_star(sf_dir):
     path = write_pred_partitioned(store, f"/tmp/kgio/vp-{tag}")
     return star_bgp(path, rdf + "type", foaf + "name").to_pandas() \
         .sort_values(["s", "a", "b"]).reset_index(drop=True)
+
+
+def _q_kg_planned_bgp(sf_dir):
+    """3-pattern star BGP whose join order is CHOSEN from the
+    predicate_catalog statistics (cheapest-pattern-first; plan-invariant
+    result parity-tested against both fixed orders)
+    (kgruntime/stages/materialize.py:planned_star_bgp); rows-only
+    (parser output, not SQL-visible)."""
+    from kgruntime.pipelines.kg import build_kg
+    from kgruntime.stages.materialize import planned_star_bgp
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    foaf = "http://xmlns.com/foaf/0.1/"
+    rel = "http://www.perceive.net/schemas/relationship/enemyOf"
+    store = build_kg(_synth_docs(sf_dir))["canonical"]
+    return planned_star_bgp(store, [rdf + "type", foaf + "name", rel]) \
+        .to_pandas().sort_values(["s", "v0", "v1", "v2"]) \
+        .reset_index(drop=True)
 
 
 def _q_kg_incremental(sf_dir):
