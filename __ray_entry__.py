@@ -2715,26 +2715,41 @@ def _q_media_jpeg(sf_dir):
 
 
 def _q_media_frames(sf_dir):
+    """REAL video frame sampling: payloads are actual MJPEG/AVI bytes
+    (RIFF container walk, ops/avi.py); each sampled frame is its
+    embedded baseline-JPEG byte string — container-only sampling,
+    unsampled frames never decode; rows-only (binary inputs are
+    synthesized, not SQL-visible)."""
+    import hashlib as _hl
+
     import ray.data as rd
 
-    from kgruntime.ops.media import sample_frames, synth_media_table
+    from kgruntime.ops.media import sample_frames, synth_avi_table
 
     refs = [f"media://doc-{i:06d}/0" for i in range(100)]
-    return sample_frames(rd.from_arrow(synth_media_table(refs)))
+    out = sample_frames(rd.from_arrow(synth_avi_table(refs))) \
+        .to_pandas().sort_values(["media_ref", "frame_index"]) \
+        .reset_index(drop=True)
+    # binary frame payloads → hashes for a stable driver value compare
+    out["frame_payload"] = out.pop("frame_payload").map(
+        lambda b: _hl.sha256(b).hexdigest())
+    return out
 
 
 def _q_media_frame_features(sf_dir):
-    """Composed media pipeline: video → sampled frames → per-frame
-    features.  Both stages are actor pools whose decoder state is built
-    once per actor (ops/media.py FrameFeaturizer) — the multi-stage
-    media shape; rows-only (codec kernels stubbed)."""
+    """Composed media pipeline over REAL MJPEG/AVI: container walk →
+    sampled frames (embedded JPEG bytes) → per-frame features decoded
+    by the real baseline-JPEG codec (ops/jpeg.py).  Both stages are
+    actor pools whose decoder state is built once per actor
+    (ops/media.py FrameFeaturizer); rows-only (binary inputs are
+    synthesized, not SQL-visible)."""
     import ray.data as rd
 
     from kgruntime.ops.media import (frame_features, sample_frames,
-                                     synth_media_table)
+                                     synth_avi_table)
 
     refs = [f"media://doc-{i:06d}/0" for i in range(100)]
-    frames = sample_frames(rd.from_arrow(synth_media_table(refs)))
+    frames = sample_frames(rd.from_arrow(synth_avi_table(refs)))
     return frame_features(frames, feat_dim=8)
 
 

@@ -154,12 +154,24 @@ class MediaDecoder:
 
 
 class FrameSampler:
-    """Video → sampled frame payloads (1 row in, N rows out).  Frame
-    extraction is stubbed the same way; emits deterministic frame ids +
-    fake frame payload slices so downstream batching is exercised."""
+    """Video container → sampled frame payloads (1 row in, N rows out).
+
+    REAL path (default): MJPEG/AVI payloads are RIFF-chunk-walked
+    (ops/avi.py, the ops/wav.py precedent) and each sampled frame is
+    emitted as its embedded baseline-JPEG bytes — sampling slices the
+    CONTAINER only (unsampled frames are never decoded), and downstream
+    featurization decodes true pixels through ops/jpeg.py.  Frames are
+    evenly spaced: stride = ceil(n / max_frames).  Non-AVI video
+    payloads reject LOUDLY (inter-frame codecs genuinely need ffmpeg);
+    ``fake=True`` keeps the legacy deterministic stub for container-less
+    synthetic payloads."""
 
     def __init__(self, fps_divisor: int = 10, max_frames: int = 4,
-                 fake: bool = True):
+                 fake: bool = False):
+        from .avi import AVI_MAGIC, avi_mjpeg_frame_chunks
+
+        self._chunks = avi_mjpeg_frame_chunks
+        self._magic = AVI_MAGIC
         self.fps_divisor = fps_divisor
         self.max_frames = max_frames
         self.fake = fake
@@ -172,8 +184,19 @@ class FrameSampler:
                                 batch["duration_ms"].to_pylist()):
             if t != "video":
                 continue
+            if p[:4] == self._magic and p[8:12] == b"AVI ":
+                jpegs = self._chunks(p)
+                stride = -(-len(jpegs) // self.max_frames)
+                for fi in range(0, len(jpegs), stride):
+                    refs.append(r)
+                    frames.append(fi)
+                    payloads.append(jpegs[fi])
+                continue
             if not self.fake:
-                raise NotImplementedError("real frame sampling needs ffmpeg")
+                raise NotImplementedError(
+                    "non-MJPEG-AVI frame sampling needs ffmpeg — "
+                    "synthesize MJPEG/AVI (ops/media.py:synth_avi_table) "
+                    "or animated GIF (GifFrameSampler) for real frames")
             n = min(self.max_frames, max(1, dur // (100 * self.fps_divisor)))
             for fi in range(n):
                 refs.append(r)
@@ -226,11 +249,13 @@ def frame_features(frames_ds, feat_dim: int = 8, concurrency=None,
         num_cpus=1)
 
 
-def sample_frames(media_ds, concurrency=None, batch_size: int = 32):
+def sample_frames(media_ds, concurrency=None, batch_size: int = 32,
+                  fake: bool = False):
     from ..runtime import pool_range
 
     return media_ds.map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        FrameSampler, fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or pool_range(frac=0.25, lo=1),
         num_cpus=1)
 
@@ -484,6 +509,43 @@ def synth_gif_table(refs: list[str], w: int = 32, h: int = 24,
             idx = ((xx + yy + phase + 5 * f) % 64).astype(np.uint8)
             frames.append(idx)
         payloads.append(encode_gif(frames, palette))
+        durs.append(n_frames * 100)
+    return pa.Table.from_arrays(
+        [pa.array(refs, pa.string()),
+         pa.array(["video"] * len(refs), pa.string()),
+         pa.array(payloads, pa.binary()),
+         pa.array([w] * len(refs), pa.int32()),
+         pa.array([h] * len(refs), pa.int32()),
+         pa.array(durs, pa.int32())],
+        schema=MEDIA_SCHEMA)
+
+
+def synth_avi_table(refs: list[str], w: int = 32, h: int = 24,
+                    seed: int = 23) -> pa.Table:
+    """Media table whose payloads are REAL MJPEG AVI bytes (per-ref
+    seeded drifting-gradient RGB frames, each an independent baseline
+    JPEG inside a RIFF/AVI container — ops/avi.py + ops/jpeg.py): frame
+    sampling downstream walks the true container and featurization
+    decodes true pixels.  Frame counts vary per ref so sampling sees
+    ragged clip lengths."""
+    from .avi import encode_avi_mjpeg
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    payloads, durs = [], []
+    for i, r in enumerate(refs):
+        rs = int.from_bytes(
+            hashlib.sha256(f"{seed}:{r}".encode()).digest()[:4], "big")
+        rng = np.random.RandomState(rs)
+        base = rng.randint(0, 64, size=3)
+        n_frames = 2 + i % 6
+        frames = []
+        for f in range(n_frames):
+            img = np.empty((h, w, 3), np.uint8)
+            for c in range(3):
+                img[:, :, c] = ((xx * (c + 1) + yy + 7 * f + base[c])
+                                % 192 + 32).astype(np.uint8)
+            frames.append(img)
+        payloads.append(encode_avi_mjpeg(frames, fps=10))
         durs.append(n_frames * 100)
     return pa.Table.from_arrays(
         [pa.array(refs, pa.string()),

@@ -163,9 +163,18 @@ def test_media_plumbing(ray_session):
     f1 = d(tbl)["features"].to_pylist()
     f2 = MediaDecoder(feat_dim=8)(tbl)["features"].to_pylist()
     assert f1 == f2
-    frames = sample_frames(media).take_all()
+    # real frame sampling: MJPEG/AVI container walk (ops/avi.py)
+    from kgruntime.ops.media import synth_avi_table
+
+    avi = rd.from_arrow(synth_avi_table(refs))
+    frames = sample_frames(avi).take_all()
     assert all(r["frame_index"] >= 0 for r in frames)
-    assert len({r["media_ref"] for r in frames}) == 4  # every 3rd is video
+    assert len({r["media_ref"] for r in frames}) == 12
+    # fake payloads (no container) reject loudly on the real path
+    with pytest.raises(Exception):
+        sample_frames(media).take_all()
+    legacy = sample_frames(media, fake=True).take_all()
+    assert len({r["media_ref"] for r in legacy}) == 4  # every 3rd is video
 
 
 def test_media_real_decode_is_gated():

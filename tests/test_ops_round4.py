@@ -132,16 +132,16 @@ def test_frame_features_pool_stage(ray_session):
     import ray.data as rd
 
     from kgruntime.ops.media import (frame_features, sample_frames,
-                                     synth_media_table)
+                                     synth_avi_table)
 
     refs = [f"media://doc-{i:04d}/0" for i in range(30)]
-    frames = sample_frames(rd.from_arrow(synth_media_table(refs)))
+    frames = sample_frames(rd.from_arrow(synth_avi_table(refs)))
     out = frame_features(frames, feat_dim=8).take_all()
     assert len(out) > 0
     assert all(len(r["features"]) == 8 for r in out)
     # deterministic across runs
     out2 = frame_features(
-        sample_frames(rd.from_arrow(synth_media_table(refs))),
+        sample_frames(rd.from_arrow(synth_avi_table(refs))),
         feat_dim=8).take_all()
     key = lambda r: (r["media_ref"], r["frame_index"])  # noqa: E731
     assert sorted(out, key=key) == sorted(out2, key=key)

@@ -91,6 +91,95 @@ def test_planned_star_bgp_uses_catalog_order(kg_store):
         counts[preds[0]] <= counts[preds[1]] <= counts[preds[2]]
 
 
+# ------------------------------------------------------ MJPEG/AVI codec
+
+
+def _gradient_frames(n=4, h=24, w=32, seed=7):
+    import numpy as np
+
+    rng = __import__("numpy").random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = rng.randint(0, 64, size=3)
+    out = []
+    for f in range(n):
+        img = np.empty((h, w, 3), np.uint8)
+        for c in range(3):
+            img[:, :, c] = ((xx * (c + 1) + yy + 7 * f + base[c])
+                            % 192 + 32).astype(np.uint8)
+        out.append(img)
+    return out
+
+
+def test_avi_mjpeg_roundtrip_real_pixels():
+    import numpy as np
+
+    from kgruntime.ops.avi import (avi_info, avi_mjpeg_frame_chunks,
+                                   decode_avi_mjpeg, encode_avi_mjpeg)
+    from kgruntime.ops.jpeg import encode_jpeg
+
+    frames = _gradient_frames(n=5)
+    payload = encode_avi_mjpeg(frames, fps=10, quality=90)
+    info = avi_info(payload)
+    assert (info["n_frames"], info["width"], info["height"]) == (5, 32, 24)
+    assert info["compression"] == b"MJPG"
+    # container walk returns the embedded JPEGs BYTE-EXACT
+    chunks = avi_mjpeg_frame_chunks(payload)
+    assert chunks == [encode_jpeg(f, quality=90) for f in frames]
+    # full decode: real pixels within JPEG tolerance on smooth content
+    dec = decode_avi_mjpeg(payload)
+    assert len(dec) == 5 and dec[0].shape == (24, 32, 3)
+    err = np.abs(dec[0].astype(int) - frames[0].astype(int)).mean()
+    assert err < 8.0
+
+
+def test_avi_rejects_non_mjpeg_loudly():
+    import struct
+
+    import pytest as _pt
+
+    from kgruntime.ops.avi import (avi_info, decode_avi_mjpeg,
+                                   encode_avi_mjpeg)
+
+    payload = bytearray(encode_avi_mjpeg(_gradient_frames(n=2)))
+    # flip the strf biCompression fourcc to XVID
+    i = payload.find(b"MJPG", payload.find(b"strf"))
+    payload[i:i + 4] = b"XVID"
+    assert avi_info(bytes(payload))["compression"] == b"XVID"
+    with _pt.raises(NotImplementedError, match="ffmpeg"):
+        decode_avi_mjpeg(bytes(payload))
+    with _pt.raises(ValueError, match="RIFF/AVI"):
+        avi_info(b"\x00" * 32)
+    # declared-count mismatch: truncate the movi list after frame 1
+    good = encode_avi_mjpeg(_gradient_frames(n=3))
+    j = good.find(b"00dc", good.find(b"movi") + 4)
+    k = good.find(b"00dc", j + 4)
+    sz = struct.unpack("<I", good[j + 4:j + 8])[0]
+    with _pt.raises(ValueError, match="declares"):
+        decode_avi_mjpeg(good[:k])
+
+
+def test_frame_sampler_real_path(ray_session):
+    import ray.data as rd
+
+    from kgruntime.ops.media import (frame_features, sample_frames,
+                                     synth_avi_table)
+
+    refs = [f"m://{i}" for i in range(10)]
+    tbl = synth_avi_table(refs)
+    frames = sample_frames(rd.from_arrow(tbl)).take_all()
+    # ≤ max_frames evenly spaced per clip, JPEG payloads
+    by_ref = {}
+    for r in frames:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+        assert r["frame_payload"][:2] == b"\xff\xd8"
+    assert set(by_ref) == set(refs)
+    assert all(len(v) <= 4 for v in by_ref.values())
+    feats = frame_features(
+        sample_frames(rd.from_arrow(tbl)), feat_dim=8).take_all()
+    assert len(feats) == len(frames)
+    assert all(len(r["features"]) == 8 for r in feats)
+
+
 def test_planned_star_bgp_empty_pattern(kg_store):
     from kgruntime.stages.materialize import planned_star_bgp
 
