@@ -283,6 +283,11 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_build": _q_kg_incremental,
         "kg_pred_catalog": _q_kg_pred_catalog,
         "kg_planned_bgp": _q_kg_planned_bgp,
+        # --- round-5 registrations ---
+        "maxsim_topk": _q_maxsim_topk,
+        "loo_source_influence": _q_loo_source_influence,
+        "quality_threshold_sweep": _q_quality_sweep,
+        "url_canonical_dups": _q_url_canonical_dups,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -2493,6 +2498,42 @@ def _q_kg_pred_catalog(sf_dir):
     return predicate_catalog(store)
 
 
+def _q_maxsim_topk(sf_dir):
+    """Late-interaction (ColBERT-style) multi-vector retrieval: per
+    query token, max dot over doc-token embeddings, summed — exact
+    int64 (kgruntime/ops/text.py:maxsim_topk)."""
+    from kgruntime.ops.text import maxsim_topk
+
+    return maxsim_topk(_docs_ds(sf_dir))
+
+
+def _q_loo_source_influence(sf_dir):
+    """Leave-one-out per-source influence on mean tokens/doc and exact
+    dup rate — closed-form from partial aggregates, no per-source
+    rescan (kgruntime/ops/valuation.py:loo_source_influence)."""
+    from kgruntime.ops.valuation import loo_source_influence
+
+    return loo_source_influence(_docs_ds(sf_dir))
+
+
+def _q_quality_sweep(sf_dir):
+    """Curation policy curve: docs/tokens surviving each integer
+    quality threshold, from an 11-bucket per-batch rollup
+    (kgruntime/ops/valuation.py:quality_threshold_sweep)."""
+    from kgruntime.ops.valuation import quality_threshold_sweep
+
+    return quality_threshold_sweep(_docs_ds(sf_dir))
+
+
+def _q_url_canonical_dups(sf_dir):
+    """Canonical-URL duplicate groups (case/port/utm/trailing-slash
+    folds, Arrow regex kernels) over deterministic per-doc URLs
+    (kgruntime/ops/valuation.py:url_canonical_dups)."""
+    from kgruntime.ops.valuation import url_canonical_dups
+
+    return url_canonical_dups(_docs_ds(sf_dir))
+
+
 def _q_minhash(sf_dir):
     from kgruntime.ops.dedup import minhash_near_dups
 
@@ -3240,6 +3281,10 @@ def oracle_sql() -> dict[str, str]:
         "event_path_trigrams": _event_trigrams_sql(),
         "session_conversion_by_dow": _session_conversion_sql(),
         "decayed_user_value": _decayed_value_sql(),
+        "maxsim_topk": _maxsim_topk_oracle(),
+        "loo_source_influence": _loo_source_influence_oracle(),
+        "quality_threshold_sweep": _quality_sweep_oracle(),
+        "url_canonical_dups": _url_canonical_dups_oracle(),
         "char_entropy": _char_entropy_oracle(),
         "bigram_lm_scores": _bigram_lm_oracle(),
         "embedding_outliers": _embedding_outliers_oracle(),
@@ -3683,6 +3728,30 @@ def _pmi_oracle() -> str:
     from kgruntime.ops.text import pmi_collocations_sql
 
     return pmi_collocations_sql()
+
+
+def _maxsim_topk_oracle() -> str:
+    from kgruntime.ops.text import maxsim_topk_sql
+
+    return maxsim_topk_sql()
+
+
+def _loo_source_influence_oracle() -> str:
+    from kgruntime.ops.valuation import loo_source_influence_sql
+
+    return loo_source_influence_sql()
+
+
+def _quality_sweep_oracle() -> str:
+    from kgruntime.ops.valuation import quality_threshold_sweep_sql
+
+    return quality_threshold_sweep_sql()
+
+
+def _url_canonical_dups_oracle() -> str:
+    from kgruntime.ops.valuation import url_canonical_dups_sql
+
+    return url_canonical_dups_sql()
 
 
 def _set_sim_join_oracle() -> str:

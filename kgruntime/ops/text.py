@@ -1919,6 +1919,148 @@ def lexical_topk(docs_ds, query: str, k: int = 10, scale: int = 10 ** 6):
     return pruned.map_batches(order, batch_format="pyarrow")
 
 
+_MAXSIM_QUERIES = ("table scan fast", "join merge hash",
+                   "stream window agg")
+_MAXSIM_DIM = 8
+_MAXSIM_MOD = 17
+
+
+def _maxsim_vec(token: str) -> np.ndarray:
+    """Deterministic int8-range token embedding, SQL-replicable per
+    component: ``md5-60(token || '#' || k) % 17 − 8`` ∈ [−8, 8]."""
+    from .dedup import _md5_60
+
+    return np.array([_md5_60(f"{token}#{k}".encode()) % _MAXSIM_MOD - 8
+                     for k in range(_MAXSIM_DIM)], np.int64)
+
+
+def maxsim_topk(docs_ds, queries: tuple = _MAXSIM_QUERIES, k: int = 10):
+    """Late-interaction (ColBERT-style) retrieval: ``score(q, d) =
+    Σ_{t∈q} max_{u∈d} ⟨E(t), E(u)⟩`` over per-token embeddings — the
+    multi-vector scoring family between single-vector ANN and
+    cross-encoders.  Embeddings are deterministic integer vectors
+    (hash-derived, the synthetic stand-in for a real token encoder), so
+    every max/sum is exact int64 and the ranking replays bit-identically
+    in SQL.  Output: ``(query_id, doc_id, score)`` — top-``k`` per
+    query, ties by doc_id ASC.
+
+    Scale shape: the query token matrix broadcasts (|q-tokens| × dim
+    ints, KB at any corpus); each batch computes doc-distinct token
+    embeddings through a per-process memo (O(1) hash per distinct
+    token — NOT vocabulary-bounded state, just a speed cache), one
+    integer matmul per doc, and emits only its LOCAL top-k per query;
+    the global top-k prunes ≤ k·n_blocks rows to one partition (the
+    lexical_topk shape — no global sort, no full score table).
+    """
+    import ray.data as rd
+
+    qvecs = []   # (query_id, |qtok| × dim int matrix)
+    for qi, q in enumerate(queries):
+        toks = sorted(set(q.split(" ")))
+        qvecs.append(np.stack([_maxsim_vec(t) for t in toks]))
+
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("doc_id", pa.int64()),
+                            ("score", pa.int64())])
+    memo: dict[str, np.ndarray] = {}
+
+    def score_local(t: pa.Table) -> pa.Table:
+        rows_q, rows_d, rows_s = [], [], []
+        ids = t["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        for d, txt in zip(ids, t["text"].to_pylist()):
+            toks = sorted(set(txt.split(" ")))
+            mats = []
+            for w in toks:
+                v = memo.get(w)
+                if v is None:
+                    v = _maxsim_vec(w)
+                    if len(memo) < 1_000_000:
+                        memo[w] = v
+                mats.append(v)
+            dmat = np.stack(mats)                      # n_tok × dim
+            for qi, qm in enumerate(qvecs):
+                sims = qm @ dmat.T                     # q_tok × n_tok
+                rows_q.append(qi)
+                rows_d.append(int(d))
+                rows_s.append(int(sims.max(axis=1).sum()))
+        t2 = pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                       "doc_id": pa.array(rows_d, pa.int64()),
+                       "score": pa.array(rows_s, pa.int64())},
+                      schema=out_schema)
+        return _topk_per_query(t2, k)
+
+    def _topk_per_query(t: pa.Table, kk: int) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        qi = t["query_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        di = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        si = t["score"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((di, -si, qi))
+        keep = []
+        last_q, cnt = None, 0
+        for ix in order:
+            if qi[ix] != last_q:
+                last_q, cnt = qi[ix], 0
+            if cnt < kk:
+                keep.append(ix)
+                cnt += 1
+        return t.take(pa.array(np.array(keep, np.int64)))
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(score_local, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(lambda t: _topk_per_query(t, k),
+                     batch_format="pyarrow")
+
+
+def maxsim_topk_sql(queries: tuple = _MAXSIM_QUERIES, k: int = 10,
+                    table: str = "documents") -> str:
+    """Oracle twin: identical hash embeddings, integer dot/max/sum."""
+    qrows = ", ".join(
+        f"({qi}, '{t}')"
+        for qi, q in enumerate(queries)
+        for t in sorted(set(q.split(" "))))
+    return f"""
+WITH mx_q(query_id, qt) AS (VALUES {qrows}),
+mx_dims AS (SELECT unnest(range(0, {_MAXSIM_DIM}))::BIGINT AS kd),
+mx_dtok AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM {table})),
+mx_qe AS (
+  SELECT query_id, qt, kd,
+         ('0x' || substr(md5(qt || '#' || kd), 1, 15))::BIGINT
+           % {_MAXSIM_MOD} - 8 AS v
+  FROM mx_q CROSS JOIN mx_dims),
+mx_de AS (
+  SELECT doc_id, w, kd,
+         ('0x' || substr(md5(w || '#' || kd), 1, 15))::BIGINT
+           % {_MAXSIM_MOD} - 8 AS v
+  FROM mx_dtok CROSS JOIN mx_dims),
+mx_dot AS (
+  SELECT q.query_id, q.qt, d.doc_id, d.w,
+         sum(q.v * d.v)::BIGINT AS s
+  FROM mx_qe q JOIN mx_de d USING (kd)
+  GROUP BY q.query_id, q.qt, d.doc_id, d.w),
+mx_max AS (
+  SELECT query_id, qt, doc_id, max(s) AS m
+  FROM mx_dot GROUP BY query_id, qt, doc_id),
+mx_score AS (
+  SELECT query_id, doc_id, sum(m)::BIGINT AS score
+  FROM mx_max GROUP BY query_id, doc_id),
+mx_rank AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM mx_score)
+SELECT query_id::BIGINT AS query_id, doc_id, score
+FROM mx_rank WHERE rn <= {k}
+ORDER BY query_id, score DESC, doc_id
+"""
+
+
 def lexical_topk_sql(query: str, k: int = 10, scale: int = 10 ** 6,
                      table: str = "documents") -> str:
     """Oracle twin: identical integer RSJ-ratio scoring."""

@@ -1,0 +1,393 @@
+"""Data-valuation and curation-policy operators.
+
+The 100-TB curation questions that come AFTER dedup and scoring:
+which source is pulling the corpus down (leave-one-out influence),
+what does each quality threshold actually cost (threshold sweep), and
+which pages are the same page behind different URLs (canonical-URL
+dedup).  All exact-integer so every result replays bit-identically in
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import STOPWORDS
+
+# ---------------------------------------------------------------------------
+# leave-one-out source influence (data valuation)
+# ---------------------------------------------------------------------------
+
+
+def loo_source_influence(docs_ds):
+    """Per-source leave-one-out influence on two corpus health metrics
+    — mean tokens/doc and exact-duplicate rate: for each source ``s``,
+    recompute each metric over ``corpus \\ s`` in closed form from
+    partial aggregates (the Shapley-lite valuation every big corpus
+    mix decision starts from).  Output per source: ``(source, n_docs,
+    n_tokens, loo_mean_tok_ppm, delta_mean_ppm, loo_dup_ppm,
+    delta_dup_ppm)``; all ratios exact integer ppm.
+
+    Scale shape: NO per-source rescan — one streamed pass yields
+    per-source (docs, tokens) partials, and the dup side is ONE
+    text-hash exchange: ``groupby(h, source)`` counts, then a per-hash
+    rollup marking hashes exclusive to a single source.  The closed
+    forms: ``loo_mean(s) = (T − T_s)/(N − N_s)`` and ``loo_dups(s) =
+    (N − N_s) − (H − own_s)`` where ``H`` is distinct texts and
+    ``own_s`` counts hashes appearing ONLY in ``s`` (removing ``s``
+    deletes exactly those from the distinct set).  Driver state is
+    |sources| rows — mix decisions are per-source by definition.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _md5_60
+
+    # --- pass 1: per-source docs/tokens (per-batch partials) ---
+    def tok_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = pl.from_arrow(t.select(["source", "text"])) \
+            .with_columns(pl.col("text").str.split(" ")
+                          .list.len().cast(pl.Int64).alias("nt")) \
+            .group_by("source") \
+            .agg(pl.len().cast(pl.Int64).alias("d"),
+                 pl.col("nt").sum().alias("tk"))
+        return pa.table({"source": pa.array(g["source"].to_list(),
+                                            pa.string()),
+                         "d": pa.array(g["d"].to_list(), pa.int64()),
+                         "tk": pa.array(g["tk"].to_list(), pa.int64())})
+
+    src = docs_ds.select_columns(["source", "text"]) \
+        .map_batches(tok_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("source").aggregate(Sum("d", alias_name="n_docs"),
+                                     Sum("tk", alias_name="n_tokens")) \
+        .to_pandas()
+
+    # --- pass 2: text-hash × source counts → exclusive-ownership ---
+    def hash_rows(t: pa.Table) -> pa.Table:
+        h = np.array([_md5_60(x.encode())
+                      for x in t["text"].to_pylist()], np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "source": t["source"]})
+
+    hs = docs_ds.select_columns(["source", "text"]) \
+        .map_batches(hash_rows, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["h", "source"]).aggregate(Count(alias_name="c"))
+
+    own_schema = pa.schema([("h", pa.int64()), ("ns", pa.int64()),
+                            ("source", pa.string())])
+
+    def per_hash(g: pa.Table) -> pa.Table:
+        # one row per hash: #distinct sources + the owner when single
+        srcs = g["source"].to_pylist()
+        return pa.table({"h": g["h"].slice(0, 1),
+                         "ns": pa.array([len(set(srcs))], pa.int64()),
+                         "source": pa.array(
+                             [srcs[0] if len(set(srcs)) == 1 else ""],
+                             pa.string())}, schema=own_schema)
+
+    per_h = hs.groupby("h").map_groups(
+        per_hash, batch_format="pyarrow").materialize()
+    n_hashes = per_h.count()
+
+    def only_exclusive(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["ns"], 1)).select(["source"])
+
+    own = per_h.map_batches(only_exclusive, batch_format="pyarrow") \
+        .groupby("source").aggregate(Count(alias_name="own")).to_pandas()
+    if own.empty:   # Ray empty-dataset schema-drop gotcha
+        own = pd.DataFrame({"source": pd.Series([], dtype=str),
+                            "own": pd.Series([], dtype="int64")})
+
+    n_total = int(src["n_docs"].sum())
+    t_total = int(src["n_tokens"].sum())
+    dup_all = n_total - n_hashes
+    out = src.merge(own, on="source", how="left").fillna({"own": 0})
+    out = out.sort_values("source").reset_index(drop=True)
+    nd = out["n_docs"].to_numpy(np.int64)
+    tk = out["n_tokens"].to_numpy(np.int64)
+    ow = out["own"].to_numpy(np.int64)
+    rem = n_total - nd
+    loo_mean = np.where(rem > 0, (1_000_000 * (t_total - tk)) // np.maximum(rem, 1), 0)
+    mean_all = (1_000_000 * t_total) // max(n_total, 1)
+    loo_dups = rem - (n_hashes - ow)
+    loo_dup_ppm = np.where(rem > 0, (1_000_000 * loo_dups) // np.maximum(rem, 1), 0)
+    dup_ppm_all = (1_000_000 * dup_all) // max(n_total, 1)
+    return pd.DataFrame({
+        "source": out["source"],
+        "n_docs": nd, "n_tokens": tk,
+        "loo_mean_tok_ppm": loo_mean.astype("int64"),
+        "delta_mean_ppm": (loo_mean - mean_all).astype("int64"),
+        "loo_dup_ppm": loo_dup_ppm.astype("int64"),
+        "delta_dup_ppm": (loo_dup_ppm - dup_ppm_all).astype("int64"),
+    })
+
+
+def loo_source_influence_sql(table: str = "documents") -> str:
+    """Oracle twin: identical closed-form integer arithmetic."""
+    return f"""
+WITH loo_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(str_split(text, ' ')))::BIGINT AS n_tokens
+  FROM {table} GROUP BY source),
+loo_h AS (
+  SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h, source,
+         count(*)::BIGINT AS c
+  FROM {table} GROUP BY 1, 2),
+loo_ht AS (
+  SELECT h, count(*)::BIGINT AS ns, min(source) AS owner
+  FROM loo_h GROUP BY h),
+loo_own AS (
+  SELECT owner AS source, count(*)::BIGINT AS own
+  FROM loo_ht WHERE ns = 1 GROUP BY owner),
+loo_tot AS (
+  SELECT sum(n_docs)::BIGINT AS n, sum(n_tokens)::BIGINT AS t,
+         (SELECT count(*)::BIGINT FROM loo_ht) AS hh
+  FROM loo_src)
+SELECT s.source, s.n_docs, s.n_tokens,
+       CASE WHEN n > s.n_docs
+            THEN (1000000 * (t - s.n_tokens)) // (n - s.n_docs)
+            ELSE 0 END AS loo_mean_tok_ppm,
+       CASE WHEN n > s.n_docs
+            THEN (1000000 * (t - s.n_tokens)) // (n - s.n_docs)
+            ELSE 0 END - (1000000 * t) // n AS delta_mean_ppm,
+       CASE WHEN n > s.n_docs
+            THEN (1000000 * ((n - s.n_docs)
+                             - (hh - coalesce(o.own, 0))))
+                 // (n - s.n_docs)
+            ELSE 0 END AS loo_dup_ppm,
+       CASE WHEN n > s.n_docs
+            THEN (1000000 * ((n - s.n_docs)
+                             - (hh - coalesce(o.own, 0))))
+                 // (n - s.n_docs)
+            ELSE 0 END - (1000000 * (n - hh)) // n AS delta_dup_ppm
+FROM loo_src s
+LEFT JOIN loo_own o USING (source)
+CROSS JOIN loo_tot
+ORDER BY s.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality threshold sweep (curation policy curve)
+# ---------------------------------------------------------------------------
+
+_SW_LIST = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+
+def _q_pm(n: np.ndarray, alpha: np.ndarray, sw: np.ndarray) -> np.ndarray:
+    """Integer per-mille quality score (C4/Gopher-style heuristics made
+    exactly replayable): ``len_pm = min(1000, 20n)``, ``alpha_pm =
+    500 + 500·alpha//n``, ``sw_pm = 1000 − 500·sw//n``; ``q_pm =
+    ((len_pm·alpha_pm)//1000 · sw_pm)//1000`` ∈ [0, 1000]."""
+    n1 = np.maximum(n, 1)
+    len_pm = np.minimum(1000, 20 * n)
+    alpha_pm = 500 + (500 * alpha) // n1
+    sw_pm = 1000 - (500 * sw) // n1
+    return ((len_pm * alpha_pm) // 1000 * sw_pm) // 1000
+
+
+def quality_threshold_sweep(docs_ds):
+    """The curation tradeoff curve: for each candidate quality
+    threshold τ ∈ {0, 100, …, 900} per-mille, how many documents and
+    tokens survive ``q_pm ≥ τ`` — the docs-vs-quality frontier read
+    before committing a filter at 100 TB.  Output: ``(tau, docs_kept,
+    tokens_kept, docs_kept_ppm)``.
+
+    Scale shape: ONE corpus pass computes each doc's integer score and
+    pre-aggregates into ≤ 11 per-mille BUCKETS (q_pm // 100) per
+    batch; the exchange carries ≤ 11 rows per block, and the
+    cumulative-from-the-top sweep runs over the 11-row rollup.
+    Thresholds sit on bucket boundaries, so bucket cumsum IS the exact
+    per-τ count.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = np.empty(len(texts), np.int64)
+        al = np.empty(len(texts), np.int64)
+        sw = np.empty(len(texts), np.int64)
+        for i, x in enumerate(texts):
+            toks = x.split(" ")
+            n[i] = len(toks)
+            al[i] = sum(1 for w in toks if w.isascii() and w.isalpha())
+            sw[i] = sum(1 for w in toks if w.lower() in STOPWORDS)
+        b = _q_pm(n, al, sw) // 100
+        docs = np.bincount(b, minlength=11).astype(np.int64)
+        toks_ = np.bincount(b, weights=n, minlength=11).astype(np.int64)
+        nz = np.nonzero(docs)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "d": pa.array(docs[nz], pa.int64()),
+                         "tk": pa.array(toks_[nz], pa.int64())})
+
+    roll = docs_ds.select_columns(["text"]) \
+        .map_batches(bucket_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").aggregate(Sum("d", alias_name="d"),
+                                     Sum("tk", alias_name="tk")) \
+        .to_pandas()
+    docs_by_b = np.zeros(11, np.int64)
+    toks_by_b = np.zeros(11, np.int64)
+    for _, r in roll.iterrows():
+        docs_by_b[int(r["bucket"])] = int(r["d"])
+        toks_by_b[int(r["bucket"])] = int(r["tk"])
+    n_total = int(docs_by_b.sum())
+    taus = np.arange(0, 1000, 100, dtype=np.int64)
+    docs_kept = np.array([docs_by_b[ti:].sum()
+                          for ti in range(10)], np.int64)
+    toks_kept = np.array([toks_by_b[ti:].sum()
+                          for ti in range(10)], np.int64)
+    return pd.DataFrame({
+        "tau": taus, "docs_kept": docs_kept, "tokens_kept": toks_kept,
+        "docs_kept_ppm":
+            (1_000_000 * docs_kept) // max(n_total, 1)})
+
+
+def quality_threshold_sweep_sql(table: str = "documents") -> str:
+    """Oracle twin: identical integer score, thresholds replayed as a
+    grid join (bucket boundaries ⇒ identical counts)."""
+    return f"""
+WITH qs_tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM {table}),
+qs_per AS (
+  SELECT doc_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN regexp_matches(w, '^[A-Za-z]+$')
+                  THEN 1 ELSE 0 END)::BIGINT AS ac,
+         sum(CASE WHEN lower(w) IN ({_SW_LIST})
+                  THEN 1 ELSE 0 END)::BIGINT AS sc
+  FROM qs_tok GROUP BY doc_id),
+qs_q AS (
+  SELECT doc_id, n,
+         (least(1000, 20 * n) * (500 + (500 * ac) // greatest(n, 1))
+          // 1000 * (1000 - (500 * sc) // greatest(n, 1))) // 1000
+           AS q_pm
+  FROM qs_per),
+qs_grid AS (SELECT unnest(range(0, 1000, 100))::BIGINT AS tau)
+SELECT g.tau,
+       count(q.doc_id)::BIGINT AS docs_kept,
+       coalesce(sum(q.n), 0)::BIGINT AS tokens_kept,
+       (1000000 * count(q.doc_id))
+         // greatest((SELECT count(*) FROM qs_q), 1) AS docs_kept_ppm
+FROM qs_grid g
+LEFT JOIN qs_q q ON q.q_pm >= g.tau
+GROUP BY g.tau ORDER BY g.tau
+"""
+
+
+# ---------------------------------------------------------------------------
+# canonical-URL duplicate groups
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_urls(urls) -> pa.Array:
+    """Vectorized URL canonicalization (the CommonCrawl-style dedup
+    key): lower-case the scheme+host, drop a default ``:443``/``:80``
+    port, strip ``utm_*``-only query strings, and trim one trailing
+    slash from a non-root path.  Pure Arrow regex kernels — no Python
+    loop."""
+    u = pa.chunked_array([urls]) if isinstance(urls, pa.Array) else urls
+    # scheme+host lower: split at the first '/' after '://'
+    parts = pc.extract_regex(u, r"^(?P<head>[a-zA-Z]+://[^/]*)(?P<rest>.*)$")
+    head = pc.ascii_lower(pc.struct_field(parts, "head"))
+    rest = pc.struct_field(parts, "rest")
+    head = pc.replace_substring_regex(head, r":443$|:80$", "")
+    rest = pc.replace_substring_regex(rest, r"\?utm_[a-z]+=[^&]*$", "")
+    rest = pc.replace_substring_regex(rest, r"(.)/$", "\\1")
+    return pc.binary_join_element_wise(head, rest, "")
+
+
+def url_canonical_dups(docs_ds):
+    """Canonical-URL duplicate groups over a synthesized per-doc URL
+    column (deterministic from table columns so the oracle replays it):
+    raw URLs vary by host case, default port, utm query and trailing
+    slash; canonicalization folds them and groups with > 1 doc are the
+    refetch candidates.  Output: ``(canonical_url, n_docs,
+    min_doc_id)`` ordered by url.
+
+    Scale shape: URL synthesis + canonicalization are per-batch Arrow
+    kernels; ONE canonical-url-keyed exchange (count + min rollup);
+    emitted rows are bounded by |dup groups|.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def add_urls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["source"].to_pylist()
+        raw = []
+        for i, s in zip(ids, src):
+            host = f"{s}.example.com"
+            if i % 3 == 0:
+                host = host.upper()
+            port = ":443" if i % 5 == 0 else ""
+            path = f"/page/{i % 5}"
+            slash = "/" if i % 2 == 0 else ""
+            query = "?utm_source=feed" if i % 7 == 0 else ""
+            raw.append(f"https://{host}{port}{path}{slash}{query}")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "canonical_url": canonicalize_urls(
+                pa.array(raw, pa.string()))})
+
+    grouped = docs_ds.select_columns(["doc_id", "source"]) \
+        .map_batches(add_urls, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("canonical_url") \
+        .aggregate(Count(alias_name="n_docs"),
+                   Min("doc_id", alias_name="min_doc_id"))
+
+    def dups_only(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.greater(t["n_docs"], 1))
+        return pa.table({
+            "canonical_url": sel["canonical_url"],
+            "n_docs": pc.cast(sel["n_docs"], pa.int64()),
+            "min_doc_id": pc.cast(sel["min_doc_id"], pa.int64())})
+
+    import ray.data as rd
+
+    out = grouped.map_batches(dups_only, batch_format="pyarrow") \
+        .sort("canonical_url").materialize()
+    if out.count() == 0:   # pin the schema (Ray empty-dataset gotcha)
+        return rd.from_arrow(pa.table({
+            "canonical_url": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "min_doc_id": pa.array([], pa.int64())}))
+    return out
+
+
+def url_canonical_dups_sql(table: str = "documents") -> str:
+    """Oracle twin: same synthesized raw URLs, same canonical folds."""
+    return f"""
+WITH uc_raw AS (
+  SELECT doc_id,
+         'https://'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN upper(source || '.example.com')
+                 ELSE source || '.example.com' END
+         || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+         || '/page/' || (doc_id % 5)
+         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed'
+                 ELSE '' END AS raw
+  FROM {table}),
+uc_canon AS (
+  SELECT doc_id,
+         lower(regexp_replace(regexp_extract(
+                 raw, '^([a-zA-Z]+://[^/]*)', 1), ':443$|:80$', ''))
+         || regexp_replace(regexp_replace(
+              regexp_extract(raw, '^[a-zA-Z]+://[^/]*(.*)$', 1),
+              '\\?utm_[a-z]+=[^&]*$', ''), '(.)/$', '\\1')
+           AS canonical_url
+  FROM uc_raw)
+SELECT canonical_url, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS min_doc_id
+FROM uc_canon GROUP BY canonical_url HAVING count(*) > 1
+ORDER BY canonical_url
+"""

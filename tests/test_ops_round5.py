@@ -91,6 +91,106 @@ def test_planned_star_bgp_uses_catalog_order(kg_store):
         counts[preds[0]] <= counts[preds[1]] <= counts[preds[2]]
 
 
+# ------------------------------------------------- round-5 new pipelines
+
+
+def _docs(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }))
+
+
+def test_loo_source_influence_hand_computed(ray_session):
+    from kgruntime.ops.valuation import loo_source_influence
+
+    # s1: 2 docs (dup pair, 2+2 tokens); s2: 1 doc 4 tokens
+    ds = _docs([(1, "a b", "s1"), (2, "a b", "s1"),
+                (3, "c d e f", "s2")])
+    out = loo_source_influence(ds).set_index("source")
+    # all: N=3 T=8 H=2 dups=1
+    # drop s1 → N'=1 T'=4 mean=4.0; H'=1 (s1 owned 'a b'), dups'=0
+    assert out.loc["s1", "loo_mean_tok_ppm"] == 4_000_000
+    assert out.loc["s1", "loo_dup_ppm"] == 0
+    # drop s2 → N'=2 T'=4 mean=2.0; dups'=1 → 500000 ppm
+    assert out.loc["s2", "loo_mean_tok_ppm"] == 2_000_000
+    assert out.loc["s2", "loo_dup_ppm"] == 500_000
+    assert out.loc["s2", "delta_dup_ppm"] == 500_000 - 333_333
+
+
+def test_quality_threshold_sweep_monotone(ray_session):
+    from kgruntime.ops.valuation import quality_threshold_sweep
+
+    ds = _docs([(i, " ".join(["word"] * (i + 1)), "s") for i in range(20)]
+               + [(99, "the a of in is", "s")])
+    out = quality_threshold_sweep(ds)
+    assert out["tau"].tolist() == list(range(0, 1000, 100))
+    # keeping counts are non-increasing in tau; tau=0 keeps everything
+    assert out["docs_kept"].is_monotonic_decreasing
+    assert out["docs_kept"].iloc[0] == 21
+    assert out["docs_kept_ppm"].iloc[0] == 1_000_000
+    # the all-stopword doc scores low: gone by tau 500
+    assert out["docs_kept"].iloc[5] < 21
+
+
+def test_canonicalize_urls_folds():
+    from kgruntime.ops.valuation import canonicalize_urls
+
+    raw = pa.array([
+        "https://EXAMPLE.com:443/page/1/",
+        "https://example.com/page/1",
+        "HTTP://Example.Com:80/x/?utm_source=feed",
+        "https://example.com/page/1?utm_campaign=x",
+        "https://example.com/page/1/extra",
+    ], pa.string())
+    out = canonicalize_urls(raw).to_pylist()
+    assert out[0] == out[1] == "https://example.com/page/1"
+    assert out[2] == "http://example.com/x"
+    assert out[3] == "https://example.com/page/1"
+    assert out[4] == "https://example.com/page/1/extra"
+
+
+def test_url_canonical_dups_groups(ray_session):
+    from kgruntime.ops.valuation import url_canonical_dups
+
+    # ids 0 and 10: same source, both % 5 == 0 → same canonical URL
+    # despite different raw variants (case/port/slash/utm)
+    ds = _docs([(0, "x", "s1"), (10, "x", "s1"), (3, "x", "s2")])
+    out = url_canonical_dups(ds).to_pandas()
+    assert len(out) == 1
+    assert out["canonical_url"].iloc[0] == \
+        "https://s1.example.com/page/0"
+    assert out["n_docs"].iloc[0] == 2
+    assert out["min_doc_id"].iloc[0] == 0
+
+
+def test_maxsim_topk_brute_force(ray_session):
+    import numpy as np
+
+    from kgruntime.ops.text import (_maxsim_vec, maxsim_topk)
+
+    rows = [(i, t, "s") for i, t in enumerate(
+        ["table scan", "join hash merge", "window agg stream the",
+         "scan scan scan", "value row column"])]
+    out = maxsim_topk(_docs(rows), queries=("table scan",), k=3) \
+        .to_pandas()
+    # brute-force reference
+    want = []
+    qm = np.stack([_maxsim_vec(t) for t in sorted({"table", "scan"})])
+    for i, t, _ in rows:
+        dm = np.stack([_maxsim_vec(w)
+                       for w in sorted(set(t.split(" ")))])
+        want.append((i, int((qm @ dm.T).max(axis=1).sum())))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert list(zip(out["doc_id"], out["score"])) == want[:3]
+    assert (out["query_id"] == 0).all()
+
+
 # ----------------------------------------------------- registry index
 
 
