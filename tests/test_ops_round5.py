@@ -91,6 +91,33 @@ def test_planned_star_bgp_uses_catalog_order(kg_store):
         counts[preds[0]] <= counts[preds[1]] <= counts[preds[2]]
 
 
+# -------------------------------------------- incremental-build hardening
+
+
+def test_incremental_numbering_ignores_stray_files(ray_session, tmp_path):
+    """ADVICE r4: a stray marker/temp file in staged_dir must not shift
+    the increment numbering into a collision, and the delta's parse
+    errors come back like build_kg's."""
+    import ray.data as rd
+
+    from kgruntime.pipelines.kg import build_kg_incremental
+    from kgruntime.synth import make_documents_table
+
+    staged = str(tmp_path / "stage")
+    docs = make_documents_table(40, seed=7, malformed_every=5)
+    r1 = build_kg_incremental(rd.from_arrow(docs.slice(0, 20)), staged)
+    assert "errors" in r1 and r1["errors"].count() > 0
+    # drop a stray file + dir that the old len(listdir) count would trip on
+    (tmp_path / "stage" / "_marker.tmp").write_text("x")
+    (tmp_path / "stage" / "editor-backup").mkdir()
+    r2 = build_kg_incremental(rd.from_arrow(docs.slice(20)), staged)
+    import os
+
+    incs = sorted(d for d in os.listdir(staged) if d.startswith("inc-"))
+    assert incs == ["inc-0000", "inc-0001"]
+    assert r2["canonical"].count() > 0
+
+
 # ------------------------------------------------- round-5 new pipelines
 
 
