@@ -288,6 +288,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "loo_source_influence": _q_loo_source_influence,
         "quality_threshold_sweep": _q_quality_sweep,
         "url_canonical_dups": _q_url_canonical_dups,
+        "source_token_budget": _q_source_token_budget,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -2534,6 +2535,15 @@ def _q_url_canonical_dups(sf_dir):
     return url_canonical_dups(_docs_ds(sf_dir))
 
 
+def _q_source_token_budget(sf_dir):
+    """Water-filling per-source token budget (closed-form integer water
+    level from one rollup — the dominant-domain cap)
+    (kgruntime/ops/valuation.py:source_token_budget)."""
+    from kgruntime.ops.valuation import source_token_budget
+
+    return source_token_budget(_docs_ds(sf_dir))
+
+
 def _q_minhash(sf_dir):
     from kgruntime.ops.dedup import minhash_near_dups
 
@@ -3285,6 +3295,7 @@ def oracle_sql() -> dict[str, str]:
         "loo_source_influence": _loo_source_influence_oracle(),
         "quality_threshold_sweep": _quality_sweep_oracle(),
         "url_canonical_dups": _url_canonical_dups_oracle(),
+        "source_token_budget": _source_token_budget_oracle(),
         "char_entropy": _char_entropy_oracle(),
         "bigram_lm_scores": _bigram_lm_oracle(),
         "embedding_outliers": _embedding_outliers_oracle(),
@@ -3752,6 +3763,12 @@ def _url_canonical_dups_oracle() -> str:
     from kgruntime.ops.valuation import url_canonical_dups_sql
 
     return url_canonical_dups_sql()
+
+
+def _source_token_budget_oracle() -> str:
+    from kgruntime.ops.valuation import source_token_budget_sql
+
+    return source_token_budget_sql()
 
 
 def _set_sim_join_oracle() -> str:

@@ -282,6 +282,114 @@ GROUP BY g.tau ORDER BY g.tau
 
 
 # ---------------------------------------------------------------------------
+# per-source token budget (water-filling cap)
+# ---------------------------------------------------------------------------
+
+
+def source_token_budget(docs_ds, budget_num: int = 1,
+                        budget_den: int = 2):
+    """Mixture rebalancing by WATER-FILLING: given a total token budget
+    ``B = total · budget_num // budget_den``, find the largest integer
+    cap ``C`` with ``Σ_s min(T_s, C) ≤ B`` and allocate ``min(T_s, C)``
+    tokens per source — the standard way to stop a few dominant domains
+    from eating a training mix while small sources keep everything.
+    Output per source: ``(source, n_tokens, water_cap, alloc_tokens,
+    capped)``; exact integers.
+
+    Scale shape: ONE per-source token rollup (per-batch partials);
+    the water level solves in closed form over the |sources|-row table
+    (sorted prefix sums — no bisection, no second corpus pass):
+    with ``T`` ascending and ``P(k) = Σ_{i≤k} T_i``, the largest
+    feasible rank is ``k* = max{k : P(k−1) + (m−k+1)·T_k ≤ B}`` and
+    ``C = (B − P(k*)) // (m − k*)`` (``C = max T`` when every source
+    fits).  ``C < T_{k*+1}`` holds automatically, so the floor is the
+    exact integer optimum.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = pl.from_arrow(t.select(["source", "text"])) \
+            .with_columns(pl.col("text").str.split(" ")
+                          .list.len().cast(pl.Int64).alias("nt")) \
+            .group_by("source") \
+            .agg(pl.col("nt").sum().alias("tk"))
+        return pa.table({"source": pa.array(g["source"].to_list(),
+                                            pa.string()),
+                         "tk": pa.array(g["tk"].to_list(), pa.int64())})
+
+    src = docs_ds.select_columns(["source", "text"]) \
+        .map_batches(tok_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("source").aggregate(Sum("tk", alias_name="tk")) \
+        .to_pandas().sort_values(["tk", "source"]).reset_index(drop=True)
+
+    tk = src["tk"].to_numpy(np.int64)
+    m = len(tk)
+    total = int(tk.sum())
+    budget = (total * budget_num) // budget_den
+    pfx = np.cumsum(tk)
+    # cond(k), 1-indexed: P(k−1) + (m−k+1)·T_k ≤ B
+    ks = 0
+    for k in range(1, m + 1):
+        if (pfx[k - 1] - tk[k - 1]) + (m - k + 1) * tk[k - 1] <= budget:
+            ks = k
+    if m == 0:
+        cap = 0
+    elif ks >= m:
+        cap = int(tk[-1])
+    else:
+        pk = int(pfx[ks - 1]) if ks > 0 else 0
+        cap = (budget - pk) // (m - ks)
+    alloc = np.minimum(tk, cap)
+    out = pd.DataFrame({
+        "source": src["source"],
+        "n_tokens": tk,
+        "water_cap": np.full(m, cap, np.int64),
+        "alloc_tokens": alloc.astype("int64"),
+        "capped": (tk > cap).astype("int64"),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def source_token_budget_sql(budget_num: int = 1, budget_den: int = 2,
+                            table: str = "documents") -> str:
+    """Oracle twin: identical closed-form integer water level."""
+    return f"""
+WITH stb_src AS (
+  SELECT source, sum(len(str_split(text, ' ')))::BIGINT AS tk
+  FROM {table} GROUP BY source),
+stb_b AS (
+  SELECT (sum(tk) * {budget_num}) // {budget_den} AS b,
+         count(*)::BIGINT AS m
+  FROM stb_src),
+stb_ord AS (
+  SELECT source, tk,
+         row_number() OVER (ORDER BY tk, source) AS rn,
+         sum(tk) OVER (ORDER BY tk, source) AS pfx
+  FROM stb_src),
+stb_k AS (
+  SELECT coalesce(max(o.rn), 0) AS ks
+  FROM stb_ord o CROSS JOIN stb_b
+  WHERE (o.pfx - o.tk) + (m - o.rn + 1) * o.tk <= b),
+stb_c AS (
+  SELECT CASE
+           WHEN ks >= m THEN (SELECT max(tk) FROM stb_src)
+           ELSE (b - coalesce((SELECT pfx FROM stb_ord WHERE rn = ks),
+                              0)) // (m - ks)
+         END AS cap
+  FROM stb_k CROSS JOIN stb_b)
+SELECT source, tk AS n_tokens, cap::BIGINT AS water_cap,
+       least(tk, cap)::BIGINT AS alloc_tokens,
+       (CASE WHEN tk > cap THEN 1 ELSE 0 END)::BIGINT AS capped
+FROM stb_src CROSS JOIN stb_c
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # canonical-URL duplicate groups
 # ---------------------------------------------------------------------------
 

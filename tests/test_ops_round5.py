@@ -196,6 +196,27 @@ def test_url_canonical_dups_groups(ray_session):
     assert out["min_doc_id"].iloc[0] == 0
 
 
+def test_source_token_budget_water_fill(ray_session):
+    from kgruntime.ops.valuation import source_token_budget
+
+    # tokens per source: s1=2, s2=4, s3=10 → total 16, budget 8
+    # water level: C=2 gives 2+2+2=6 ≤ 8; C=3 gives 2+3+3=8 ≤ 8;
+    # C=4 gives 2+4+4=10 > 8 → cap 3
+    ds = _docs([(1, "a b", "s1"), (2, "a b c d", "s2"),
+                (3, " ".join(["w"] * 10), "s3")])
+    out = source_token_budget(ds).set_index("source")
+    assert out.loc["s1", "water_cap"] == 3
+    assert out.loc["s1", "alloc_tokens"] == 2
+    assert out.loc["s2", "alloc_tokens"] == 3
+    assert out.loc["s3", "alloc_tokens"] == 3
+    assert out["capped"].tolist() == [0, 1, 1]
+    # budget ≥ total → nobody capped, cap = max T
+    out2 = source_token_budget(ds, budget_num=2, budget_den=1) \
+        .set_index("source")
+    assert out2["capped"].sum() == 0
+    assert out2.loc["s3", "alloc_tokens"] == 10
+
+
 def test_maxsim_topk_brute_force(ray_session):
     import numpy as np
 
