@@ -289,6 +289,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "quality_threshold_sweep": _q_quality_sweep,
         "url_canonical_dups": _q_url_canonical_dups,
         "source_token_budget": _q_source_token_budget,
+        "page_stitch_pairs": _q_page_stitch,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
@@ -2544,6 +2545,15 @@ def _q_source_token_budget(sf_dir):
     return source_token_budget(_docs_ds(sf_dir))
 
 
+def _q_page_stitch(sf_dir):
+    """Cross-doc continuation stitching: doc_a's suffix window ==
+    doc_b's prefix window, one 8-byte-key bucketed join
+    (kgruntime/ops/dedup.py:page_stitch_pairs)."""
+    from kgruntime.ops.dedup import page_stitch_pairs
+
+    return page_stitch_pairs(_docs_ds(sf_dir))
+
+
 def _q_minhash(sf_dir):
     from kgruntime.ops.dedup import minhash_near_dups
 
@@ -3296,6 +3306,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_threshold_sweep": _quality_sweep_oracle(),
         "url_canonical_dups": _url_canonical_dups_oracle(),
         "source_token_budget": _source_token_budget_oracle(),
+        "page_stitch_pairs": _page_stitch_oracle(),
         "char_entropy": _char_entropy_oracle(),
         "bigram_lm_scores": _bigram_lm_oracle(),
         "embedding_outliers": _embedding_outliers_oracle(),
@@ -3769,6 +3780,12 @@ def _source_token_budget_oracle() -> str:
     from kgruntime.ops.valuation import source_token_budget_sql
 
     return source_token_budget_sql()
+
+
+def _page_stitch_oracle() -> str:
+    from kgruntime.ops.dedup import page_stitch_pairs_sql
+
+    return page_stitch_pairs_sql()
 
 
 def _set_sim_join_oracle() -> str:

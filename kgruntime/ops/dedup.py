@@ -1106,6 +1106,91 @@ ORDER BY doc_a, doc_b
 """
 
 
+def page_stitch_pairs(docs_ds, n: int = 2):
+    """Cross-document continuation stitching: pairs where ``doc_a``'s
+    LAST ``n`` tokens equal ``doc_b``'s FIRST ``n`` tokens — the
+    pagination-split signal a shard-reassembly pass joins on (web
+    extractors routinely split one page into consecutive records; the
+    boundary window is the cheap way to find the seams without
+    aligning full texts).  Output: ``(doc_a, doc_b, boundary_hash)``,
+    doc_a ≠ doc_b, ordered.
+
+    Scale shape: TWO 8-byte boundary hashes per doc (suffix window,
+    prefix window) — the only thing that crosses the exchange — and
+    ONE bucketed hash join between them; output is bounded by real
+    seam matches, never |corpus|².
+    """
+    import ray.data as rd
+
+    from .join import bucketed_hash_join
+
+    sfx_schema = pa.schema([("doc_a", pa.int64()), ("h", pa.int64())])
+    pfx_schema = pa.schema([("doc_b", pa.int64()), ("ph", pa.int64())])
+
+    def boundaries(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            ids, hh = [], []
+            for d, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                toks = txt.split(" ")
+                if len(toks) < n:
+                    continue
+                win = toks[-n:] if side == "sfx" else toks[:n]
+                ids.append(d)
+                hh.append(_md5_60(" ".join(win).encode()))
+            if side == "sfx":
+                return pa.table({"doc_a": pa.array(ids, pa.int64()),
+                                 "h": pa.array(hh, pa.int64())},
+                                schema=sfx_schema)
+            return pa.table({"doc_b": pa.array(ids, pa.int64()),
+                             "ph": pa.array(hh, pa.int64())},
+                            schema=pfx_schema)
+        return fn
+
+    docs = docs_ds.select_columns(["doc_id", "text"])
+    sfx = docs.map_batches(boundaries("sfx"), batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    pfx = docs.map_batches(boundaries("pfx"), batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    out_schema = pa.schema([("doc_a", pa.int64()),
+                            ("doc_b", pa.int64()),
+                            ("boundary_hash", pa.int64())])
+    if sfx.count() == 0 or pfx.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    joined = bucketed_hash_join(sfx, pfx, "h", "ph")
+
+    def finish(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.not_equal(t["doc_a"], t["doc_b"]))
+        return pa.table({"doc_a": sel["doc_a"], "doc_b": sel["doc_b"],
+                         "boundary_hash": sel["h"]}, schema=out_schema)
+
+    return joined.map_batches(finish, batch_format="pyarrow") \
+        .sort(["doc_a", "doc_b"])
+
+
+def page_stitch_pairs_sql(n: int = 2, table: str = "documents") -> str:
+    """Oracle twin: identical md5-60 boundary-window hashes + join."""
+    return f"""
+WITH ps_tok AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM {table}),
+ps_sfx AS (
+  SELECT doc_id AS doc_a,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(t, len(t) - {n} + 1, len(t)), ' ')), 1, 15))
+           ::BIGINT AS h
+  FROM ps_tok WHERE len(t) >= {n}),
+ps_pfx AS (
+  SELECT doc_id AS doc_b,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(t, 1, {n}), ' ')), 1, 15))::BIGINT AS h
+  FROM ps_tok WHERE len(t) >= {n})
+SELECT a.doc_a, b.doc_b, a.h AS boundary_hash
+FROM ps_sfx a JOIN ps_pfx b USING (h)
+WHERE a.doc_a <> b.doc_b
+ORDER BY a.doc_a, b.doc_b
+"""
+
+
 # --- rare-token blocking: inverted-index candidate pair generation --------
 
 def rare_token_pairs(docs_ds, max_df: int = 3):

@@ -217,6 +217,23 @@ def test_source_token_budget_water_fill(ray_session):
     assert out2.loc["s3", "alloc_tokens"] == 10
 
 
+def test_page_stitch_pairs_seams(ray_session):
+    from kgruntime.ops.dedup import page_stitch_pairs
+
+    ds = _docs([
+        (1, "alpha beta gamma delta", "s"),     # suffix: gamma delta
+        (2, "gamma delta epsilon zeta", "s"),   # prefix: gamma delta
+        (3, "epsilon zeta eta theta", "s"),     # prefix: epsilon zeta
+        (4, "unrelated words here now", "s"),
+        (5, "x", "s"),                          # < n tokens: excluded
+    ])
+    out = page_stitch_pairs(ds, n=2).to_pandas()
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(1, 2), (2, 3)]
+    # a doc whose suffix equals its own prefix must not self-pair
+    ds2 = _docs([(7, "a b c a b", "s")])
+    assert page_stitch_pairs(ds2, n=2).count() == 0
+
+
 def test_maxsim_topk_brute_force(ray_session):
     import numpy as np
 
