@@ -107,6 +107,16 @@ def _registry() -> dict[str, Callable[[str], Any]]:
     from kgruntime import relational as R
 
     q: dict[str, Callable[[str], Any]] = {
+        # --- round-5 registrations first: within the never-checked
+        # block the window takes registration order, and the round's
+        # NEW claims should earn their driver rows first ---
+        "kg_planned_bgp": _q_kg_planned_bgp,
+        "maxsim_topk": _q_maxsim_topk,
+        "loo_source_influence": _q_loo_source_influence,
+        "quality_threshold_sweep": _q_quality_sweep,
+        "url_canonical_dups": _q_url_canonical_dups,
+        "source_token_budget": _q_source_token_budget,
+        "page_stitch_pairs": _q_page_stitch,
         # --- never driver-checked (late r3 registrations) ---
         "incremental_dup_check": _q_incremental_dups,
         "split_leakage": _q_split_leakage,
@@ -282,14 +292,6 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "trending_part_types": R.q_trending_part_types,
         "kg_incremental_build": _q_kg_incremental,
         "kg_pred_catalog": _q_kg_pred_catalog,
-        "kg_planned_bgp": _q_kg_planned_bgp,
-        # --- round-5 registrations ---
-        "maxsim_topk": _q_maxsim_topk,
-        "loo_source_influence": _q_loo_source_influence,
-        "quality_threshold_sweep": _q_quality_sweep,
-        "url_canonical_dups": _q_url_canonical_dups,
-        "source_token_budget": _q_source_token_budget,
-        "page_stitch_pairs": _q_page_stitch,
         # --- entries below are outside the driver's 50-query window
         # (every one has a green driver row from r1–r3) ---
         "media_frames": _q_media_frames,
