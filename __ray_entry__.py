@@ -117,6 +117,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "url_canonical_dups": _q_url_canonical_dups,
         "source_token_budget": _q_source_token_budget,
         "page_stitch_pairs": _q_page_stitch,
+        "term_concentration": _q_term_concentration,
         # --- never driver-checked (late r3 registrations) ---
         "incremental_dup_check": _q_incremental_dups,
         "split_leakage": _q_split_leakage,
@@ -2556,6 +2557,15 @@ def _q_page_stitch(sf_dir):
     return page_stitch_pairs(_docs_ds(sf_dir))
 
 
+def _q_term_concentration(sf_dir):
+    """Per-source inverse-Simpson effective term count + top-term
+    share — the one-template-domain audit
+    (kgruntime/ops/valuation.py:term_concentration_by_source)."""
+    from kgruntime.ops.valuation import term_concentration_by_source
+
+    return term_concentration_by_source(_docs_ds(sf_dir))
+
+
 def _q_minhash(sf_dir):
     from kgruntime.ops.dedup import minhash_near_dups
 
@@ -3309,6 +3319,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_dups": _url_canonical_dups_oracle(),
         "source_token_budget": _source_token_budget_oracle(),
         "page_stitch_pairs": _page_stitch_oracle(),
+        "term_concentration": _term_concentration_oracle(),
         "char_entropy": _char_entropy_oracle(),
         "bigram_lm_scores": _bigram_lm_oracle(),
         "embedding_outliers": _embedding_outliers_oracle(),
@@ -3782,6 +3793,12 @@ def _source_token_budget_oracle() -> str:
     from kgruntime.ops.valuation import source_token_budget_sql
 
     return source_token_budget_sql()
+
+
+def _term_concentration_oracle() -> str:
+    from kgruntime.ops.valuation import term_concentration_by_source_sql
+
+    return term_concentration_by_source_sql()
 
 
 def _page_stitch_oracle() -> str:

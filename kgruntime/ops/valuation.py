@@ -390,6 +390,100 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# per-source term concentration (inverse-Simpson effective vocabulary)
+# ---------------------------------------------------------------------------
+
+
+def term_concentration_by_source(docs_ds):
+    """Token-distribution concentration per source — the "is this
+    domain just one template repeated?" audit: per source, total
+    tokens, distinct terms, the inverse-Simpson EFFECTIVE term count
+    in ppm (``T²·10⁶ // Σ_t c_t²`` — the number of equally-frequent
+    terms that would give the same concentration), and the top term
+    with its exact share (ties → lexicographically smallest term).
+    Output: ``(source, n_tokens, n_terms, eff_terms_ppm, top_term,
+    top_share_ppm)``.
+
+    Scale shape: per-batch polars (source, term) partial counts into
+    ONE ``groupby(source, term)`` exchange; the per-source rollup runs
+    as ``groupby(source).map_groups`` over vocabulary-bounded groups
+    (Σc, Σc², argmax — all integer).
+    """
+    from ray.data.aggregate import Sum
+
+    def term_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = pl.from_arrow(t.select(["source", "text"])) \
+            .with_columns(pl.col("text").str.split(" ").alias("w")) \
+            .explode("w").group_by("source", "w") \
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        return pa.table({"source": pa.array(g["source"].to_list(),
+                                            pa.string()),
+                         "term": pa.array(g["w"].to_list(), pa.string()),
+                         "c": pa.array(g["c"].to_list(), pa.int64())})
+
+    counts = docs_ds.select_columns(["source", "text"]) \
+        .map_batches(term_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["source", "term"]).aggregate(Sum("c", alias_name="c"))
+
+    out_schema = pa.schema([
+        ("source", pa.string()), ("n_tokens", pa.int64()),
+        ("n_terms", pa.int64()), ("eff_terms_ppm", pa.int64()),
+        ("top_term", pa.string()), ("top_share_ppm", pa.int64())])
+
+    def rollup(g: pa.Table) -> pa.Table:
+        c = g["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        terms = g["term"].to_pylist()
+        total = int(c.sum())
+        sq = int((c * c).sum())
+        cmax = int(c.max())
+        top = min(t for t, cc in zip(terms, c) if cc == cmax)
+        return pa.table({
+            "source": g["source"].slice(0, 1),
+            "n_tokens": pa.array([total], pa.int64()),
+            "n_terms": pa.array([len(terms)], pa.int64()),
+            "eff_terms_ppm": pa.array(
+                [(total * total * 1_000_000) // sq], pa.int64()),
+            "top_term": pa.array([top], pa.string()),
+            "top_share_ppm": pa.array(
+                [(cmax * 1_000_000) // total], pa.int64())},
+            schema=out_schema)
+
+    return counts.groupby("source").map_groups(
+        rollup, batch_format="pyarrow").sort("source")
+
+
+def term_concentration_by_source_sql(table: str = "documents") -> str:
+    """Oracle twin: identical integer inverse-Simpson arithmetic."""
+    return f"""
+WITH tc_c AS (
+  SELECT source, w AS term, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest(str_split(text, ' ')) AS w FROM {table})
+  GROUP BY source, w),
+tc_roll AS (
+  SELECT source, sum(c)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_terms,
+         sum(c * c)::BIGINT AS sq, max(c)::BIGINT AS cmax
+  FROM tc_c GROUP BY source),
+tc_top AS (
+  SELECT c.source, min(c.term) AS top_term
+  FROM tc_c c JOIN tc_roll r
+    ON r.source = c.source AND c.c = r.cmax
+  GROUP BY c.source)
+SELECT r.source, r.n_tokens, r.n_terms,
+       ((r.n_tokens * r.n_tokens * 1000000) // r.sq)::BIGINT
+         AS eff_terms_ppm,
+       t.top_term,
+       ((r.cmax * 1000000) // r.n_tokens)::BIGINT AS top_share_ppm
+FROM tc_roll r JOIN tc_top t USING (source)
+ORDER BY r.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # canonical-URL duplicate groups
 # ---------------------------------------------------------------------------
 

@@ -217,6 +217,23 @@ def test_source_token_budget_water_fill(ray_session):
     assert out2.loc["s3", "alloc_tokens"] == 10
 
 
+def test_term_concentration_hand_computed(ray_session):
+    from kgruntime.ops.valuation import term_concentration_by_source
+
+    # s1: counts a:3 b:1 → T=4, Σc²=10, eff = 16e6//10 = 1.6M ppm
+    # s2: uniform x y → eff 2.0M ppm; top term tie → min('x','y')='x'
+    ds = _docs([(1, "a a a b", "s1"), (2, "x y", "s2")])
+    out = term_concentration_by_source(ds).to_pandas() \
+        .set_index("source")
+    assert out.loc["s1", "n_tokens"] == 4
+    assert out.loc["s1", "n_terms"] == 2
+    assert out.loc["s1", "eff_terms_ppm"] == 1_600_000
+    assert out.loc["s1", "top_term"] == "a"
+    assert out.loc["s1", "top_share_ppm"] == 750_000
+    assert out.loc["s2", "eff_terms_ppm"] == 2_000_000
+    assert out.loc["s2", "top_term"] == "x"
+
+
 def test_page_stitch_pairs_seams(ray_session):
     from kgruntime.ops.dedup import page_stitch_pairs
 
