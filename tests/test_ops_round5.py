@@ -278,8 +278,12 @@ def test_maxsim_topk_brute_force(ray_session):
 
 def test_query_index_is_current():
     """QUERY_INDEX.md is generated (scripts/gen_query_index.py) and must
-    match the live registry + committed CORRECTNESS artifacts — audit
-    state stays machine-checkable (VERDICT r4 item 8)."""
+    match the live registry + the CORRECTNESS artifacts it was built
+    from — audit state stays machine-checkable (VERDICT r4 item 8).
+    The comparison is AS-OF the artifact list stamped in the file, so
+    a driver artifact landing AFTER the round does not turn the
+    committed index stale-red (the r4 rotation-test lesson); registry
+    drift (add/remove/rename a query, change an oracle) still fails."""
     import sys
     from pathlib import Path
 
@@ -290,7 +294,8 @@ def test_query_index_is_current():
     finally:
         sys.path.pop(0)
     committed = (root / "QUERY_INDEX.md").read_text()
-    assert committed == gen_query_index.build_index(), \
+    files = gen_query_index.as_of_files(committed)
+    assert committed == gen_query_index.build_index(files or None), \
         "QUERY_INDEX.md stale — rerun scripts/gen_query_index.py"
 
 
