@@ -39,6 +39,17 @@ def _bucket_array(col, num_buckets: int) -> pa.Array:
     return _hash_col(col, mod=num_buckets)
 
 
+def default_num_buckets() -> int:
+    """4× the cluster's CPUs (min 32) — the shared parallelism unit for
+    bucketed exchanges (join buckets, keep-first dedup groups)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(32, 4 * cpus)
+
+
 def bucketed_hash_join(left, right, left_on: str, right_on: str,
                        how: str = "inner", num_buckets: int | None = None):
     """Join two Datasets on a single key column.
@@ -54,12 +65,7 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
     """
     how = how.replace("_", " ")
     if num_buckets is None:
-        import ray
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        num_buckets = max(32, 4 * cpus)
+        num_buckets = default_num_buckets()
     l_schema = left.schema()   # ray.data Schema wrapper (.names/.types)
     r_schema = right.schema()
     l_names = list(l_schema.names)

@@ -84,6 +84,8 @@ def token_budget_shards(docs_ds, budget: int = 2000,
     Returns a Dataset of (doc_id, n_tokens, shard_id).  Mirrors the
     ``sum(...) OVER (ORDER BY doc_id)`` window oracle exactly.
     """
+    from .join import default_num_buckets
+
     # tok is ints-only (24 B/row) and feeds BOTH prefix-scan phases —
     # materialize it so phase 2 doesn't re-execute the whole upstream
     # lineage (measured: curate_corpus was re-running its dedup join
@@ -93,14 +95,33 @@ def token_budget_shards(docs_ds, budget: int = 2000,
         batch_format="pyarrow", zero_copy_batch=True).materialize()
     off_ref = _bucket_offsets(tok)
 
-    # phase 2: finish each bucket locally (≤ bucket_size rows per group)
+    # phase 2 groups by a COARSE key (bucket % ~4×CPUs), not the raw
+    # bucket: at 38.4M docs the 9.4k-group map_groups paid a per-group
+    # split/convert cost of ~167 s; one coarse group handles its ~70
+    # buckets with a single vectorized pandas groupby-cumsum (measured
+    # r5, BASELINE.md).  Exactness unchanged: shard = (bucket offset +
+    # exclusive cumsum within bucket) // budget, per doc.
+    coarse = default_num_buckets()
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        b = t["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "cb", pa.array((b % coarse).astype("int32"), pa.int32()))
+
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df, shard = _bucket_starts(df, off_ref, budget)
+        import ray
+
+        off = ray.get(off_ref)
+        df = df.sort_values(["bucket", "doc_id"],
+                            kind="mergesort").reset_index(drop=True)
+        excl = df.groupby("bucket")["n_tokens"].cumsum() - df["n_tokens"]
+        start = df["bucket"].map(off).astype(np.int64) + excl
         out = df[["doc_id", "n_tokens"]].copy()
-        out["shard_id"] = shard
+        out["shard_id"] = (start // budget).astype(np.int64)
         return out
 
-    return tok.groupby("bucket").map_groups(finish, batch_format="pandas")
+    return tok.map_batches(add_coarse, batch_format="pyarrow") \
+        .groupby("cb").map_groups(finish, batch_format="pandas")
 
 
 def token_budget_shards_sql(budget: int = 2000,

@@ -1369,17 +1369,22 @@ def curate_corpus(docs_ds, min_quality: float = 0.5, min_chars: int = 20,
     keep-first → token-budget shard assignment over the survivors.
     Returns (doc_id, n_tokens, shard_id) for the curated corpus.
 
-    Scale shape: both gates are ONE vectorized pass; the dedup keep-set
-    shuffle carries 16-byte hashes; survivors meet their keep ids in a
-    bucketed semi-join (the only exchange the text crosses); the shard
-    assignment is the text-free two-phase prefix scan.  The gated
-    stream is materialized because two branches consume it (hash +
-    join side) — at extreme scale point this at a parquet staging dir
-    instead (the ``build_kg_staged`` pattern).
+    Scale shape: both gates are ONE vectorized pass; normalized-dedup
+    keep-first runs as a SINGLE hash-bucketed exchange — rows carry
+    ``b = h % num_buckets`` and each of the ≤ 4×CPU bucket groups does
+    a vectorized lexsort keep-first locally (equal texts share h hence
+    a bucket, so bucket-local keep-first IS global keep-first).  This
+    replaced the r4 shape (16-byte-hash groupby + text semi-join): at
+    38.4M docs the ``groupby(h)`` sort-aggregate over ~32M
+    NEAR-UNIQUE groups cost 253 s and the join another 49 s — one
+    coarse-bucketed text exchange does the same work in a fraction
+    (measured r5, BASELINE.md).  The shard assignment is the
+    text-free two-phase prefix scan.  When ``staging_dir`` is given
+    the gated stream stages to parquet instead of materializing (the
+    ``build_kg_staged`` pattern for beyond-object-store scale).
     """
-    from ray.data.aggregate import Min
+    import numpy as np
 
-    from .join import bucketed_hash_join
     from .shard import token_budget_shards
 
     def gate(t: pa.Table) -> pa.Table:
@@ -1406,15 +1411,40 @@ def curate_corpus(docs_ds, min_quality: float = 0.5, min_chars: int = 20,
         gated = rd.read_parquet(staging_dir,
                                 columns=["doc_id", "text"])
 
-    def norm_hash(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"],
-                         "h": normalized_text_hash(t["text"])})
+    from .join import default_num_buckets
 
-    keep = gated.map_batches(norm_hash, batch_format="pyarrow",
+    nb = default_num_buckets()
+
+    def _h_halves(h_arr: pa.Array):
+        """binary(16) hash array → (hi, lo) uint64 views, zero-copy."""
+        a = h_arr.combine_chunks() if isinstance(
+            h_arr, pa.ChunkedArray) else h_arr
+        raw = np.frombuffer(a.buffers()[1], np.uint8)[
+            a.offset * 16:(a.offset + len(a)) * 16]
+        pair = np.ascontiguousarray(raw.reshape(-1, 16)).view(">u8")
+        return pair[:, 0].astype(np.uint64), pair[:, 1].astype(np.uint64)
+
+    def add_hash_bucket(t: pa.Table) -> pa.Table:
+        h = normalized_text_hash(t["text"])
+        hi, _ = _h_halves(h)
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "h": h,
+                         "b": pa.array((hi % nb).astype("int32"),
+                                       pa.int32())})
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        hi, lo = _h_halves(g["h"])
+        dv = g["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dv, lo, hi))      # within h: doc_id ASC
+        first = np.ones(len(order), bool)
+        first[1:] = (hi[order[1:]] != hi[order[:-1]]) \
+            | (lo[order[1:]] != lo[order[:-1]])
+        sel = np.sort(order[first])           # deterministic block order
+        return g.take(pa.array(sel)).select(["doc_id", "text"])
+
+    surv = gated.map_batches(add_hash_bucket, batch_format="pyarrow",
                              zero_copy_batch=True) \
-        .groupby("h").aggregate(Min("doc_id", alias_name="keep_id")) \
-        .select_columns(["keep_id"])
-    surv = bucketed_hash_join(gated, keep, "doc_id", "keep_id")
+        .groupby("b").map_groups(keep_first, batch_format="pyarrow")
     return token_budget_shards(surv, budget=budget)
 
 
