@@ -174,19 +174,41 @@ def pack_sequences(docs_ds, budget: int = 2000, bucket_size: int = 4096,
         batch_format="pyarrow", zero_copy_batch=True).materialize()
     off_ref = _bucket_offsets(tok)
 
+    from .join import default_num_buckets
+
+    coarse = default_num_buckets()
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        b = t["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "cb", pa.array((b % coarse).astype("int32"), pa.int32()))
+
     def boundaries(df: pd.DataFrame) -> pa.Table:
-        # first doc of the bucket too: it may continue the previous
-        # bucket's shard — the driver min()s duplicates away
-        df, shard = _bucket_starts(df, off_ref, budget)
-        s = shard.to_numpy()
+        # one COARSE group (~70 buckets) per call — the 9.4k-per-bucket
+        # map_groups paid ~167 s of per-group split/convert at 38.4M
+        # docs (the curate_corpus lesson, BASELINE.md r5); inside, one
+        # vectorized pandas pass handles every bucket.  Emits the first
+        # doc per (bucket, shard) transition — the first doc of each
+        # bucket too, since it may continue the previous bucket's
+        # shard; the driver min()s duplicates away exactly as before.
+        import ray
+
+        off = ray.get(off_ref)
+        df = df.sort_values(["bucket", "doc_id"],
+                            kind="mergesort").reset_index(drop=True)
+        excl = df.groupby("bucket")["n_tokens"].cumsum() - df["n_tokens"]
+        start = df["bucket"].map(off).astype(np.int64) + excl
+        s = (start // budget).to_numpy(np.int64)
         d = df["doc_id"].to_numpy(np.int64)
+        b = df["bucket"].to_numpy(np.int64)
         first = np.ones(len(s), bool)
-        first[1:] = s[1:] != s[:-1]
+        first[1:] = (s[1:] != s[:-1]) | (b[1:] != b[:-1])
         return pa.table({"shard_id": pa.array(s[first], pa.int64()),
                          "start_doc": pa.array(d[first], pa.int64())})
 
-    bnd = tok.groupby("bucket").map_groups(
-        boundaries, batch_format="pandas").to_pandas()
+    bnd = tok.map_batches(add_coarse, batch_format="pyarrow") \
+        .groupby("cb").map_groups(
+            boundaries, batch_format="pandas").to_pandas()
     if bnd.empty:
         import ray.data as rd
 
@@ -215,18 +237,28 @@ def pack_sequences(docs_ds, budget: int = 2000, bucket_size: int = 4096,
              t["text"]],
             names=["shard_id", "doc_id", "n_tokens", "text"])
 
+    def add_shard_coarse(t: pa.Table) -> pa.Table:
+        s = t["shard_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "cs", pa.array((s % coarse).astype("int32"), pa.int32()))
+
     def pack(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id", kind="mergesort")
+        # one coarse group packs MANY shards vectorized — per-shard
+        # map_groups would make ~total_tokens/budget Ray group calls
+        # (~540k at 38.4M docs), pure per-group overhead
+        df = df.sort_values(["shard_id", "doc_id"], kind="mergesort")
+        g = df.groupby("shard_id", sort=True)
         return pd.DataFrame({
-            "shard_id": [int(df["shard_id"].iloc[0])],
-            "n_docs": [len(df)],
-            "n_tokens": [int(df["n_tokens"].sum())],
-            "packed": [sep.join(df["text"])],
+            "shard_id": g.size().index.to_numpy(np.int64),
+            "n_docs": g.size().to_numpy(np.int64),
+            "n_tokens": g["n_tokens"].sum().to_numpy(np.int64),
+            "packed": g["text"].agg(sep.join).to_numpy(),
         })
 
     return docs_ds.select_columns(["doc_id", "text"]) \
         .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("shard_id").map_groups(pack, batch_format="pandas")
+        .map_batches(add_shard_coarse, batch_format="pyarrow") \
+        .groupby("cs").map_groups(pack, batch_format="pandas")
 
 
 def pack_sequences_sql(budget: int = 2000, sep: str = " ",
