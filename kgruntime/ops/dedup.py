@@ -265,11 +265,18 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
 def minhash_near_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
                       bands: int = 16):
     """Near-duplicate pairs (doc_a < doc_b, jaccard_est ≥ threshold)."""
+    from .groups import coarse_group_map
+
     exploded = docs_ds.map_batches(
         minhash_explode, fn_kwargs={"num_perm": num_perm, "bands": bands},
         batch_format="pyarrow")
-    pairs = exploded.groupby(["band", "band_hash"]) \
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    # coarse exchange: band-bucket count grows with the corpus (docs ×
+    # bands, near-unique off-duplicates), so per-bucket map_groups pays
+    # Ray group overhead |corpus|× — coarse_group_map keys the shuffle
+    # on hash(band, band_hash) % ~4×CPUs and applies _bucket_pairs per
+    # true bucket in-process, skipping singleton buckets outright
+    pairs = coarse_group_map(exploded, ["band", "band_hash"],
+                             _bucket_pairs, min_group_size=2)
     uniq = pairs.groupby(["doc_a", "doc_b"]).max("jaccard_est") \
         .rename_columns({"max(jaccard_est)": "jaccard_est"})
     return uniq.filter(expr=f"jaccard_est >= {threshold}")
@@ -554,9 +561,12 @@ def _sim_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
 
 
 def simhash_near_dups(docs_ds, max_hamming: int = 3):
+    from .groups import coarse_group_map
+
     exploded = docs_ds.map_batches(simhash_explode, batch_format="pyarrow")
-    pairs = exploded.groupby(["band", "band_key"]).map_groups(
-        lambda g: _sim_pairs(g, max_hamming), batch_format="pyarrow")
+    pairs = coarse_group_map(exploded, ["band", "band_key"],
+                             lambda g: _sim_pairs(g, max_hamming),
+                             min_group_size=2)
     return pairs.groupby(["doc_a", "doc_b"]).min("hamming") \
         .rename_columns({"min(hamming)": "hamming"})
 
@@ -1886,9 +1896,11 @@ def incremental_near_dups(new_ds, prior_ds, threshold: float = 0.7,
         .map_batches(explode(1), batch_format="pyarrow") \
         .union(prior_ds.select_columns(["doc_id", "text"])
                .map_batches(explode(0), batch_format="pyarrow"))
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _cross_side_pairs(g, num_perm, cap),
-        batch_format="pyarrow")
+    from .groups import coarse_group_map
+
+    pairs = coarse_group_map(exploded, ["band", "band_hash"],
+                             lambda g: _cross_side_pairs(g, num_perm, cap),
+                             min_group_size=2)
     hits = pairs.filter(expr=f"jaccard_est >= {threshold}")
 
     def best(g: pa.Table) -> pa.Table:

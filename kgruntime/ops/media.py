@@ -765,9 +765,11 @@ def phash_near_dups(media_ds, max_hamming: int = 6,
             "hamming": pa.array(ham[keep], pa.int64())},
             schema=_pair_schema)
 
-    return hashed.map_batches(explode_bands, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-        .groupby(["band", "key"]) \
-        .map_groups(bucket_pairs, batch_format="pyarrow") \
+    from .groups import coarse_group_map
+
+    exploded = hashed.map_batches(explode_bands, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return coarse_group_map(exploded, ["band", "key"], bucket_pairs,
+                            min_group_size=2) \
         .groupby(["ref_a", "ref_b"]) \
         .aggregate(Min("hamming", alias_name="hamming"))

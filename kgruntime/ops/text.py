@@ -1501,23 +1501,50 @@ def capped_duplicate_sample(docs_ds, k: int = 2):
     dedup: repeated documents stay represented (bounded) so frequency
     still carries signal, but no dup cluster can dominate a shard.
 
-    Shuffle key is the 16-byte normalized hash; each hash group is
-    bounded by that text's duplicate multiplicity."""
+    Exchange keyed on a COARSE bucket of the 16-byte normalized hash
+    (hash-group count ≈ distinct texts, corpus-growing — the r5
+    coarse-group lesson); each ~4×CPU bucket ranks ALL its hash groups
+    in one vectorized lexsort + cumcount pass."""
+    import numpy as np
+
+    from .join import default_num_buckets
+
+    nb = default_num_buckets()
+
     def norm(t: pa.Table) -> pa.Table:
+        h = normalized_text_hash(t["text"])
+        raw = np.frombuffer(h.buffers()[1], np.uint8)[
+            h.offset * 16:(h.offset + len(h)) * 16]
+        pair = np.ascontiguousarray(raw.reshape(-1, 16)).view(">u8")
+        hi = pair[:, 0].astype(np.int64)
+        lo = pair[:, 1].astype(np.int64)
         return pa.table({"doc_id": t["doc_id"],
-                         "h": normalized_text_hash(t["text"])})
+                         "hi": pa.array(hi, pa.int64()),
+                         "lo": pa.array(lo, pa.int64()),
+                         "b": pa.array((hi % nb).astype("int32"),
+                                       pa.int32())})
 
     def cap(g: pa.Table) -> pa.Table:
-        ids = sorted(g["doc_id"].to_pylist())[:k]
+        hi = g["hi"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = g["lo"].combine_chunks().to_numpy(zero_copy_only=False)
+        dv = g["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dv, lo, hi))
+        new = np.ones(len(order), bool)
+        new[1:] = (hi[order[1:]] != hi[order[:-1]]) \
+            | (lo[order[1:]] != lo[order[:-1]])
+        # rank within hash group = position since last group start
+        idx = np.arange(len(order))
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = idx - start + 1
+        keep = rank <= k
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "copy_rank": pa.array(list(range(1, len(ids) + 1)),
-                                  pa.int64()),
+            "doc_id": pa.array(dv[order[keep]], pa.int64()),
+            "copy_rank": pa.array(rank[keep], pa.int64()),
         })
 
     return docs_ds.select_columns(["doc_id", "text"]) \
         .map_batches(norm, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("h").map_groups(cap, batch_format="pyarrow")
+        .groupby("b").map_groups(cap, batch_format="pyarrow")
 
 
 def capped_duplicate_sample_sql(k: int = 2,

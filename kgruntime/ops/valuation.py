@@ -41,7 +41,7 @@ def loo_source_influence(docs_ds):
     |sources| rows — mix decisions are per-source by definition.
     """
     import pandas as pd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from .dedup import _md5_60
 
@@ -67,40 +67,52 @@ def loo_source_influence(docs_ds):
                                      Sum("tk", alias_name="n_tokens")) \
         .to_pandas()
 
-    # --- pass 2: text-hash × source counts → exclusive-ownership ---
+    # --- pass 2: text-hash ownership via ONE coarse-bucketed exchange
+    # (groupby(h) would make |distinct texts| groups — the r5
+    # coarse-group lesson); each ~4×CPU bucket computes its distinct-
+    # hash count and per-source exclusive-hash counts fully vectorized
+    # in pandas and emits |sources|+1 partial rows ---
+    from .join import default_num_buckets
+
+    nb = default_num_buckets()
+
     def hash_rows(t: pa.Table) -> pa.Table:
         h = np.array([_md5_60(x.encode())
                       for x in t["text"].to_pylist()], np.int64)
-        return pa.table({"h": pa.array(h, pa.int64()),
-                         "source": t["source"]})
+        tt = pa.table({"h": pa.array(h, pa.int64()),
+                       "source": t["source"],
+                       "b": pa.array((h % nb).astype("int32"),
+                                     pa.int32())})
+        # per-batch (h, source) pre-dedup shrinks the exchange on
+        # duplicate-heavy batches
+        return tt.group_by(["h", "source", "b"],
+                           use_threads=False).aggregate([])
 
-    hs = docs_ds.select_columns(["source", "text"]) \
+    part_schema = pa.schema([("source", pa.string()),
+                             ("own", pa.int64()), ("nh", pa.int64())])
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        u = g.drop_duplicates(["h", "source"])
+        ns = u.groupby("h")["source"].nunique()
+        nh = int(len(ns))
+        excl = set(ns[ns == 1].index)
+        own = u[u["h"].isin(excl)].groupby("source").size()
+        return pa.table({
+            "source": pa.array([""] + own.index.tolist(), pa.string()),
+            "own": pa.array([0] + own.to_numpy(np.int64).tolist(),
+                            pa.int64()),
+            "nh": pa.array([nh] + [0] * len(own), pa.int64())},
+            schema=part_schema)
+
+    parts = docs_ds.select_columns(["source", "text"]) \
         .map_batches(hash_rows, batch_format="pyarrow",
                      zero_copy_batch=True) \
-        .groupby(["h", "source"]).aggregate(Count(alias_name="c"))
-
-    own_schema = pa.schema([("h", pa.int64()), ("ns", pa.int64()),
-                            ("source", pa.string())])
-
-    def per_hash(g: pa.Table) -> pa.Table:
-        # one row per hash: #distinct sources + the owner when single
-        srcs = g["source"].to_pylist()
-        return pa.table({"h": g["h"].slice(0, 1),
-                         "ns": pa.array([len(set(srcs))], pa.int64()),
-                         "source": pa.array(
-                             [srcs[0] if len(set(srcs)) == 1 else ""],
-                             pa.string())}, schema=own_schema)
-
-    per_h = hs.groupby("h").map_groups(
-        per_hash, batch_format="pyarrow").materialize()
-    n_hashes = per_h.count()
-
-    def only_exclusive(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["ns"], 1)).select(["source"])
-
-    own = per_h.map_batches(only_exclusive, batch_format="pyarrow") \
-        .groupby("source").aggregate(Count(alias_name="own")).to_pandas()
-    if own.empty:   # Ray empty-dataset schema-drop gotcha
+        .groupby("b").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    n_hashes = int(parts["nh"].sum())
+    own = parts[parts["source"] != ""] \
+        .groupby("source", as_index=False)["own"].sum()
+    if own.empty:
         own = pd.DataFrame({"source": pd.Series([], dtype=str),
                             "own": pd.Series([], dtype="int64")})
 
