@@ -262,24 +262,160 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
         names=["doc_a", "doc_b", "jaccard_est"])
 
 
+def _minhash_doc_rows(batch: pa.Table, num_perm: int = 64,
+                      bands: int = 16) -> pa.Table:
+    """Per-DOC row: (doc_id, sig bytes, band_hashes list<int64>) — the
+    signature is stored ONCE per doc (the old exploded layout carried
+    the 512-byte signature on every band row, 16× redundant: it
+    spilled 70 GB at 4.2M docs)."""
+    m = _minhasher(num_perm, bands, 3, 13)
+    ids, sigs, bhs = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist()):
+        sig = m.signature(t)
+        ids.append(d)
+        sigs.append(sig.tobytes())
+        bhs.append([_md5_60(",".join(
+            str(int(v)) for v in
+            sig[b * m.rows_per_band:(b + 1) * m.rows_per_band])
+            .encode()) for b in range(bands)])
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "sig": pa.array(sigs, pa.binary()),
+                     "bh": pa.array(bhs, pa.list_(pa.int64()))})
+
+
+_MH_CAND_SCHEMA = pa.schema([("doc_a", pa.int64()),
+                             ("doc_b", pa.int64())])
+
+
+def _mh_band_cands(group: pa.Table, cap: int = 200) -> pa.Table:
+    """One (band, band_hash) bucket of int rows → capped candidate
+    pairs (first ``cap`` distinct doc_ids ASC, the _cap_hot_bucket
+    rule; no signatures here)."""
+    ids = np.unique(group["doc_id"].combine_chunks()
+                    .to_numpy(zero_copy_only=False))
+    if len(ids) > cap:
+        logger.warning(
+            "minhash_lsh: hot bucket truncated %d -> %d members "
+            "(%d dropped); near-dup recall inside this bucket is "
+            "incomplete", len(ids), cap, len(ids) - cap)
+        ids = ids[:cap]
+    if len(ids) < 2:
+        return _MH_CAND_SCHEMA.empty_table()
+    ai, bi = np.triu_indices(len(ids), k=1)
+    return pa.table({"doc_a": pa.array(ids[ai], pa.int64()),
+                     "doc_b": pa.array(ids[bi], pa.int64())},
+                    schema=_MH_CAND_SCHEMA)
+
+
 def minhash_near_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
                       bands: int = 16):
-    """Near-duplicate pairs (doc_a < doc_b, jaccard_est ≥ threshold)."""
-    from .groups import coarse_group_map
+    """Near-duplicate pairs (doc_a < doc_b, jaccard_est ≥ threshold).
 
-    exploded = docs_ds.map_batches(
-        minhash_explode, fn_kwargs={"num_perm": num_perm, "bands": bands},
+    Two-phase scale shape (r5): ONE text pass builds the materialized
+    per-doc signature table; the LSH exchange moves only
+    (doc_id, band, band_hash) ints (24 B/row) through a coarse-grouped
+    candidate generation; the full signatures are then fetched ONLY
+    for candidate docs (Bloom-prefiltered bucketed joins, the set_sim
+    verify pattern) and the per-pair estimate is one vectorized
+    (num_perm-lane) equality mean.  Estimates, caps, and the pair set
+    are bit-identical to the single-phase layout — the SQL twin is
+    unchanged.
+    """
+    import ray
+    import ray.data as rd
+
+    from .ann import _cached_state
+    from .groups import coarse_group_map
+    from .join import bucketed_hash_join
+
+    doc_tbl = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _minhash_doc_rows, fn_kwargs={"num_perm": num_perm,
+                                      "bands": bands},
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        bh = t["bh"].combine_chunks()
+        flat = bh.flatten().to_numpy(zero_copy_only=False)
+        ids = np.repeat(t["doc_id"].combine_chunks()
+                        .to_numpy(zero_copy_only=False), bands)
+        band = np.tile(np.arange(bands, dtype=np.int32), n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "band": pa.array(band, pa.int32()),
+                         "band_hash": pa.array(flat, pa.int64())})
+
+    from ray.data.aggregate import Max
+
+    cands = coarse_group_map(
+        doc_tbl.select_columns(["doc_id", "bh"]).map_batches(
+            band_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["band", "band_hash"], _mh_band_cands, min_group_size=2) \
+        .groupby(["doc_a", "doc_b"]) \
+        .aggregate(Max("doc_a", alias_name="_one")) \
+        .select_columns(["doc_a", "doc_b"]).materialize()
+
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("jaccard_est", pa.float64())])
+    if cands.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    # Bloom bits over candidate ids → only candidate docs' signatures
+    # cross the two verify joins (the set_sim_join pattern)
+    from ..relational import _bloom_from_keys, _bloom_test
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            t["doc_a"].to_numpy(zero_copy_only=False),
+            t["doc_b"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"bits": pa.array(
+            [_bloom_from_keys(ids).tobytes()], pa.binary())})
+
+    parts = cands.map_batches(bloom_partial,
+                              batch_format="pyarrow").to_pandas()
+    bits = np.frombuffer(parts["bits"].iloc[0], np.uint8).copy()
+    for b in parts["bits"].iloc[1:]:
+        bits |= np.frombuffer(b, np.uint8)
+    bits_ref = ray.put(bits.view(bool))
+
+    def bloom_filter_sigs(t: pa.Table) -> pa.Table:
+        bb = _cached_state(bits_ref, lambda: ray.get(bits_ref))
+        hit = _bloom_test(bb, t["doc_id"].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(hit))
+
+    sig_side = doc_tbl.select_columns(["doc_id", "sig"]) \
+        .map_batches(bloom_filter_sigs, batch_format="pyarrow")
+    side_a = sig_side.map_batches(
+        lambda t: t.rename_columns(["a_key", "sig_a"]),
         batch_format="pyarrow")
-    # coarse exchange: band-bucket count grows with the corpus (docs ×
-    # bands, near-unique off-duplicates), so per-bucket map_groups pays
-    # Ray group overhead |corpus|× — coarse_group_map keys the shuffle
-    # on hash(band, band_hash) % ~4×CPUs and applies _bucket_pairs per
-    # true bucket in-process, skipping singleton buckets outright
-    pairs = coarse_group_map(exploded, ["band", "band_hash"],
-                             _bucket_pairs, min_group_size=2)
-    uniq = pairs.groupby(["doc_a", "doc_b"]).max("jaccard_est") \
-        .rename_columns({"max(jaccard_est)": "jaccard_est"})
-    return uniq.filter(expr=f"jaccard_est >= {threshold}")
+    side_b = sig_side.map_batches(
+        lambda t: t.rename_columns(["b_key", "sig_b"]),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(cands, side_a, "doc_a", "a_key")
+    joined = bucketed_hash_join(joined, side_b, "doc_b", "b_key")
+
+    def estimate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        a = np.frombuffer(b"".join(t["sig_a"].to_pylist()),
+                          np.uint64).reshape(-1, num_perm)
+        b = np.frombuffer(b"".join(t["sig_b"].to_pylist()),
+                          np.uint64).reshape(-1, num_perm)
+        est = (a == b).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            "doc_a": pa.array(t["doc_a"].to_numpy(
+                zero_copy_only=False)[keep], pa.int64()),
+            "doc_b": pa.array(t["doc_b"].to_numpy(
+                zero_copy_only=False)[keep], pa.int64()),
+            "jaccard_est": pa.array(est[keep], pa.float64())},
+            schema=out_schema)
+
+    return joined.map_batches(estimate, batch_format="pyarrow")
 
 
 def dedup_components(pairs_ds):
