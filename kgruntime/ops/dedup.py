@@ -309,18 +309,26 @@ def _mh_band_cands(group: pa.Table, cap: int = 200) -> pa.Table:
 
 
 def minhash_near_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
-                      bands: int = 16):
+                      bands: int = 16,
+                      small_corpus_threshold: int = 200_000):
     """Near-duplicate pairs (doc_a < doc_b, jaccard_est ≥ threshold).
 
-    Two-phase scale shape (r5): ONE text pass builds the materialized
-    per-doc signature table; the LSH exchange moves only
-    (doc_id, band, band_hash) ints (24 B/row) through a coarse-grouped
-    candidate generation; the full signatures are then fetched ONLY
-    for candidate docs (Bloom-prefiltered bucketed joins, the set_sim
-    verify pattern) and the per-pair estimate is one vectorized
-    (num_perm-lane) equality mean.  Estimates, caps, and the pair set
-    are bit-identical to the single-phase layout — the SQL twin is
-    unchanged.
+    COST-BASED operator selection (r5): below
+    ``small_corpus_threshold`` docs the single-phase layout runs (band
+    rows carry the signature; one coarse-grouped exchange + one pair
+    rollup — its sig redundancy is ≤ num_perm·8·bands bytes/doc, harmless
+    at this size, and it avoids the two-phase path's 3 extra exchange
+    barriers that dominate small corpora).  Above it, the TWO-PHASE
+    scale shape: ONE text pass builds the materialized per-doc
+    signature table; the LSH exchange moves only (doc_id, band,
+    band_hash) ints (24 B/row) through coarse-grouped candidate
+    generation; full signatures are fetched ONLY for candidate docs
+    (Bloom-prefiltered bucketed joins, the set_sim verify pattern) and
+    the per-pair estimate is one vectorized (num_perm-lane) equality
+    mean.  The single-phase layout at 4.2M docs spilled >70 GB
+    (sig × bands redundancy); the two-phase ran it in 33-79 s with
+    zero spill.  Estimates, caps, and the pair set are bit-identical
+    between the paths (parity-tested) — the SQL twin serves both.
     """
     import ray
     import ray.data as rd
@@ -333,6 +341,34 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
         _minhash_doc_rows, fn_kwargs={"num_perm": num_perm,
                                       "bands": bands},
         batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if doc_tbl.count() <= small_corpus_threshold:
+        # single-phase: sig rides the band rows; estimate in-bucket
+        def band_rows_sig(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            out_d, out_b, out_h, out_s = [], [], [], []
+            bh_col = t["bh"].to_pylist()
+            for d, sig, bh in zip(t["doc_id"].to_pylist(),
+                                  t["sig"].to_pylist(), bh_col):
+                for b, h in enumerate(bh):
+                    out_d.append(d)
+                    out_b.append(b)
+                    out_h.append(h)
+                    out_s.append(sig)
+            return pa.table({
+                "doc_id": pa.array(out_d, pa.int64()),
+                "band": pa.array(out_b, pa.int32()),
+                "band_hash": pa.array(out_h, pa.int64()),
+                "sig": pa.array(out_s, pa.binary())})
+
+        exploded = doc_tbl.map_batches(band_rows_sig,
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        pairs = coarse_group_map(exploded, ["band", "band_hash"],
+                                 _bucket_pairs, min_group_size=2)
+        uniq = pairs.groupby(["doc_a", "doc_b"]).max("jaccard_est") \
+            .rename_columns({"max(jaccard_est)": "jaccard_est"})
+        return uniq.filter(expr=f"jaccard_est >= {threshold}")
 
     def band_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows

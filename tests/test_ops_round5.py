@@ -234,6 +234,28 @@ def test_term_concentration_hand_computed(ray_session):
     assert out.loc["s2", "top_term"] == "x"
 
 
+def test_minhash_two_phase_parity(ray_session):
+    """Cost-based minhash paths must be bit-identical: single-phase
+    (small corpus) vs two-phase (candidate joins, forced via
+    threshold=0) on a dup-heavy corpus."""
+    from kgruntime.ops.dedup import minhash_near_dups
+
+    rows = []
+    for i in range(40):
+        base = f"alpha beta gamma delta epsilon zeta eta theta g{i // 4}"
+        rows.append((i, base + (f" tail{i}" if i % 4 else ""), "s"))
+    ds = _docs(rows)
+
+    def run(**kw):
+        return minhash_near_dups(ds, threshold=0.5, **kw).to_pandas() \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    single = run()
+    two_phase = run(small_corpus_threshold=0)
+    assert len(single) > 0
+    assert single.equals(two_phase)
+
+
 def test_page_stitch_pairs_seams(ray_session):
     from kgruntime.ops.dedup import page_stitch_pairs
 
