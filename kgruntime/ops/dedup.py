@@ -2038,7 +2038,8 @@ def _cross_side_pairs(group: pa.Table, num_perm: int,
 
 def incremental_near_dups(new_ds, prior_ds, threshold: float = 0.7,
                           num_perm: int = 64, bands: int = 16,
-                          cap: int = 200):
+                          cap: int = 200,
+                          small_corpus_threshold: int = 200_000):
     """Incremental-ingest NEAR-duplicate check: for each incoming doc,
     the best MinHash match in the prior corpus snapshot with
     jaccard_est ≥ threshold — ``(doc_id, match_id, jaccard_est)``.
@@ -2046,44 +2047,186 @@ def incremental_near_dups(new_ds, prior_ds, threshold: float = 0.7,
     at 100 TB you LSH the day's ingest against the standing index
     instead of re-deduplicating the whole corpus.
 
-    Scale shape: signatures stream per side (task pool, text never
-    leaves its batch); the banded ``groupby`` carries signature rows
-    only; candidate generation is cross-side within a bucket with both
-    sides capped-and-logged; the best-match pick is a per-new-doc
-    ``map_groups`` over ≤ bands·cap tiny rows.
+    COST-BASED path selection like ``minhash_near_dups`` (r5): below
+    ``small_corpus_threshold`` total docs, band rows carry the
+    signature through one coarse-grouped cross-side exchange; above
+    it, the TWO-PHASE shape — int-only band rows generate capped
+    cross-side candidates, and full signatures are fetched only for
+    candidate docs via Bloom-prefiltered bucketed joins (the prior
+    side is the corpus-sized one; its signature table never rides the
+    band exchange).  Paths are parity-tested bit-identical.  The
+    best-match pick is a coarse-grouped per-new-doc argmax either way.
     """
-    def tag(side: int):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "side", pa.array(np.full(t.num_rows, side, np.int64)))
-        return fn
+    import ray
+    import ray.data as rd
 
-    def explode(side):
-        def fn(batch: pa.Table) -> pa.Table:
-            out = minhash_explode(batch, num_perm=num_perm, bands=bands)
-            return tag(side)(out)
-        return fn
-
-    exploded = new_ds.select_columns(["doc_id", "text"]) \
-        .map_batches(explode(1), batch_format="pyarrow") \
-        .union(prior_ds.select_columns(["doc_id", "text"])
-               .map_batches(explode(0), batch_format="pyarrow"))
+    from .ann import _cached_state
     from .groups import coarse_group_map
+    from .join import bucketed_hash_join
 
-    pairs = coarse_group_map(exploded, ["band", "band_hash"],
-                             lambda g: _cross_side_pairs(g, num_perm, cap),
-                             min_group_size=2)
-    hits = pairs.filter(expr=f"jaccard_est >= {threshold}")
+    new_tbl = new_ds.select_columns(["doc_id", "text"]).map_batches(
+        _minhash_doc_rows, fn_kwargs={"num_perm": num_perm,
+                                      "bands": bands},
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    pri_tbl = prior_ds.select_columns(["doc_id", "text"]).map_batches(
+        _minhash_doc_rows, fn_kwargs={"num_perm": num_perm,
+                                      "bands": bands},
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    small = (new_tbl.count() + pri_tbl.count()) <= small_corpus_threshold
+
+    def band_rows(side: int, with_sig: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            bh = t["bh"].combine_chunks()
+            flat = bh.flatten().to_numpy(zero_copy_only=False)
+            ids = np.repeat(t["doc_id"].combine_chunks()
+                            .to_numpy(zero_copy_only=False), bands)
+            band = np.tile(np.arange(bands, dtype=np.int32), n)
+            cols = {"doc_id": pa.array(ids, pa.int64()),
+                    "band": pa.array(band, pa.int32()),
+                    "band_hash": pa.array(flat, pa.int64()),
+                    "side": pa.array(
+                        np.full(n * bands, side, np.int64), pa.int64())}
+            if with_sig:
+                cols["sig"] = pa.array(
+                    [s for s in t["sig"].to_pylist()
+                     for _ in range(bands)], pa.binary())
+            return pa.table(cols)
+        return fn
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("match_id", pa.int64()),
+                            ("jaccard_est", pa.float64())])
+
+    if small:
+        exploded = new_tbl.map_batches(
+            band_rows(1, True), batch_format="pyarrow",
+            zero_copy_batch=True) \
+            .union(pri_tbl.map_batches(band_rows(0, True),
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True))
+        hits = coarse_group_map(
+            exploded, ["band", "band_hash"],
+            lambda g: _cross_side_pairs(g, num_perm, cap),
+            min_group_size=2).filter(
+                expr=f"jaccard_est >= {threshold}")
+    else:
+        exploded = new_tbl.map_batches(
+            band_rows(1, False), batch_format="pyarrow",
+            zero_copy_batch=True) \
+            .union(pri_tbl.map_batches(band_rows(0, False),
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True))
+
+        cand_schema = pa.schema([("doc_id", pa.int64()),
+                                 ("match_id", pa.int64())])
+
+        def cross_cands(g: pa.Table) -> pa.Table:
+            ids = g["doc_id"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            sd = g["side"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            new_ids = np.unique(ids[sd == 1])
+            pri_ids = np.unique(ids[sd == 0])
+            if len(new_ids) > cap:
+                logger.warning(
+                    "incremental_near_dups/new: hot bucket truncated "
+                    "%d -> %d members", len(new_ids), cap)
+                new_ids = new_ids[:cap]
+            if len(pri_ids) > cap:
+                logger.warning(
+                    "incremental_near_dups/prior: hot bucket truncated "
+                    "%d -> %d members", len(pri_ids), cap)
+                pri_ids = pri_ids[:cap]
+            if len(new_ids) == 0 or len(pri_ids) == 0:
+                return cand_schema.empty_table()
+            return pa.table({
+                "doc_id": pa.array(np.repeat(new_ids, len(pri_ids)),
+                                   pa.int64()),
+                "match_id": pa.array(np.tile(pri_ids, len(new_ids)),
+                                     pa.int64())}, schema=cand_schema)
+
+        from ray.data.aggregate import Max
+
+        cands = coarse_group_map(exploded, ["band", "band_hash"],
+                                 cross_cands, min_group_size=2) \
+            .groupby(["doc_id", "match_id"]) \
+            .aggregate(Max("doc_id", alias_name="_one")) \
+            .select_columns(["doc_id", "match_id"]).materialize()
+        if cands.count() == 0:
+            return rd.from_arrow(out_schema.empty_table())
+
+        from ..relational import _bloom_from_keys, _bloom_test
+
+        def bloom_part(col):
+            def fn(t: pa.Table) -> pa.Table:
+                ids = np.unique(t[col].to_numpy(zero_copy_only=False))
+                return pa.table({"bits": pa.array(
+                    [_bloom_from_keys(ids).tobytes()], pa.binary())})
+            return fn
+
+        def bloom_ref(col):
+            parts = cands.map_batches(bloom_part(col),
+                                      batch_format="pyarrow").to_pandas()
+            bits = np.frombuffer(parts["bits"].iloc[0], np.uint8).copy()
+            for b in parts["bits"].iloc[1:]:
+                bits |= np.frombuffer(b, np.uint8)
+            return ray.put(bits.view(bool))
+
+        new_bits, pri_bits = bloom_ref("doc_id"), bloom_ref("match_id")
+
+        def bloom_filter(bits_ref):
+            def fn(t: pa.Table) -> pa.Table:
+                bb = _cached_state(bits_ref, lambda: ray.get(bits_ref))
+                hit = _bloom_test(
+                    bb, t["doc_id"].to_numpy(zero_copy_only=False))
+                return t.filter(pa.array(hit))
+            return fn
+
+        side_a = new_tbl.select_columns(["doc_id", "sig"]) \
+            .map_batches(bloom_filter(new_bits), batch_format="pyarrow") \
+            .map_batches(lambda t: t.rename_columns(["a_key", "sig_a"]),
+                         batch_format="pyarrow")
+        side_b = pri_tbl.select_columns(["doc_id", "sig"]) \
+            .map_batches(bloom_filter(pri_bits), batch_format="pyarrow") \
+            .map_batches(lambda t: t.rename_columns(["b_key", "sig_b"]),
+                         batch_format="pyarrow")
+        joined = bucketed_hash_join(cands, side_a, "doc_id", "a_key")
+        joined = bucketed_hash_join(joined, side_b, "match_id", "b_key")
+
+        def estimate(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            a = np.frombuffer(b"".join(t["sig_a"].to_pylist()),
+                              np.uint64).reshape(-1, num_perm)
+            b = np.frombuffer(b"".join(t["sig_b"].to_pylist()),
+                              np.uint64).reshape(-1, num_perm)
+            est = (a == b).mean(axis=1)
+            keep = est >= threshold
+            return pa.table({
+                "doc_id": pa.array(t["doc_id"].to_numpy(
+                    zero_copy_only=False)[keep], pa.int64()),
+                "match_id": pa.array(t["match_id"].to_numpy(
+                    zero_copy_only=False)[keep], pa.int64()),
+                "jaccard_est": pa.array(est[keep], pa.float64())},
+                schema=out_schema)
+
+        hits = joined.map_batches(estimate, batch_format="pyarrow")
+
+    hits = hits.materialize()   # bounded by near-matches; feeds the
+    if hits.count() == 0:       # emptiness guard AND the best pick
+        return rd.from_arrow(out_schema.empty_table())
 
     def best(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
         mid = g["match_id"].to_numpy(zero_copy_only=False)
         est = g["jaccard_est"].to_numpy(zero_copy_only=False)
         i = min(range(len(mid)), key=lambda i: (-est[i], mid[i]))
         return g.select(["doc_id", "match_id", "jaccard_est"]) \
             .slice(i, 1)
 
-    return hits.groupby("doc_id").map_groups(best,
-                                             batch_format="pyarrow")
+    return coarse_group_map(hits, "doc_id", best)
 
 
 def _mh_side_cte_sql(prefix: str, src: str, num_perm: int, bands: int,

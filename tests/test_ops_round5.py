@@ -256,6 +256,25 @@ def test_minhash_two_phase_parity(ray_session):
     assert single.equals(two_phase)
 
 
+def test_incremental_near_dups_two_phase_parity(ray_session):
+    from kgruntime.ops.dedup import incremental_near_dups
+
+    prior = _docs([(i, f"alpha beta gamma delta epsilon g{i % 3}", "s")
+                   for i in range(12)])
+    new = _docs([(100 + i,
+                  f"alpha beta gamma delta epsilon g{i % 3} x{i % 2}",
+                  "s") for i in range(8)])
+
+    def run(**kw):
+        return incremental_near_dups(new, prior, threshold=0.5, **kw) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    single = run()
+    two_phase = run(small_corpus_threshold=0)
+    assert len(single) > 0
+    assert single.equals(two_phase)
+
+
 def test_page_stitch_pairs_seams(ray_session):
     from kgruntime.ops.dedup import page_stitch_pairs
 
