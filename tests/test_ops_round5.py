@@ -234,6 +234,57 @@ def test_term_concentration_hand_computed(ray_session):
     assert out.loc["s2", "top_term"] == "x"
 
 
+def test_coarse_group_map_matches_plain_groupby(ray_session):
+    """coarse_group_map must reproduce groupby(keys).map_groups(fn)
+    exactly — per-key groups arrive intact in one coarse block — and
+    honor min_group_size / passthrough_max_size."""
+    import numpy as np
+    import ray.data as rd
+
+    from kgruntime.ops.groups import coarse_group_map
+
+    rng = np.random.RandomState(0)
+    k1 = rng.randint(-50, 50, 500).astype("int64")
+    k2 = rng.randint(0, 7, 500).astype("int64")
+    v = np.arange(500, dtype="int64")
+    ds = rd.from_arrow(pa.table({"k1": k1, "k2": k2, "v": v}))
+
+    out_schema = pa.schema([("k1", pa.int64()), ("k2", pa.int64()),
+                            ("n", pa.int64()), ("sv", pa.int64())])
+
+    def summarize(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:       # Ray probes map_groups fns on empties
+            return out_schema.empty_table()
+        vv = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"k1": g["k1"].slice(0, 1),
+                         "k2": g["k2"].slice(0, 1),
+                         "n": pa.array([len(vv)], pa.int64()),
+                         "sv": pa.array([int(vv.sum())], pa.int64())},
+                        schema=out_schema)
+
+    want = ds.groupby(["k1", "k2"]).map_groups(
+        summarize, batch_format="pyarrow").to_pandas() \
+        .sort_values(["k1", "k2"]).reset_index(drop=True)
+    got = coarse_group_map(ds, ["k1", "k2"], summarize).to_pandas() \
+        .sort_values(["k1", "k2"]).reset_index(drop=True)
+    assert want.equals(got)
+
+    # min_group_size drops exactly the small groups
+    got2 = coarse_group_map(ds, ["k1", "k2"], summarize,
+                            min_group_size=3).to_pandas()
+    assert set(map(tuple, got2[["k1", "k2"]].values)) == \
+        set(map(tuple, want[want["n"] >= 3][["k1", "k2"]].values))
+
+    # passthrough emits small groups' ROWS unchanged (identity fn case)
+    def ident(g: pa.Table) -> pa.Table:
+        return g
+
+    got3 = coarse_group_map(ds, ["k1", "k2"], ident,
+                            passthrough_max_size=1000).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert got3["v"].tolist() == list(range(500))
+
+
 def test_minhash_two_phase_parity(ray_session):
     """Cost-based minhash paths must be bit-identical: single-phase
     (small corpus) vs two-phase (candidate joins, forced via
